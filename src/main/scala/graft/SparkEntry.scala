@@ -1,13 +1,302 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Relational
+import graft.operators.{Dedup, Similarity, TextOps, ConnectedComponents, Multimodal}
+import graft.hdbscan.Hdbscan
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 appears in [[queries]];
+  * SQL-expressible ones also appear in [[oracleSql]] with matching column
+  * names (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: distributed HDBSCAN* over the sf0.001 embeddings. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    hdbscanExact(spark, "/root/testdata/sf0.001")
+
+  private def embeddingsD(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("features"))
+
+  private def hdbscanExact(s: SparkSession, dir: String): DataFrame =
+    Hdbscan(minPts = 4, minClusterSize = 4).fit(embeddingsD(s, dir))
+      .select(col("id"), col("label"), round(col("outlier_score"), 6).as("outlier_score"),
+        round(col("core_dist"), 6).as("core_dist"))
+      .orderBy(col("id"))
+
+  private def hdbscanPartitioned(s: SparkSession, dir: String): DataFrame =
+    Hdbscan(minPts = 4, minClusterSize = 4, maxLocalSize = 100).fit(embeddingsD(s, dir))
+      .select(col("id"), col("label"), round(col("outlier_score"), 6).as("outlier_score"),
+        round(col("core_dist"), 6).as("core_dist"))
+      .orderBy(col("id"))
+
+  private def hdbscanBubbles(s: SparkSession, dir: String): DataFrame =
+    Hdbscan(minPts = 4, minClusterSize = 4, maxLocalSize = 50, maxExactPoints = 100,
+      sampleCap = 120).fit(embeddingsD(s, dir))
+      .select(col("id"), col("label"), round(col("outlier_score"), 6).as("outlier_score"),
+        round(col("core_dist"), 6).as("core_dist"))
+      .orderBy(col("id"))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embPair(s: SparkSession, dir: String, as1: String, as2: String): DataFrame =
+    Relational.embeddings(s, dir).select(col("vec_id").as(as1), col("vec").as(as2))
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * training-data-pipeline extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational surface (SURVEY §2.14) ----
+    "q_scan_filter_project" -> Relational.scanFilterProject _,
+    "q_pricing_summary" -> Relational.pricingSummary _,
+    "q_count_lineitem" -> Relational.countLineitem _,
+    "q_filter_events" -> Relational.filterEvents _,
+    "q_join_broadcast" -> Relational.joinBroadcast _,
+    "q_join_multiway" -> Relational.joinMultiway _,
+    "q_antijoin" -> Relational.antiJoin _,
+    "q_union_all" -> Relational.unionSlices _,
+    "q_distinct_renumber" -> Relational.distinctRenumber _,
+    "q_max_per_key" -> Relational.maxPerKey _,
+    "q_tiedmax_window" -> Relational.tiedMaxWindow _,
+    "q_topk_orderby" -> Relational.topkOrderBy _,
+    "q_adjacency_list" -> Relational.adjacencyList _,
+    "q_orders_by_month" -> Relational.ordersByMonth _,
+    "q_events_hourly" -> Relational.eventsHourly _,
+    // ---- vector/distance surface (E1-E7, W1-W3, J1, J3) ----
+    "q_distance_pairs" -> Relational.distancePairs _,
+    "q_core_distance_window" -> ((s: SparkSession, d: String) => Relational.coreDistanceWindow(s, d)),
+    "q_argmin_assign" -> Relational.argminAssign _,
+    "q_mutual_reachability" -> ((s: SparkSession, d: String) => Relational.mutualReachabilityPairs(s, d)),
+    // ---- clustering (the reference's reason to exist) ----
+    "q_hdbscan" -> hdbscanExact _,
+    "q_hdbscan_partitioned" -> hdbscanPartitioned _,
+    "q_hdbscan_bubbles" -> hdbscanBubbles _,
+    "q_connected_components" -> ((s: SparkSession, d: String) => {
+      val e = embPair(s, d, "id_a", "va").filter(col("id_a") < 300)
+      val b = embPair(s, d, "id_b", "vb").filter(col("id_b") < 300)
+      val edges = e.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter(graft.functions.Distances.euclidean(col("va"), col("vb")) < 1.0)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      ConnectedComponents.run(s, edges).orderBy(col("vertex"))
+    }),
+    // ---- dedup family ----
+    "q_dedup_exact" -> ((s: SparkSession, d: String) =>
+      Dedup.exact(docs(s, d)).orderBy(col("content_hash"))),
+    "q_dedup_minhash" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashNearDup(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
+    "q_dedup_simhash" -> ((s: SparkSession, d: String) =>
+      Dedup.simhashNearDup(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
+    "q_ngram_jaccard" -> ((s: SparkSession, d: String) =>
+      Dedup.ngramJaccardPairs(docs(s, d), "source")
+        .orderBy(col("block"), col("id_a"), col("id_b"))),
+    "q_embedding_neardup" -> ((s: SparkSession, d: String) => {
+      val e = Relational.embeddings(s, d)
+      Dedup.embeddingNearDup(e.select(col("vec_id"), col("vec")), threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // ---- similarity search ----
+    "q_knn_bruteforce" -> ((s: SparkSession, d: String) => {
+      val e = Relational.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("vec").as("qv"))
+      val c = e.select(col("vec_id").as("cid"), col("vec").as("cv"))
+      Similarity.bruteForceTopK(q, c, 10).orderBy(col("qid"), col("rank"))
+    }),
+    "q_knn_ivf" -> ((s: SparkSession, d: String) => {
+      val e = Relational.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("vec").as("qv"))
+      val c = e.select(col("vec_id").as("cid"), col("vec").as("cv"))
+      Similarity.ivfTopK(q, c).orderBy(col("qid"), col("rank"))
+    }),
+    // ---- text analysis ----
+    "q_token_count" -> ((s: SparkSession, d: String) =>
+      docs(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens")).orderBy(col("doc_id"))),
+    "q_text_ratios" -> ((s: SparkSession, d: String) =>
+      docs(s, d).select(col("doc_id"),
+        TextOps.alphaRatio(col("text")).as("alpha_ratio"),
+        TextOps.digitRatio(col("text")).as("digit_ratio"),
+        TextOps.meanTokenLength(col("text")).as("mean_tok_len"),
+        TextOps.stopwordRatio(col("text")).as("stopword_ratio")).orderBy(col("doc_id"))),
+    "q_text_stats" -> ((s: SparkSession, d: String) =>
+      TextOps.analyze(docs(s, d)).orderBy(col("doc_id"))),
+    "q_langid" -> ((s: SparkSession, d: String) =>
+      docs(s, d).select(col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("lang_pred")).orderBy(col("doc_id"))),
+    "q_fingerprint" -> ((s: SparkSession, d: String) =>
+      docs(s, d).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).getField("full_hash").as("full_hash"),
+        TextOps.fingerprint(col("text")).getField("min_shingle_hash").as("min_shingle_hash"))
+        .orderBy(col("doc_id"))),
+    // ---- multimodal plumbing ----
+    "q_multimodal_features" -> ((s: SparkSession, d: String) =>
+      Multimodal.extractFeatures(Multimodal.synthesizeBlobs(docs(s, d)))
+        .toDF().orderBy(col("doc_id"))),
+    // ---- streaming ----
+    "q_stream_events_hourly" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingOps.eventsHourlyStream(s, d))
+  )
+
+  // ---------- DuckDB oracle SQL ----------
+
+  /** Euclidean distance between two float-list columns, in double. */
+  private def sqlEuclid(a: String, b: String): String =
+    s"sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> (CAST($a[i] AS DOUBLE) - $b[i])^2)))"
+  private def sqlManhattan(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> abs(CAST($a[i] AS DOUBLE) - $b[i])))"
+  private def sqlChebyshev(a: String, b: String): String =
+    s"list_max(list_transform(generate_series(1, len($a)), i -> abs(CAST($a[i] AS DOUBLE) - $b[i])))"
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
+  private def sqlNorm(a: String): String =
+    s"sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * $a[i])))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, round(l_extendedprice, 2) AS price
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  avg(l_quantity) AS avg_qty, min(l_discount) AS min_disc, max(l_discount) AS max_disc
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_count_lineitem" -> "SELECT count(*) AS cnt FROM lineitem",
+    "q_filter_events" ->
+      """SELECT event_id, user_id, round(value, 4) AS value FROM events
+        |WHERE event_type = 'click' AND value > 50.0 ORDER BY event_id""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT p_brand, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_join_multiway" ->
+      """SELECT n_name, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_union_all" ->
+      """SELECT event_id, event_type FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, event_type FROM events WHERE event_type = 'error'
+        |ORDER BY event_id""".stripMargin,
+    "q_distinct_renumber" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(dense_rank() OVER (ORDER BY l_returnflag, l_linestatus) AS BIGINT) AS new_id
+        |FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+        |ORDER BY new_id""".stripMargin,
+    "q_max_per_key" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS max_price FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_tiedmax_window" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT *, rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS rk
+        |  FROM lineitem)
+        |WHERE rk = 1 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_topk_orderby" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q_adjacency_list" ->
+      """SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
+        |  count(*) AS degree
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_orders_by_month" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
+        |  round(sum(value), 3) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_distance_pairs" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${sqlEuclid("a.embedding", "b.embedding")}, 6) AS euclidean,
+         |  round(${sqlManhattan("a.embedding", "b.embedding")}, 6) AS manhattan,
+         |  round(${sqlChebyshev("a.embedding", "b.embedding")}, 6) AS chebyshev,
+         |  round(1 - ${sqlDot("a.embedding", "b.embedding")} /
+         |    (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}), 6) AS cosine_dist
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE a.vec_id < 30 AND b.vec_id < 30
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_core_distance_window" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${sqlEuclid("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 200 AND b.vec_id < 200)
+         |SELECT id_a, round(d, 6) AS core_dist FROM (
+         |  SELECT id_a, d, row_number() OVER (PARTITION BY id_a ORDER BY d, id_b) AS rn
+         |  FROM pairs)
+         |WHERE rn = 3 ORDER BY id_a""".stripMargin,
+    "q_argmin_assign" ->
+      s"""WITH pairs AS (
+         |  SELECT p.vec_id AS point_id, s.vec_id AS sample_id,
+         |    ${sqlEuclid("p.embedding", "s.embedding")} AS d
+         |  FROM embeddings p JOIN embeddings s ON true
+         |  WHERE p.vec_id >= 100 AND p.vec_id < 300 AND s.vec_id < 20)
+         |SELECT point_id, sample_id, round(d, 6) AS dist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY point_id ORDER BY d, sample_id) AS rn
+         |  FROM pairs)
+         |WHERE rn = 1 ORDER BY point_id""".stripMargin,
+    "q_mutual_reachability" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${sqlEuclid("a.embedding", "b.embedding")} AS d
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 100 AND b.vec_id < 100),
+         |core AS (
+         |  SELECT id_a AS cid, d AS core FROM (
+         |    SELECT id_a, d, row_number() OVER (PARTITION BY id_a ORDER BY d, id_b) AS rn
+         |    FROM pairs)
+         |  WHERE rn = 3)
+         |SELECT p.id_a, p.id_b, round(greatest(p.d, ca.core, cb.core), 6) AS mreach
+         |FROM pairs p JOIN core ca ON p.id_a = ca.cid JOIN core cb ON p.id_b = cb.cid
+         |WHERE p.id_a < p.id_b ORDER BY p.id_a, p.id_b""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0
+        |  ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_ratios" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(text) = 0 THEN 0.0 ELSE
+        |    round(CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len(text), 6) END AS alpha_ratio,
+        |  CASE WHEN len(text) = 0 THEN 0.0 ELSE
+        |    round(CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / len(text), 6) END AS digit_ratio,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |    round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks), 6) END AS mean_tok_len,
+        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |    round(CAST(len(list_filter(toks, t -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that'], t))) AS DOUBLE) / len(toks), 6) END AS stopword_ratio
+        |FROM (SELECT *, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT source AS block, doc_id AS id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(n) - 2, 1)),
+        |      i -> substr(n, i, 3))) AS s
+        |  FROM (SELECT *, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n FROM documents))
+        |SELECT block, id_a, id_b, jaccard FROM (
+        |  SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
+        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id)
+        |WHERE jaccard >= 0.3 ORDER BY block, id_a, id_b""".stripMargin,
+    "q_stream_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
+        |  round(sum(value), 3) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+  )
 }

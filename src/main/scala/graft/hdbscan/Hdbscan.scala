@@ -1,0 +1,233 @@
+package graft.hdbscan
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.kernel.HdbscanKernel
+import graft.kernel.HdbscanKernel.Edge
+import graft.operators.{CF, CFAggregator}
+
+/** One input point. */
+final case class Point(id: Long, features: Array[Double])
+
+/** One clustered output point. */
+final case class ClusteredPoint(id: Long, label: Int, outlier_score: Double, core_dist: Double)
+
+/** Mixed per-subset kernel output (edges + point results in one pass, the
+  * reference's key=-1 disambiguation trick done with a proper tag column). */
+private[hdbscan] final case class LocalOut(
+    kind: Int, // 0 = point result, 1 = MST edge
+    id: Long, label: Int, score: Double, core: Double,
+    src: Long, dst: Long, weight: Double)
+
+/** Distributed HDBSCAN* — the engine's flagship operator, a Spark-native
+  * re-expression of MR-HDBSCAN* (reference `main/Main.java:69-413`; paper:
+  * Santos et al., IEEE TBD 7(1):102-114, 2021).
+  *
+  * Fluent MLlib-style config:
+  * {{{
+  *   Hdbscan().setMinPts(4).setMinClusterSize(4).fit(points)
+  * }}}
+  *
+  * Execution strategy (all data movement is declarative DataFrame ops):
+  *   - n ≤ maxLocalSize: one exact kernel in a single task.
+  *   - n ≤ maxExactPoints: **partitioned-exact** — seeded Voronoi split into
+  *     ≤ maxLocalSize subsets (broadcast argmin join, J1), exact per-subset
+  *     kernels via `flatMapGroups` (A4 done right — evaluated once per
+  *     complete group, unlike the reference's order-dependent reduce), local
+  *     MSTs unioned with inter-subset seed edges, global Kruskal +
+  *     condensed-tree extraction on the driver (edge count ≈ n, bounded by
+  *     maxExactPoints).
+  *   - else: **bubble-compressed** — stratified sample → broadcast-argmin
+  *     assignment → CF-bubble aggregation (one shuffle, map-side combine) →
+  *     bubble-level hierarchy with point-mass weighting on the driver
+  *     (≤ sampleCap rows) → labels broadcast-joined back to all points.
+  *     This is the paper's data-bubble model: driver state is O(#bubbles),
+  *     executor state is O(points/partition) — the 100 TB path.
+  */
+final case class Hdbscan(
+    minPts: Int = 4,
+    minClusterSize: Int = 4,
+    distance: String = "euclidean",
+    maxLocalSize: Int = 10000,
+    maxExactPoints: Long = 500000,
+    sampleCap: Int = 2000,
+    seed: Long = 42L) {
+
+  def setMinPts(v: Int): Hdbscan = copy(minPts = v)
+  def setMinClusterSize(v: Int): Hdbscan = copy(minClusterSize = v)
+  def setDistance(v: String): Hdbscan = copy(distance = v)
+  def setMaxLocalSize(v: Int): Hdbscan = copy(maxLocalSize = v)
+  def setMaxExactPoints(v: Long): Hdbscan = copy(maxExactPoints = v)
+  def setSampleCap(v: Int): Hdbscan = copy(sampleCap = v)
+  def setSeed(v: Long): Hdbscan = copy(seed = v)
+
+  /** @param df (id: long, features: array<double>) */
+  def fit(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.select(col("id").cast("long"), col("features").cast("array<double>"))
+      .as[Point]
+    val n = pts.count()
+    if (n <= maxLocalSize) fitSingle(pts)
+    else if (n <= maxExactPoints) fitPartitionedExact(pts, n)
+    else fitBubbles(pts, n)
+  }
+
+  private def dist = HdbscanKernel.distByName(distance)
+
+  /** Exact kernel in one task (subset = whole dataset). */
+  private def fitSingle(pts: Dataset[Point]): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    pts.repartition(1).mapPartitions { it =>
+      val buf = it.toArray
+      val res = HdbscanKernel.fitLocal(buf.map(_.features), minPts, minClusterSize, dist)
+      buf.iterator.zip(res.iterator).map { case (p, (l, s, c)) =>
+        ClusteredPoint(p.id, l, s, c)
+      }
+    }.toDF()
+  }
+
+  /** Voronoi-partitioned exact mode with driver-side global merge. */
+  private def fitPartitionedExact(pts: Dataset[Point], n: Long): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+
+    // ---- seeded split: ~n/maxLocalSize*2 seeds, Voronoi cells as subsets ----
+    val nSeeds = math.max(2, math.ceil(n.toDouble / maxLocalSize * 2).toInt)
+    val seeds = pts.toDF().orderBy(xxhash64(col("id"), lit(seed))).limit(nSeeds)
+      .select(col("id").as("seed_id"), col("features").as("seed_vec"))
+    val distFn = graft.functions.Distances.byName(distance)
+    val w = Window.partitionBy(col("id")).orderBy(col("d"), col("seed_id"))
+    val assigned = pts.toDF().crossJoin(broadcast(seeds))
+      .select(col("id"), col("features"), col("seed_id"),
+        distFn(col("features"), col("seed_vec")).as("d"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("seed_id").as("subset"), col("id"), col("features"))
+
+    // ---- exact kernel per subset: local MST (global ids) + core distances ----
+    val local = assigned.select(col("subset"), col("id"), col("features"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val feats = rows.map(_._3)
+        val ids = rows.map(_._2)
+        val core = HdbscanKernel.coreDistances(feats, minPts, dist)
+        val out = scala.collection.mutable.ArrayBuffer[LocalOut]()
+        var i = 0
+        while (i < rows.length) {
+          out += LocalOut(0, ids(i), 0, 0.0, core(i), 0L, 0L, 0.0)
+          i += 1
+        }
+        if (rows.length > 1) {
+          val mst = HdbscanKernel.primMst(feats, core, dist)
+          mst.foreach { e =>
+            out += LocalOut(1, 0L, 0, 0.0, 0.0, ids(e.src), ids(e.dst), e.weight)
+          }
+        }
+        out.iterator
+      }.persist()
+
+    // ---- inter-subset edges: MST over the seed points themselves ----
+    val seedRows = seeds.as[(Long, Array[Double])].collect()
+    val interEdges: Array[(Long, Long, Double)] =
+      if (seedRows.length > 1) {
+        val m = seedRows.length
+        val wMat = Array.tabulate(m, m)((i, j) =>
+          if (i == j) 0.0 else dist(seedRows(i)._2, seedRows(j)._2))
+        HdbscanKernel.primMstMatrix(wMat).map(e =>
+          (seedRows(e.src)._1, seedRows(e.dst)._1, e.weight))
+      } else Array.empty
+
+    // ---- driver global merge: Kruskal over union of edges, then hierarchy ----
+    val coreRows = local.filter(_.kind == 0).map(o => (o.id, o.core)).collect()
+    val idToIdx = coreRows.map(_._1).zipWithIndex.toMap
+    val coreArr = coreRows.map(_._2)
+    val localEdges = local.filter(_.kind == 1).map(o => (o.src, o.dst, o.weight)).collect()
+    // inter edges get mutual-reachability weights w.r.t. subset-local cores
+    val allEdges = (localEdges ++ interEdges.map { case (s, d, w0) =>
+      (s, d, math.max(w0, math.max(coreArr(idToIdx(s)), coreArr(idToIdx(d)))))
+    }).map { case (s, d, w0) => Edge(idToIdx(s), idToIdx(d), w0) }
+      .sortBy(e => (e.weight, e.src, e.dst))
+    // Kruskal: keep the n-1 lightest acyclic edges
+    val uf = new graft.kernel.UnionFind(coreArr.length)
+    val mstGlobal = allEdges.filter(e => uf.find(e.src) != uf.find(e.dst) && { uf.union(e.src, e.dst); true })
+    local.unpersist()
+
+    val h = HdbscanKernel.hierarchy(coreArr.length, mstGlobal, coreArr,
+      minClusterSize.toDouble, Array.fill(coreArr.length)(1.0))
+    val out = coreRows.indices.map { i =>
+      ClusteredPoint(coreRows(i)._1, h.labels(i), h.outlierScores(i), coreArr(i))
+    }
+    spark.createDataset(out).toDF()
+  }
+
+  /** Bubble-compressed mode: the 100 TB path. Driver state O(#bubbles). */
+  private def fitBubbles(pts: Dataset[Point], n: Long): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+
+    // ---- stratum-free seeded sample of ≤ sampleCap bubble seeds ----
+    val samples = pts.toDF().orderBy(xxhash64(col("id"), lit(seed))).limit(sampleCap)
+      .select(col("id").as("sample_id"), col("features").as("sample_vec"))
+    val distFn = graft.functions.Distances.byName(distance)
+    val w = Window.partitionBy(col("id")).orderBy(col("d"), col("sample_id"))
+    val assigned = pts.toDF().crossJoin(broadcast(samples))
+      .select(col("id"), col("features"), col("sample_id"),
+        distFn(col("features"), col("sample_vec")).as("d"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("sample_id"), col("id"), col("features"))
+
+    // ---- CF-bubble aggregation: one shuffle, map-side combine ----
+    val cfCol = CFAggregator.toColumn
+    val bubbles = assigned.select(col("sample_id"), col("features"))
+      .as[(Long, Array[Double])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(cfCol.name("cf"))
+      .collect() // ≤ sampleCap rows
+
+    // ---- bubble-level hierarchy on the driver (E7/E11 + weighted G3) ----
+    val ids = bubbles.map(_._1)
+    val cfs = bubbles.map(_._2)
+    val m = ids.length
+    val reps = cfs.map(_.rep)
+    val extents = cfs.map(_.extent)
+    val nnDists = cfs.map(_.nnDist(minPts.toDouble))
+    val mass = cfs.map(_.n.toDouble)
+    // bubble distance matrix (E7)
+    val bd = Array.tabulate(m, m) { (i, j) =>
+      if (i == j) 0.0
+      else {
+        val d = dist(reps(i), reps(j))
+        val gap = d - (extents(i) + extents(j))
+        if (gap >= 0) gap + nnDists(i) + nnDists(j) else math.max(nnDists(i), nnDists(j))
+      }
+    }
+    // bubble core distance (E11, paper semantics): accumulate bubble mass over
+    // nearest bubbles until >= minPts
+    val bCore = Array.tabulate(m) { i =>
+      if (mass(i) >= minPts) nnDists(i)
+      else {
+        val order = (0 until m).sortBy(j => bd(i)(j))
+        var cum = 0.0; var cd = 0.0
+        var k = 0
+        while (k < m && cum < minPts) { cum += mass(order(k)); cd = bd(i)(order(k)); k += 1 }
+        cd
+      }
+    }
+    val mrd = Array.tabulate(m, m)((i, j) =>
+      if (i == j) 0.0 else math.max(bd(i)(j), math.max(bCore(i), bCore(j))))
+    val mst = HdbscanKernel.primMstMatrix(mrd)
+    val h = HdbscanKernel.hierarchy(m, mst, bCore, minClusterSize.toDouble, mass)
+
+    // ---- labels back to points via broadcast join ----
+    val labelRows = ids.indices.map(i => (ids(i), h.labels(i), h.outlierScores(i), bCore(i)))
+    val labelDf = spark.createDataset(labelRows)
+      .toDF("sample_id", "label", "outlier_score", "core_dist")
+    assigned.join(broadcast(labelDf), "sample_id")
+      .select(col("id"), col("label"), col("outlier_score"), col("core_dist"))
+  }
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB regime: no cross joins over the full corpus — candidates come
+  * from hash buckets (exact), LSH band buckets (MinHash), or pigeonhole
+  * chunk buckets (SimHash); only candidate pairs are verified.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content digest, keep the lowest doc_id.
+    * One shuffle on the digest; map-side partial aggregation applies. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Rows surviving exact dedup (first id per distinct content wins). */
+  def exactKept(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** MinHash signature: `numHashes` minima of seeded xxhash64 over shingles.
+    * One O(shingles × numHashes) expression per row, fully codegen'd. */
+  def minhashSignature(shingles: Column, numHashes: Int = 32): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingles, s => xxhash64(s, seed))))
+
+  /** MinHash + LSH banding near-dup candidates, verified by true Jaccard.
+    *
+    * numHashes=32, bands=8 (4 rows/band) targets Jaccard ≳ 0.6 with high
+    * recall. At scale: one explode (docs × bands), one shuffle on
+    * (band, band_hash), self-join only within buckets — never all-pairs.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
+    */
+  def minhashNearDup(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      shingleSize: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(TextOps.wordShingles(col(textCol), shingleSize)).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+    val banded = sh.select(col("id"), col("shingles"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash of the token stream: per-bit majority vote of token
+    * hashes. Expression-only: fold tokens into a 64-counter array, then
+    * reassemble the sign bits into one BIGINT. */
+  def simhash(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    // per-bit vote: +1/-1 per token depending on bit i of the token hash;
+    // bit i extracted arithmetically (no dynamic shifts in the DSL):
+    // (h / 2^i) % 2 != 0 — works on the full signed 64-bit range via the
+    // literal powers array
+    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
+    val counters = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, powers,
+          (c, p) => c + when(h.bitwiseAND(p) =!= 0L, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(counters, powers, (c, p) => when(c > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    * Pigeonhole banding: split the 64-bit hash into (maxHamming+1) chunks —
+    * any pair within the bound matches exactly on ≥1 chunk, so candidates
+    * come from equi-joins on (chunk_idx, chunk_value), then verified with
+    * bit_count(a XOR b). No all-pairs anywhere. */
+  def simhashNearDup(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val withSig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = withSig.select(col("id"), col("sig"),
+        posexplode(array((0 until chunks).map(c =>
+          shiftright(col("sig"), c * bitsPer)
+            .bitwiseAND(lit((1L << bitsPer) - 1))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val a = banded.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming")).distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Character n-gram Jaccard similarity for candidate pairs drawn from the
+    * same blocking key (e.g. source) — classic blocking + verify. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      blockCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    val sh = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
+      array_distinct(TextOps.charShingles(col(textCol), n)).as("sh"))
+    val a = sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Embedding cosine near-duplicates over an LSH-bucketed candidate set:
+    * random-hyperplane sign bits → bucket equi-join → exact cosine verify.
+    * `planes` are deterministic seeded hyperplanes generated driver-side. */
+  def embeddingNearDup(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "vec",
+      dim: Int = 64,
+      nPlanes: Int = 12,
+      threshold: Double = 0.95,
+      seed: Long = 42L): DataFrame = {
+    val planes = randomHyperplanes(nPlanes, dim, seed)
+    val sigCol = signBits(col(vecCol), planes)
+    val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("v"), sigCol.as("bucket"))
+    val a = withSig.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = withSig.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(graft.functions.Distances.cosineSimilarity(col("va"), col("vb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random unit hyperplanes (xorshift-seeded). */
+  def randomHyperplanes(n: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    var s = seed
+    def next(): Double = {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      (s.toDouble / Long.MaxValue)
+    }
+    Array.fill(n, dim)(next())
+  }
+
+  /** Pack sign(v · plane_i) bits into a BIGINT bucket id. */
+  def signBits(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(graft.functions.Distances.dot(vec, plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, quality scoring, n-gram language ID, and document
+  * fingerprinting. All pure column expressions (whole-stage codegen, no
+  * UDFs), so they scan-prune and pushdown like any built-in.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a trimmed, lowercased document. */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Token count (whitespace tokenization; empty text → 0). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count estimate: words + extra tokens for long words
+    * (a word of length L costs ceil(L/4) subwords, a common BPE heuristic). */
+  def subwordCountEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
+
+  /** Character-class ratios (computed over the raw text, 6dp). */
+  def charRatio(text: Column, charClass: String): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(round(length(regexp_replace(text, charClass, "")).cast("double")
+        / length(text), 6))
+
+  def alphaRatio(text: Column): Column = charRatio(text, "[^A-Za-z]")
+  def digitRatio(text: Column): Column = charRatio(text, "[^0-9]")
+  def spaceRatio(text: Column): Column = charRatio(text, "[^ ]")
+
+  /** Mean token length. */
+  def meanTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(round(aggregate(t, lit(0L), (a, x) => a + length(x)).cast("double") / size(t), 6))
+  }
+
+  private val englishStopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "this", "that")
+
+  /** Fraction of tokens that are (English) stopwords — a classic quality
+    * signal: natural prose has a stable stopword rate, boilerplate doesn't. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = englishStopwords): Column = {
+    val t = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(round(size(filter(t, x => array_contains(sw, x))).cast("double") / size(t), 6))
+  }
+
+  /** Composite quality score in [0,1]: blend of length band, alpha ratio and
+    * stopword presence. Deterministic, monotone in each signal. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val t = tokens(text)
+    val sw = array(englishStopwords.map(lit): _*)
+    val stop = when(size(t) === 0, lit(0.0))
+      .otherwise(size(filter(t, x => array_contains(sw, x))).cast("double") / size(t))
+    round(lit(0.4) * lenScore + lit(0.4) * alpha + lit(0.2) * least(stop * 5.0, lit(1.0)), 6)
+  }
+
+  /** Language-marker token sets for the five testdata languages. The driver
+    * documents carry a `lang` column; this operator re-derives it from text
+    * content by marker-token voting (n-gram-heuristic language ID). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "is", "in", "that", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "上"))
+
+  /** Argmax-vote language ID over marker tokens; "und" (undetermined) when no
+    * marker hits. Pure expressions: per-language hit counts → greatest. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val m = array(markers.map(lit): _*)
+      struct(size(filter(t, x => array_contains(m, x))).as("hits"), lit(lang).as("lang"))
+    }
+    // array_max over (hits, lang) structs: lexicographic → max hits, then max
+    // lang name; deterministic tie-break
+    val best = array_max(array(scores: _*))
+    when(best.getField("hits") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Word n-gram shingles (default 3) as strings; docs shorter than n get a
+    * single whole-document shingle. */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array(concat_ws(" ", t)))
+      .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+  }
+
+  /** Character n-gram shingles (default 3) of the normalized text. */
+  def charShingles(text: Column, n: Int = 3): Column = {
+    val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
+    when(length(norm) < n, array(norm))
+      .otherwise(transform(sequence(lit(1), length(norm) - (n - 1)),
+        i => substring(norm, i, lit(n))))
+  }
+
+  /** Rolling-hash document fingerprint: xxhash64 of the normalized text plus
+    * a winnowing-style min-hash over word-shingle hashes — equal fingerprints
+    * ⇒ near-identical content. */
+  def fingerprint(text: Column): Column = {
+    val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
+    struct(
+      xxhash64(norm).as("full_hash"),
+      array_min(transform(wordShingles(text, 5), s => xxhash64(s))).as("min_shingle_hash"))
+  }
+
+  /** Full per-document text-stats frame over a `documents`-shaped table. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.select(col("doc_id"), tokenCount(t).as("n_tokens"),
+      subwordCountEstimate(t).as("n_subwords"),
+      alphaRatio(t).as("alpha_ratio"), digitRatio(t).as("digit_ratio"),
+      meanTokenLength(t).as("mean_tok_len"), stopwordRatio(t).as("stopword_ratio"),
+      qualityScore(t).as("quality"), langId(t).as("lang_pred"))
+  }
+}

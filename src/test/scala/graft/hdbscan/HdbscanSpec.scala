@@ -1,0 +1,75 @@
+package graft.hdbscan
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Note: the driver testdata `embeddings.label` column is statistically
+  * independent of the vectors (verified: within-label and across-label
+  * cosine/euclidean distances are identical), so ground-truth checks use
+  * constructed Gaussian blobs; the testdata only gets invariant checks.
+  */
+class HdbscanSpec extends SparkTestBase {
+
+  private val rng = new scala.util.Random(42)
+  private val nBlobs = 8
+  private val perBlob = 75
+
+  /** 8 well-separated 5-dim Gaussian blobs. */
+  private def blobData: Seq[(Long, Array[Double], Int)] = {
+    val centers = Array.fill(nBlobs, 5)(rng.nextDouble() * 20.0)
+    (0 until nBlobs * perBlob).map { i =>
+      val b = i % nBlobs
+      val v = centers(b).map(c => c + rng.nextGaussian() * 0.2)
+      (i.toLong, v, b)
+    }
+  }
+
+  private def purity(rows: Array[(Int, Int)]): Double = {
+    val clustered = rows.filter(_._1 != 0)
+    if (clustered.isEmpty) return 0.0
+    clustered.groupBy(_._1).values
+      .map(g => g.groupBy(_._2).values.map(_.length).max).sum.toDouble / clustered.length
+  }
+
+  private def runOnBlobs(h: Hdbscan): (Double, Int, Int) = {
+    import spark.implicits._
+    val data = blobData
+    val df = data.map(t => (t._1, t._2)).toDF("id", "features")
+    val truth = data.map(t => (t._1, t._3)).toMap
+    val res = h.fit(df).select("id", "label").collect()
+      .map(r => (r.getInt(1), truth(r.getLong(0))))
+    val nClusters = res.map(_._1).filter(_ != 0).distinct.length
+    (purity(res), nClusters, res.length)
+  }
+
+  test("single-kernel mode recovers 8 gaussian blobs") {
+    val (p, k, n) = runOnBlobs(Hdbscan(minPts = 4, minClusterSize = 10))
+    assert(n == nBlobs * perBlob)
+    assert(p > 0.95, s"purity $p")
+    assert(k == nBlobs, s"found $k clusters")
+  }
+
+  test("partitioned-exact mode recovers the blobs across subsets") {
+    val (p, k, n) = runOnBlobs(Hdbscan(minPts = 4, minClusterSize = 10, maxLocalSize = 150))
+    assert(n == nBlobs * perBlob)
+    assert(p > 0.9, s"purity $p")
+    assert(k >= nBlobs - 1 && k <= nBlobs + 2, s"found $k clusters")
+  }
+
+  test("bubble mode recovers blob structure from the sketch") {
+    val (p, k, n) = runOnBlobs(Hdbscan(minPts = 4, minClusterSize = 10,
+      maxExactPoints = 100, sampleCap = 160))
+    assert(n == nBlobs * perBlob)
+    assert(p > 0.85, s"bubble purity $p")
+    assert(k >= nBlobs - 2, s"found $k clusters")
+  }
+
+  test("testdata embeddings: all rows labeled, outlier scores in [0,1]") {
+    val pts = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("features"))
+    val df = Hdbscan(minPts = 4, minClusterSize = 4).fit(pts)
+    assert(df.count() == 500)
+    val stats = df.agg(min("outlier_score"), max("outlier_score")).collect()(0)
+    assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0)
+  }
+}

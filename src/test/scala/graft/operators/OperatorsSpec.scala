@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.functions.Distances
+import graft.kernel.HdbscanKernel
+
+class OperatorsSpec extends SparkTestBase {
+
+  test("Distances column functions agree with the kernel implementations") {
+    import spark.implicits._
+    val vecs = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 6.0, 8.0)),
+      (Array(0.5, -1.0, 2.5), Array(0.5, -1.0, 2.5)),
+      (Array(-1.0, 0.0, 1.0), Array(1.0, 0.0, -1.0)))
+    val df = vecs.toDF("a", "b")
+    val rows = df.select(
+      Distances.euclidean($"a", $"b"), Distances.manhattan($"a", $"b"),
+      Distances.supremum($"a", $"b"), Distances.cosineDistance($"a", $"b"),
+      Distances.pearsonDistance($"a", $"b")).collect()
+    vecs.zip(rows).foreach { case ((a, b), r) =>
+      assert(math.abs(r.getDouble(0) - HdbscanKernel.euclidean(a, b)) < 1e-12)
+      assert(math.abs(r.getDouble(1) - HdbscanKernel.manhattan(a, b)) < 1e-12)
+      assert(math.abs(r.getDouble(2) - HdbscanKernel.supremum(a, b)) < 1e-12)
+      assert(math.abs(r.getDouble(3) - HdbscanKernel.cosine(a, b)) < 1e-12)
+      assert(math.abs(r.getDouble(4) - HdbscanKernel.pearson(a, b)) < 1e-12)
+    }
+  }
+
+  test("bubbleDistance: gap formula vs overlap formula") {
+    import spark.implicits._
+    val df = Seq((10.0, 2.0, 3.0, 0.5, 0.7), (4.0, 2.0, 3.0, 0.5, 0.7)).toDF("d", "ea", "eb", "na", "nb")
+    val r = df.select(Distances.bubbleDistance($"d", $"ea", $"eb", $"na", $"nb")).as[Double].collect()
+    assert(math.abs(r(0) - (10.0 - 5.0 + 1.2)) < 1e-12) // separated: gap + nnDists
+    assert(math.abs(r(1) - 0.7) < 1e-12)                // overlapping: max(nn)
+  }
+
+  test("exact dedup finds planted duplicates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta epsilon"),
+      (4L, "alpha beta gamma"), (5L, "unique text here")).toDF("doc_id", "text")
+    val res = Dedup.exact(docs).collect()
+    assert(res.length == 3)
+    val dupRow = res.find(_.getAs[Long]("n_copies") == 3).get
+    assert(dupRow.getAs[Long]("keep_id") == 1L)
+    val kept = Dedup.exactKept(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("minhash near-dup finds planted near-duplicates, skips unrelated") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"token$i").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDup(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash near-dup: hamming distance small for near-identical docs") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = base + " extra"
+    val unrelated = (1 to 60).map(i => s"z${i}x").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDup(docs, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"pairs: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard: identical docs in same block score 1.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s", "the quick brown fox"), (2L, "s", "the quick brown fox"),
+      (3L, "s", "completely different content"), (4L, "other", "the quick brown fox"))
+      .toDF("doc_id", "source", "text")
+    val res = Dedup.ngramJaccardPairs(docs, "source", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(res == Set((1L, 2L))) // block boundary respected
+  }
+
+  test("knn brute force: self-similar clusters rank first") {
+    import spark.implicits._
+    val e = graft.queries.Relational.embeddings(spark, sf())
+    val q = e.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"vec".as("qv"))
+    val c = e.select($"vec_id".as("cid"), $"vec".as("cv"))
+    val res = Similarity.bruteForceTopK(q, c, 5).collect()
+    assert(res.length == 15)
+    // ranks are 1..5 per query and similarities non-increasing
+    res.groupBy(_.getAs[Long]("qid")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+      val sims = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("ivf top-k recall vs brute force on sf0.001") {
+    import spark.implicits._
+    val e = graft.queries.Relational.embeddings(spark, sf())
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"vec".as("qv"))
+    val c = e.select($"vec_id".as("cid"), $"vec".as("cv"))
+    val exact = Similarity.bruteForceTopK(q, c, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(q, c, nCentroids = 8, nProbe = 4, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall > 0.6, s"IVF recall too low: $recall")
+  }
+
+  test("connected components on two disjoint chains") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L)).toDF("src", "dst")
+    val cc = ConnectedComponents.run(spark, edges).as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+  }
+
+  test("text ops: token count, ratios, langid markers") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog"),
+      (2L, ""),
+      (3L, "der hund und die katze ist nicht da"),
+      (4L, "12345 67890")).toDF("doc_id", "text")
+    val res = docs.select($"doc_id", TextOps.tokenCount($"text").as("n"),
+      TextOps.langId($"text").as("lang"), TextOps.digitRatio($"text").as("dr"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2), r.getDouble(3)))).toMap
+    assert(res(1L)._1 == 5 && res(1L)._2 == "en")
+    assert(res(2L)._1 == 0)
+    assert(res(3L)._2 == "de")
+    assert(res(4L)._3 > 0.9)
+  }
+
+  test("CF aggregator: merge matches single-pass stats") {
+    val pts = Array(Array(1.0, 2.0), Array(3.0, 4.0), Array(5.0, 6.0))
+    val cf = pts.foldLeft(CFAggregator.zero)((b, a) => CFAggregator.reduce(b, a))
+    assert(cf.n == 3 && cf.ls.toSeq == Seq(9.0, 12.0) && cf.ss.toSeq == Seq(35.0, 56.0))
+    // split-merge equivalence (commutativity of partial aggregation)
+    val left = pts.take(1).foldLeft(CFAggregator.zero)(CFAggregator.reduce)
+    val right = pts.drop(1).foldLeft(CFAggregator.zero)(CFAggregator.reduce)
+    val merged = CFAggregator.merge(left, right)
+    assert(merged.n == cf.n && merged.ls.toSeq == cf.ls.toSeq && merged.ss.toSeq == cf.ss.toSeq)
+    assert(math.abs(cf.rep(0) - 3.0) < 1e-12)
+    assert(cf.extent > 0 && cf.nnDist(2.0) > 0)
+  }
+
+  test("multimodal: fake codec round-trip + feature extraction") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "abc")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(Multimodal.synthesizeBlobs(docs)).collect()
+    assert(feats.length == 2)
+    val f1 = feats.find(_.doc_id == 1L).get
+    assert(f1.media_type == "audio") // doc_id 1 % 3 = 1
+    assert(f1.width == 96 && f1.height == 96)
+    assert(f1.n_bytes == 16 + "hello world".length)
+    assert(f1.byte_entropy > 0)
+  }
+}

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle gate: run each oracle SQL
+against the testdata parquet, load the corresponding Verify parquet output,
+sort columns by name + rows by all columns, and compare values."""
+import json, sys, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+results = {}
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.execute(sql).df()
+    except Exception as e:
+        results[name] = f"ORACLE_SQL_ERROR: {e}"
+        continue
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        results[name] = "MISSING_SPARK_OUTPUT"
+        continue
+    got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(exp.columns) != list(got.columns):
+        results[name] = f"SCHEMA_NAMES: oracle={list(exp.columns)} spark={list(got.columns)}"
+        continue
+    if len(exp) != len(got):
+        results[name] = f"ROWCOUNT: oracle={len(exp)} spark={len(got)}"
+        continue
+    exp = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+    got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    mismatch = []
+    for c in exp.columns:
+        e, g = exp[c], got[c]
+        try:
+            if e.dtype.kind == "f" or g.dtype.kind == "f":
+                ok = np.allclose(e.astype(float), g.astype(float), rtol=0, atol=0, equal_nan=True)
+                if not ok:
+                    # count exact mismatches for reporting
+                    bad = (~np.isclose(e.astype(float), g.astype(float), rtol=0, atol=0)) & ~(e.isna() & g.isna())
+                    mismatch.append(f"{c}:{int(bad.sum())}rows")
+            else:
+                eq = e.astype(str).values == g.astype(str).values
+                if not eq.all():
+                    mismatch.append(f"{c}:{int((~eq).sum())}rows")
+        except Exception as ex:
+            mismatch.append(f"{c}:cmp_error:{ex}")
+    results[name] = "OK" if not mismatch else f"VALUES: {mismatch}"
+
+npass = sum(1 for v in results.values() if v == "OK")
+for name, v in sorted(results.items()):
+    print(f"{'PASS' if v == 'OK' else 'FAIL'} {name}" + ("" if v == "OK" else f"  {v}"))
+print(f"\n{npass}/{len(results)} oracle queries pass")
