@@ -19,7 +19,10 @@ object Bench {
       .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg: substring filter to bench a subset of queries
+    val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => args.isEmpty || args.exists(q._1.contains))
+    val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -46,20 +46,33 @@ object Dedup {
       threshold: Double = 0.5,
       shingleSize: Int = 3): DataFrame = {
     val rows = numHashes / bands
+    // shingles hashed to longs ONCE: all downstream work (signatures, bands,
+    // jaccard verify) runs over BIGINT arrays, never strings.
+    // The repartition() calls are deliberate exchange barriers: higher-order
+    // functions are interpreted (no codegen), and CollapseProject would
+    // otherwise inline the shingle pipeline into every one of the 8 band
+    // expressions and 32 signature lanes — measured 300s vs 3s at sf0.001.
+    // persisted: consumed three times (banding + both sides of the verify
+    // join); without it the shingle pipeline executes 3x
     val sh = docs.select(col(idCol).as("id"),
-      array_distinct(TextOps.wordShingles(col(textCol), shingleSize)).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
-    val banded = sh.select(col("id"), col("shingles"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))))
+      array_distinct(transform(TextOps.wordShingles(col(textCol), shingleSize),
+        s => xxhash64(s))).as("sh"))
+      .repartition(col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sh
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .repartition(col("id"))
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+    // candidate pairs carry only ids through the bucket join + distinct;
+    // shingle sets are re-joined afterwards for the exact-jaccard verify
+    val candidates = banded.as("a").join(banded.as("b"), Seq("band", "band_hash"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
@@ -102,7 +115,11 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
+    // exchange barrier: the simhash fold is interpreted (HOF) and referenced
+    // by every chunk expression — without the barrier CollapseProject would
+    // re-evaluate it per chunk (see minhashNearDup)
     val withSig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .repartition(col("id"))
     val banded = withSig.select(col("id"), col("sig"),
         posexplode(array((0 until chunks).map(c =>
           shiftright(col("sig"), c * bitsPer)
