@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.Relational
-import graft.operators.{Dedup, Similarity, TextOps, ConnectedComponents, Multimodal}
+import graft.operators.{Dedup, Similarity, TextOps, ConnectedComponents, Multimodal, Constraints}
 import graft.hdbscan.Hdbscan
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -131,6 +131,38 @@ object SparkEntry {
         TextOps.fingerprint(col("text")).getField("full_hash").as("full_hash"),
         TextOps.fingerprint(col("text")).getField("min_shingle_hash").as("min_shingle_hash"))
         .orderBy(col("doc_id"))),
+    // ---- clustering model surfaces (tree / hierarchy / outlier rank / constraints) ----
+    "q_cluster_tree" -> ((s: SparkSession, d: String) =>
+      Hdbscan(minPts = 4, minClusterSize = 4).fitModel(embeddingsD(s, d)).tree
+        .select(col("label"), col("parent"), round(col("birth_eps"), 6).as("birth_eps"),
+          round(col("death_eps"), 6).as("death_eps"), round(col("stability"), 6).as("stability"),
+          col("size"), col("flat_label"))
+        .orderBy(col("label"))),
+    "q_hierarchy_levels" -> ((s: SparkSession, d: String) =>
+      Hdbscan(minPts = 4, minClusterSize = 4).fitModel(embeddingsD(s, d)).levels
+        .select(round(col("level_eps"), 6).as("level_eps"), col("labels_csv"))
+        .orderBy(col("level_eps").desc)),
+    "q_outliers_topk" -> ((s: SparkSession, d: String) =>
+      Hdbscan(minPts = 4, minClusterSize = 4).fit(embeddingsD(s, d))
+        .select(col("id"), round(col("outlier_score"), 6).as("outlier_score"),
+          round(col("core_dist"), 6).as("core_dist"))
+        .orderBy(col("outlier_score").desc, col("core_dist").desc, col("id")).limit(50)),
+    "q_constraints_check" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      // deterministic synthetic constraints over the embedding ids
+      val cons = ((0L until 10L).map(i => (i, i + 1L, "ml")) ++
+        (0L until 10L).map(i => (i, i + 250L, "cl"))).toDF("point_a", "point_b", "ctype")
+      val labels = Hdbscan(minPts = 4, minClusterSize = 4).fit(embeddingsD(s, d))
+        .select(col("id"), col("label"))
+      Constraints.summary(cons, labels)
+    }),
+    "q_sample_stratified" -> ((s: SparkSession, d: String) =>
+      // P1: seeded per-stratum sampling; rows-only check (sampling is not
+      // reproducible inside DuckDB)
+      Relational.table(s, d, "lineitem")
+        .stat.sampleBy("l_returnflag", Map("A" -> 0.1, "N" -> 0.1, "R" -> 0.1), 42L)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"))),
     // ---- multimodal plumbing ----
     "q_multimodal_features" -> ((s: SparkSession, d: String) =>
       Multimodal.extractFeatures(Multimodal.synthesizeBlobs(docs(s, d)))

@@ -74,6 +74,28 @@ final case class Hdbscan(
     else fitBubbles(pts, n)
   }
 
+  /** Fit and also return the cluster tree + rendered hierarchy levels (the
+    * reference's *_tree.csv / *_hierarchy.csv surfaces). The tree is always
+    * driver-sized (≤ #clusters ≤ #points-or-bubbles); levels are rendered
+    * from the same driver-side hierarchy.
+    */
+  def fitModel(df: DataFrame): HdbscanModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.select(col("id").cast("long"), col("features").cast("array<double>"))
+      .as[Point]
+    val n = pts.count()
+    val (points, h) =
+      if (n <= maxExactPoints) exactGlobal(pts, n)
+      else bubbleGlobal(pts, n)
+    val tree = spark.createDataset(HdbscanKernel.clusterTreeRows(h).toSeq)
+      .toDF("label", "parent", "birth_eps", "death_eps", "stability", "size", "flat_label")
+    val levels = spark.createDataset(
+        HdbscanKernel.renderLevels(h).toSeq.map { case (eps, ls) => (eps, ls.mkString(",")) })
+      .toDF("level_eps", "labels_csv")
+    HdbscanModel(points, tree, levels)
+  }
+
   private def dist = HdbscanKernel.distByName(distance)
 
   /** Exact kernel in one task (subset = whole dataset). */
@@ -90,7 +112,13 @@ final case class Hdbscan(
   }
 
   /** Voronoi-partitioned exact mode with driver-side global merge. */
-  private def fitPartitionedExact(pts: Dataset[Point], n: Long): DataFrame = {
+  private def fitPartitionedExact(pts: Dataset[Point], n: Long): DataFrame =
+    exactGlobal(pts, n)._1
+
+  private def fitBubbles(pts: Dataset[Point], n: Long): DataFrame =
+    bubbleGlobal(pts, n)._1
+
+  private def exactGlobal(pts: Dataset[Point], n: Long): (DataFrame, HdbscanKernel.Hierarchy) = {
     val spark = pts.sparkSession
     import spark.implicits._
 
@@ -100,11 +128,19 @@ final case class Hdbscan(
       .select(col("id").as("seed_id"), col("features").as("seed_vec"))
     val distFn = graft.functions.Distances.byName(distance)
     val w = Window.partitionBy(col("id")).orderBy(col("d"), col("seed_id"))
-    val assigned = pts.toDF().crossJoin(broadcast(seeds))
+    val ranked = pts.toDF().crossJoin(broadcast(seeds))
       .select(col("id"), col("features"), col("seed_id"),
         distFn(col("features"), col("seed_vec")).as("d"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .persist()
+    val assigned = ranked.filter(col("rn") === 1)
       .select(col("seed_id").as("subset"), col("id"), col("features"))
+    // Voronoi-boundary candidates: each point's edge to its SECOND-nearest
+    // seed (a real point in the neighboring subset) — reconnects clusters
+    // that a cell boundary cut, far tighter than seed-to-seed edges alone
+    val boundaryEdges = ranked.filter(col("rn") === 2)
+      .select(col("id"), col("seed_id"), col("d"))
+      .as[(Long, Long, Double)].collect()
 
     // ---- exact kernel per subset: local MST (global ids) + core distances ----
     val local = assigned.select(col("subset"), col("id"), col("features"))
@@ -146,26 +182,29 @@ final case class Hdbscan(
     val idToIdx = coreRows.map(_._1).zipWithIndex.toMap
     val coreArr = coreRows.map(_._2)
     val localEdges = local.filter(_.kind == 1).map(o => (o.src, o.dst, o.weight)).collect()
-    // inter edges get mutual-reachability weights w.r.t. subset-local cores
-    val allEdges = (localEdges ++ interEdges.map { case (s, d, w0) =>
-      (s, d, math.max(w0, math.max(coreArr(idToIdx(s)), coreArr(idToIdx(d)))))
-    }).map { case (s, d, w0) => Edge(idToIdx(s), idToIdx(d), w0) }
+    // inter edges (seed MST + Voronoi-boundary candidates) get
+    // mutual-reachability weights w.r.t. subset-local cores
+    val allEdges = (localEdges ++
+      (interEdges ++ boundaryEdges).map { case (s, d, w0) =>
+        (s, d, math.max(w0, math.max(coreArr(idToIdx(s)), coreArr(idToIdx(d)))))
+      }).map { case (s, d, w0) => Edge(idToIdx(s), idToIdx(d), w0) }
       .sortBy(e => (e.weight, e.src, e.dst))
     // Kruskal: keep the n-1 lightest acyclic edges
     val uf = new graft.kernel.UnionFind(coreArr.length)
     val mstGlobal = allEdges.filter(e => uf.find(e.src) != uf.find(e.dst) && { uf.union(e.src, e.dst); true })
-    local.unpersist()
+    local.unpersist(); ranked.unpersist()
 
     val h = HdbscanKernel.hierarchy(coreArr.length, mstGlobal, coreArr,
       minClusterSize.toDouble, Array.fill(coreArr.length)(1.0))
     val out = coreRows.indices.map { i =>
       ClusteredPoint(coreRows(i)._1, h.labels(i), h.outlierScores(i), coreArr(i))
     }
-    spark.createDataset(out).toDF()
+    (spark.createDataset(out).toDF(), h)
   }
 
-  /** Bubble-compressed mode: the 100 TB path. Driver state O(#bubbles). */
-  private def fitBubbles(pts: Dataset[Point], n: Long): DataFrame = {
+  /** Bubble-compressed mode: the 100 TB path. Driver state O(#bubbles);
+    * the returned hierarchy is over bubbles (mass-weighted), not points. */
+  private def bubbleGlobal(pts: Dataset[Point], n: Long): (DataFrame, HdbscanKernel.Hierarchy) = {
     val spark = pts.sparkSession
     import spark.implicits._
 
@@ -227,7 +266,13 @@ final case class Hdbscan(
     val labelRows = ids.indices.map(i => (ids(i), h.labels(i), h.outlierScores(i), bCore(i)))
     val labelDf = spark.createDataset(labelRows)
       .toDF("sample_id", "label", "outlier_score", "core_dist")
-    assigned.join(broadcast(labelDf), "sample_id")
+    val out = assigned.join(broadcast(labelDf), "sample_id")
       .select(col("id"), col("label"), col("outlier_score"), col("core_dist"))
+    (out, h)
   }
 }
+
+/** Fit result with the model surfaces: labeled points, the cluster tree
+  * (reference *_tree.csv shape), and rendered hierarchy levels (reference
+  * *_hierarchy.csv shape; bubble-level when the sketch path ran). */
+final case class HdbscanModel(points: DataFrame, tree: DataFrame, levels: DataFrame)

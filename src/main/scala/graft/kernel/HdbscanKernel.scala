@@ -417,6 +417,51 @@ object HdbscanKernel {
     Hierarchy(clusters.toArray, pointCluster, pointFallOutEps, selected, labels, scores)
   }
 
+  /** Cluster-tree rows in the reference's *_tree.csv shape
+    * (`Main.java:566-571`): rendered label = cluster id + 1 (0 is reserved
+    * for noise), parent 0 for the root. `flat_label` is the flat-partition
+    * label when the cluster is part of the selected solution, else 0.
+    */
+  def clusterTreeRows(h: Hierarchy): Array[(Int, Int, Double, Double, Double, Double, Int)] = {
+    val flat = h.selected.zipWithIndex.map { case (cid, i) => cid -> (i + 1) }.toMap
+    h.clusters.map(c => (c.id + 1, if (c.parent < 0) 0 else c.parent + 1,
+      c.birthEps, c.deathEps, c.stability, c.size, flat.getOrElse(c.id, 0)))
+  }
+
+  /** Render hierarchy levels (the reference's *_hierarchy.csv,
+    * `Main.java:558-563`): one row per event epsilon (descending), with each
+    * point's cluster id (+1; 0 = noise) at that level. A point is in cluster
+    * a at eps iff a is the deepest ancestor of its condensed cluster with
+    * birthEps >= eps and eps > fallOutEps(point). O(#levels * n).
+    */
+  def renderLevels(h: Hierarchy): Array[(Double, Array[Int])] = {
+    val n = h.pointCluster.length
+    // ancestor chains root→leaf per condensed cluster
+    val chains = h.clusters.map { c =>
+      var chain = List(c.id)
+      var cur = c
+      while (cur.parent >= 0) { cur = h.clusters(cur.parent); chain = cur.id :: chain }
+      chain.toArray // root first, deepest last
+    }
+    val eventEps = (h.clusters.map(_.birthEps) ++ h.pointFallOutEps).distinct
+      .sorted(Ordering[Double].reverse)
+    eventEps.map { eps =>
+      val labels = Array.tabulate(n) { p =>
+        if (h.pointFallOutEps(p) >= eps) 0
+        else {
+          val chain = chains(h.pointCluster(p))
+          var lbl = 0
+          var i = 0
+          while (i < chain.length && h.clusters(chain(i)).birthEps >= eps) {
+            lbl = chain(i) + 1; i += 1
+          }
+          lbl
+        }
+      }
+      (eps, labels)
+    }
+  }
+
   /** End-to-end exact HDBSCAN* on one in-memory subset.
     * Returns (label, outlierScore, coreDistance) per point, in input order.
     */

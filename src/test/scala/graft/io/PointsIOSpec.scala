@@ -1,0 +1,89 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+import graft.SparkTestBase
+import graft.hdbscan.Hdbscan
+import org.apache.spark.sql.functions._
+
+class PointsIOSpec extends SparkTestBase {
+
+  private def tmpDir(): String = Files.createTempDirectory("graft_io").toString
+
+  test("readPointsText: whitespace matrix with deterministic ids") {
+    val f = Paths.get(tmpDir(), "pts.txt")
+    Files.writeString(f, "1.0 2.0 3.0\n4.0 5.0 6.0\n7.5 8.5 9.5\n")
+    val df = PointsIO.readPointsText(spark, f.toString)
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(rows(1).getSeq[Double](1) == Seq(4.0, 5.0, 6.0))
+  }
+
+  test("readPointsText: tab-separated with label column split off") {
+    val f = Paths.get(tmpDir(), "skin.txt")
+    Files.writeString(f, "74\t85\t123\t1\n73\t84\t122\t2\n")
+    val df = PointsIO.readPointsText(spark, f.toString, labelCol = Some("truth"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getSeq[Double](1) == Seq(74.0, 85.0, 123.0))
+    assert(rows(0).getInt(2) == 1 && rows(1).getInt(2) == 2)
+  }
+
+  test("result writers produce the reference CSV shapes") {
+    import spark.implicits._
+    val out = tmpDir()
+    val points = Seq((0L, 1, 0.1, 0.5), (1L, 1, 0.2, 0.4), (2L, 0, 0.9, 1.5))
+      .toDF("id", "label", "outlier_score", "core_dist")
+
+    PointsIO.writePartitionCsv(points, s"$out/part")
+    val partLine = spark.read.text(s"$out/part").collect().map(_.getString(0))
+    assert(partLine.toSeq == Seq("1,1,0"))
+
+    PointsIO.writeOutlierScoresCsv(points, s"$out/outl")
+    val outl = spark.read.text(s"$out/outl").collect().map(_.getString(0))
+    assert(outl.head.startsWith("0.1,") && outl.last.startsWith("0.9,"))
+
+    val tree = Seq((1, 0, 2.0, 0.5, 3.2, 10.0, 0)).toDF(
+      "label", "parent", "birth_eps", "death_eps", "stability", "size", "flat_label")
+    PointsIO.writeTreeCsv(tree, s"$out/tree")
+    assert(spark.read.text(s"$out/tree").collect().head.getString(0) == "1,2.0,0.5,3.2,0")
+  }
+
+  test("fitModel: tree + hierarchy levels invariants on gaussian blobs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(3, 4)(rng.nextDouble() * 30.0)
+    val data = (0 until 240).map { i =>
+      (i.toLong, centers(i % 3).map(c => c + rng.nextGaussian() * 0.2))
+    }
+    val model = Hdbscan(minPts = 4, minClusterSize = 8, maxLocalSize = 100)
+      .fitModel(data.toDF("id", "features"))
+    val tree = model.tree.collect()
+    assert(tree.exists(_.getAs[Int]("parent") == 0), "root present")
+    val flatLabels = tree.map(_.getAs[Int]("flat_label")).filter(_ != 0).toSet
+    assert(flatLabels == Set(1, 2, 3), s"flat labels in tree: $flatLabels")
+    // stability finite and non-negative for selected clusters
+    assert(tree.filter(_.getAs[Int]("flat_label") != 0)
+      .forall(r => r.getAs[Double]("stability") >= 0))
+    val levels = model.levels.orderBy(col("level_eps").desc).collect()
+    assert(levels.length > 1)
+    // top level: nothing is noise in more clusters than bottom; last level all noise
+    val last = levels.last.getAs[String]("labels_csv").split(",").toSet
+    assert(last == Set("0"), s"last level labels: $last")
+    // labels agree between model.points and a plain fit
+    val fitLabels = Hdbscan(minPts = 4, minClusterSize = 8, maxLocalSize = 100)
+      .fit(data.toDF("id", "features"))
+      .select("id", "label").as[(Long, Int)].collect().toMap
+    val modelLabels = model.points.select("id", "label").as[(Long, Int)].collect().toMap
+    assert(fitLabels == modelLabels)
+  }
+
+  test("constraints: ml/cl satisfaction accounting") {
+    import spark.implicits._
+    val labels = Seq((0L, 1), (1L, 1), (2L, 2), (3L, 0)).toDF("id", "label")
+    val cons = Seq((0L, 1L, "ml"), (0L, 2L, "ml"), (0L, 2L, "cl"), (0L, 1L, "cl"), (0L, 3L, "cl"))
+      .toDF("point_a", "point_b", "ctype")
+    val s = graft.operators.Constraints.summary(cons, labels).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(s("ml") == ((2L, 1L))) // only (0,1) same non-noise cluster
+    assert(s("cl") == ((3L, 2L))) // (0,2) differ OK, (0,1) same BAD, (0,3) noise OK
+  }
+}
