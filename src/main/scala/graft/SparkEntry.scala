@@ -167,6 +167,10 @@ object SparkEntry {
     "q_multimodal_features" -> ((s: SparkSession, d: String) =>
       Multimodal.extractFeatures(Multimodal.synthesizeBlobs(docs(s, d)))
         .toDF().orderBy(col("doc_id"))),
+    // ---- sessionization (batch window + stateful streaming) ----
+    "q_sessionize" -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
+    "q_stream_sessionize" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingOps.sessionizeStream(s, d)),
     // ---- streaming ----
     "q_stream_events_hourly" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamingOps.eventsHourlyStream(s, d))
@@ -329,6 +333,35 @@ object SparkEntry {
     "q_stream_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
         |  round(sum(value), 3) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+         |f AS (
+         |  SELECT user_id, event_id, ts_ms,
+         |    CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM e),
+         |s AS (
+         |  SELECT user_id, ts_ms,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) + 1 AS session_idx
+         |  FROM f)
+         |SELECT user_id, session_idx, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+         |  count(*) AS n_events
+         |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "q_stream_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+         |f AS (
+         |  SELECT user_id, event_id, ts_ms,
+         |    CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM e),
+         |s AS (
+         |  SELECT user_id,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) + 1 AS session_idx
+         |  FROM f)
+         |SELECT user_id, max(session_idx) AS n_sessions
+         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -159,6 +159,22 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 3).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Gap-based sessionization (30-min default): classic event-stream shape —
+    * lag + cumulative-sum windows, then per-session aggregation. */
+  def sessionize(spark: SparkSession, dir: String, gapMs: Long = 1800000L): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("new_sess",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(wOrd) > gapMs, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("new_sess")).over(wCum).cast("long") + 1)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   // ---------- vector / distance surface (embeddings table) ----------
 
   /** Embeddings with the float vector cast to ARRAY<DOUBLE>. */

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 
 /** Structured Streaming surface — additive over the reference (which has no
   * streaming, SURVEY §2.12). The `events` table is treated as a bounded
@@ -38,5 +38,50 @@ object StreamingOps {
       .select(col("window.start").as("hour"), col("event_type"),
         col("cnt"), round(col("raw_sum"), 3).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Per-user session state carried across micro-batches. */
+  final case class SessionState(lastTsMs: Long, sessions: Long)
+
+  /** Stateful streaming sessionization: custom per-key state via
+    * `mapGroupsWithState` (the engine's KeyValueGroupedDataset state
+    * surface; no analogue in the reference). Gap rule identical to the
+    * batch `Relational.sessionize`, so per-user session counts are
+    * checkable against the same SQL oracle.
+    */
+  def sessionizeStream(spark: SparkSession, dir: String, gapMs: Long = 1800000L): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").format("parquet").load(dir)
+      .select(col("user_id").cast("long"), expr("ts div 1000000").as("ts_ms"))
+      .as[(Long, Long)]
+
+    val counted = events.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          val sorted = it.map(_._2).toArray.sorted
+          var (lastTs, sessions) = state.getOption
+            .map(s => (s.lastTsMs, s.sessions)).getOrElse((Long.MinValue, 0L))
+          sorted.foreach { ts =>
+            if (lastTs == Long.MinValue || ts - lastTs > gapMs) sessions += 1
+            lastTs = ts
+          }
+          state.update(SessionState(lastTs, sessions))
+          (uid, sessions)
+      }
+
+    val name = s"sessions_${System.nanoTime()}"
+    val q = counted.toDF("user_id", "n_sessions").writeStream
+      .format("memory").queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // update-mode memory sink may hold one row per key per batch: keep the last
+    spark.table(name)
+      .groupBy(col("user_id")).agg(max(col("n_sessions")).as("n_sessions"))
+      .orderBy(col("user_id"))
   }
 }
