@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.hdbscan.Hdbscan
+import graft.io.PointsIO
+
+/** Large clustering smoke: the UCI Skin/NonSkin matrix (245,057 x 3 + label)
+  * through the partitioned-exact pipeline — the dataset the reference ships
+  * but cannot parse (tab-separated vs its `split(" ")`). Prints cluster
+  * sizes, timing, and agreement of the binary ground truth with the two
+  * largest clusters.
+  */
+object SkinSmoke {
+  def main(args: Array[String]): Unit = {
+    val input = args.headOption.getOrElse("/root/reference/数据集/Skin_NonSkin.txt")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "4g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    val pts = PointsIO.readPointsText(spark, input, labelCol = Some("truth")).cache()
+    val n = pts.count()
+    println(f"loaded $n rows in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    val t1 = System.nanoTime()
+    val res = Hdbscan(minPts = 4, minClusterSize = 100,
+      maxLocalSize = 4000, maxExactPoints = 300000)
+      .fit(pts.select("id", "features")).cache()
+    val sizes = res.groupBy("label").count().orderBy(col("count").desc)
+    val top = sizes.collect()
+    println(f"clustered $n rows in ${(System.nanoTime() - t1) / 1e9}%.1f s; " +
+      s"${top.count(_.getAs[Int]("label") != 0)} clusters")
+    top.take(8).foreach(r => println(s"  label=${r.get(0)} size=${r.get(1)}"))
+
+    // purity of found clusters vs the binary skin/non-skin truth
+    val joined = res.join(pts.select("id", "truth"), "id").filter(col("label") =!= 0)
+    val purity = joined.groupBy("label", "truth").count()
+      .groupBy("label").agg(max("count").as("maj"), sum("count").as("tot"))
+      .agg((sum("maj") / sum("tot")).as("purity")).collect()(0).getDouble(0)
+    println(f"cluster purity vs ground truth: $purity%.4f")
+    spark.stop()
+  }
+}

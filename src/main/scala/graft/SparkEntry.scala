@@ -128,8 +128,8 @@ object SparkEntry {
         TextOps.langId(col("text")).as("lang_pred")).orderBy(col("doc_id"))),
     "q_fingerprint" -> ((s: SparkSession, d: String) =>
       docs(s, d).select(col("doc_id"),
-        TextOps.fingerprint(col("text")).getField("full_hash").as("full_hash"),
-        TextOps.fingerprint(col("text")).getField("min_shingle_hash").as("min_shingle_hash"))
+        TextOps.fullHash(col("text")).as("full_hash"),
+        TextOps.minShingleHash(col("text")).as("min_shingle_hash"))
         .orderBy(col("doc_id"))),
     // ---- clustering model surfaces (tree / hierarchy / outlier rank / constraints) ----
     "q_cluster_tree" -> ((s: SparkSession, d: String) =>

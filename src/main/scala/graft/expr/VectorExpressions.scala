@@ -1,0 +1,134 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions (with `doGenCode`) for the hot vector
+  * kernels. The `functions`-composed forms in [[graft.functions.Distances]]
+  * are semantically identical but interpreted (higher-order functions don't
+  * participate in whole-stage codegen); these generate a tight primitive
+  * loop instead — BENCH showed the HOF forms dominating the argmin-join and
+  * kNN paths. Float inputs are implicitly cast to ARRAY<DOUBLE>.
+  *
+  * Null elements inside the vectors are not supported (engine-wide
+  * invariant: `features ARRAY<DOUBLE> NOT NULL`, SURVEY §1.3).
+  */
+abstract class VectorFoldExpression extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+
+  /** Java statements: given array vars `a`, `b` and length `n`, assign the
+    * result to `result` (a declared double). */
+  protected def javaLoop(a: String, b: String, n: String, result: String): String
+  protected def scalaFold(x: ArrayData, y: ArrayData, n: Int): Double
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    scalaFold(x, y, math.min(x.numElements(), y.numElements()))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val res = ctx.freshName("res")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $res = 0.0;
+         |${javaLoop(a, b, n, res)}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+}
+
+/** sqrt(sum((x-y)^2)) — E1. */
+case class EuclideanDistExpr(left: Expression, right: Expression) extends VectorFoldExpression {
+  override def prettyName: String = "graft_euclidean"
+  protected def javaLoop(a: String, b: String, n: String, res: String): String =
+    s"""for (int i = 0; i < $n; i++) {
+       |  double d = $a.getDouble(i) - $b.getDouble(i); $res += d * d;
+       |}
+       |$res = java.lang.Math.sqrt($res);""".stripMargin
+  protected def scalaFold(x: ArrayData, y: ArrayData, n: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** sum(|x-y|) — E2. */
+case class ManhattanDistExpr(left: Expression, right: Expression) extends VectorFoldExpression {
+  override def prettyName: String = "graft_manhattan"
+  protected def javaLoop(a: String, b: String, n: String, res: String): String =
+    s"for (int i = 0; i < $n; i++) { $res += java.lang.Math.abs($a.getDouble(i) - $b.getDouble(i)); }"
+  protected def scalaFold(x: ArrayData, y: ArrayData, n: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < n) { s += math.abs(x.getDouble(i) - y.getDouble(i)); i += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** max(|x-y|) — E3 (supremum / Chebyshev). */
+case class ChebyshevDistExpr(left: Expression, right: Expression) extends VectorFoldExpression {
+  override def prettyName: String = "graft_chebyshev"
+  protected def javaLoop(a: String, b: String, n: String, res: String): String =
+    s"""for (int i = 0; i < $n; i++) {
+       |  double d = java.lang.Math.abs($a.getDouble(i) - $b.getDouble(i));
+       |  if (d > $res) $res = d;
+       |}""".stripMargin
+  protected def scalaFold(x: ArrayData, y: ArrayData, n: Int): Double = {
+    var m = 0.0; var i = 0
+    while (i < n) { val d = math.abs(x.getDouble(i) - y.getDouble(i)); if (d > m) m = d; i += 1 }
+    m
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** x . y — dot product. */
+case class DotProductExpr(left: Expression, right: Expression) extends VectorFoldExpression {
+  override def prettyName: String = "graft_dot"
+  protected def javaLoop(a: String, b: String, n: String, res: String): String =
+    s"for (int i = 0; i < $n; i++) { $res += $a.getDouble(i) * $b.getDouble(i); }"
+  protected def scalaFold(x: ArrayData, y: ArrayData, n: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** x.y/(|x||y|) — cosine similarity in one pass. */
+case class CosineSimExpr(left: Expression, right: Expression) extends VectorFoldExpression {
+  override def prettyName: String = "graft_cosine_sim"
+  protected def javaLoop(a: String, b: String, n: String, res: String): String =
+    s"""double dot = 0.0, na = 0.0, nb = 0.0;
+       |for (int i = 0; i < $n; i++) {
+       |  double xa = $a.getDouble(i), xb = $b.getDouble(i);
+       |  dot += xa * xb; na += xa * xa; nb += xb * xb;
+       |}
+       |$res = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));""".stripMargin
+  protected def scalaFold(x: ArrayData, y: ArrayData, n: Int): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xa = x.getDouble(i); val xb = y.getDouble(i)
+      dot += xa * xb; na += xa * xa; nb += xb * xb; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+object VectorExpressions {
+  private def bin(f: (Expression, Expression) => Expression)(a: Column, b: Column): Column =
+    GraftShim.column(f(GraftShim.expression(a), GraftShim.expression(b)))
+
+  val euclidean: (Column, Column) => Column = bin(EuclideanDistExpr)
+  val manhattan: (Column, Column) => Column = bin(ManhattanDistExpr)
+  val chebyshev: (Column, Column) => Column = bin(ChebyshevDistExpr)
+  val dot: (Column, Column) => Column = bin(DotProductExpr)
+  val cosineSim: (Column, Column) => Column = bin(CosineSimExpr)
+}

@@ -26,26 +26,35 @@ object Distances {
   private def zipSum(a: Column, b: Column)(f: (Column, Column) => Column): Column =
     aggregate(zip_with(a, b, f), lit(0.0), (acc, v) => acc + v)
 
+  // Hot kernels delegate to native codegen Expressions
+  // (graft.expr.VectorExpressions) — the composed higher-order-function
+  // forms below (kept as *Hof for cross-checking) are interpreted and
+  // measured ~5-20x slower in the argmin-join / kNN hot paths.
+
   /** sqrt(sum((x-y)^2)) */
-  def euclidean(a: Column, b: Column): Column =
-    sqrt(zipSum(a, b)((x, y) => (x - y) * (x - y)))
+  def euclidean(a: Column, b: Column): Column = graft.expr.VectorExpressions.euclidean(a, b)
 
   /** sum(|x-y|) */
-  def manhattan(a: Column, b: Column): Column =
-    zipSum(a, b)((x, y) => abs(x - y))
+  def manhattan(a: Column, b: Column): Column = graft.expr.VectorExpressions.manhattan(a, b)
 
   /** max(|x-y|) — Chebyshev / L-infinity. */
-  def supremum(a: Column, b: Column): Column =
-    array_max(zip_with(a, b, (x, y) => abs(x - y)))
+  def supremum(a: Column, b: Column): Column = graft.expr.VectorExpressions.chebyshev(a, b)
 
   /** Dot product of two vectors. */
-  def dot(a: Column, b: Column): Column = zipSum(a, b)(_ * _)
+  def dot(a: Column, b: Column): Column = graft.expr.VectorExpressions.dot(a, b)
+
+  /** cos similarity in [-1, 1]. */
+  def cosineSimilarity(a: Column, b: Column): Column = graft.expr.VectorExpressions.cosineSim(a, b)
+
+  /** Interpreted HOF reference forms (oracle cross-checks + SQL parity). */
+  def euclideanHof(a: Column, b: Column): Column =
+    sqrt(zipSum(a, b)((x, y) => (x - y) * (x - y)))
+  def manhattanHof(a: Column, b: Column): Column = zipSum(a, b)((x, y) => abs(x - y))
+  def supremumHof(a: Column, b: Column): Column = array_max(zip_with(a, b, (x, y) => abs(x - y)))
+  def dotHof(a: Column, b: Column): Column = zipSum(a, b)(_ * _)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (s, x) => s + x * x))
-
-  /** cos similarity in [-1, 1]. */
-  def cosineSimilarity(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** 1 - x.y/(|x||y|) */
   def cosineDistance(a: Column, b: Column): Column = lit(1.0) - cosineSimilarity(a, b)

@@ -127,20 +127,27 @@ final case class Hdbscan(
     val seeds = pts.toDF().orderBy(xxhash64(col("id"), lit(seed))).limit(nSeeds)
       .select(col("id").as("seed_id"), col("features").as("seed_vec"))
     val distFn = graft.functions.Distances.byName(distance)
-    val w = Window.partitionBy(col("id")).orderBy(col("d"), col("seed_id"))
-    val ranked = pts.toDF().crossJoin(broadcast(seeds))
-      .select(col("id"), col("features"), col("seed_id"),
+    // top-2 seeds per point WITHOUT dragging the feature arrays through the
+    // shuffle: aggregate only (d, seed_id) structs (nSeeds per point, sorted
+    // in-place), then join the winner back to the points by id. One shuffle
+    // of narrow rows + one key join, instead of a window over wide rows.
+    val top2 = pts.toDF().crossJoin(broadcast(seeds))
+      .select(col("id"), col("seed_id"),
         distFn(col("features"), col("seed_vec")).as("d"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .groupBy(col("id"))
+      .agg(slice(sort_array(collect_list(struct(col("d"), col("seed_id")))), 1, 2).as("r"))
+      .select(col("id"), col("r").getItem(0).getField("seed_id").as("subset"),
+        col("r").getItem(1).getField("seed_id").as("seed2"),
+        col("r").getItem(1).getField("d").as("d2"))
       .persist()
-    val assigned = ranked.filter(col("rn") === 1)
-      .select(col("seed_id").as("subset"), col("id"), col("features"))
+    val assigned = pts.toDF().join(top2.select(col("id"), col("subset")), "id")
+      .select(col("subset"), col("id"), col("features"))
     // Voronoi-boundary candidates: each point's edge to its SECOND-nearest
     // seed (a real point in the neighboring subset) — reconnects clusters
     // that a cell boundary cut, far tighter than seed-to-seed edges alone
-    val boundaryEdges = ranked.filter(col("rn") === 2)
-      .select(col("id"), col("seed_id"), col("d"))
+    val boundaryEdges = top2.select(col("id"), col("seed2"), col("d2"))
       .as[(Long, Long, Double)].collect()
+    val ranked = top2 // unpersisted after the merge below
 
     // ---- exact kernel per subset: local MST (global ids) + core distances ----
     val local = assigned.select(col("subset"), col("id"), col("features"))
@@ -212,11 +219,14 @@ final case class Hdbscan(
     val samples = pts.toDF().orderBy(xxhash64(col("id"), lit(seed))).limit(sampleCap)
       .select(col("id").as("sample_id"), col("features").as("sample_vec"))
     val distFn = graft.functions.Distances.byName(distance)
-    val w = Window.partitionBy(col("id")).orderBy(col("d"), col("sample_id"))
-    val assigned = pts.toDF().crossJoin(broadcast(samples))
-      .select(col("id"), col("features"), col("sample_id"),
+    // argmin over narrow (id, sample, d) rows — map-side-combining min_by —
+    // then join the assignment back to the wide rows (see exactGlobal note)
+    val best = pts.toDF().crossJoin(broadcast(samples))
+      .select(col("id"), col("sample_id"),
         distFn(col("features"), col("sample_vec")).as("d"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("id"))
+      .agg(min_by(col("sample_id"), struct(col("d"), col("sample_id"))).as("sample_id"))
+    val assigned = pts.toDF().join(best, "id")
       .select(col("sample_id"), col("id"), col("features"))
 
     // ---- CF-bubble aggregation: one shuffle, map-side combine ----

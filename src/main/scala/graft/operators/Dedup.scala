@@ -135,7 +135,15 @@ object Dedup {
   }
 
   /** Character n-gram Jaccard similarity for candidate pairs drawn from the
-    * same blocking key (e.g. source) — classic blocking + verify. */
+    * same blocking key (e.g. source) — blocking + inverted-index semi-join.
+    *
+    * Instead of materializing every within-block pair and intersecting
+    * shingle sets per pair (O(pairs x set)), the shingle sets are exploded
+    * into an inverted index and common-shingle counts come from a grouped
+    * self-join: only pairs that actually share a shingle are ever produced,
+    * and |A∪B| = |A|+|B|-common needs no union materialization. This is the
+    * formulation that survives 100 TB (shuffle keyed by (block, shingle)).
+    */
   def ngramJaccardPairs(
       docs: DataFrame,
       blockCol: String,
@@ -143,15 +151,21 @@ object Dedup {
       idCol: String = "doc_id",
       n: Int = 3,
       threshold: Double = 0.3): DataFrame = {
+    // barrier: shingle pipeline is an interpreted HOF chain consumed below
     val sh = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
-      array_distinct(TextOps.charShingles(col(textCol), n)).as("sh"))
-    val a = sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("block"))
+        array_distinct(transform(TextOps.charShingles(col(textCol), n),
+          s => xxhash64(s))).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+      .repartition(col("id"))
+    val inv = sh.select(col("block"), col("id"), col("nsh"), explode(col("sh")).as("h"))
+    val a = inv.select(col("block"), col("h"), col("id").as("id_a"), col("nsh").as("nsh_a"))
+    val b = inv.select(col("block"), col("h"), col("id").as("id_b"), col("nsh").as("nsh_b"))
+    a.join(b, Seq("block", "h"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .groupBy(col("block"), col("id_a"), col("id_b"), col("nsh_a"), col("nsh_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("nsh_a") + col("nsh_b") - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
   }

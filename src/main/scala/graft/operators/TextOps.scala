@@ -108,15 +108,19 @@ object TextOps {
         i => substring(norm, i, lit(n))))
   }
 
-  /** Rolling-hash document fingerprint: xxhash64 of the normalized text plus
-    * a winnowing-style min-hash over word-shingle hashes — equal fingerprints
-    * ⇒ near-identical content. */
-  def fingerprint(text: Column): Column = {
-    val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
-    struct(
-      xxhash64(norm).as("full_hash"),
-      array_min(transform(wordShingles(text, 5), s => xxhash64(s))).as("min_shingle_hash"))
-  }
+  /** Rolling-hash document fingerprint components: xxhash64 of the
+    * normalized text, and a winnowing-style min-hash over word-shingle
+    * hashes — equal fingerprints ⇒ near-identical content. Kept as two
+    * scalar functions (not one struct) so each is evaluated exactly once
+    * per selected column. */
+  def fullHash(text: Column): Column =
+    xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  def minShingleHash(text: Column): Column =
+    array_min(transform(wordShingles(text, 5), s => xxhash64(s)))
+
+  def fingerprint(text: Column): Column =
+    struct(fullHash(text).as("full_hash"), minShingleHash(text).as("min_shingle_hash"))
 
   /** Full per-document text-stats frame over a `documents`-shaped table. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
