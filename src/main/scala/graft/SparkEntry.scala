@@ -156,6 +156,25 @@ object SparkEntry {
         .select(col("id"), col("label"))
       Constraints.summary(cons, labels)
     }),
+    "q_intercluster_edges" -> ((s: SparkSession, d: String) =>
+      // G9: global-MST edges crossing flat-cluster boundaries
+      Hdbscan(minPts = 4, minClusterSize = 4, maxLocalSize = 100)
+        .fitModel(embeddingsD(s, d)).interClusterEdges
+        .select(col("src"), col("dst"), round(col("weight"), 6).as("weight"),
+          col("label_src"), col("label_dst"))
+        .orderBy(col("src"), col("dst"))),
+    "q_count_distinct" -> ((s: SparkSession, d: String) =>
+      Relational.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .drop("approx_parts") // approx value is engine-specific; keep exact for the oracle
+        .orderBy(col("l_returnflag"))),
+    "q_multipath_scan" -> ((s: SparkSession, d: String) =>
+      // S5: multi-path scan = implicit UNION ALL of part-files
+      s.read.parquet(s"$d/lineitem.parquet", s"$d/lineitem.parquet")
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"))),
     "q_sample_stratified" -> ((s: SparkSession, d: String) =>
       // P1: seeded per-stratum sampling; rows-only check (sampling is not
       // reproducible inside DuckDB)
@@ -301,6 +320,13 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_multipath_scan" ->
+      """SELECT l_returnflag, count(*) AS cnt
+        |FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0
         |  ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens

@@ -85,7 +85,7 @@ final case class Hdbscan(
     val pts = df.select(col("id").cast("long"), col("features").cast("array<double>"))
       .as[Point]
     val n = pts.count()
-    val (points, h) =
+    val (points, h, mstEdges) =
       if (n <= maxExactPoints) exactGlobal(pts, n)
       else bubbleGlobal(pts, n)
     val tree = spark.createDataset(HdbscanKernel.clusterTreeRows(h).toSeq)
@@ -93,7 +93,8 @@ final case class Hdbscan(
     val levels = spark.createDataset(
         HdbscanKernel.renderLevels(h).toSeq.map { case (eps, ls) => (eps, ls.mkString(",")) })
       .toDF("level_eps", "labels_csv")
-    HdbscanModel(points, tree, levels)
+    val edges = spark.createDataset(mstEdges.toSeq).toDF("src", "dst", "weight")
+    HdbscanModel(points, tree, levels, edges)
   }
 
   private def dist = HdbscanKernel.distByName(distance)
@@ -118,7 +119,8 @@ final case class Hdbscan(
   private def fitBubbles(pts: Dataset[Point], n: Long): DataFrame =
     bubbleGlobal(pts, n)._1
 
-  private def exactGlobal(pts: Dataset[Point], n: Long): (DataFrame, HdbscanKernel.Hierarchy) = {
+  private def exactGlobal(pts: Dataset[Point], n: Long)
+      : (DataFrame, HdbscanKernel.Hierarchy, Array[(Long, Long, Double)]) = {
     val spark = pts.sparkSession
     import spark.implicits._
 
@@ -203,15 +205,17 @@ final case class Hdbscan(
 
     val h = HdbscanKernel.hierarchy(coreArr.length, mstGlobal, coreArr,
       minClusterSize.toDouble, Array.fill(coreArr.length)(1.0))
+    val globalIdEdges = mstGlobal.map(e => (coreRows(e.src)._1, coreRows(e.dst)._1, e.weight))
     val out = coreRows.indices.map { i =>
       ClusteredPoint(coreRows(i)._1, h.labels(i), h.outlierScores(i), coreArr(i))
     }
-    (spark.createDataset(out).toDF(), h)
+    (spark.createDataset(out).toDF(), h, globalIdEdges)
   }
 
   /** Bubble-compressed mode: the 100 TB path. Driver state O(#bubbles);
     * the returned hierarchy is over bubbles (mass-weighted), not points. */
-  private def bubbleGlobal(pts: Dataset[Point], n: Long): (DataFrame, HdbscanKernel.Hierarchy) = {
+  private def bubbleGlobal(pts: Dataset[Point], n: Long)
+      : (DataFrame, HdbscanKernel.Hierarchy, Array[(Long, Long, Double)]) = {
     val spark = pts.sparkSession
     import spark.implicits._
 
@@ -270,6 +274,7 @@ final case class Hdbscan(
     val mrd = Array.tabulate(m, m)((i, j) =>
       if (i == j) 0.0 else math.max(bd(i)(j), math.max(bCore(i), bCore(j))))
     val mst = HdbscanKernel.primMstMatrix(mrd)
+    val globalIdEdges = mst.map(e => (ids(e.src), ids(e.dst), e.weight))
     val h = HdbscanKernel.hierarchy(m, mst, bCore, minClusterSize.toDouble, mass)
 
     // ---- labels back to points via broadcast join ----
@@ -278,11 +283,27 @@ final case class Hdbscan(
       .toDF("sample_id", "label", "outlier_score", "core_dist")
     val out = assigned.join(broadcast(labelDf), "sample_id")
       .select(col("id"), col("label"), col("outlier_score"), col("core_dist"))
-    (out, h)
+    (out, h, globalIdEdges)
   }
 }
 
 /** Fit result with the model surfaces: labeled points, the cluster tree
-  * (reference *_tree.csv shape), and rendered hierarchy levels (reference
-  * *_hierarchy.csv shape; bubble-level when the sketch path ran). */
-final case class HdbscanModel(points: DataFrame, tree: DataFrame, levels: DataFrame)
+  * (reference *_tree.csv shape), rendered hierarchy levels (reference
+  * *_hierarchy.csv shape; bubble-level when the sketch path ran), and the
+  * global MST edge relation (src, dst, weight; global point/bubble ids). */
+final case class HdbscanModel(points: DataFrame, tree: DataFrame, levels: DataFrame,
+    edges: DataFrame) {
+
+  /** G9: MST edges whose endpoints carry different flat labels — the
+    * inter-cluster edge relation (`HdbscanDataBubbles.java:506-527`). */
+  def interClusterEdges: DataFrame = {
+    val la = points.select(org.apache.spark.sql.functions.col("id").as("src"),
+      org.apache.spark.sql.functions.col("label").as("label_src"))
+    val lb = points.select(org.apache.spark.sql.functions.col("id").as("dst"),
+      org.apache.spark.sql.functions.col("label").as("label_dst"))
+    edges.join(la, "src").join(lb, "dst")
+      .filter(org.apache.spark.sql.functions.col("label_src") =!=
+        org.apache.spark.sql.functions.col("label_dst"))
+      .select("src", "dst", "weight", "label_src", "label_dst")
+  }
+}
