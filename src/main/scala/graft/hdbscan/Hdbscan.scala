@@ -123,33 +123,82 @@ final case class Hdbscan(
       : (DataFrame, HdbscanKernel.Hierarchy, Array[(Long, Long, Double)]) = {
     val spark = pts.sparkSession
     import spark.implicits._
+    val tStart = System.nanoTime()
 
-    // ---- seeded split: ~n/maxLocalSize*2 seeds, Voronoi cells as subsets ----
-    val nSeeds = math.max(2, math.ceil(n.toDouble / maxLocalSize * 2).toInt)
-    val seeds = pts.toDF().orderBy(xxhash64(col("id"), lit(seed))).limit(nSeeds)
-      .select(col("id").as("seed_id"), col("features").as("seed_vec"))
+    // ---- iterative seeded split (the reference's recursive sampling loop,
+    // Main.java:107-301, as a driver loop over DataFrames): every round,
+    // oversized Voronoi cells get fresh in-cell seeds and their points are
+    // reassigned to the nearest one, until all cells fit maxLocalSize.
+    // Per-point edges to the SECOND-nearest seed are accumulated as
+    // inter-subset boundary candidates — they reconnect clusters that a
+    // cell boundary cut (far tighter than seed-to-seed edges alone).
     val distFn = graft.functions.Distances.byName(distance)
-    // top-2 seeds per point WITHOUT dragging the feature arrays through the
-    // shuffle: aggregate only (d, seed_id) structs (nSeeds per point, sorted
-    // in-place), then join the winner back to the points by id. One shuffle
-    // of narrow rows + one key join, instead of a window over wide rows.
-    val top2 = pts.toDF().crossJoin(broadcast(seeds))
-      .select(col("id"), col("seed_id"),
-        distFn(col("features"), col("seed_vec")).as("d"))
-      .groupBy(col("id"))
-      .agg(slice(sort_array(collect_list(struct(col("d"), col("seed_id")))), 1, 2).as("r"))
-      .select(col("id"), col("r").getItem(0).getField("seed_id").as("subset"),
-        col("r").getItem(1).getField("seed_id").as("seed2"),
-        col("r").getItem(1).getField("d").as("d2"))
+    val boundaryBuf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    var assigned = pts.toDF()
+      .select(lit(Long.MinValue).as("subset"), col("id"), col("features"))
       .persist()
-    val assigned = pts.toDF().join(top2.select(col("id"), col("subset")), "id")
-      .select(col("subset"), col("id"), col("features"))
-    // Voronoi-boundary candidates: each point's edge to its SECOND-nearest
-    // seed (a real point in the neighboring subset) — reconnects clusters
-    // that a cell boundary cut, far tighter than seed-to-seed edges alone
-    val boundaryEdges = top2.select(col("id"), col("seed2"), col("d2"))
-      .as[(Long, Long, Double)].collect()
-    val ranked = top2 // unpersisted after the merge below
+    var iterNo = 0
+    var done = n <= maxLocalSize
+    while (iterNo < 5 && !done) {
+      val oversized = assigned.groupBy(col("subset")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > maxLocalSize)
+        .as[(Long, Long)].collect()
+      if (oversized.isEmpty) done = true
+      else {
+        val overSet = oversized.map(_._1).toSet
+        // deterministic hash-rate seed selection inside each oversized cell:
+        // rate 1/(maxLocalSize/2) ⇒ E[seeds] = 2*cnt/maxLocalSize per cell,
+        // no window over wide rows, fully parallel
+        val ratio = math.max(2L, maxLocalSize.toLong / 2)
+        val overDf = assigned.filter(col("subset").isInCollection(overSet))
+        val subSeeds = overDf
+          .filter(pmod(xxhash64(col("id"), lit(seed + iterNo)), lit(ratio)) === 0)
+          .select(col("subset"), col("id").as("seed_id"), col("features").as("seed_vec"))
+        val top2 = overDf.join(broadcast(subSeeds), "subset")
+          .select(col("id"), col("seed_id"),
+            distFn(col("features"), col("seed_vec")).as("d"))
+          .groupBy(col("id"))
+          .agg(slice(sort_array(collect_list(struct(col("d"), col("seed_id")))), 1, 2).as("r"))
+          .select(col("id"), get(col("r"), lit(0)).getField("seed_id").as("new_subset"),
+            get(col("r"), lit(1)).getField("seed_id").as("seed2"),
+            get(col("r"), lit(1)).getField("d").as("d2"))
+          .persist()
+        boundaryBuf ++= top2.filter(col("seed2").isNotNull)
+          .select(col("id"), col("seed2"), col("d2"))
+          .as[(Long, Long, Double)].collect()
+        // per-parent seed MST: guarantees the cell-adjacency graph stays
+        // connected (2nd-seed edges alone can island a region that owns
+        // several seeds); round 1's parent spans everything, so the union
+        // of all rounds' seed MSTs connects every cell transitively
+        subSeeds.select(col("subset"), col("seed_id"), col("seed_vec"))
+          .as[(Long, Long, Array[Double])].collect()
+          .groupBy(_._1).values.filter(_.length > 1).foreach { group =>
+            val arr = group.sortBy(_._2)
+            val m = arr.length
+            val w = Array.tabulate(m, m)((i, j) =>
+              if (i == j) 0.0 else dist(arr(i)._3, arr(j)._3))
+            boundaryBuf ++= HdbscanKernel.primMstMatrix(w)
+              .map(e => (arr(e.src)._2, arr(e.dst)._2, e.weight))
+          }
+        // left join: a cell that drew zero seeds this round keeps its subset
+        // (retried next round with a different hash salt)
+        val reassigned = overDf.select(col("subset"), col("id"), col("features"))
+          .join(top2.select(col("id"), col("new_subset")), Seq("id"), "left")
+          .select(coalesce(col("new_subset"), col("subset")).as("subset"),
+            col("id"), col("features"))
+        // localCheckpoint: truncates the logical plan per round (the
+        // reference's object-file checkpoints, Main.java:101,199,298, served
+        // the same purpose) — without it the union-of-filters lineage grows
+        // exponentially and even plan-string generation stalls the driver
+        val next = assigned.filter(!col("subset").isInCollection(overSet))
+          .unionAll(reassigned).localCheckpoint()
+        assigned.unpersist(); top2.unpersist()
+        assigned = next
+        iterNo += 1
+      }
+    }
+    val boundaryEdges = boundaryBuf.toArray
+    val tSplit = System.nanoTime()
 
     // ---- exact kernel per subset: local MST (global ids) + core distances ----
     val local = assigned.select(col("subset"), col("id"), col("features"))
@@ -175,36 +224,41 @@ final case class Hdbscan(
         out.iterator
       }.persist()
 
-    // ---- inter-subset edges: MST over the seed points themselves ----
-    val seedRows = seeds.as[(Long, Array[Double])].collect()
-    val interEdges: Array[(Long, Long, Double)] =
-      if (seedRows.length > 1) {
-        val m = seedRows.length
-        val wMat = Array.tabulate(m, m)((i, j) =>
-          if (i == j) 0.0 else dist(seedRows(i)._2, seedRows(j)._2))
-        HdbscanKernel.primMstMatrix(wMat).map(e =>
-          (seedRows(e.src)._1, seedRows(e.dst)._1, e.weight))
-      } else Array.empty
-
     // ---- driver global merge: Kruskal over union of edges, then hierarchy ----
     val coreRows = local.filter(_.kind == 0).map(o => (o.id, o.core)).collect()
+    val tKernels = System.nanoTime()
     val idToIdx = coreRows.map(_._1).zipWithIndex.toMap
     val coreArr = coreRows.map(_._2)
     val localEdges = local.filter(_.kind == 1).map(o => (o.src, o.dst, o.weight)).collect()
     // inter edges (seed MST + Voronoi-boundary candidates) get
     // mutual-reachability weights w.r.t. subset-local cores
     val allEdges = (localEdges ++
-      (interEdges ++ boundaryEdges).map { case (s, d, w0) =>
+      boundaryEdges.map { case (s, d, w0) =>
         (s, d, math.max(w0, math.max(coreArr(idToIdx(s)), coreArr(idToIdx(d)))))
       }).map { case (s, d, w0) => Edge(idToIdx(s), idToIdx(d), w0) }
       .sortBy(e => (e.weight, e.src, e.dst))
     // Kruskal: keep the n-1 lightest acyclic edges
     val uf = new graft.kernel.UnionFind(coreArr.length)
-    val mstGlobal = allEdges.filter(e => uf.find(e.src) != uf.find(e.dst) && { uf.union(e.src, e.dst); true })
-    local.unpersist(); ranked.unpersist()
+    val mstKruskal = allEdges.filter(e => uf.find(e.src) != uf.find(e.dst) && { uf.union(e.src, e.dst); true })
+    // defensive: if the candidate pool left k>1 components (possible only in
+    // degenerate splits), bridge them with max-weight edges — they become
+    // top-level hierarchy splits, never merging real structure
+    val mstGlobal =
+      if (mstKruskal.length == coreArr.length - 1) mstKruskal
+      else {
+        val bridgeW = if (allEdges.nonEmpty) allEdges.map(_.weight).max * 2 + 1.0 else 1.0
+        val reps = coreArr.indices.groupBy(uf.find).values.map(_.head).toArray.sorted
+        mstKruskal ++ reps.tail.map(r => { uf.union(reps.head, r); Edge(reps.head, r, bridgeW) })
+      }
+    local.unpersist(); assigned.unpersist()
 
+    val tMerge = System.nanoTime()
     val h = HdbscanKernel.hierarchy(coreArr.length, mstGlobal, coreArr,
       minClusterSize.toDouble, Array.fill(coreArr.length)(1.0))
+    Console.err.println(f"[graft] exactGlobal phases: split=${(tSplit - tStart) / 1e9}%.1fs " +
+      f"kernels+collect=${(tKernels - tSplit) / 1e9}%.1fs " +
+      f"kruskal=${(tMerge - tKernels) / 1e9}%.1fs " +
+      f"hierarchy=${(System.nanoTime() - tMerge) / 1e9}%.1fs")
     val globalIdEdges = mstGlobal.map(e => (coreRows(e.src)._1, coreRows(e.dst)._1, e.weight))
     val out = coreRows.indices.map { i =>
       ClusteredPoint(coreRows(i)._1, h.labels(i), h.outlierScores(i), coreArr(i))
