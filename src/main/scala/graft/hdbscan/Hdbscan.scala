@@ -140,28 +140,46 @@ final case class Hdbscan(
     var iterNo = 0
     var done = n <= maxLocalSize
     while (iterNo < 5 && !done) {
+      // 2x slack: a cell at (1..2]x maxLocalSize costs at most 4x the kernel
+      // budget (still parallel), far cheaper than another full split round
       val oversized = assigned.groupBy(col("subset")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > maxLocalSize)
+        .filter(col("cnt") > 2L * maxLocalSize)
         .as[(Long, Long)].collect()
       if (oversized.isEmpty) done = true
       else {
         val overSet = oversized.map(_._1).toSet
         // deterministic hash-rate seed selection inside each oversized cell:
-        // rate 1/(maxLocalSize/2) ⇒ E[seeds] = 2*cnt/maxLocalSize per cell,
+        // rate 1/(maxLocalSize/4) ⇒ E[seeds] = 4*cnt/maxLocalSize per cell
+        // (dense seeding converges in 1-2 rounds; per-round Spark-job latency
+        // dominates the split phase, so fewer rounds beat fewer seeds),
         // no window over wide rows, fully parallel
-        val ratio = math.max(2L, maxLocalSize.toLong / 2)
+        val ratio = math.max(2L, maxLocalSize.toLong / 4)
         val overDf = assigned.filter(col("subset").isInCollection(overSet))
         val subSeeds = overDf
           .filter(pmod(xxhash64(col("id"), lit(seed + iterNo)), lit(ratio)) === 0)
           .select(col("subset"), col("id").as("seed_id"), col("features").as("seed_vec"))
-        val top2 = overDf.join(broadcast(subSeeds), "subset")
+        // Top-2 seeds per point with PRIMITIVE-only aggregations: min(double)
+        // and min(long) run in fast whole-stage-codegen HashAggregate with
+        // map-side combine, whereas collect_list(struct) falls back to
+        // sort-based ObjectHashAggregate past 128 groups (measured 8s → 1528s
+        // when scaling 60k → 245k points). Ties break on min seed id —
+        // deterministic at any parallelism. The pairs frame is recomputed per
+        // pass; the codegen distance is cheaper than caching 60M rows.
+        def pairs = overDf.join(broadcast(subSeeds), "subset")
           .select(col("id"), col("seed_id"),
             distFn(col("features"), col("seed_vec")).as("d"))
-          .groupBy(col("id"))
-          .agg(slice(sort_array(collect_list(struct(col("d"), col("seed_id")))), 1, 2).as("r"))
-          .select(col("id"), get(col("r"), lit(0)).getField("seed_id").as("new_subset"),
-            get(col("r"), lit(1)).getField("seed_id").as("seed2"),
-            get(col("r"), lit(1)).getField("d").as("d2"))
+        val d1 = pairs.groupBy(col("id")).agg(min(col("d")).as("d1"))
+        val winner = pairs.join(broadcast(d1), "id")
+          .filter(col("d") === col("d1"))
+          .groupBy(col("id")).agg(min(col("seed_id")).as("new_subset"))
+        val d2 = pairs.join(broadcast(winner), "id")
+          .filter(col("seed_id") =!= col("new_subset"))
+          .groupBy(col("id")).agg(min(col("d")).as("d2"))
+        val second = pairs.join(broadcast(winner), "id").join(broadcast(d2), "id")
+          .filter(col("seed_id") =!= col("new_subset") && col("d") === col("d2"))
+          .groupBy(col("id")).agg(min(col("seed_id")).as("seed2"), first(col("d2")).as("d2"))
+        val top2 = winner.join(second, Seq("id"), "left")
+          .select(col("id"), col("new_subset"), col("seed2"), col("d2"))
           .persist()
         boundaryBuf ++= top2.filter(col("seed2").isNotNull)
           .select(col("id"), col("seed2"), col("d2"))
