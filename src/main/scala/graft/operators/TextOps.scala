@@ -78,8 +78,14 @@ object TextOps {
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "上"))
 
   /** Argmax-vote language ID over marker tokens; "und" (undetermined) when no
-    * marker hits. Pure expressions: per-language hit counts → greatest. */
-  def langId(text: Column): Column = {
+    * marker hits. Backed by the single-pass codegen kernel
+    * [[graft.expr.TextKernels.langId]] — the HOF form below re-tokenized the
+    * document once per language (VERDICT r1). */
+  def langId(text: Column): Column = graft.expr.TextExpressions.langId(text)
+
+  /** Interpreted-HOF reference form of [[langId]] (parity-tested; do not use
+    * in hot paths — evaluates `tokens(text)` once per language). */
+  def langIdHof(text: Column): Column = {
     val t = tokens(text)
     val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       val m = array(markers.map(lit): _*)
@@ -117,6 +123,13 @@ object TextOps {
     xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
 
   def minShingleHash(text: Column): Column =
+    graft.expr.TextExpressions.minShingleHash(text, 5)
+
+  /** Interpreted-HOF reference form of [[minShingleHash]] (parity-tested; do
+    * not use in hot paths — the lambda re-evaluates `tokens(text)` PER
+    * SHINGLE, i.e. O(L²) per document; VERDICT r1 measured 139 s for 5,000
+    * sf0.1 docs). */
+  def minShingleHashHof(text: Column): Column =
     array_min(transform(wordShingles(text, 5), s => xxhash64(s)))
 
   def fingerprint(text: Column): Column =

@@ -34,10 +34,15 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
-      .select(col("window.start").as("hour"), col("event_type"),
-        col("cnt"), round(col("raw_sum"), 3).as("sum_value"))
-      .orderBy(col("hour"), col("event_type"))
+    // materialize the (hours × event_types)-bounded aggregate, then drop the
+    // memory-sink table — round 1 left one registered per stream run,
+    // accumulating driver state for the rest of the session (VERDICT r1)
+    val (out, _) = org.apache.spark.sql.GraftShim.materialize(
+      spark.table(name)
+        .select(col("window.start").as("hour"), col("event_type"),
+          col("cnt"), round(col("raw_sum"), 3).as("sum_value")))
+    spark.catalog.dropTempView(name)
+    out.orderBy(col("hour"), col("event_type"))
   }
 
   /** Per-user session state carried across micro-batches. */
@@ -79,9 +84,12 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // update-mode memory sink may hold one row per key per batch: keep the last
-    spark.table(name)
-      .groupBy(col("user_id")).agg(max(col("n_sessions")).as("n_sessions"))
-      .orderBy(col("user_id"))
+    // update-mode memory sink may hold one row per key per batch: keep the
+    // last; materialize + drop the sink table (see eventsHourlyStream)
+    val (out, _) = org.apache.spark.sql.GraftShim.materialize(
+      spark.table(name)
+        .groupBy(col("user_id")).agg(max(col("n_sessions")).as("n_sessions")))
+    spark.catalog.dropTempView(name)
+    out.orderBy(col("user_id"))
   }
 }

@@ -1,6 +1,9 @@
 package org.apache.spark.sql
 
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.storage.StorageLevel
 
 /** Bridge into the `private[sql]` Column⇄Expression converters so graft's
   * native Catalyst expressions can be exposed as ordinary [[Column]]s
@@ -8,4 +11,22 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eagerly materialize `df` into cached executor blocks and return a
+    * DataFrame reading those blocks, plus the handle needed to free them.
+    *
+    * Unlike `Dataset.localCheckpoint` the lineage is NOT truncated, so
+    * unpersisting after a later rotation is always safe (recompute falls
+    * back to the original plan instead of failing); unlike `persist` the
+    * consumer plan is a flat scan of the blocks, so iterative drivers
+    * don't accumulate an ever-growing logical plan.
+    */
+  def materialize(df: DataFrame): (DataFrame, RDD[_]) = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // eager: blocks exist before the previous round is freed
+    val out = spark.internalCreateDataFrame(rdd.asInstanceOf[RDD[InternalRow]], df.schema)
+    (out, rdd)
+  }
 }

@@ -64,6 +64,19 @@ class HdbscanSpec extends SparkTestBase {
     assert(k >= nBlobs - 2, s"found $k clusters")
   }
 
+  test("multi-level bubble mode: sampleCap far below n still resolves blobs") {
+    // 600 points, ~40 bubbles (≈15 pts each): the multi-level split must
+    // keep the sketch granularity at sampleCap regardless of n (round 1's
+    // single level would also work here, but this locks in purity while
+    // the recursion path — cells > 2x fitSize re-split — is exercised:
+    // fitSize = 4*600/40 = 60, so the root cell splits over multiple rounds)
+    val (p, k, n) = runOnBlobs(Hdbscan(minPts = 4, minClusterSize = 10,
+      maxExactPoints = 100, sampleCap = 40))
+    assert(n == nBlobs * perBlob)
+    assert(p > 0.85, s"multi-level bubble purity $p")
+    assert(k >= nBlobs - 2, s"found $k clusters")
+  }
+
   test("testdata embeddings: all rows labeled, outlier scores in [0,1]") {
     val pts = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("features"))

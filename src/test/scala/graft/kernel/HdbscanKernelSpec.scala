@@ -61,13 +61,17 @@ class HdbscanKernelSpec extends AnyFunSuite {
     assert(scores.slice(0, 10).min < 0.2)
   }
 
-  test("fitLocal: uniform line yields a single cluster, no noise") {
+  test("fitLocal: uniform line — noise by default, one cluster when allowed") {
     // equal spacing everywhere → tied-edge shatter at one level → the root
-    // cluster survives (allow-single-cluster, reference propagateTree)
+    // never splits into ≥2 clusters. Reference semantics (default): the root
+    // is NOT selectable (Cluster.propagate() no-ops at parent==null,
+    // HDBSCANStar.java:505-540), so everything is noise. With
+    // allowSingleCluster the root wins and the line is one cluster.
     val pts = Array.tabulate(30)(i => Array(i * 0.01, 0.0))
-    val res = fitLocal(pts, minPts = 3, minClusterSize = 3)
-    val labels = res.map(_._1).toSet
-    assert(labels == Set(1), s"labels: $labels")
+    val strict = fitLocal(pts, minPts = 3, minClusterSize = 3)
+    assert(strict.map(_._1).toSet == Set(0), s"labels: ${strict.map(_._1).toSet}")
+    val single = fitLocal(pts, minPts = 3, minClusterSize = 3, allowSingleCluster = true)
+    assert(single.map(_._1).toSet == Set(1), s"labels: ${single.map(_._1).toSet}")
   }
 
   test("fitLocal: sawtooth of 6 runs splits into exactly 6 clusters of 5") {
@@ -126,5 +130,25 @@ class HdbscanKernelSpec extends AnyFunSuite {
     // singleton bubbles (leaf stability 10*(1/0.5-1/1) = 10 each > pair's)
     assert(h.labels.toSet.size == 4)
     assert(h.labels.forall(_ != 0))
+  }
+
+  test("reattachNoise: planted boundary bubble flips to its nearest cluster") {
+    // vertices 0,1 labeled 1; 2,3 labeled 2; 4 is noise nearest to vertex 3
+    val labels = Array(1, 1, 2, 2, 0)
+    val d = Array(
+      Array(0.0, 1.0, 9.0, 9.0, 8.0),
+      Array(1.0, 0.0, 9.0, 9.0, 7.0),
+      Array(9.0, 9.0, 0.0, 1.0, 3.0),
+      Array(9.0, 9.0, 1.0, 0.0, 2.0),
+      Array(8.0, 7.0, 3.0, 2.0, 0.0))
+    val out = reattachNoise(labels, d)
+    assert(out.toSeq == Seq(1, 1, 2, 2, 2))
+    // all-noise input stays noise (nothing to attach to)
+    assert(reattachNoise(Array(0, 0), Array(Array(0.0, 1.0), Array(1.0, 0.0))).toSeq == Seq(0, 0))
+    // no chaining: a noise vertex nearest to ANOTHER noise vertex still
+    // attaches to the nearest ORIGINALLY labeled one
+    val labels2 = Array(1, 0, 0)
+    val d2 = Array(Array(0.0, 5.0, 9.0), Array(5.0, 0.0, 1.0), Array(9.0, 1.0, 0.0))
+    assert(reattachNoise(labels2, d2).toSeq == Seq(1, 1, 1))
   }
 }

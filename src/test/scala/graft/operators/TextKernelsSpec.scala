@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Parity: the single-pass codegen text kernels must be bit-identical to
+  * the interpreted-HOF Spark-expression forms they replaced (the HOF forms
+  * define the semantics; they were just O(L²)/5-pass slow — VERDICT r1).
+  */
+class TextKernelsSpec extends SparkTestBase {
+
+  private def corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  test("minShingleHash codegen == HOF form on the sf0.001 corpus + edge cases") {
+    import spark.implicits._
+    val edge = Seq(
+      (9001L, ""), (9002L, "   "), (9003L, "one"), (9004L, "one two three four"),
+      (9005L, "one two three four five"), (9006L, "  MIXED Case\ttabs\nand lines  "),
+      (9007L, "的 是 在 了 和 有 我 不 这 上")).toDF("doc_id", "text")
+    val df = corpus.select($"doc_id", $"text").unionAll(edge)
+    val bad = df.select($"doc_id",
+        TextOps.minShingleHash($"text").as("fast"),
+        TextOps.minShingleHashHof($"text").as("slow"))
+      .filter($"fast" =!= $"slow")
+    assert(bad.isEmpty, s"mismatches: ${bad.take(5).mkString(", ")}")
+  }
+
+  test("langId codegen == HOF form on the sf0.001 corpus + edge cases") {
+    import spark.implicits._
+    val edge = Seq(
+      (9001L, ""), (9002L, "xyzzy plugh"), (9003L, "the der el le 的"),
+      (9004L, "la la la"), (9005L, "que que"), // overlapping es/fr markers
+      (9006L, "THE The the")).toDF("doc_id", "text")
+    val df = corpus.select($"doc_id", $"text").unionAll(edge)
+    val bad = df.select($"doc_id",
+        TextOps.langId($"text").as("fast"),
+        TextOps.langIdHof($"text").as("slow"))
+      .filter($"fast" =!= $"slow")
+    assert(bad.isEmpty, s"mismatches: ${bad.take(5).mkString(", ")}")
+  }
+
+  test("word/char shingle hashes + minhash sig + simhash: codegen == HOF forms") {
+    import spark.implicits._
+    val edge = Seq(
+      (9001L, ""), (9002L, "one two"), (9003L, "a b c d e f g h"),
+      (9004L, "  Tabs\tand  RUNS   of space "), (9005L, "的 是 在 了"))
+      .toDF("doc_id", "text")
+    val df = corpus.select($"doc_id", $"text").limit(200).unionAll(edge)
+    val badWord = df.select(
+        graft.expr.TextExpressions.wordShingleHashes($"text", 3).as("fast"),
+        array_distinct(transform(TextOps.wordShingles($"text", 3), s => xxhash64(s))).as("slow"))
+      .filter($"fast" =!= $"slow")
+    assert(badWord.isEmpty, s"word-shingle mismatches: ${badWord.take(3).mkString}")
+    val badChar = df.select(
+        graft.expr.TextExpressions.charShingleHashes($"text", 3).as("fast"),
+        array_distinct(transform(TextOps.charShingles($"text", 3), s => xxhash64(s))).as("slow"))
+      .filter($"fast" =!= $"slow")
+    assert(badChar.isEmpty, s"char-shingle mismatches: ${badChar.take(3).mkString}")
+    val badSig = df
+      .select(graft.expr.TextExpressions.wordShingleHashes($"text", 3).as("sh"))
+      .select(Dedup.minhashSignature($"sh", 32).as("fast"),
+        Dedup.minhashSignatureHof($"sh", 32).as("slow"))
+      .filter($"fast" =!= $"slow")
+    assert(badSig.isEmpty, s"minhash-sig mismatches: ${badSig.take(3).mkString}")
+    val badSim = df.select(Dedup.simhash($"text").as("fast"), Dedup.simhashHof($"text").as("slow"))
+      .filter($"fast" =!= $"slow")
+    assert(badSim.isEmpty, s"simhash mismatches: ${badSim.take(3).mkString}")
+  }
+
+  test("ngram jaccard hot-shingle pruning: identity above max-df, subset below") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s", "the quick brown fox jumps"), (2L, "s", "the quick brown fox leaps"),
+      (3L, "s", "the slow red turtle walks"), (4L, "s", "unrelated zebra content"))
+      .toDF("doc_id", "source", "text")
+    def pairs(maxDf: Long) =
+      Dedup.ngramJaccardPairs(docs, "source", threshold = 0.1, maxDf = maxDf)
+        .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val exact = pairs(Long.MaxValue)
+    assert(exact == pairs(4L)) // max possible df = 4 docs → no pruning
+    val pruned = pairs(2L)
+    // pruning only lowers jaccard: every surviving pair exists in exact with ≥ value
+    assert(pruned.forall { case (a, b, j) =>
+      exact.exists { case (ea, eb, ej) => ea == a && eb == b && ej >= j } })
+    assert(pruned.size <= exact.size)
+  }
+
+  test("fingerprint equality tracks normalized-text equality on duplicates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "  Alpha   beta GAMMA delta\tepsilon zeta "), // same after normalize
+      (3L, "totally different content here right now")).toDF("doc_id", "text")
+    val fp = docs.select($"doc_id",
+      TextOps.fullHash($"text").as("fh"), TextOps.minShingleHash($"text").as("msh"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+}
