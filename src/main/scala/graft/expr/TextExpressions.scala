@@ -110,6 +110,53 @@ object TextKernels {
     if (counts(best) == 0) UND else langU8(best)
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def md5Hex(s: String): String = {
+    val d = md5Digest.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** The minimum (lexicographic) md5 hex digest over the word `n`-shingles —
+    * a winnowing-style fingerprint whose selector (md5) exists identically
+    * in DuckDB, so the oracle can reproduce the VALUE (xxhash64's argmin
+    * cannot be replicated there). Same single-tokenize discipline as
+    * [[minShingleHash]]. */
+  def minShingleMd5(text: UTF8String, n: Int): UTF8String = {
+    val toks = tokensOf(text)
+    if (toks.length < n) return UTF8String.fromString(md5Hex(toks.mkString(" ")))
+    var min: String = null
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val h = md5Hex(sb.toString)
+      if (min == null || h.compareTo(min) < 0) min = h
+      i += 1
+    }
+    UTF8String.fromString(min)
+  }
+
   // ---- shingle-set hashing (the dedup family's common first stage) ----
 
   /** Distinct xxhash64 values of the word `n`-shingles, first-occurrence
@@ -232,6 +279,20 @@ case class MinShingleHashExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd `TextKernels.minShingleMd5` (oracle-reproducible fingerprint). */
+case class MinShingleMd5Expr(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_min_shingle_md5"
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.minShingleMd5(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextKernels.minShingleMd5($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd `TextKernels.langId`. */
 case class LangIdExpr(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -305,6 +366,8 @@ case class SimHash64Expr(child: Expression)
 object TextExpressions {
   def minShingleHash(text: Column, n: Int = 5): Column =
     GraftShim.column(MinShingleHashExpr(GraftShim.expression(text), n))
+  def minShingleMd5(text: Column, n: Int = 5): Column =
+    GraftShim.column(MinShingleMd5Expr(GraftShim.expression(text), n))
   def langId(text: Column): Column =
     GraftShim.column(LangIdExpr(GraftShim.expression(text)))
   def wordShingleHashes(text: Column, n: Int): Column =

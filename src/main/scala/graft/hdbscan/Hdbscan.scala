@@ -53,7 +53,8 @@ final case class Hdbscan(
     maxExactPoints: Long = 500000,
     sampleCap: Int = 2000,
     seed: Long = 42L,
-    allowSingleCluster: Boolean = false) {
+    allowSingleCluster: Boolean = false,
+    constraints: Seq[(Long, Long, Boolean)] = Nil) {
 
   def setMinPts(v: Int): Hdbscan = copy(minPts = v)
   def setMinClusterSize(v: Int): Hdbscan = copy(minClusterSize = v)
@@ -63,6 +64,15 @@ final case class Hdbscan(
   def setSampleCap(v: Int): Hdbscan = copy(sampleCap = v)
   def setSeed(v: Long): Hdbscan = copy(seed = v)
   def setAllowSingleCluster(v: Boolean): Hdbscan = copy(allowSingleCluster = v)
+
+  /** Instance-level constraints (pointIdA, pointIdB, isMustLink) that steer
+    * flat extraction (G10, `HDBSCANStar.java:738-789`): selection prefers
+    * clusters satisfying more constraints, stability breaks ties. Honored by
+    * the exact paths (single-kernel and partitioned-exact, where the
+    * condensed tree is over points); the bubble sketch ignores them (its
+    * tree is over bubbles, and the reference's constraint path is the
+    * single-node HDBSCANStar too). */
+  def setConstraints(v: Seq[(Long, Long, Boolean)]): Hdbscan = copy(constraints = v)
 
   /** @param df (id: long, features: array<double>) */
   def fit(df: DataFrame): DataFrame = {
@@ -105,10 +115,15 @@ final case class Hdbscan(
   private def fitSingle(pts: Dataset[Point]): DataFrame = {
     val spark = pts.sparkSession
     import spark.implicits._
+    val cons = constraints // avoid serializing `this` into the closure
     pts.repartition(1).mapPartitions { it =>
       val buf = it.toArray
+      val idx = buf.iterator.map(_.id).zipWithIndex.toMap
+      val localCons = cons.collect {
+        case (a, b, ml) if idx.contains(a) && idx.contains(b) => (idx(a), idx(b), ml)
+      }.toArray
       val res = HdbscanKernel.fitLocal(buf.map(_.features), minPts, minClusterSize, dist,
-        allowSingleCluster)
+        allowSingleCluster, localCons)
       buf.iterator.zip(res.iterator).map { case (p, (l, s, c)) =>
         ClusteredPoint(p.id, l, s, c)
       }
@@ -303,8 +318,13 @@ final case class Hdbscan(
     local.unpersist(); rot.close()
 
     val tMerge = System.nanoTime()
+    val consIdx = constraints.collect {
+      case (a, b, ml) if idToIdx.contains(a) && idToIdx.contains(b) =>
+        (idToIdx(a), idToIdx(b), ml)
+    }.toArray
     val h = HdbscanKernel.hierarchy(coreArr.length, mstGlobal, coreArr,
-      minClusterSize.toDouble, Array.fill(coreArr.length)(1.0), allowSingleCluster)
+      minClusterSize.toDouble, Array.fill(coreArr.length)(1.0), allowSingleCluster,
+      consIdx)
     Console.err.println(f"[graft] exactGlobal phases: split=${(tSplit - tStart) / 1e9}%.1fs " +
       f"kernels+collect=${(tKernels - tSplit) / 1e9}%.1fs " +
       f"kruskal=${(tMerge - tKernels) / 1e9}%.1fs " +

@@ -214,6 +214,18 @@ object HdbscanKernel {
     *                   reads only the root's propagatedDescendants
     *                   (`HDBSCANStar.java:505-540`, `Cluster.java:80-120`),
     *                   so the root itself is never selectable.
+    * @param constraints instance-level constraints (vertexA, vertexB,
+    *                   isMustLink). When non-empty, flat extraction follows
+    *                   the reference's constraint-driven propagateTree
+    *                   (`Cluster.java:98-142`, `HDBSCANStar.java:738-789`):
+    *                   each cluster is credited at its birth — +2 per
+    *                   must-link with both endpoints inside, +1 per
+    *                   cannot-link endpoint inside whose partner is outside
+    *                   (noise partners credit the deepest cluster still
+    *                   holding the point, the reference's virtual child) —
+    *                   and selection prefers more satisfied constraints,
+    *                   breaking ties by stability (parent wins stability
+    *                   ties, reference `>=`).
     */
   def hierarchy(
       n: Int,
@@ -221,7 +233,8 @@ object HdbscanKernel {
       coreDist: Array[Double],
       minClusterSize: Double,
       mass: Array[Double],
-      allowSingleCluster: Boolean = false
+      allowSingleCluster: Boolean = false,
+      constraints: Array[(Int, Int, Boolean)] = Array.empty
   ): Hierarchy = {
     require(mstEdges.length == n - 1 || n <= 1, s"expected ${n - 1} MST edges, got ${mstEdges.length}")
 
@@ -369,30 +382,87 @@ object HdbscanKernel {
     // allowSingleCluster — in the reference the root is never selectable
     // (its propagate() is a no-op), so diffuse data yields child clusters +
     // noise, not one all-enclosing cluster. ----
-    val propagated = new Array[Double](clusters.length)
-    val selectedSet = mutable.LinkedHashSet[Int]()
-    // process deepest-first: children have higher id than parents by construction
-    for (c <- clusters.reverseIterator) {
-      val selectable = c.id != 0 || allowSingleCluster
-      if (c.childClusters.isEmpty) {
-        propagated(c.id) = c.stability
-        if (selectable) selectedSet += c.id
-      } else {
-        val childSum = c.childClusters.map(propagated).sum
-        if (selectable && c.stability > childSum && c.stability.isFinite) {
-          propagated(c.id) = c.stability
-          // deselect all descendants, select this
-          def drop(x: Int): Unit = {
-            selectedSet -= x
-            clusters(x).childClusters.foreach(drop)
+    val selected: Array[Int] =
+      if (constraints.isEmpty) {
+        val propagated = new Array[Double](clusters.length)
+        val selectedSet = mutable.LinkedHashSet[Int]()
+        // process deepest-first: children have higher id than parents by construction
+        for (c <- clusters.reverseIterator) {
+          val selectable = c.id != 0 || allowSingleCluster
+          if (c.childClusters.isEmpty) {
+            propagated(c.id) = c.stability
+            if (selectable) selectedSet += c.id
+          } else {
+            val childSum = c.childClusters.map(propagated).sum
+            if (selectable && c.stability > childSum && c.stability.isFinite) {
+              propagated(c.id) = c.stability
+              // deselect all descendants, select this
+              def drop(x: Int): Unit = {
+                selectedSet -= x
+                clusters(x).childClusters.foreach(drop)
+              }
+              drop(c.id); selectedSet += c.id
+            } else {
+              propagated(c.id) = childSum
+            }
           }
-          drop(c.id); selectedSet += c.id
-        } else {
-          propagated(c.id) = childSum
         }
+        selectedSet.toArray.sorted
+      } else {
+        // ---- constraint-driven propagateTree (Cluster.java:98-142) ----
+        // satisfied(c): credited once, at c's birth. inC(p, c) ⇔ c is an
+        // ancestor-or-self of p's deepest condensed cluster ⇔ p was a member
+        // of c when c was created.
+        val satisfied = new Array[Long](clusters.length)
+        def ancestors(p0: Int): Set[Int] = {
+          var c = pointCluster(p0)
+          val out = mutable.Set[Int]()
+          while (c >= 0) { out += c; c = clusters(c).parent }
+          out.toSet
+        }
+        constraints.foreach { case (a, b, isMl) =>
+          val ancA = ancestors(a); val ancB = ancestors(b)
+          if (isMl) (ancA & ancB).foreach(satisfied(_) += 2)
+          else {
+            (ancA -- ancB).foreach(satisfied(_) += 1)
+            (ancB -- ancA).foreach(satisfied(_) += 1)
+          }
+        }
+        // deepest-first propagation: each cluster sends up either itself or
+        // its children's winner set, preferring more satisfied constraints,
+        // then stability (self wins stability ties — reference `>=`). The
+        // root never competes (its propagate() is a no-op in the reference);
+        // the final selection is what the root's children sent up.
+        val propSat = new Array[Long](clusters.length)
+        val propStab = new Array[Double](clusters.length)
+        val propSet = Array.fill(clusters.length)(List.empty[Int])
+        for (c <- clusters.reverseIterator) {
+          if (c.childClusters.isEmpty) {
+            propSat(c.id) = satisfied(c.id)
+            propStab(c.id) = c.stability
+            propSet(c.id) = List(c.id)
+          } else {
+            val kids = c.childClusters
+            val childSat = kids.map(propSat).sum
+            val childStab = kids.map(propStab).sum
+            val selfWins = c.id != 0 &&
+              (satisfied(c.id) > childSat ||
+                (satisfied(c.id) == childSat && c.stability >= childStab))
+            if (selfWins) {
+              propSat(c.id) = satisfied(c.id)
+              propStab(c.id) = c.stability
+              propSet(c.id) = List(c.id)
+            } else {
+              propSat(c.id) = childSat
+              propStab(c.id) = childStab
+              propSet(c.id) = kids.flatMap(propSet)
+            }
+          }
+        }
+        // degenerate single-cluster tree: the root leaf-propagates itself,
+        // but the root is never selectable — everything is noise
+        propSet(0).filter(_ != 0).toArray.sorted
       }
-    }
-    val selected = selectedSet.toArray.sorted
 
     // ---- labels: point → nearest selected ancestor of its condensed cluster ----
     val labelOf = new Array[Int](clusters.length)
@@ -509,7 +579,8 @@ object HdbscanKernel {
       minPts: Int,
       minClusterSize: Int,
       dist: Dist = euclidean,
-      allowSingleCluster: Boolean = false
+      allowSingleCluster: Boolean = false,
+      constraints: Array[(Int, Int, Boolean)] = Array.empty
   ): Array[(Int, Double, Double)] = {
     val n = points.length
     if (n == 0) return Array.empty
@@ -517,7 +588,7 @@ object HdbscanKernel {
     if (n == 1) return Array((0, 0.0, core(0)))
     val mst = primMst(points, core, dist)
     val h = hierarchy(n, mst, core, minClusterSize.toDouble, Array.fill(n)(1.0),
-      allowSingleCluster)
+      allowSingleCluster, constraints)
     Array.tabulate(n)(i => (h.labels(i), h.outlierScores(i), core(i)))
   }
 }

@@ -132,6 +132,15 @@ object TextOps {
   def minShingleHashHof(text: Column): Column =
     array_min(transform(wordShingles(text, 5), s => xxhash64(s)))
 
+  /** md5 variants of the fingerprint pair — same structure, but the hash
+    * function exists identically in DuckDB, so the VALUES are
+    * oracle-reproducible (xxhash64's argmin is not). */
+  def fullMd5(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  def minShingleMd5(text: Column): Column =
+    graft.expr.TextExpressions.minShingleMd5(text, 5)
+
   def fingerprint(text: Column): Column =
     struct(fullHash(text).as("full_hash"), minShingleHash(text).as("min_shingle_hash"))
 

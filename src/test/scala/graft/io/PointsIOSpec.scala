@@ -27,6 +27,13 @@ class PointsIOSpec extends SparkTestBase {
     assert(rows(0).getInt(2) == 1 && rows(1).getInt(2) == 2)
   }
 
+  test("splitLines: multi-line values explode to one trimmed record per line") {
+    import spark.implicits._
+    val df = Seq("a b\nc d\n\n e ", "single").toDF("value")
+    val lines = PointsIO.splitLines(df).collect().map(_.getString(0))
+    assert(lines.toSeq.sorted == Seq(" e ", "a b", "c d", "single"))
+  }
+
   test("result writers produce the reference CSV shapes") {
     import spark.implicits._
     val out = tmpDir()
@@ -37,14 +44,34 @@ class PointsIOSpec extends SparkTestBase {
     val partLine = spark.read.text(s"$out/part").collect().map(_.getString(0))
     assert(partLine.toSeq == Seq("1,1,0"))
 
+    // order must hold on multi-partition input too (the aggregate sorts
+    // internally; collect_list merge order is nondeterministic — ADVICE r1)
+    val shuffled = Seq((4L, 4), (0L, 0), (2L, 2), (3L, 3), (1L, 1))
+      .toDF("id", "label").repartition(5)
+    PointsIO.writePartitionCsv(shuffled, s"$out/part_mp")
+    val mp = spark.read.text(s"$out/part_mp").collect().map(_.getString(0))
+    assert(mp.toSeq == Seq("0,1,2,3,4"), s"got ${mp.toSeq}")
+
     PointsIO.writeOutlierScoresCsv(points, s"$out/outl")
     val outl = spark.read.text(s"$out/outl").collect().map(_.getString(0))
     assert(outl.head.startsWith("0.1,") && outl.last.startsWith("0.9,"))
 
+    // all 8 reference columns: label,birth,death,stability,gamma,vcGamma,charOffset,parent
     val tree = Seq((1, 0, 2.0, 0.5, 3.2, 10.0, 0)).toDF(
       "label", "parent", "birth_eps", "death_eps", "stability", "size", "flat_label")
     PointsIO.writeTreeCsv(tree, s"$out/tree")
-    assert(spark.read.text(s"$out/tree").collect().head.getString(0) == "1,2.0,0.5,3.2,0")
+    assert(spark.read.text(s"$out/tree").collect().head.getString(0) == "1,2.0,0.5,3.2,0,0,0,0")
+
+    // charOffset = byte offset of the hierarchy line where the label first appears
+    val tree3 = Seq((1, 0, 5.0, 2.0, 1.0, 3.0, 0), (2, 1, 2.0, 1.0, 0.5, 2.0, 1),
+        (3, 1, 2.0, 1.0, 0.4, 1.0, 2))
+      .toDF("label", "parent", "birth_eps", "death_eps", "stability", "size", "flat_label")
+    val levels = Seq((5.0, "1,1,1"), (2.0, "2,3,0")).toDF("level_eps", "labels_csv")
+    PointsIO.writeTreeCsv(tree3, s"$out/tree_off", Some(levels))
+    val rows = spark.read.text(s"$out/tree_off").collect().map(_.getString(0)).sorted
+    assert(rows(0) == "1,5.0,2.0,1.0,0,0,0,0", rows(0))
+    assert(rows(1) == "2,2.0,1.0,0.5,0,0,10,1", rows(1)) // "5.0,1,1,1\n" = 10 bytes
+    assert(rows(2) == "3,2.0,1.0,0.4,0,0,10,1", rows(2))
   }
 
   test("fitModel: tree + hierarchy levels invariants on gaussian blobs") {

@@ -132,6 +132,34 @@ class HdbscanKernelSpec extends AnyFunSuite {
     assert(h.labels.forall(_ != 0))
   }
 
+  test("constraint-driven extraction: must-link flips selection to the merged parent") {
+    // blobs A and B adjacent (their merge parent is a real condensed
+    // cluster), blob C far away so the parent of A+B is not the root
+    val a = Array.tabulate(8)(i => Array(0.0 + i * 0.1))
+    val b = Array.tabulate(8)(i => Array(3.0 + i * 0.1))
+    val c = Array.tabulate(8)(i => Array(100.0 + i * 0.1))
+    val pts = a ++ b ++ c
+    def labelsWith(cons: Array[(Int, Int, Boolean)]): Array[Int] =
+      fitLocal(pts, 3, 3, euclidean, allowSingleCluster = false, cons).map(_._1)
+
+    val plain = labelsWith(Array.empty)
+    // unconstrained: A and B are separate clusters
+    assert(plain(0) != 0 && plain(8) != 0 && plain(0) != plain(8),
+      s"expected A/B split, got ${plain.toSeq}")
+
+    // one must-link across A and B: only their common parent satisfies it,
+    // so the parent (A∪B merged) wins the propagation
+    val ml = labelsWith(Array((0, 8, true)))
+    assert(ml(0) != 0 && ml(0) == ml(8), s"expected A/B merged, got ${ml.toSeq}")
+    assert(ml(16) != 0 && ml(16) != ml(0), "C stays its own cluster")
+
+    // a cannot-link across A and B is satisfied by the split children, so
+    // selection stays as the unconstrained one
+    val cl = labelsWith(Array((0, 8, false)))
+    assert(cl(0) != 0 && cl(8) != 0 && cl(0) != cl(8),
+      s"cannot-link must keep A/B apart, got ${cl.toSeq}")
+  }
+
   test("reattachNoise: planted boundary bubble flips to its nearest cluster") {
     // vertices 0,1 labeled 1; 2,3 labeled 2; 4 is noise nearest to vertex 3
     val labels = Array(1, 1, 2, 2, 0)

@@ -25,6 +25,20 @@ class TextKernelsSpec extends SparkTestBase {
     assert(bad.isEmpty, s"mismatches: ${bad.take(5).mkString(", ")}")
   }
 
+  test("minShingleMd5 codegen == HOF md5-argmin form") {
+    import spark.implicits._
+    val edge = Seq(
+      (9001L, ""), (9002L, "   "), (9003L, "one"), (9004L, "one two three four"),
+      (9005L, "one two three four five"), (9006L, "  MIXED Case\ttabs\nand lines  "),
+      (9007L, "的 是 在 了 和 有 我 不 这 上")).toDF("doc_id", "text")
+    val df = corpus.select($"doc_id", $"text").unionAll(edge)
+    val bad = df.select($"doc_id",
+        TextOps.minShingleMd5($"text").as("fast"),
+        array_min(transform(TextOps.wordShingles($"text", 5), s => md5(s))).as("slow"))
+      .filter($"fast" =!= $"slow")
+    assert(bad.isEmpty, s"mismatches: ${bad.take(5).mkString(", ")}")
+  }
+
   test("langId codegen == HOF form on the sf0.001 corpus + edge cases") {
     import spark.implicits._
     val edge = Seq(
