@@ -91,7 +91,11 @@ final case class Hdbscan(
     * driver-sized (≤ #clusters ≤ #points-or-bubbles); levels are rendered
     * from the same driver-side hierarchy.
     */
-  def fitModel(df: DataFrame): HdbscanModel = {
+  def fitModel(df: DataFrame): HdbscanModel = fitModel(df, compactHierarchy = false)
+
+  /** As [[fitModel]]; `compactHierarchy` renders only new-cluster levels
+    * (the reference's `compactHierarchy` switch, `Main.java:516-525`). */
+  def fitModel(df: DataFrame, compactHierarchy: Boolean): HdbscanModel = {
     val spark = df.sparkSession
     import spark.implicits._
     val pts = df.select(col("id").cast("long"), col("features").cast("array<double>"))
@@ -103,7 +107,8 @@ final case class Hdbscan(
     val tree = spark.createDataset(HdbscanKernel.clusterTreeRows(h).toSeq)
       .toDF("label", "parent", "birth_eps", "death_eps", "stability", "size", "flat_label")
     val levels = spark.createDataset(
-        HdbscanKernel.renderLevels(h).toSeq.map { case (eps, ls) => (eps, ls.mkString(",")) })
+        HdbscanKernel.renderLevels(h, compactHierarchy).toSeq
+          .map { case (eps, ls) => (eps, ls.mkString(",")) })
       .toDF("level_eps", "labels_csv")
     val edges = spark.createDataset(mstEdges.toSeq).toDF("src", "dst", "weight")
     HdbscanModel(points, tree, levels, edges)

@@ -118,12 +118,20 @@ object PointsIO {
       .select(col("outlier_score"), col("id"))
       .coalesce(1).write.mode("overwrite").option("header", "false").csv(path)
 
-  /** Hierarchy: per line `<epsilon level>,<label 1>,...,<label n>`. */
-  def writeHierarchyCsv(levels: DataFrame, path: String): Unit =
-    levels.select(concat_ws(",", col("level_eps"), col("labels_csv")))
+  /** Hierarchy: per line `<epsilon level>,<label 1>,...,<label n>`, levels
+    * descending, terminated by the reference's bare `0` line
+    * (`HDBSCANStar.java:441`). */
+  def writeHierarchyCsv(levels: DataFrame, path: String): Unit = {
+    val spark = levels.sparkSession
+    import spark.implicits._
+    levels.orderBy(col("level_eps").desc)
+      .select(concat_ws(",", col("level_eps"), col("labels_csv")).as("line"))
+      .unionAll(Seq("0").toDF("line"))
       .coalesce(1).write.mode("overwrite").text(path)
+  }
 
-  /** Visualization sidecar: `{0|1}\n<hierarchy line count>`. */
+  /** Visualization sidecar: `{0|1}\n<hierarchy line count>`; the line count
+    * includes the trailing `0` line, as the reference counts it. */
   def writeVisualization(spark: SparkSession, compact: Boolean, lineCount: Long, path: String): Unit = {
     import spark.implicits._
     Seq((if (compact) "1" else "0") + "\n" + lineCount.toString)

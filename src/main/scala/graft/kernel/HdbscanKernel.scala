@@ -514,8 +514,14 @@ object HdbscanKernel {
     * point's cluster id (+1; 0 = noise) at that level. A point is in cluster
     * a at eps iff a is the deepest ancestor of its condensed cluster with
     * birthEps >= eps and eps > fallOutEps(point). O(#levels * n).
+    *
+    * @param compact only levels where new clusters are born (+ the final
+    *        all-noise level) — the reference's compact-hierarchy switch
+    *        (`HDBSCANStar.java:394`, writes a line only on new clusters /
+    *        significant levels). Full mode (default) also emits every
+    *        point-fall-out level.
     */
-  def renderLevels(h: Hierarchy): Array[(Double, Array[Int])] = {
+  def renderLevels(h: Hierarchy, compact: Boolean = false): Array[(Double, Array[Int])] = {
     val n = h.pointCluster.length
     // ancestor chains root→leaf per condensed cluster
     val chains = h.clusters.map { c =>
@@ -524,7 +530,10 @@ object HdbscanKernel {
       while (cur.parent >= 0) { cur = h.clusters(cur.parent); chain = cur.id :: chain }
       chain.toArray // root first, deepest last
     }
-    val eventEps = (h.clusters.map(_.birthEps) ++ h.pointFallOutEps).distinct
+    val fullEps = (h.clusters.map(_.birthEps) ++ h.pointFallOutEps).distinct
+    val eventEps = (if (compact && fullEps.nonEmpty)
+        (h.clusters.map(_.birthEps) :+ fullEps.min).distinct
+      else fullEps)
       .sorted(Ordering[Double].reverse)
     eventEps.map { eps =>
       val labels = Array.tabulate(n) { p =>

@@ -74,6 +74,59 @@ class PointsIOSpec extends SparkTestBase {
     assert(rows(2) == "3,2.0,1.0,0.4,0,0,10,1", rows(2))
   }
 
+  test("end-to-end result files: reference shapes, vis line count, compact switch") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val centers = Array.fill(3, 4)(rng.nextDouble() * 30.0)
+    val data = (0 until 90).map { i =>
+      (i.toLong, centers(i % 3).map(c => c + rng.nextGaussian() * 0.2))
+    }.toDF("id", "features")
+    val out = tmpDir()
+    val clusterer = Hdbscan(minPts = 4, minClusterSize = 8)
+    val model = clusterer.fitModel(data)
+
+    PointsIO.writePartitionCsv(model.points, s"$out/partition")
+    val part = spark.read.text(s"$out/partition").collect().map(_.getString(0))
+    assert(part.length == 1 && part.head.split(",").length == 90)
+
+    PointsIO.writeOutlierScoresCsv(model.points, s"$out/outliers")
+    val outl = spark.read.text(s"$out/outliers").collect().map(_.getString(0))
+    assert(outl.length == 90 && outl.forall(_.split(",").length == 2))
+    val scores = outl.map(_.split(",")(0).toDouble)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a <= b }, "ascending by score")
+
+    PointsIO.writeHierarchyCsv(model.levels, s"$out/hierarchy")
+    val hier = spark.read.text(s"$out/hierarchy").collect().map(_.getString(0))
+    assert(hier.last == "0", "reference's bare terminating 0 line")
+    val levelLines = hier.dropRight(1)
+    assert(levelLines.forall(_.split(",").length == 91)) // eps + 90 labels
+    val epss = levelLines.map(_.split(",")(0).toDouble)
+    assert(epss.zip(epss.tail).forall { case (a, b) => a > b }, "levels descending")
+    // the last LEVEL line is all-noise
+    assert(levelLines.last.split(",").drop(1).forall(_ == "0"))
+
+    PointsIO.writeTreeCsv(model.tree, s"$out/tree", Some(model.levels))
+    val tre = spark.read.text(s"$out/tree").collect().map(_.getString(0))
+    assert(tre.forall(_.split(",").length == 8), "8 reference columns")
+
+    PointsIO.writeVisualization(spark, compact = false, hier.length.toLong, s"$out/vis")
+    val vis = spark.read.text(s"$out/vis").collect().map(_.getString(0))
+    assert(vis.toSeq == Seq("0", hier.length.toString))
+
+    // compact hierarchy: subset of the full level set, same terminator, and
+    // every new-cluster birth level is present
+    val compactModel = clusterer.fitModel(data, compactHierarchy = true)
+    PointsIO.writeHierarchyCsv(compactModel.levels, s"$out/ch")
+    val ch = spark.read.text(s"$out/ch").collect().map(_.getString(0))
+    assert(ch.last == "0")
+    assert(ch.length <= hier.length)
+    val fullEps = levelLines.map(_.split(",")(0)).toSet
+    val compactEps = ch.dropRight(1).map(_.split(",")(0)).toSet
+    assert(compactEps.subsetOf(fullEps))
+    val birthEps = model.tree.select("birth_eps").as[Double].collect().map(_.toString).toSet
+    assert(birthEps.subsetOf(compactEps), s"missing birth levels: ${birthEps -- compactEps}")
+  }
+
   test("fitModel: tree + hierarchy levels invariants on gaussian blobs") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
