@@ -27,22 +27,32 @@ object SkinSmoke {
     val n = pts.count()
     println(f"loaded $n rows in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
-    val t1 = System.nanoTime()
-    val res = Hdbscan(minPts = 4, minClusterSize = 100,
-      maxLocalSize = 4000, maxExactPoints = 300000)
-      .fit(pts.select("id", "features")).cache()
-    val sizes = res.groupBy("label").count().orderBy(col("count").desc)
-    val top = sizes.collect()
-    println(f"clustered $n rows in ${(System.nanoTime() - t1) / 1e9}%.1f s; " +
-      s"${top.count(_.getAs[Int]("label") != 0)} clusters")
-    top.take(8).foreach(r => println(s"  label=${r.get(0)} size=${r.get(1)}"))
+    def report(mode: String, clusterer: Hdbscan): Unit = {
+      val t1 = System.nanoTime()
+      val res = clusterer.fit(pts.select("id", "features")).cache()
+      val sizes = res.groupBy("label").count().orderBy(col("count").desc)
+      val top = sizes.collect()
+      println(f"[$mode] clustered $n rows in ${(System.nanoTime() - t1) / 1e9}%.1f s; " +
+        s"${top.count(_.getAs[Int]("label") != 0)} clusters")
+      top.take(8).foreach(r => println(s"  label=${r.get(0)} size=${r.get(1)}"))
 
-    // purity of found clusters vs the binary skin/non-skin truth
-    val joined = res.join(pts.select("id", "truth"), "id").filter(col("label") =!= 0)
-    val purity = joined.groupBy("label", "truth").count()
-      .groupBy("label").agg(max("count").as("maj"), sum("count").as("tot"))
-      .agg((sum("maj") / sum("tot")).as("purity")).collect()(0).getDouble(0)
-    println(f"cluster purity vs ground truth: $purity%.4f")
+      // purity of found clusters vs the binary skin/non-skin truth
+      val joined = res.join(pts.select("id", "truth"), "id").filter(col("label") =!= 0)
+      val purity = joined.groupBy("label", "truth").count()
+        .groupBy("label").agg(max("count").as("maj"), sum("count").as("tot"))
+        .agg((sum("maj") / sum("tot")).as("purity")).collect()(0).getDouble(0)
+      println(f"[$mode] cluster purity vs ground truth: $purity%.4f")
+      res.unpersist()
+      SessionHygiene.sweep(spark)
+    }
+
+    // partitioned-exact: the ≤ maxExactPoints path (Voronoi split + driver Kruskal)
+    report("partitioned-exact", Hdbscan(minPts = 4, minClusterSize = 100,
+      maxLocalSize = 4000, maxExactPoints = 300000))
+    // multi-level CF-bubble sketch: the 100 TB path — sampleCap bubbles over
+    // 245k points forces ~3 split levels; driver state O(#bubbles)
+    report("bubbles", Hdbscan(minPts = 4, minClusterSize = 100,
+      maxLocalSize = 4000, maxExactPoints = 100000, sampleCap = 2000))
     spark.stop()
   }
 }

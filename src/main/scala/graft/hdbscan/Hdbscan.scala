@@ -175,7 +175,7 @@ final case class Hdbscan(
       .select(lit(Long.MinValue).as("subset"), col("id"), col("features")))
     var iterNo = 0
     var done = n <= fitSize
-    while (iterNo < 5 && !done) {
+    while (iterNo < 8 && !done) {
       // 2x slack: a cell at (1..2]x fitSize costs at most 4x the kernel
       // budget (still parallel), far cheaper than another full split round
       val oversized = assigned.groupBy(col("subset")).agg(count(lit(1)).as("cnt"))
@@ -185,11 +185,17 @@ final case class Hdbscan(
       else {
         val overSet = oversized.map(_._1).toSet
         // deterministic hash-rate seed selection inside each oversized cell:
-        // rate 1/(fitSize/4) ⇒ E[seeds] = 4*cnt/fitSize per cell
-        // (dense seeding converges in 1-2 rounds; per-round Spark-job latency
-        // dominates the split phase, so fewer rounds beat fewer seeds),
-        // no window over wide rows, fully parallel
-        val ratio = math.max(2L, fitSize / 4)
+        // base rate 1/(fitSize/4) ⇒ E[seeds] = 4*cnt/fitSize per cell, but
+        // capped at ~`branch` seeds per cell per round (geometric descent).
+        // Without the cap, splitting one huge cell into k final cells costs
+        // n×k distance evals in one round (measured 245k points → 2000
+        // bubble seeds = 490M evals); with it the work is n×branch per
+        // round and the cell count still multiplies by `branch` each round,
+        // so total work is n×branch×log_branch(k) — the reference's
+        // multi-level sampling loop has the same geometry (Main.java:107-301)
+        val branch = 256L
+        val maxCnt = oversized.map(_._2).max
+        val ratio = math.max(math.max(2L, fitSize / 4), maxCnt / branch)
         val overDf = assigned.filter(col("subset").isInCollection(overSet))
         val subSeeds = overDf
           .filter(pmod(xxhash64(col("id"), lit(seed + iterNo)), lit(ratio)) === 0)
@@ -358,9 +364,11 @@ final case class Hdbscan(
 
     // cell target: E[#bubbles] ≈ sampleCap at any n (cells average
     // fitSize/4 after the split; see voronoiSplit seeding rate)
+    val tStart = System.nanoTime()
     val fitSize = math.max(4L, math.ceil(4.0 * n / sampleCap).toLong)
     val rot = new graft.CheckpointRotator
     val (assigned, _) = voronoiSplit(pts, n, fitSize, collectBoundary = false, rot)
+    val tSplit = System.nanoTime()
 
     // ---- CF-bubble aggregation: one shuffle, map-side combine ----
     val cfCol = CFAggregator.toColumn
@@ -377,6 +385,7 @@ final case class Hdbscan(
     val (idMap, _) = org.apache.spark.sql.GraftShim.materialize(
       assigned.select(col("subset").as("sample_id"), col("id")))
     rot.close()
+    val tCf = System.nanoTime()
 
     // ---- bubble-level hierarchy on the driver (E7/E11 + weighted G3) ----
     val ids = bubbles.map(_._1)
@@ -418,6 +427,9 @@ final case class Hdbscan(
     // bubble distance (E7) — points inside noise bubbles were all
     // mislabeled vs reference semantics in round 1 (VERDICT r1 missing #2)
     val labels = HdbscanKernel.reattachNoise(h.labels, bd)
+    Console.err.println(f"[graft] bubbleGlobal phases: split=${(tSplit - tStart) / 1e9}%.1fs " +
+      f"cf+collect=${(tCf - tSplit) / 1e9}%.1fs " +
+      f"driver-hierarchy=${(System.nanoTime() - tCf) / 1e9}%.1fs bubbles=$m")
 
     // ---- labels back to points via broadcast join off the narrow map ----
     val labelRows = ids.indices.map(i => (ids(i), labels(i), h.outlierScores(i), bCore(i)))
