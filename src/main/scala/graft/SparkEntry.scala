@@ -86,6 +86,18 @@ object SparkEntry {
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       ConnectedComponents.run(s, edges).orderBy(col("vertex"))
     }),
+    "q_mst_distributed" -> ((s: SparkSession, d: String) => {
+      // the unbounded global-merge path: Borůvka over the pairwise
+      // mutual-reachability-free distance graph of the first 150 embeddings
+      val a = embPair(s, d, "src", "va").filter(col("src") < 150)
+      val b = embPair(s, d, "dst", "vb").filter(col("dst") < 150)
+      val edges = a.crossJoin(b).filter(col("src") < col("dst"))
+        .select(col("src"), col("dst"),
+          graft.functions.Distances.euclidean(col("va"), col("vb")).as("weight"))
+      graft.operators.BoruvkaMst.run(s, edges)
+        .select(col("src"), col("dst"), round(col("weight"), 6).as("weight"))
+        .orderBy(col("src"), col("dst"))
+    }),
     // ---- dedup family ----
     "q_dedup_exact" -> ((s: SparkSession, d: String) =>
       Dedup.exact(docs(s, d)).orderBy(col("content_hash"))),
@@ -279,6 +291,7 @@ object SparkEntry {
     "q_intercluster_edges" -> "global-MST edges are not SQL-expressible; non-emptiness asserted in HdbscanSpec, edge endpoints' labels checked there",
     "q_constraints_check" -> "depends on clustering labels (not SQL-expressible); constraint-side broadcast plan + semantics asserted in OperatorsSpec",
     "q_constraints_extract" -> "constraint-driven extraction output depends on clustering labels (not SQL-expressible); the must-link selection flip is asserted in HdbscanKernelSpec",
+    "q_mst_distributed" -> "MST construction is not SQL-expressible; OperatorsSpec asserts edge-level equality with a driver Kruskal under the same tie order",
     "q_dedup_minhash" -> "xxhash64/minhash signatures have no DuckDB equivalent; codegen-vs-HOF parity + planted-duplicate recall tested in ScalaTest",
     "q_dedup_simhash" -> "as q_dedup_minhash (simhash bit votes)",
     "q_knn_ivf" -> "approximate by design; recall>=0.9 vs the oracle-checked brute-force baseline asserted in OperatorsSpec",

@@ -151,6 +151,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.count() == 25)
   }
 
+  test("distributed Boruvka MST equals driver Kruskal on a random 2-component graph") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    // two blocks with no cross edges → a 2-tree spanning forest
+    def block(off: Long, nv: Int, ne: Int) = Seq.fill(ne) {
+      val a = off + rng.nextInt(nv); var b = off + rng.nextInt(nv)
+      while (b == a) b = off + rng.nextInt(nv)
+      (a, b, math.rint(rng.nextDouble() * 1e6) / 1e6)
+    }
+    val edges = block(0L, 40, 300) ++ block(1000L, 25, 150)
+    val got = BoruvkaMst.run(spark, edges.toDF("src", "dst", "weight"))
+      .as[(Long, Long, Double)].collect().sortBy(e => (e._3, e._1, e._2))
+
+    // driver Kruskal under the same (weight, lo, hi) order
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val vIdx = verts.zipWithIndex.toMap
+    val uf = new graft.kernel.UnionFind(verts.length)
+    val norm = edges.map { case (a, b, w) => (math.min(a, b), math.max(a, b), w) }
+      .groupBy(e => (e._1, e._2)).values.map(_.minBy(_._3)).toSeq
+      .sortBy(e => (e._3, e._1, e._2))
+    val kruskal = norm.filter { case (a, b, _) =>
+      if (uf.connected(vIdx(a), vIdx(b))) false else { uf.union(vIdx(a), vIdx(b)); true }
+    }
+    assert(got.length == kruskal.length) // V - #components edges
+    assert(math.abs(got.map(_._3).sum - kruskal.map(_._3).sum) < 1e-9,
+      s"weight ${got.map(_._3).sum} vs ${kruskal.map(_._3).sum}")
+    assert(got.toSeq == kruskal, "identical edge sets under the shared tie order")
+  }
+
   test("connected components on two disjoint chains") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L)).toDF("src", "dst")
