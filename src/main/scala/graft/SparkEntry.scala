@@ -108,6 +108,13 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       Dedup.ngramJaccardPairs(docs(s, d), "source")
         .orderBy(col("block"), col("id_a"), col("id_b"))),
+    "q_dedup_clusters" -> ((s: SparkSession, d: String) => {
+      // pairs → transitive groups → canonical keeper: the end-to-end dedup
+      // a training pipeline runs. Edges = ngram-jaccard ≥ 0.5 (oracle can
+      // reproduce them in SQL); groups = star-contraction CC.
+      val pairs = Dedup.ngramJaccardPairs(docs(s, d), "source", threshold = 0.5)
+      Dedup.dedupClusters(s, pairs).orderBy(col("doc_id"))
+    }),
     "q_embedding_neardup" -> ((s: SparkSession, d: String) => {
       // the testdata embeddings are isotropic-random (max natural cosine
       // ≈ 0.51), so a 0.9-threshold near-dup pass over them alone verifies
@@ -133,7 +140,31 @@ object SparkEntry {
       val c = e.select(col("vec_id").as("cid"), col("vec").as("cv"))
       Similarity.ivfTopK(q, c).orderBy(col("qid"), col("rank"))
     }),
+    // ---- percentiles / rolling windows ----
+    "q_percentiles" -> Relational.valuePercentiles _,
+    "q_rolling_avg" -> Relational.rollingAvg _,
     // ---- text analysis ----
+    "q_tfidf_top_terms" -> ((s: SparkSession, d: String) =>
+      TextOps.tfidfTopTerms(docs(s, d), k = 3).orderBy(col("doc_id"), col("rank"))),
+    "q_redact_pii" -> ((s: SparkSession, d: String) => {
+      // the synthetic corpus carries no PII, so plant a deterministic
+      // email+phone on every third document — both engines construct the
+      // identical planted text, so counts AND the redacted md5 oracle-check
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or call 555-123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")).as("text"))
+      TextOps.redactPii(planted).orderBy(col("doc_id"))
+    }),
+    "q_seq_pack" -> ((s: SparkSession, d: String) =>
+      // deterministic layout (hash partition + FFD order) but the bin
+      // assignment is engine-specific: the checkable invariants (every doc
+      // exactly once, token totals, budget bound) are asserted in
+      // PackingSpec and the totals re-checked in the summary columns
+      graft.operators.Packing.binSummary(
+        graft.operators.Packing.packSequences(docs(s, d), budget = 512), budget = 512)),
     "q_token_count" -> ((s: SparkSession, d: String) =>
       docs(s, d).select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens")).orderBy(col("doc_id"))),
@@ -246,7 +277,9 @@ object SparkEntry {
       graft.streaming.StreamingOps.sessionizeStream(s, d)),
     // ---- streaming ----
     "q_stream_events_hourly" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamingOps.eventsHourlyStream(s, d))
+      graft.streaming.StreamingOps.eventsHourlyStream(s, d)),
+    "q_stream_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingOps.dedupStream(s, d))
   )
 
   // ---------- DuckDB oracle SQL ----------
@@ -296,6 +329,7 @@ object SparkEntry {
     "q_dedup_simhash" -> "as q_dedup_minhash (simhash bit votes)",
     "q_knn_ivf" -> "approximate by design; recall>=0.9 vs the oracle-checked brute-force baseline asserted in OperatorsSpec",
     "q_sample_stratified" -> "per-stratum Bernoulli sampling is seeded engine-specifically; DuckDB cannot reproduce the sample",
+    "q_seq_pack" -> "bin ASSIGNMENT is engine-specific (per-partition first-fit-decreasing); the checkable invariants — every doc packed exactly once, token totals preserved, budget bound, fill ratio — are asserted in PackingSpec and summarized in the output columns",
     "q_multimodal_features" -> "binary codec plumbing with a documented fake codec; round-trip + schema tested in ScalaTest")
 
   def oracleSql: Map[String, String] = Map(
@@ -490,6 +524,29 @@ object SparkEntry {
         |SELECT doc_id, md5(norm) AS full_md5,
         |  list_sort(list_transform(shingles, s -> md5(s)))[1] AS min_shingle_md5
         |FROM sh ORDER BY doc_id""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT source AS block, doc_id AS id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(n) - 2, 1)),
+        |      i -> substr(n, i, 3))) AS s
+        |  FROM (SELECT *, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n FROM documents)),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.id AS id_a, b.id AS id_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |    FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id)
+        |  WHERE jaccard >= 0.5),
+        |sym AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(v, c) AS (
+        |  SELECT s, s FROM sym
+        |  UNION
+        |  SELECT s.d, w.c FROM walk w JOIN sym s ON s.s = w.v),
+        |lab AS (SELECT v AS doc_id, min(c) AS group_id FROM walk GROUP BY v)
+        |SELECT doc_id, group_id,
+        |  count(*) OVER (PARTITION BY group_id) AS group_size,
+        |  doc_id = group_id AS is_keeper
+        |FROM lab ORDER BY doc_id""".stripMargin,
     "q_connected_components" ->
       s"""WITH RECURSIVE edges AS (
          |  SELECT a.vec_id AS src, b.vec_id AS dst FROM embeddings a JOIN embeddings b
@@ -528,6 +585,50 @@ object SparkEntry {
     "q_hdbscan_part_invariants" ->
       """SELECT count(*) AS n_points, CAST(0 AS BIGINT) AS bad_scores,
         |  CAST(0 AS BIGINT) AS bad_labels FROM embeddings""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_rolling_avg" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS avg5
+        |FROM events ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    "q_tfidf_top_terms" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents WHERE len(trim(text)) > 0),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1), 6) AS tfidf
+        |  FROM tf JOIN dfr USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rn AS INT) AS rank, term, tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_redact_pii" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' contact user' || doc_id || '@example.com or call 555-123-' ||
+        |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM planted ORDER BY doc_id""".stripMargin,
+    "q_stream_dedup" ->
+      "SELECT DISTINCT md5(text) AS content_hash FROM documents ORDER BY content_hash",
     "q_stream_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
         |  round(sum(value), 3) AS sum_value

@@ -238,6 +238,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Duplicate-group resolution: near-dup PAIRS (from [[minhashNearDup]],
+    * [[simhashNearDup]], [[ngramJaccardPairs]] or [[embeddingNearDup]]) →
+    * transitive duplicate GROUPS → one canonical keeper per group. This is
+    * the step a training pipeline actually wants: "drop all but one of each
+    * duplicate cluster", where duplication is transitive (A≈B, B≈C ⇒
+    * {A,B,C} one group even if A̸≈C).
+    *
+    * Pairs become an undirected graph; groups are its connected components
+    * via the O(log n)-round star-contraction in [[ConnectedComponents]]
+    * (no driver state, survives pair sets with huge chained components);
+    * the keeper is the minimum doc id of the group — identical to the
+    * reference-style min-id convention in [[exact]]. Group sizes come from
+    * one more narrow groupBy on the component label.
+    *
+    * @param pairs (id_a, id_b) near-duplicate pairs, both long
+    * @return (doc_id, group_id, group_size, is_keeper) — only documents that
+    *         participate in at least one pair (singletons are trivially
+    *         their own keeper and are not repeated here)
+    */
+  def dedupClusters(spark: org.apache.spark.sql.SparkSession, pairs: DataFrame,
+      idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+    val labels = ConnectedComponents.run(spark, edges)
+    val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("group_size"))
+    labels.join(sizes, "component")
+      .select(col("vertex").as("doc_id"), col("component").as("group_id"),
+        col("group_size"), (col("vertex") === col("component")).as("is_keeper"))
+  }
+
   /** Deterministic pseudo-random unit hyperplanes (xorshift-seeded). */
   def randomHyperplanes(n: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     var s = seed

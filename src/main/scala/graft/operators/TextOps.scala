@@ -144,6 +144,59 @@ object TextOps {
   def fingerprint(text: Column): Column =
     struct(fullHash(text).as("full_hash"), minShingleHash(text).as("min_shingle_hash"))
 
+  /** TF-IDF top-k terms per document.
+    *
+    * Shapes for scale: one explode of the token stream, one (doc, term)
+    * groupBy for TF (map-side combine applies), one vocabulary-sized
+    * groupBy for DF, a TF⋈DF equi-join on term (vocabulary is tiny next to
+    * the corpus — AQE broadcasts it when it fits), and a per-document
+    * window for the top-k (partition key = doc_id: millions of small
+    * partitions, never one big one). The corpus size joins in as a
+    * broadcast single-row frame — no driver-side count threaded through
+    * the plan.
+    *
+    * idf = ln((N+1)/(df+1)) + 1 (smoothed, always positive); score is
+    * rounded to 6dp BEFORE ranking so the (score desc, term asc) order is
+    * reproducible in any engine.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nonEmpty = docs.filter(length(trim(col(textCol))) > 0)
+    val toks = nonEmpty.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = nonEmpty.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
+
+  /** Email / phone regexes chosen to mean the same thing in Java regex
+    * (Spark codegen) and RE2 (DuckDB/ripgrep): no lookarounds, no
+    * backreferences. */
+  val emailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRegex = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII redaction: per-document email/phone match counts plus the md5 of
+    * the redacted text (emails → `<EMAIL>`, phones → `<PHONE>`). Pure
+    * codegen column expressions — the scan stays pruned to (id, text) and
+    * the whole operator is one map stage, no shuffle at any scale. */
+  def redactPii(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol).as("doc_id"),
+      regexp_count(t, lit(emailRegex)).cast("long").as("n_emails"),
+      regexp_count(t, lit(phoneRegex)).cast("long").as("n_phones"),
+      md5(regexp_replace(regexp_replace(t, emailRegex, "<EMAIL>"),
+        phoneRegex, "<PHONE>")).as("redacted_md5"))
+  }
+
   /** Full per-document text-stats frame over a `documents`-shaped table. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

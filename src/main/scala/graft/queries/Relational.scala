@@ -159,6 +159,36 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 3).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** A5-adjacent: exact interpolated percentiles of event values per type.
+    * Spark's `percentile` is a single-pass typed aggregate (sorted digest
+    * per group, partial-merge across partitions) — one shuffle on the
+    * low-cardinality group key; all four quantiles share the one digest. */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"),
+        array(lit(0.25), lit(0.5), lit(0.9), lit(0.99))).as("p"))
+      .select(col("event_type"),
+        round(element_at(col("p"), 1), 6).as("p25"),
+        round(element_at(col("p"), 2), 6).as("p50"),
+        round(element_at(col("p"), 3), 6).as("p90"),
+        round(element_at(col("p"), 4), 6).as("p99"))
+      .orderBy(col("event_type"))
+
+  /** W-class: 5-row trailing moving average per user — a sliding rows-frame
+    * window ordered by (ts, event_id). Partition key is user_id (many small
+    * partitions); the frame is O(1) per row. */
+  def rollingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    ev.withColumn("avg5", round(avg(col("value")).over(w), 6))
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("avg5"))
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
   /** Gap-based sessionization (30-min default): classic event-stream shape —
     * lag + cumulative-sum windows, then per-session aggregation. */
   def sessionize(spark: SparkSession, dir: String, gapMs: Long = 1800000L): DataFrame = {

@@ -45,6 +45,33 @@ object StreamingOps {
     out.orderBy(col("hour"), col("event_type"))
   }
 
+  /** Streaming exact dedup: `dropDuplicates` on the content digest keeps a
+    * state-store hash set across micro-batches, so each distinct content is
+    * emitted exactly once no matter how often (or in which batch) it
+    * reappears — the streaming twin of [[graft.operators.Dedup.exact]].
+    * Output is the distinct digest set, so the result is batch-order
+    * independent and checkable against the batch DISTINCT oracle. At scale
+    * the state store shards by the digest key; with a watermarked event-time
+    * column the same call bounds state by time. */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val distinctHashes = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").format("parquet").load(dir)
+      .select(md5(col("text")).as("content_hash"))
+      .dropDuplicates("content_hash")
+    val name = s"dedup_stream_${System.nanoTime()}"
+    val q = distinctHashes.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (out, _) = org.apache.spark.sql.GraftShim.materialize(spark.table(name))
+    spark.catalog.dropTempView(name)
+    out.orderBy(col("content_hash"))
+  }
+
   /** Per-user session state carried across micro-batches. */
   final case class SessionState(lastTsMs: Long, sessions: Long)
 

@@ -48,6 +48,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("dedup clusters: transitive pairs collapse to one group with min-id keeper") {
+    import spark.implicits._
+    // A≈B, B≈C but A̸≈C (chain), plus an unrelated pair (10,11): groups must
+    // be {1,2,3} with keeper 1 and {10,11} with keeper 10
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val res = Dedup.dedupClusters(spark, pairs)
+      .select("doc_id", "group_id", "group_size", "is_keeper")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(res.toSeq == Seq(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (10L, 10L, 2L, true), (11L, 10L, 2L, false)))
+  }
+
   test("minhash near-dup finds planted near-duplicates, skips unrelated") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
