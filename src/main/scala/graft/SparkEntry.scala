@@ -58,6 +58,8 @@ object SparkEntry {
     "q_join_broadcast" -> Relational.joinBroadcast _,
     "q_join_multiway" -> Relational.joinMultiway _,
     "q_antijoin" -> Relational.antiJoin _,
+    "q_rollup_pricing" -> Relational.rollupPricing _,
+    "q_salted_join" -> ((s: SparkSession, d: String) => Relational.saltedJoin(s, d)),
     "q_union_all" -> Relational.unionSlices _,
     "q_distinct_renumber" -> Relational.distinctRenumber _,
     "q_max_per_key" -> Relational.maxPerKey _,
@@ -111,8 +113,12 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => {
       // pairs → transitive groups → canonical keeper: the end-to-end dedup
       // a training pipeline runs. Edges = ngram-jaccard ≥ 0.5 (oracle can
-      // reproduce them in SQL); groups = star-contraction CC.
-      val pairs = Dedup.ngramJaccardPairs(docs(s, d), "source", threshold = 0.5)
+      // reproduce them in SQL); groups = star-contraction CC. The demo slice
+      // is bounded (doc_id < 1500, like q_distance_pairs' vec_id < 30): the
+      // word-salad corpus is near-dup-dense, so the unbounded pair set is
+      // output-quadratic in corpus size — not what the query verifies.
+      val pairs = Dedup.ngramJaccardPairs(
+        docs(s, d).filter(col("doc_id") < 1500), "source", threshold = 0.5)
       Dedup.dedupClusters(s, pairs).orderBy(col("doc_id"))
     }),
     "q_embedding_neardup" -> ((s: SparkSession, d: String) => {
@@ -279,7 +285,9 @@ object SparkEntry {
     "q_stream_events_hourly" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamingOps.eventsHourlyStream(s, d)),
     "q_stream_dedup" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamingOps.dedupStream(s, d))
+      graft.streaming.StreamingOps.dedupStream(s, d)),
+    "q_stream_enrich" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingOps.enrichStream(s, d))
   )
 
   // ---------- DuckDB oracle SQL ----------
@@ -361,6 +369,17 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q_rollup_pricing" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS cnt, sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_salted_join" ->
+      """SELECT p_brand, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_union_all" ->
       """SELECT event_id, event_type FROM events WHERE event_type = 'click'
         |UNION ALL
@@ -529,7 +548,8 @@ object SparkEntry {
         |  SELECT source AS block, doc_id AS id,
         |    list_distinct(list_transform(generate_series(1, greatest(len(n) - 2, 1)),
         |      i -> substr(n, i, 3))) AS s
-        |  FROM (SELECT *, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n FROM documents)),
+        |  FROM (SELECT *, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
+        |        FROM documents WHERE doc_id < 1500)),
         |pairs AS (
         |  SELECT id_a, id_b FROM (
         |    SELECT a.id AS id_a, b.id AS id_b,
@@ -629,6 +649,12 @@ object SparkEntry {
         |FROM planted ORDER BY doc_id""".stripMargin,
     "q_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS content_hash FROM documents ORDER BY content_hash",
+    "q_stream_enrich" ->
+      """SELECT c_nationkey, event_type, count(*) AS cnt,
+        |  round(sum(value), 3) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_nationkey, event_type
+        |ORDER BY c_nationkey, event_type""".stripMargin,
     "q_stream_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
         |  round(sum(value), 3) AS sum_value

@@ -54,6 +54,44 @@ object Relational {
         max(col("l_discount")).as("max_disc"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** A-family extension: hierarchical ROLLUP totals (per (flag, status),
+    * per flag, grand total) in one pass — Catalyst expands the grouping
+    * sets map-side, so the cube costs one shuffle, not three queries.
+    * Null grouping keys are re-labeled 'ALL' so the result is
+    * unambiguous (and hash-comparable: DuckDB's ROLLUP emits the same
+    * NULLs). */
+  def rollupPricing(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("cnt"), col("sum_qty"), col("sum_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Skew-resilient equi-join: the classic salting rewrite. The skewed
+    * (fact) side gets a deterministic salt in [0, S); the small (dim) side
+    * is exploded S× with every salt value; the join key becomes
+    * (key, salt), so one hot key's rows spread over S reducers instead of
+    * one. Semantically identical to the plain join — which is exactly what
+    * the oracle checks. S=8 here; at scale S is sized to the hottest key's
+    * row count / target partition size (or left to AQE's skew-join split
+    * when its thresholds fit). */
+  def saltedJoin(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val fact = table(spark, dir, "lineitem")
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+    val dim = table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+    // merge hint: without it Spark would broadcast the exploded dim and
+    // never exercise the salted shuffle this operator demonstrates
+    fact.join(dim.hint("merge"), fact("l_partkey") === dim("p_partkey") && fact("salt") === dim("salt"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+  }
+
   /** A2: global count. */
   def countLineitem(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem").agg(count(lit(1)).as("cnt"))

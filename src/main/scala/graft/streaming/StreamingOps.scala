@@ -72,6 +72,38 @@ object StreamingOps {
     out.orderBy(col("content_hash"))
   }
 
+  /** Stream-static enrichment: the events stream joined to the static
+    * `part`-sized dimension per micro-batch. The static side resolves to a
+    * broadcast hash join inside every batch — the canonical "enrich a
+    * firehose with a dimension table" shape; no state store involved, so
+    * the result equals the batch join and oracle-checks against it. */
+  def enrichStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").format("parquet").load(dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+    // static dim: users → nation via customer (user ids alias customer keys)
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    val enriched = events.join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("c_nationkey"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("raw_sum"))
+    val name = s"enrich_${System.nanoTime()}"
+    val q = enriched.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (out, _) = org.apache.spark.sql.GraftShim.materialize(
+      spark.table(name)
+        .select(col("c_nationkey"), col("event_type"), col("cnt"),
+          round(col("raw_sum"), 3).as("sum_value")))
+    spark.catalog.dropTempView(name)
+    out.orderBy(col("c_nationkey"), col("event_type"))
+  }
+
   /** Per-user session state carried across micro-batches. */
   final case class SessionState(lastTsMs: Long, sessions: Long)
 

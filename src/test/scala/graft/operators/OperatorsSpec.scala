@@ -249,6 +249,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(sat == 1)
   }
 
+  test("salted join: equals the plain join, runs as a shuffle join on (key, salt)") {
+    val dir = "/root/testdata/sf0.001"
+    val salted = graft.queries.Relational.saltedJoin(spark, dir)
+    val plain = graft.queries.Relational.table(spark, dir, "lineitem")
+      .join(graft.queries.Relational.table(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+    assert(salted.collect().map(_.toString).toSeq ==
+      plain.collect().map(_.toString).toSeq)
+    val phys = salted.queryExecution.executedPlan.toString
+    assert(phys.contains("SortMergeJoin"), "salting must exercise a shuffle join")
+  }
+
   test("text ops: token count, ratios, langid markers") {
     import spark.implicits._
     val docs = Seq(
