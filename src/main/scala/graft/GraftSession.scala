@@ -35,13 +35,16 @@ object GraftSession {
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
-  /** Harness variant: local master, core-count shuffle parallelism. */
-  def local(appName: String = "graft", cpus: Int = 32): SparkSession =
+  /** Harness variant: local master, core-count shuffle parallelism, the
+    * engine's SQL functions injected. */
+  def localBuilder(appName: String = "graft", cpus: Int = 32): SparkSession.Builder =
     builder(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .withExtensions(new GraftExtensions)
+
+  def local(appName: String = "graft", cpus: Int = 32): SparkSession =
+    localBuilder(appName, cpus).getOrCreate()
 }

@@ -121,6 +121,22 @@ object SparkEntry {
         docs(s, d).filter(col("doc_id") < 1500), "source", threshold = 0.5)
       Dedup.dedupClusters(s, pairs).orderBy(col("doc_id"))
     }),
+    "q_dedup_incremental" -> ((s: SparkSession, d: String) => {
+      // shard-append dedup: new docs (doc_id >= 250) survive only if their
+      // content hash is absent from the already-ingested corpus
+      // (doc_id < 250) AND they are the first holder of the hash within the
+      // new shard — one left-anti broadcast/shuffle join against the
+      // historical digest index + one exactKept pass, the shape an
+      // append-only ingestion pipeline runs per batch
+      val all = docs(s, d)
+      val history = all.filter(col("doc_id") < 250)
+        .select(md5(col("text")).as("content_hash")).distinct()
+      val fresh = Dedup.exactKept(all.filter(col("doc_id") >= 250))
+      fresh.withColumn("content_hash", md5(col("text")))
+        .join(history, Seq("content_hash"), "left_anti")
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy(col("doc_id"))
+    }),
     "q_embedding_neardup" -> ((s: SparkSession, d: String) => {
       // the testdata embeddings are isotropic-random (max natural cosine
       // ≈ 0.51), so a 0.9-threshold near-dup pass over them alone verifies
@@ -145,6 +161,25 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("vec").as("qv"))
       val c = e.select(col("vec_id").as("cid"), col("vec").as("cv"))
       Similarity.ivfTopK(q, c).orderBy(col("qid"), col("rank"))
+    }),
+    "q_asof_join" -> ((s: SparkSession, d: String) => {
+      // temporal lookup: each error event matched to the SAME user's most
+      // recent click at-or-before it — union+window as-of join (one
+      // shuffle, no inequality-join row explosion); right side pre-deduped
+      // per (user, ts) as the as-of contract requires
+      val ev = Relational.table(s, d, "events")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_type"), col("value"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_ms"))
+        .agg(max(col("event_id")).as("click_event_id"),
+          max_by(col("value"), col("event_id")).as("click_value"))
+      graft.operators.AsofJoin.asof(errors, clicks, key = "user_id",
+          time = "ts_ms", payload = Seq("click_event_id", "click_value"), prefix = "")
+        .withColumn("click_value", round(col("click_value"), 4))
+        .orderBy(col("event_id"))
     }),
     // ---- percentiles / rolling windows ----
     "q_percentiles" -> Relational.valuePercentiles _,
@@ -543,6 +578,18 @@ object SparkEntry {
         |SELECT doc_id, md5(norm) AS full_md5,
         |  list_sort(list_transform(shingles, s -> md5(s)))[1] AS min_shingle_md5
         |FROM sh ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH history AS (
+        |  SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id < 250),
+        |fresh AS (
+        |  SELECT doc_id, md5(text) AS content_hash FROM (
+        |    SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY doc_id) AS rn
+        |    FROM documents WHERE doc_id >= 250)
+        |  WHERE rn = 1)
+        |SELECT doc_id, content_hash FROM fresh
+        |WHERE content_hash NOT IN (SELECT content_hash FROM history)
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE sh AS (
         |  SELECT source AS block, doc_id AS id,
@@ -605,6 +652,18 @@ object SparkEntry {
     "q_hdbscan_part_invariants" ->
       """SELECT count(*) AS n_points, CAST(0 AS BIGINT) AS bad_scores,
         |  CAST(0 AS BIGINT) AS bad_labels FROM embeddings""".stripMargin,
+    "q_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value
+        |            FROM events),
+        |errors AS (SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'error'),
+        |clicks AS (SELECT user_id, ts_ms, max(event_id) AS click_event_id,
+        |             max_by(value, event_id) AS click_value
+        |           FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts_ms, c.click_event_id,
+        |  round(c.click_value, 4) AS click_value
+        |FROM errors e ASOF JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts_ms >= c.ts_ms
+        |ORDER BY e.event_id""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.25), 6) AS p25,

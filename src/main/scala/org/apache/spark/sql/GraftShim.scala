@@ -12,6 +12,17 @@ object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Apply a `SparkSessionExtensions` injector to an ALREADY-RUNNING
+    * session's function registry. Extensions normally only take effect at
+    * session build time (`.withExtensions` / `spark.sql.extensions`);
+    * test harnesses and notebooks that inherit a live session use this to
+    * get the same named SQL functions. */
+  def installFunctions(spark: SparkSession, injector: SparkSessionExtensions => Unit): Unit = {
+    val ext = new SparkSessionExtensions
+    injector(ext)
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+  }
+
   /** Eagerly materialize `df` into cached executor blocks and return a
     * DataFrame reading those blocks, plus the handle needed to free them.
     *

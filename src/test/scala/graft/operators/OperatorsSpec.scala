@@ -249,6 +249,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(sat == 1)
   }
 
+  test("GraftExtensions: SQL-registered functions match the column API") {
+    import spark.implicits._
+    // the test session is already running, so install through the same
+    // injector a fresh session would apply via .withExtensions
+    org.apache.spark.sql.GraftShim.installFunctions(spark, new graft.GraftExtensions)
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 5.0), "the quick brown fox and the dog"))
+      .toDF("a", "b", "txt")
+    df.createOrReplaceTempView("ext_probe")
+    val row = spark.sql(
+      """SELECT graft_euclidean(a, b) AS e, graft_dot(a, b) AS d,
+        |       graft_langid(txt) AS lang FROM ext_probe""".stripMargin).collect()(0)
+    assert(math.abs(row.getDouble(0) - math.sqrt(4.0 + 9.0)) < 1e-12)
+    assert(math.abs(row.getDouble(1) - 13.0) < 1e-12)
+    assert(row.getString(2) == "en")
+    spark.catalog.dropTempView("ext_probe")
+  }
+
+  test("asof join: latest right row at-or-before each left row, per key") {
+    import spark.implicits._
+    val left = Seq( // (id, key, t)
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 5L), (4L, "b", 100L), (5L, "c", 7L))
+      .toDF("id", "k", "t")
+    val right = Seq( // (key, t, price)
+      ("a", 10L, 1.0), ("a", 15L, 2.0), ("b", 50L, 3.0), ("b", 99L, 4.0))
+      .toDF("k", "t", "price")
+    val res = AsofJoin.asof(left, right, key = "k", time = "t", payload = Seq("price"))
+      .select("id", "asof_price").as[(Long, Double)].collect().toMap
+    // id 1: t=10 matches right t=10 (at-or-before includes equality)
+    // id 2: t=20 → latest right is t=15; id 3: t=5 → no match (dropped)
+    // id 4: t=100 → right t=99; id 5: key c has no right rows → dropped
+    assert(res == Map(1L -> 1.0, 2L -> 2.0, 4L -> 4.0))
+  }
+
   test("salted join: equals the plain join, runs as a shuffle join on (key, salt)") {
     val dir = "/root/testdata/sf0.001"
     val salted = graft.queries.Relational.saltedJoin(spark, dir)
