@@ -15,9 +15,7 @@ object SkinSmoke {
   def main(args: Array[String]): Unit = {
     val input = args.headOption.getOrElse("/root/reference/数据集/Skin_NonSkin.txt")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val spark = GraftSession.localBuilder("graft-skin-smoke", cpus.toInt)
       .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -149,6 +149,17 @@ object SparkEntry {
       Dedup.embeddingNearDup(planted, threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_embed_centroids" -> ((s: SparkSession, d: String) => {
+      // per-group embedding centroids in exploded (group, dim, mean) form —
+      // the array-aggregation shape (posexplode → groupBy(key, pos) → avg)
+      // that scales: the shuffle key is (group, dim), so wide vectors and
+      // hot groups spread over dim partitions instead of concentrating
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      e.groupBy(col("label"), col("pos").as("dim"))
+        .agg(round(avg(col("col")), 6).as("mean_val"))
+        .orderBy(col("label"), col("dim"))
+    }),
     // ---- similarity search ----
     "q_knn_bruteforce" -> ((s: SparkSession, d: String) => {
       val e = Relational.embeddings(s, d)
@@ -533,6 +544,11 @@ object SparkEntry {
         |      len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
         |  FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id)
         |WHERE jaccard >= 0.3 ORDER BY block, id_a, id_b""".stripMargin,
+    "q_embed_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+        |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "q_knn_bruteforce" ->
       s"""WITH pairs AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,

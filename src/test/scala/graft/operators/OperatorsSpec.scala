@@ -282,6 +282,52 @@ class OperatorsSpec extends SparkTestBase {
     assert(res == Map(1L -> 1.0, 2L -> 2.0, 4L -> 4.0))
   }
 
+  test("asof join: equals brute-force argmax on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 1 to 3) {
+      val left = Seq.tabulate(80)(i => (i.toLong, s"k${rnd.nextInt(6)}", rnd.nextInt(50).toLong))
+      // unique (key, t) on the right, as the operator contract requires
+      val right = Seq.tabulate(60)(i => (s"k${rnd.nextInt(6)}", rnd.nextInt(50).toLong, i.toDouble))
+        .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      val got = AsofJoin.asof(left.toDF("id", "k", "t"), right.toDF("k", "t", "v"),
+          key = "k", time = "t", payload = Seq("v"))
+        .select("id", "asof_v").as[(Long, Double)].collect().toMap
+      val want = left.flatMap { case (id, k, t) =>
+        val m = right.filter(r => r._1 == k && r._2 <= t)
+        if (m.isEmpty) None else Some(id -> m.maxBy(_._2)._3)
+      }.toMap
+      assert(got == want)
+    }
+  }
+
+  test("connected components: equals driver union-find on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    for (n <- Seq(40, 120)) {
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val got = ConnectedComponents.run(spark, edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      // driver union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical label = min vertex per component on both sides
+      val wantGroups = verts.groupBy(find).values.map(vs => vs.min -> vs.toSet).toMap
+      val gotGroups = got.toSeq.groupBy(_._2)
+        .map { case (c, vs) => c -> vs.map(_._1).toSet }
+      assert(gotGroups == wantGroups)
+    }
+  }
+
   test("salted join: equals the plain join, runs as a shuffle join on (key, salt)") {
     val dir = "/root/testdata/sf0.001"
     val salted = graft.queries.Relational.saltedJoin(spark, dir)
