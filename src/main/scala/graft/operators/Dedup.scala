@@ -238,6 +238,71 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Prefix-filtered exact n-gram Jaccard pairs — same output as
+    * [[ngramJaccardPairs]], asymptotically less work (the AllPairs/PPJoin
+    * family: Bayardo et al., WWW'07).
+    *
+    * Key fact: if jaccard(A,B) ≥ t then |A∩B| ≥ ⌈t/(1+t)·(|A|+|B|)⌉, so
+    * with both sets sorted in one global order, A and B must share at
+    * least one element among each set's first |S| − ⌈t·|S|⌉ + 1 elements
+    * (its "prefix"). Only prefix elements are indexed — the candidate
+    * self-join runs over posting lists of prefix occurrences, typically a
+    * small fraction of the full inverted index — and every candidate pair
+    * is then verified with the exact intersection of the FULL sets, so the
+    * result is exact, not approximate. The canonical order is (df asc,
+    * hash) — rarest-first prefixes produce the shortest posting lists.
+    * A size-ratio filter (|B| ≥ t·|A|) prunes candidates that cannot reach
+    * t on sizes alone.
+    *
+    * Shuffle structure at scale: df groupBy (narrow), prefix explode →
+    * posting-list self-join keyed (block, shingle) like the baseline but
+    * on prefixes only, verify join-back by id. Driver state: none.
+    */
+  def ngramJaccardPairsPrefix(
+      docs: DataFrame,
+      blockCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    val sh = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
+        graft.expr.TextExpressions.charShingleHashes(col(textCol), n).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+    // global canonical order: df ascending, hash as tiebreak
+    val inv = sh.select(col("block"), col("id"), explode(col("sh")).as("h"))
+    val dfreq = inv.groupBy(col("block"), col("h")).agg(count(lit(1)).as("df"))
+    // each doc's shingles sorted canonically; keep the prefix
+    val ranked = inv.join(dfreq, Seq("block", "h"))
+      .groupBy(col("block"), col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ordered"))
+      .select(col("block"), col("id"),
+        transform(col("ordered"), x => x.getField("h")).as("sorted_sh"))
+      .withColumn("nsh", size(col("sorted_sh")))
+      .withColumn("prefix", slice(col("sorted_sh"), lit(1),
+        (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int")))
+    val posting = ranked.select(col("block"), col("id"), col("nsh"),
+      explode(col("prefix")).as("h"))
+    val a = posting.select(col("block"), col("h"), col("id").as("id_a"), col("nsh").as("nsh_a"))
+    val b = posting.select(col("block"), col("h"), col("id").as("id_b"), col("nsh").as("nsh_b"))
+    val candidates = a.join(b, Seq("block", "h"))
+      .filter(col("id_a") < col("id_b"))
+      // size-ratio filter: jaccard ≤ min/max of the sizes
+      .filter(least(col("nsh_a"), col("nsh_b")).cast("double") /
+        greatest(col("nsh_a"), col("nsh_b")) >= threshold)
+      .select(col("block"), col("id_a"), col("id_b")).distinct()
+    // exact verify on the full sets
+    candidates
+      .join(sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("block", "id_a"))
+      .join(sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("block", "id_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Duplicate-group resolution: near-dup PAIRS (from [[minhashNearDup]],
     * [[simhashNearDup]], [[ngramJaccardPairs]] or [[embeddingNearDup]]) →
     * transitive duplicate GROUPS → one canonical keeper per group. This is

@@ -107,6 +107,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall >= 0.9, s"banded LSH recall too low: $recall")
   }
 
+  test("prefix-filtered ngram jaccard equals the baseline on real corpus slices") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.3, 0.5)) {
+      val base = Dedup.ngramJaccardPairs(docs, "source", threshold = t)
+        .collect().map(_.toString).sorted.toSeq
+      val pref = Dedup.ngramJaccardPairsPrefix(docs, "source", threshold = t)
+        .collect().map(_.toString).sorted.toSeq
+      assert(pref == base, s"t=$t: prefix-filtered output differs")
+      assert(base.nonEmpty, s"t=$t: vacuous comparison")
+    }
+  }
+
   test("ngram jaccard: identical docs in same block score 1.0") {
     import spark.implicits._
     val docs = Seq(
