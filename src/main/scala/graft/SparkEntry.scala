@@ -64,6 +64,36 @@ object SparkEntry {
     "q_distinct_renumber" -> Relational.distinctRenumber _,
     "q_max_per_key" -> Relational.maxPerKey _,
     "q_tiedmax_window" -> Relational.tiedMaxWindow _,
+    "q_topn_per_group" -> ((s: SparkSession, d: String) => {
+      // top-3 orders per customer by price: the rank filter collapses to
+      // WindowGroupLimit (partial top-k before the shuffle) in the plan
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Relational.table(s, d, "orders")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn").cast("int").as("rank"),
+          col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_custkey"), col("rank"))
+    }),
+    "q_quality_buckets" -> ((s: SparkSession, d: String) => {
+      // quality-decile mix report, the shape a curriculum/quality-mix
+      // sampler reads. NOT a global ntile (single-partition sort — a scale
+      // anti-pattern): decile boundaries come from one percentile
+      // aggregate, join back as a broadcast single row, and assignment is
+      // a codegen'd count of boundaries below each score.
+      val scored = docs(s, d).select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("q"))
+      val bounds = scored.agg(percentile(col("q"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bs"))
+      scored.crossJoin(broadcast(bounds))
+        .withColumn("decile", (lit(1) + aggregate(col("bs"), lit(0),
+          (acc, b) => acc + when(col("q") > b, 1).otherwise(0))).cast("int"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), round(min(col("q")), 6).as("min_q"),
+          round(max(col("q")), 6).as("max_q"))
+        .orderBy(col("decile"))
+    }),
     "q_topk_orderby" -> Relational.topkOrderBy _,
     "q_adjacency_list" -> Relational.adjacencyList _,
     "q_orders_by_month" -> Relational.ordersByMonth _,
@@ -376,14 +406,14 @@ object SparkEntry {
     "q_hdbscan_partitioned" -> "as q_hdbscan; mode-specific invariants oracle-checked in q_hdbscan_part_invariants, cross-mode agreement in HdbscanSpec",
     "q_hdbscan_bubbles" -> "as q_hdbscan; CF-sketch labels verified by ScalaTest bubble-purity + reattachment tests",
     "q_cluster_tree" -> "condensed-tree construction is not SQL-expressible; kernel golden tests cover tie-aware hierarchies",
-    "q_hierarchy_levels" -> "as q_cluster_tree",
+    "q_hierarchy_levels" -> "as q_cluster_tree: hierarchy level sets are not SQL-expressible; kernel golden tests cover them",
     "q_outliers_topk" -> "GLOSH scores are not SQL-expressible; [0,1] range is oracle-checked via q_hdbscan_invariants.bad_scores and kernel goldens",
     "q_intercluster_edges" -> "global-MST edges are not SQL-expressible; non-emptiness asserted in HdbscanSpec, edge endpoints' labels checked there",
     "q_constraints_check" -> "depends on clustering labels (not SQL-expressible); constraint-side broadcast plan + semantics asserted in OperatorsSpec",
     "q_constraints_extract" -> "constraint-driven extraction output depends on clustering labels (not SQL-expressible); the must-link selection flip is asserted in HdbscanKernelSpec",
     "q_mst_distributed" -> "MST construction is not SQL-expressible; OperatorsSpec asserts edge-level equality with a driver Kruskal under the same tie order",
     "q_dedup_minhash" -> "xxhash64/minhash signatures have no DuckDB equivalent; codegen-vs-HOF parity + planted-duplicate recall tested in ScalaTest",
-    "q_dedup_simhash" -> "as q_dedup_minhash (simhash bit votes)",
+    "q_dedup_simhash" -> "as q_dedup_minhash: simhash bit votes have no DuckDB equivalent; parity + planted-pair recall in ScalaTest",
     "q_knn_ivf" -> "approximate by design; recall>=0.9 vs the oracle-checked brute-force baseline asserted in OperatorsSpec",
     "q_sample_stratified" -> "per-stratum Bernoulli sampling is seeded engine-specifically; DuckDB cannot reproduce the sample",
     "q_seq_pack" -> "bin ASSIGNMENT is engine-specific (per-partition first-fit-decreasing); the checkable invariants — every doc packed exactly once, token totals preserved, budget bound, fill ratio — are asserted in PackingSpec and summarized in the output columns",
@@ -449,6 +479,29 @@ object SparkEntry {
         |  SELECT *, rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS rk
         |  FROM lineitem)
         |WHERE rk = 1 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_topn_per_group" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rank, o_orderkey,
+        |  round(o_totalprice, 2) AS price FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rank""".stripMargin,
+    "q_quality_buckets" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    round(0.4 * least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
+         |      + 0.4 * (CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(CAST(len(text) AS DOUBLE), 1.0))
+         |      + 0.2 * least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> list_contains($sqlStopwords, t))) AS DOUBLE) / len(toks) END) * 5.0, 1.0), 6) AS q
+         |  FROM (SELECT *, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents)),
+         |bounds AS (
+         |  SELECT [quantile_cont(q, 0.1), quantile_cont(q, 0.2), quantile_cont(q, 0.3),
+         |          quantile_cont(q, 0.4), quantile_cont(q, 0.5), quantile_cont(q, 0.6),
+         |          quantile_cont(q, 0.7), quantile_cont(q, 0.8), quantile_cont(q, 0.9)] AS bs
+         |  FROM scored)
+         |SELECT decile, count(*) AS n_docs, round(min(q), 6) AS min_q,
+         |  round(max(q), 6) AS max_q
+         |FROM (SELECT CAST(1 + len(list_filter(bs, b -> q > b)) AS INT) AS decile, q
+         |      FROM scored, bounds)
+         |GROUP BY decile ORDER BY decile""".stripMargin,
     "q_topk_orderby" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
         |FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,

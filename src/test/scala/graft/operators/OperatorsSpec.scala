@@ -119,6 +119,25 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("prefix-filtered ngram jaccard equals baseline on seeded random edge cases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // tiny docs, duplicates, shared substrings, single-char docs
+    val words = Seq("ab", "abc", "abcd", "xyz", "hello world", "a")
+    val docs = Seq.tabulate(60) { i =>
+      val n = 1 + rnd.nextInt(6)
+      (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" "),
+        s"b${rnd.nextInt(2)}")
+    }.toDF("doc_id", "text", "src")
+    for (t <- Seq(0.2, 0.6)) {
+      val base = Dedup.ngramJaccardPairs(docs, "src", threshold = t)
+        .collect().map(_.toString).sorted.toSeq
+      val pref = Dedup.ngramJaccardPairsPrefix(docs, "src", threshold = t)
+        .collect().map(_.toString).sorted.toSeq
+      assert(pref == base, s"t=$t differs")
+    }
+  }
+
   test("ngram jaccard: identical docs in same block score 1.0") {
     import spark.implicits._
     val docs = Seq(
