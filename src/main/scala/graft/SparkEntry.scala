@@ -61,6 +61,21 @@ object SparkEntry {
     "q_rollup_pricing" -> Relational.rollupPricing _,
     "q_salted_join" -> ((s: SparkSession, d: String) => Relational.saltedJoin(s, d)),
     "q_union_all" -> Relational.unionSlices _,
+    "q_range_join" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      // interval-containment join: events against a 10-band value ranges
+      // table. The bands frame is tiny → broadcast nested-loop is exactly
+      // the right physical plan (each probe row scans 10 broadcast rows);
+      // a shuffle range join would only matter if both sides were big,
+      // where the bucketing trick (q_quality_buckets) applies instead.
+      val bands = (0 until 10).map(i => (i, i * 10.0, (i + 1) * 10.0))
+        .toDF("band", "lo", "hi")
+      Relational.table(s, d, "events")
+        .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 6).as("avg_value"))
+        .orderBy(col("band"))
+    }),
     "q_distinct_renumber" -> Relational.distinctRenumber _,
     "q_max_per_key" -> Relational.maxPerKey _,
     "q_tiedmax_window" -> Relational.tiedMaxWindow _,
@@ -366,7 +381,9 @@ object SparkEntry {
     "q_stream_dedup" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamingOps.dedupStream(s, d)),
     "q_stream_enrich" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamingOps.enrichStream(s, d))
+      graft.streaming.StreamingOps.enrichStream(s, d)),
+    "q_stream_runmax" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingOps.runningMaxStream(s, d))
   )
 
   // ---------- DuckDB oracle SQL ----------
@@ -780,6 +797,16 @@ object SparkEntry {
         |FROM planted ORDER BY doc_id""".stripMargin,
     "q_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS content_hash FROM documents ORDER BY content_hash",
+    "q_range_join" ->
+      """WITH bands AS (
+        |  SELECT CAST(i AS INT) AS band, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
+        |  FROM unnest(generate_series(0, 9)) AS t(i))
+        |SELECT band, count(*) AS cnt, round(avg(value), 6) AS avg_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q_stream_runmax" ->
+      """SELECT user_id, round(max(value), 4) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_enrich" ->
       """SELECT c_nationkey, event_type, count(*) AS cnt,
         |  round(sum(value), 3) AS sum_value

@@ -104,6 +104,46 @@ object StreamingOps {
     out.orderBy(col("c_nationkey"), col("event_type"))
   }
 
+  /** Streaming per-key running maximum via `flatMapGroupsWithState` — the
+    * multi-emit state surface (mapGroupsWithState emits exactly one row per
+    * key per batch; flatMap can emit zero or many). Each batch emits a
+    * row only when the key's maximum improves, so downstream consumers see
+    * a change stream; the final per-key row equals the batch max and is
+    * checked against it. */
+  def runningMaxStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").format("parquet").load(dir)
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+    val changes = events.groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[Double]) =>
+          val batchMax = it.map(_._2).max
+          val prev = state.getOption
+          if (prev.forall(batchMax > _)) {
+            state.update(batchMax)
+            Iterator((uid, batchMax))
+          } else Iterator.empty
+      }
+    val name = s"runmax_${System.nanoTime()}"
+    val q = changes.toDF("user_id", "run_max").writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (out, _) = org.apache.spark.sql.GraftShim.materialize(
+      spark.table(name).groupBy(col("user_id"))
+        .agg(round(max(col("run_max")), 4).as("max_value")))
+    spark.catalog.dropTempView(name)
+    out.orderBy(col("user_id"))
+  }
+
   /** Per-user session state carried across micro-batches. */
   final case class SessionState(lastTsMs: Long, sessions: Long)
 
