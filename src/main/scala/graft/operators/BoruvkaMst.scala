@@ -51,9 +51,10 @@ object BoruvkaMst {
       // min_by aggregate with map-side combine, seen from both endpoints
       val pick = struct(col("weight"), col("lo"), col("hi"),
         col("ca"), col("cb")).as("e")
-      val picked = e.select(col("ca").as("comp"), pick)
+      val minPick = e.select(col("ca").as("comp"), pick)
         .unionAll(e.select(col("cb").as("comp"), pick))
         .groupBy(col("comp")).agg(min(col("e")).as("e"))
+      val picked = minPick
         .select(col("e.lo").as("lo"), col("e.hi").as("hi"),
           col("e.weight").as("weight"), col("e.ca").as("ca"), col("e.cb").as("cb"))
         .distinct() // an edge picked by both its components appears twice
@@ -62,10 +63,32 @@ object BoruvkaMst {
         if (forest == null) picked.select(col("lo"), col("hi"), col("weight"))
         else forest.unionAll(picked.select(col("lo"), col("hi"), col("weight"))))
 
-      // contract the component graph of the picked edges (≤ 1 edge/comp)
-      val contracted = ConnectedComponents.run(spark,
-          picked.select(col("ca").as("src"), col("cb").as("dst")))
-        .withColumnRenamed("vertex", "old_comp").withColumnRenamed("component", "new_comp")
+      // contract the pick graph. It is FUNCTIONAL (each component has
+      // exactly one outgoing pick, and mutual picks are always the same
+      // edge under the total order — if c's min to d and d's min to c
+      // differed, the lighter one would be incident to both and win both),
+      // so instead of the general star-contraction CC we root each 2-cycle
+      // at its min member and pointer-jump: parent ← parent(parent),
+      // ceil(log2 #comps)+1 rounds — one narrow self-join per round, no
+      // convergence detection needed (the bound is deterministic).
+      val jumpRot = new graft.CheckpointRotator
+      val parent0 = minPick.select(col("comp"),
+        when(col("e.ca") === col("comp"), col("e.cb"))
+          .otherwise(col("e.ca")).as("parent"))
+      var p = jumpRot.rotate(parent0.as("x")
+        .join(parent0.as("y"), col("x.parent") === col("y.comp"))
+        .select(col("x.comp").as("comp"),
+          when(col("y.parent") === col("x.comp"),
+            least(col("x.comp"), col("x.parent")))
+            .otherwise(col("x.parent")).as("parent")))
+      val nComps = p.count()
+      val jumps = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nComps - 1)) + 1
+      for (_ <- 1L to jumps) {
+        p = jumpRot.rotate(p.as("a")
+          .join(p.as("b"), col("a.parent") === col("b.comp"))
+          .select(col("a.comp").as("comp"), col("b.parent").as("parent")))
+      }
+      val contracted = p.select(col("comp").as("old_comp"), col("parent").as("new_comp"))
       val base =
         if (labels == null)
           e.select(col("lo").as("vertex"), col("ca").as("comp"))
@@ -75,6 +98,7 @@ object BoruvkaMst {
       labels = labelRot.rotate(base
         .join(contracted, col("comp") === col("old_comp"), "left")
         .select(col("vertex"), coalesce(col("new_comp"), col("comp")).as("comp")))
+      jumpRot.close() // labels is materialized; the jump frames are consumed
 
       // relabel surviving edges, dropping the ones now inside a component
       e = eRot.rotate(e.select(col("lo"), col("hi"), col("weight"))
