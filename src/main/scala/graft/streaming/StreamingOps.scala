@@ -104,6 +104,27 @@ object StreamingOps {
     out.orderBy(col("c_nationkey"), col("event_type"))
   }
 
+  /** The change stream underneath [[runningMaxStream]]: emits (key, max)
+    * only in batches where the key's running maximum improves — state is
+    * one double per key. Exposed so multi-batch tests can observe the raw
+    * emissions (the aggregated form masks state loss). */
+  def runningMaxChanges(events: org.apache.spark.sql.Dataset[(Long, Double)])
+      : org.apache.spark.sql.Dataset[(Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[Double]) =>
+          val batchMax = it.map(_._2).max
+          val prev = state.getOption
+          if (prev.forall(batchMax > _)) {
+            state.update(batchMax)
+            Iterator((uid, batchMax))
+          } else Iterator.empty
+      }
+  }
+
   /** Streaming per-key running maximum via `flatMapGroupsWithState` — the
     * multi-emit state surface (mapGroupsWithState emits exactly one row per
     * key per batch; flatMap can emit zero or many). Each batch emits a
@@ -118,18 +139,7 @@ object StreamingOps {
       .option("pathGlobFilter", "events.parquet").format("parquet").load(dir)
       .select(col("user_id").cast("long"), col("value").cast("double"))
       .as[(Long, Double)]
-    val changes = events.groupByKey(_._1)
-      .flatMapGroupsWithState[Double, (Long, Double)](
-        org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) {
-        case (uid, it, state: GroupState[Double]) =>
-          val batchMax = it.map(_._2).max
-          val prev = state.getOption
-          if (prev.forall(batchMax > _)) {
-            state.update(batchMax)
-            Iterator((uid, batchMax))
-          } else Iterator.empty
-      }
+    val changes = runningMaxChanges(events)
     val name = s"runmax_${System.nanoTime()}"
     val q = changes.toDF("user_id", "run_max").writeStream
       .format("memory").queryName(name)
