@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.hdbscan.Hdbscan
+
+/** Synthetic 1M-point clustering smoke: 20 seeded Gaussian blobs in 8
+  * dimensions, generated distributed (no driver materialization), pushed
+  * through the multi-level CF-bubble path with a sketch budget that forces
+  * several split levels — the regime the 100 TB design runs in, at 4× the
+  * largest dataset the reference ships. Reports wall time, cluster count,
+  * and purity against the generating blob id.
+  */
+object MillionSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = GraftSession.localBuilder("graft-million-smoke", 32)
+      .config("spark.driver.maxResultSize", "4g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dims = 8
+    val blobs = 20
+    // deterministic per-row gaussians: xxhash64-seeded uniforms → Box-Muller.
+    // blob centers sit on a seeded lattice scaled to separation 30σ.
+    val id = col("id")
+    val blob = pmod(xxhash64(id), lit(blobs.toLong)).as("blob")
+    val feat = array((0 until dims).map { d =>
+      val u1 = (pmod(xxhash64(id, lit(d * 2)), lit(1000000L)) + 1).cast("double") / 1000001.0
+      val u2 = pmod(xxhash64(id, lit(d * 2 + 1)), lit(1000000L)).cast("double") / 1000000.0
+      val gauss = sqrt(lit(-2.0) * log(u1)) * cos(lit(2 * math.Pi) * u2)
+      val center = (pmod(xxhash64(pmod(xxhash64(id), lit(blobs.toLong)), lit(100 + d)),
+        lit(21L)) - 10).cast("double") * 3.0
+      (center + gauss).as(s"f$d")
+    }: _*).as("features")
+    val pts = spark.range(n).select(id, blob, feat)
+      .repartition(64).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"generated ${pts.count()} points, $blobs blobs, $dims dims")
+
+    val t0 = System.nanoTime()
+    val res = Hdbscan(minPts = 4, minClusterSize = 500, maxLocalSize = 4000,
+      maxExactPoints = 200000, sampleCap = 2000)
+      .fit(pts.select(col("id"), col("features"))).persist()
+    val nClusters = res.filter(col("label") =!= 0).select("label").distinct().count()
+    println(f"[bubbles] clustered $n rows in ${(System.nanoTime() - t0) / 1e9}%.1f s; $nClusters clusters")
+
+    val joined = res.join(pts.select(col("id"), col("blob")), "id").filter(col("label") =!= 0)
+    val purity = joined.groupBy("label", "blob").count()
+      .groupBy("label").agg(max("count").as("maj"), sum("count").as("tot"))
+      .agg((sum("maj") / sum("tot")).as("purity")).collect()(0).getDouble(0)
+    val covered = joined.count()
+    println(f"[bubbles] purity vs generating blob: $purity%.4f over $covered labeled points")
+    spark.stop()
+  }
+}
