@@ -399,6 +399,18 @@ object SparkEntry {
     s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * $b[i]))"
   private def sqlNorm(a: String): String =
     s"sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * $a[i])))"
+  private def sqlMean(a: String): String =
+    s"(list_sum(list_transform($a, x -> CAST(x AS DOUBLE))) / len($a))"
+  /** 1 - cov/(sd·sd), the reference's pearson "distance" — same two-pass
+    * (mean, then centered sums) evaluation order as
+    * `Distances.pearsonDistance` so the 6dp rounding agrees. */
+  private def sqlPearson(a: String, b: String): String = {
+    val ma = sqlMean(a); val mb = sqlMean(b)
+    s"(1 - list_sum(list_transform(generate_series(1, len($a)), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - $ma) * (CAST($b[i] AS DOUBLE) - $mb))) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> (CAST(x AS DOUBLE) - $ma) * (CAST(x AS DOUBLE) - $ma)))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> (CAST(x AS DOUBLE) - $mb) * (CAST(x AS DOUBLE) - $mb))))))"
+  }
 
   /** DuckDB fragments shared by the text oracles. */
   private val sqlToks = """regexp_split_to_array(trim(lower(text)), '\s+')"""
@@ -540,7 +552,8 @@ object SparkEntry {
          |  round(${sqlManhattan("a.embedding", "b.embedding")}, 6) AS manhattan,
          |  round(${sqlChebyshev("a.embedding", "b.embedding")}, 6) AS chebyshev,
          |  round(1 - ${sqlDot("a.embedding", "b.embedding")} /
-         |    (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}), 6) AS cosine_dist
+         |    (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}), 6) AS cosine_dist,
+         |  round(${sqlPearson("a.embedding", "b.embedding")}, 6) AS pearson_dist
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE a.vec_id < 30 AND b.vec_id < 30
          |ORDER BY id_a, id_b""".stripMargin,
@@ -692,7 +705,7 @@ object SparkEntry {
         |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |        len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         |    FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id)
-        |  WHERE jaccard >= 0.5),
+        |  WHERE round(jaccard, 6) >= 0.5),
         |sym AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
         |walk(v, c) AS (
         |  SELECT s, s FROM sym

@@ -21,8 +21,13 @@ abstract class VectorFoldExpression extends BinaryExpression with ImplicitCastIn
   override def dataType: DataType = DoubleType
 
   /** Java statements: given array vars `a`, `b` and length `n`, assign the
-    * result to `result` (a declared double). */
-  protected def javaLoop(a: String, b: String, n: String, result: String): String
+    * result to `result` (a declared double). Every local the loop declares
+    * MUST derive from the fresh `i`/`tmp` names: outside whole-stage codegen
+    * (e.g. when a CodegenFallback expression shares the projection) the
+    * generated method's input-row parameter is literally named `i`, and a
+    * bare `int i` loop variable is a compile-breaking redefinition. */
+  protected def javaLoop(a: String, b: String, n: String, result: String,
+      i: String, tmp: String): String
   protected def scalaFold(x: ArrayData, y: ArrayData, n: Int): Double
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -34,10 +39,12 @@ abstract class VectorFoldExpression extends BinaryExpression with ImplicitCastIn
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val res = ctx.freshName("res")
+      val i = ctx.freshName("idx")
+      val tmp = ctx.freshName("t")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $res = 0.0;
-         |${javaLoop(a, b, n, res)}
+         |${javaLoop(a, b, n, res, i, tmp)}
          |${ev.value} = $res;
        """.stripMargin
     })
@@ -46,9 +53,10 @@ abstract class VectorFoldExpression extends BinaryExpression with ImplicitCastIn
 /** sqrt(sum((x-y)^2)) — E1. */
 case class EuclideanDistExpr(left: Expression, right: Expression) extends VectorFoldExpression {
   override def prettyName: String = "graft_euclidean"
-  protected def javaLoop(a: String, b: String, n: String, res: String): String =
-    s"""for (int i = 0; i < $n; i++) {
-       |  double d = $a.getDouble(i) - $b.getDouble(i); $res += d * d;
+  protected def javaLoop(a: String, b: String, n: String, res: String,
+      i: String, tmp: String): String =
+    s"""for (int $i = 0; $i < $n; $i++) {
+       |  double $tmp = $a.getDouble($i) - $b.getDouble($i); $res += $tmp * $tmp;
        |}
        |$res = java.lang.Math.sqrt($res);""".stripMargin
   protected def scalaFold(x: ArrayData, y: ArrayData, n: Int): Double = {
@@ -62,8 +70,9 @@ case class EuclideanDistExpr(left: Expression, right: Expression) extends Vector
 /** sum(|x-y|) — E2. */
 case class ManhattanDistExpr(left: Expression, right: Expression) extends VectorFoldExpression {
   override def prettyName: String = "graft_manhattan"
-  protected def javaLoop(a: String, b: String, n: String, res: String): String =
-    s"for (int i = 0; i < $n; i++) { $res += java.lang.Math.abs($a.getDouble(i) - $b.getDouble(i)); }"
+  protected def javaLoop(a: String, b: String, n: String, res: String,
+      i: String, tmp: String): String =
+    s"for (int $i = 0; $i < $n; $i++) { $res += java.lang.Math.abs($a.getDouble($i) - $b.getDouble($i)); }"
   protected def scalaFold(x: ArrayData, y: ArrayData, n: Int): Double = {
     var s = 0.0; var i = 0
     while (i < n) { s += math.abs(x.getDouble(i) - y.getDouble(i)); i += 1 }
@@ -75,10 +84,11 @@ case class ManhattanDistExpr(left: Expression, right: Expression) extends Vector
 /** max(|x-y|) — E3 (supremum / Chebyshev). */
 case class ChebyshevDistExpr(left: Expression, right: Expression) extends VectorFoldExpression {
   override def prettyName: String = "graft_chebyshev"
-  protected def javaLoop(a: String, b: String, n: String, res: String): String =
-    s"""for (int i = 0; i < $n; i++) {
-       |  double d = java.lang.Math.abs($a.getDouble(i) - $b.getDouble(i));
-       |  if (d > $res) $res = d;
+  protected def javaLoop(a: String, b: String, n: String, res: String,
+      i: String, tmp: String): String =
+    s"""for (int $i = 0; $i < $n; $i++) {
+       |  double $tmp = java.lang.Math.abs($a.getDouble($i) - $b.getDouble($i));
+       |  if ($tmp > $res) $res = $tmp;
        |}""".stripMargin
   protected def scalaFold(x: ArrayData, y: ArrayData, n: Int): Double = {
     var m = 0.0; var i = 0
@@ -91,8 +101,9 @@ case class ChebyshevDistExpr(left: Expression, right: Expression) extends Vector
 /** x . y — dot product. */
 case class DotProductExpr(left: Expression, right: Expression) extends VectorFoldExpression {
   override def prettyName: String = "graft_dot"
-  protected def javaLoop(a: String, b: String, n: String, res: String): String =
-    s"for (int i = 0; i < $n; i++) { $res += $a.getDouble(i) * $b.getDouble(i); }"
+  protected def javaLoop(a: String, b: String, n: String, res: String,
+      i: String, tmp: String): String =
+    s"for (int $i = 0; $i < $n; $i++) { $res += $a.getDouble($i) * $b.getDouble($i); }"
   protected def scalaFold(x: ArrayData, y: ArrayData, n: Int): Double = {
     var s = 0.0; var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -104,13 +115,14 @@ case class DotProductExpr(left: Expression, right: Expression) extends VectorFol
 /** x.y/(|x||y|) — cosine similarity in one pass. */
 case class CosineSimExpr(left: Expression, right: Expression) extends VectorFoldExpression {
   override def prettyName: String = "graft_cosine_sim"
-  protected def javaLoop(a: String, b: String, n: String, res: String): String =
-    s"""double dot = 0.0, na = 0.0, nb = 0.0;
-       |for (int i = 0; i < $n; i++) {
-       |  double xa = $a.getDouble(i), xb = $b.getDouble(i);
-       |  dot += xa * xb; na += xa * xa; nb += xb * xb;
+  protected def javaLoop(a: String, b: String, n: String, res: String,
+      i: String, tmp: String): String =
+    s"""double ${tmp}_dot = 0.0, ${tmp}_na = 0.0, ${tmp}_nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double ${tmp}_xa = $a.getDouble($i), ${tmp}_xb = $b.getDouble($i);
+       |  ${tmp}_dot += ${tmp}_xa * ${tmp}_xb; ${tmp}_na += ${tmp}_xa * ${tmp}_xa; ${tmp}_nb += ${tmp}_xb * ${tmp}_xb;
        |}
-       |$res = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));""".stripMargin
+       |$res = ${tmp}_dot / (java.lang.Math.sqrt(${tmp}_na) * java.lang.Math.sqrt(${tmp}_nb));""".stripMargin
   protected def scalaFold(x: ArrayData, y: ArrayData, n: Int): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {

@@ -32,11 +32,21 @@ import org.apache.spark.sql.functions._
   * @param prefix   prefix for attached payload columns
   * @return left rows that have a match, with `prefix+payload` columns
   *         attached (inner as-of semantics; unmatched left rows drop)
+  * @note the union encoding needs five internal working columns
+  *       (`__t`, `__side`, `__payload`, `__left`, `__carried`); neither
+  *       input may already contain a column with one of those names —
+  *       asserted up front rather than silently mis-resolving
   */
 object AsofJoin {
 
+  private val Reserved = Seq("__t", "__side", "__payload", "__left", "__carried")
+
   def asof(left: DataFrame, right: DataFrame, key: String, time: String,
       payload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val clash = (left.columns ++ right.columns).distinct.filter(Reserved.contains)
+    require(clash.isEmpty,
+      s"asof(): input column(s) ${clash.mkString(", ")} collide with the " +
+        s"operator's reserved working columns (${Reserved.mkString(", ")}); rename them first")
     val leftCols = left.columns.toSeq
     // side 0 sorts before side 1 at equal time: a right row AT the left
     // row's timestamp is visible to it ("at-or-before")

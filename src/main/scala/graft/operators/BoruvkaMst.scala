@@ -48,12 +48,16 @@ object BoruvkaMst {
     var done = e.isEmpty
     while (rounds < maxRounds && !done) {
       // min outgoing edge per component under the total order — narrow
-      // min_by aggregate with map-side combine, seen from both endpoints
+      // min_by aggregate with map-side combine, seen from both endpoints.
+      // Materialized once per round: both `picked` and `parent0` consume it,
+      // and without the rotate the union+groupBy over the full edge frame
+      // (the heaviest per-round shuffle) would run twice.
+      val jumpRot = new graft.CheckpointRotator
       val pick = struct(col("weight"), col("lo"), col("hi"),
         col("ca"), col("cb")).as("e")
-      val minPick = e.select(col("ca").as("comp"), pick)
+      val minPick = jumpRot.rotate(e.select(col("ca").as("comp"), pick)
         .unionAll(e.select(col("cb").as("comp"), pick))
-        .groupBy(col("comp")).agg(min(col("e")).as("e"))
+        .groupBy(col("comp")).agg(min(col("e")).as("e")))
       val picked = minPick
         .select(col("e.lo").as("lo"), col("e.hi").as("hi"),
           col("e.weight").as("weight"), col("e.ca").as("ca"), col("e.cb").as("cb"))
@@ -71,7 +75,6 @@ object BoruvkaMst {
       // at its min member and pointer-jump: parent ← parent(parent),
       // ceil(log2 #comps)+1 rounds — one narrow self-join per round, no
       // convergence detection needed (the bound is deterministic).
-      val jumpRot = new graft.CheckpointRotator
       val parent0 = minPick.select(col("comp"),
         when(col("e.ca") === col("comp"), col("e.cb"))
           .otherwise(col("e.ca")).as("parent"))

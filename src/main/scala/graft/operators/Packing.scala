@@ -67,6 +67,7 @@ object Packing {
         sum(col("n_docs")).as("n_docs"),
         sum(col("bin_tokens")).as("total_tokens"),
         max(col("bin_tokens")).as("max_bin_tokens"),
-        round(avg(when(col("bin_tokens") <= budget,
-          col("bin_tokens").cast("double") / budget)), 6).as("fill_ratio"))
+        coalesce(round(avg(when(col("bin_tokens") <= budget,
+          col("bin_tokens").cast("double") / budget)), 6), lit(0.0))
+          .as("fill_ratio"))
 }

@@ -261,7 +261,8 @@ object Relational {
         round(Distances.euclidean(col("va"), col("vb")), 6).as("euclidean"),
         round(Distances.manhattan(col("va"), col("vb")), 6).as("manhattan"),
         round(Distances.supremum(col("va"), col("vb")), 6).as("chebyshev"),
-        round(Distances.cosineDistance(col("va"), col("vb")), 6).as("cosine_dist"))
+        round(Distances.cosineDistance(col("va"), col("vb")), 6).as("cosine_dist"),
+        round(Distances.pearsonDistance(col("va"), col("vb")), 6).as("pearson_dist"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
