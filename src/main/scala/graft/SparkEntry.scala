@@ -47,6 +47,35 @@ object SparkEntry {
   private def embPair(s: SparkSession, dir: String, as1: String, as2: String): DataFrame =
     Relational.embeddings(s, dir).select(col("vec_id").as(as1), col("vec").as(as2))
 
+  /** The reference's own shipped dataset (149×4; `源代码/main/Main.java:71-73`
+    * runs it with minPts=4, minClSize=4, euclidean). Prefers the live
+    * reference file; falls back to the byte-identical bundled fixture so the
+    * query is runnable anywhere the jar is. */
+  private[graft] def refDatasetPath(): String = {
+    val ref = new java.io.File("/root/reference/数据集/dataset.txt")
+    if (ref.exists()) ref.getAbsolutePath
+    else {
+      val tmp = java.nio.file.Files.createTempFile("graft_ref_dataset", ".txt")
+      val in = getClass.getResourceAsStream("/graft/ref_dataset.txt")
+      try java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      tmp.toFile.deleteOnExit()
+      tmp.toString
+    }
+  }
+
+  /** The fixture rendered as DuckDB VALUES rows `(id, [v1,...,v4])` — the
+    * oracle's copy of the data, independent of filesystem layout. */
+  private def refDatasetValuesSql: String = {
+    val in = getClass.getResourceAsStream("/graft/ref_dataset.txt")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map(_.trim).filter(_.nonEmpty).zipWithIndex.map {
+      case (line, id) => s"($id, [${line.split("\\s+").mkString(",")}])"
+    }.mkString(", ")
+    finally src.close()
+  }
+
   /** One entry per implemented operator from SURVEY.md §2 (+ the
     * training-data-pipeline extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -119,6 +148,18 @@ object SparkEntry {
     "q_argmin_assign" -> Relational.argminAssign _,
     "q_mutual_reachability" -> ((s: SparkSession, d: String) => Relational.mutualReachabilityPairs(s, d)),
     // ---- clustering (the reference's reason to exist) ----
+    "q_ref_dataset" -> ((s: SparkSession, _: String) => {
+      // SURVEY §5 item 3: the reference's own dataset.txt under its default
+      // config (minPts=4, minClSize=4, euclidean — Main.java:71-73), read
+      // through the reference-native text scanner. Core distances are the
+      // oracle-checkable column; flat labels, outlier scores, and the
+      // reference's partition/outlier CSV formats are golden-tested in
+      // RefDatasetSpec.
+      val pts = graft.io.PointsIO.readPointsText(s, refDatasetPath())
+      Hdbscan(minPts = 4, minClusterSize = 4).fit(pts)
+        .select(col("id"), round(col("core_dist"), 6).as("core_dist"))
+        .orderBy(col("id"))
+    }),
     "q_hdbscan" -> hdbscanExact _,
     "q_hdbscan_partitioned" -> hdbscanPartitioned _,
     "q_hdbscan_bubbles" -> hdbscanBubbles _,
@@ -557,6 +598,15 @@ object SparkEntry {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE a.vec_id < 30 AND b.vec_id < 30
          |ORDER BY id_a, id_b""".stripMargin,
+    "q_ref_dataset" ->
+      s"""WITH pts(id, v) AS (VALUES $refDatasetValuesSql),
+         |pairs AS (
+         |  SELECT a.id AS ia, b.id AS ib, ${sqlEuclid("a.v", "b.v")} AS d
+         |  FROM pts a JOIN pts b ON a.id <> b.id)
+         |SELECT ia AS id, round(d, 6) AS core_dist FROM (
+         |  SELECT ia, d, row_number() OVER (PARTITION BY ia ORDER BY d, ib) AS rn
+         |  FROM pairs)
+         |WHERE rn = 3 ORDER BY id""".stripMargin,
     "q_core_distance_window" ->
       s"""WITH pairs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
