@@ -389,6 +389,18 @@ object SparkEntry {
           sum(when(col("outlier_score") < 0.0 || col("outlier_score") > 1.0, 1L)
             .otherwise(0L)).as("bad_scores"),
           sum(when(col("label") < 0, 1L).otherwise(0L)).as("bad_labels"))),
+    "q_hdbscan_exact_unbounded" -> ((s: SparkSession, d: String) =>
+      // the unbounded exact path: maxExactPoints sits BELOW the table's row
+      // count at every SF, so the global MST merge runs as distributed
+      // Borůvka (zero candidate-edge collect) instead of the gated driver
+      // Kruskal — the reference's Phase-2 completed distributively.
+      // Cross-merge label/score equality is asserted in HdbscanSpec.
+      Hdbscan(minPts = 4, minClusterSize = 4, maxLocalSize = 100, maxExactPoints = 200)
+        .setMode("exact").fit(embeddingsD(s, d))
+        .agg(count(lit(1)).as("n_points"),
+          sum(when(col("outlier_score") < 0.0 || col("outlier_score") > 1.0, 1L)
+            .otherwise(0L)).as("bad_scores"),
+          sum(when(col("label") < 0, 1L).otherwise(0L)).as("bad_labels"))),
     "q_count_distinct" -> ((s: SparkSession, d: String) =>
       Relational.table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -802,6 +814,9 @@ object SparkEntry {
          |  CAST(sum(CAST(round(d * 1000000) AS BIGINT)) AS BIGINT) AS core_micro
          |FROM core""".stripMargin,
     "q_hdbscan_part_invariants" ->
+      """SELECT count(*) AS n_points, CAST(0 AS BIGINT) AS bad_scores,
+        |  CAST(0 AS BIGINT) AS bad_labels FROM embeddings""".stripMargin,
+    "q_hdbscan_exact_unbounded" ->
       """SELECT count(*) AS n_points, CAST(0 AS BIGINT) AS bad_scores,
         |  CAST(0 AS BIGINT) AS bad_labels FROM embeddings""".stripMargin,
     "q_asof_join" ->

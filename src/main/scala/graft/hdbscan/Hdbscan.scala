@@ -31,13 +31,15 @@ private[hdbscan] final case class LocalOut(
   *
   * Execution strategy (all data movement is declarative DataFrame ops):
   *   - n ≤ maxLocalSize: one exact kernel in a single task.
-  *   - n ≤ maxExactPoints: **partitioned-exact** — seeded Voronoi split into
-  *     ≤ maxLocalSize subsets (broadcast argmin join, J1), exact per-subset
-  *     kernels via `flatMapGroups` (A4 done right — evaluated once per
-  *     complete group, unlike the reference's order-dependent reduce), local
-  *     MSTs unioned with inter-subset seed edges, global Kruskal +
-  *     condensed-tree extraction on the driver (edge count ≈ n, bounded by
-  *     maxExactPoints).
+  *   - n ≤ maxExactPoints (or `mode = "exact"` at any n): **partitioned-
+  *     exact** — seeded Voronoi split into ≤ maxLocalSize subsets (broadcast
+  *     argmin join, J1), exact per-subset kernels via `flatMapGroups` (A4
+  *     done right — evaluated once per complete group, unlike the
+  *     reference's order-dependent reduce), local MSTs unioned with
+  *     inter-subset boundary edges, then the global merge: driver Kruskal
+  *     below `maxExactPoints`, distributed Borůvka past it (candidate edges
+  *     never collected — only the final n-1 MST rows reach the driver, for
+  *     the condensed-tree extraction).
   *   - else: **bubble-compressed** — stratified sample → broadcast-argmin
   *     assignment → CF-bubble aggregation (one shuffle, map-side combine) →
   *     bubble-level hierarchy with point-mass weighting on the driver
@@ -54,7 +56,8 @@ final case class Hdbscan(
     sampleCap: Int = 2000,
     seed: Long = 42L,
     allowSingleCluster: Boolean = false,
-    constraints: Seq[(Long, Long, Boolean)] = Nil) {
+    constraints: Seq[(Long, Long, Boolean)] = Nil,
+    mode: String = "auto") {
 
   def setMinPts(v: Int): Hdbscan = copy(minPts = v)
   def setMinClusterSize(v: Int): Hdbscan = copy(minClusterSize = v)
@@ -64,6 +67,24 @@ final case class Hdbscan(
   def setSampleCap(v: Int): Hdbscan = copy(sampleCap = v)
   def setSeed(v: Long): Hdbscan = copy(seed = v)
   def setAllowSingleCluster(v: Boolean): Hdbscan = copy(allowSingleCluster = v)
+
+  /** Execution-path selection:
+    *   - `"auto"` (default): exact while n ≤ maxExactPoints, then the
+    *     bubble sketch — the intended 100 TB routing.
+    *   - `"exact"`: never sketch. Past `maxExactPoints` the global MST
+    *     merge switches from the driver Kruskal to the distributed Borůvka
+    *     ([[graft.operators.BoruvkaMst]]) over the union of local-MST and
+    *     boundary edge frames — the reference's Phase-2
+    *     (`Main.java:302-411`, which self-aborts there) completed
+    *     distributively; only the final n-1 MST edges reach the driver for
+    *     the condensed-tree extraction (the reference's own single-node
+    *     Phase-3 shape, `HDBSCANStar.java`).
+    *   - `"bubbles"`: always sketch (useful to bound cost regardless of n).
+    */
+  def setMode(v: String): Hdbscan = {
+    require(Set("auto", "exact", "bubbles")(v), s"unknown mode: $v")
+    copy(mode = v)
+  }
 
   /** Instance-level constraints (pointIdA, pointIdB, isMustLink) that steer
     * flat extraction (G10, `HDBSCANStar.java:738-789`): selection prefers
@@ -81,9 +102,15 @@ final case class Hdbscan(
     val pts = df.select(col("id").cast("long"), col("features").cast("array<double>"))
       .as[Point]
     val n = pts.count()
-    if (n <= maxLocalSize) fitSingle(pts)
-    else if (n <= maxExactPoints) fitPartitionedExact(pts, n)
-    else fitBubbles(pts, n)
+    mode match {
+      case "bubbles" => fitBubbles(pts, n)
+      case "exact" if n <= maxLocalSize => fitSingle(pts)
+      case "exact" => fitPartitionedExact(pts, n)
+      case _ =>
+        if (n <= maxLocalSize) fitSingle(pts)
+        else if (n <= maxExactPoints) fitPartitionedExact(pts, n)
+        else fitBubbles(pts, n)
+    }
   }
 
   /** Fit and also return the cluster tree + rendered hierarchy levels (the
@@ -101,9 +128,13 @@ final case class Hdbscan(
     val pts = df.select(col("id").cast("long"), col("features").cast("array<double>"))
       .as[Point]
     val n = pts.count()
-    val (points, h, mstEdges) =
-      if (n <= maxExactPoints) exactGlobal(pts, n)
-      else bubbleGlobal(pts, n)
+    val (points, h, mstEdges) = mode match {
+      case "bubbles" => bubbleGlobal(pts, n)
+      case "exact" => exactGlobal(pts, n)
+      case _ =>
+        if (n <= maxExactPoints) exactGlobal(pts, n)
+        else bubbleGlobal(pts, n)
+    }
     val tree = spark.createDataset(HdbscanKernel.clusterTreeRows(h).toSeq)
       .toDF("label", "parent", "birth_eps", "death_eps", "stability", "size", "flat_label")
     val levels = spark.createDataset(
@@ -135,7 +166,8 @@ final case class Hdbscan(
     }.toDF()
   }
 
-  /** Voronoi-partitioned exact mode with driver-side global merge. */
+  /** Voronoi-partitioned exact mode (driver Kruskal merge below the
+    * `maxExactPoints` gate, distributed Borůvka past it). */
   private def fitPartitionedExact(pts: Dataset[Point], n: Long): DataFrame =
     exactGlobal(pts, n)._1
 
@@ -300,31 +332,64 @@ final case class Hdbscan(
         out.iterator
       }.persist()
 
-    // ---- driver global merge: Kruskal over union of edges, then hierarchy ----
+    // ---- global merge over the union of local MSTs + boundary candidates.
+    // Below `maxExactPoints`: collect the candidates and Kruskal on the
+    // driver (fastest at driver-friendly sizes). Past it: distributed
+    // Borůvka — the candidate edge set never reaches the driver (the
+    // reference's Phase-2, `Main.java:302-411`, which self-aborts there,
+    // completed distributively); only the final forest (n-1 rows) is
+    // collected, which the condensed-tree extraction — the reference's own
+    // single-node Phase-3 — needs on the driver regardless. ----
+    val useBoruvka = n > maxExactPoints
     val coreRows = local.filter(_.kind == 0).map(o => (o.id, o.core)).collect()
     val tKernels = System.nanoTime()
     val idToIdx = coreRows.map(_._1).zipWithIndex.toMap
     val coreArr = coreRows.map(_._2)
-    val localEdges = local.filter(_.kind == 1).map(o => (o.src, o.dst, o.weight)).collect()
-    // inter edges (seed MST + Voronoi-boundary candidates) get
-    // mutual-reachability weights w.r.t. subset-local cores
-    val allEdges = (localEdges ++
-      boundaryEdges.map { case (s, d, w0) =>
-        (s, d, math.max(w0, math.max(coreArr(idToIdx(s)), coreArr(idToIdx(d)))))
-      }).map { case (s, d, w0) => Edge(idToIdx(s), idToIdx(d), w0) }
-      .sortBy(e => (e.weight, e.src, e.dst))
-    // Kruskal: keep the n-1 lightest acyclic edges
-    val uf = new graft.kernel.UnionFind(coreArr.length)
-    val mstKruskal = allEdges.filter(e => uf.find(e.src) != uf.find(e.dst) && { uf.union(e.src, e.dst); true })
-    // defensive: if the candidate pool left k>1 components (possible only in
-    // degenerate splits), bridge them with max-weight edges — they become
-    // top-level hierarchy splits, never merging real structure
-    val mstGlobal =
-      if (mstKruskal.length == coreArr.length - 1) mstKruskal
+    // defensive completion shared by both paths: if the candidate pool left
+    // k>1 components (possible only in degenerate splits), bridge them with
+    // max-weight edges — they become top-level hierarchy splits, never
+    // merging real structure
+    def bridge(mst: Array[Edge], uf: graft.kernel.UnionFind, maxW: Double): Array[Edge] =
+      if (mst.length == coreArr.length - 1) mst
       else {
-        val bridgeW = if (allEdges.nonEmpty) allEdges.map(_.weight).max * 2 + 1.0 else 1.0
+        val bridgeW = maxW * 2 + 1.0
         val reps = coreArr.indices.groupBy(uf.find).values.map(_.head).toArray.sorted
-        mstKruskal ++ reps.tail.map(r => { uf.union(reps.head, r); Edge(reps.head, r, bridgeW) })
+        mst ++ reps.tail.map(r => { uf.union(reps.head, r); Edge(reps.head, r, bridgeW) })
+      }
+    val mstGlobal =
+      if (!useBoruvka) {
+        val localEdges = local.filter(_.kind == 1).map(o => (o.src, o.dst, o.weight)).collect()
+        // inter edges (seed MST + Voronoi-boundary candidates) get
+        // mutual-reachability weights w.r.t. subset-local cores
+        val allEdges = (localEdges ++
+          boundaryEdges.map { case (s, d, w0) =>
+            (s, d, math.max(w0, math.max(coreArr(idToIdx(s)), coreArr(idToIdx(d)))))
+          }).map { case (s, d, w0) => Edge(idToIdx(s), idToIdx(d), w0) }
+          .sortBy(e => (e.weight, e.src, e.dst))
+        // Kruskal: keep the n-1 lightest acyclic edges
+        val uf = new graft.kernel.UnionFind(coreArr.length)
+        val mstKruskal = allEdges.filter(e =>
+          uf.find(e.src) != uf.find(e.dst) && { uf.union(e.src, e.dst); true })
+        bridge(mstKruskal, uf, if (allEdges.nonEmpty) allEdges.map(_.weight).max else 0.0)
+      } else {
+        // the same candidate set as DataFrames: local MST rows stay where
+        // the kernels produced them; boundary candidates (already
+        // driver-side, O(#cells + #2nd-seed rows)) pick up their
+        // mutual-reachability weights via two narrow joins against the
+        // distributed core frame instead of a driver map
+        val coresDf = local.filter(_.kind == 0).map(o => (o.id, o.core)).toDF("vid", "vcore")
+        val localMst = local.filter(_.kind == 1)
+          .map(o => (o.src, o.dst, o.weight)).toDF("src", "dst", "weight")
+        val bnd = spark.createDataset(boundaryEdges.toSeq).toDF("src", "dst", "w0")
+          .join(coresDf.select(col("vid").as("src"), col("vcore").as("cs")), "src")
+          .join(coresDf.select(col("vid").as("dst"), col("vcore").as("cd")), "dst")
+          .select(col("src"), col("dst"), greatest(col("w0"), col("cs"), col("cd")).as("weight"))
+        val forest = graft.operators.BoruvkaMst.run(spark, localMst.unionAll(bnd))
+          .as[(Long, Long, Double)].collect()
+        val edges = forest.map { case (s, d, w) => Edge(idToIdx(s), idToIdx(d), w) }
+        val uf = new graft.kernel.UnionFind(coreArr.length)
+        edges.foreach(e => uf.union(e.src, e.dst))
+        bridge(edges, uf, if (forest.nonEmpty) forest.map(_._3).max else 0.0)
       }
     local.unpersist(); rot.close()
 
@@ -338,7 +403,7 @@ final case class Hdbscan(
       consIdx)
     Console.err.println(f"[graft] exactGlobal phases: split=${(tSplit - tStart) / 1e9}%.1fs " +
       f"kernels+collect=${(tKernels - tSplit) / 1e9}%.1fs " +
-      f"kruskal=${(tMerge - tKernels) / 1e9}%.1fs " +
+      f"${if (useBoruvka) "boruvka" else "kruskal"}=${(tMerge - tKernels) / 1e9}%.1fs " +
       f"hierarchy=${(System.nanoTime() - tMerge) / 1e9}%.1fs")
     val globalIdEdges = mstGlobal.map(e => (coreRows(e.src)._1, coreRows(e.dst)._1, e.weight))
     val out = coreRows.indices.map { i =>

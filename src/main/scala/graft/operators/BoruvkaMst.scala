@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * least halves per round ⇒ O(log V) Borůvka rounds, each a constant number
   * of shuffles over narrow (lo, hi, weight, comp) rows. Nothing is ever
   * collected to the driver; per-round state (the surviving cross-component
-  * edges, the vertex labels, the accumulated forest) is rotated through
-  * eagerly-materialized frames so no blocks outlive their round.
+  * edges, the accumulated forest) is rotated through eagerly-materialized
+  * frames so no blocks outlive their round. Edges carry their endpoints'
+  * current component ids, so contraction relabels the edge frame directly —
+  * no O(V) vertex-label frame exists at any point.
   */
 object BoruvkaMst {
 
@@ -30,7 +32,6 @@ object BoruvkaMst {
     */
   def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 40): DataFrame = {
     val eRot = new graft.CheckpointRotator
-    val labelRot = new graft.CheckpointRotator
     val forestRot = new graft.CheckpointRotator
     // normalize to lo < hi once; (weight, lo, hi) is the total edge order.
     // Carry each endpoint's current component alongside (identity at start).
@@ -42,7 +43,6 @@ object BoruvkaMst {
       .select(col("lo"), col("hi"), col("weight"),
         col("lo").as("ca"), col("hi").as("cb")))
 
-    var labels: DataFrame = null // (vertex, comp); lazily created in round 1
     var forest: DataFrame = null
     var rounds = 0
     var done = e.isEmpty
@@ -51,66 +51,78 @@ object BoruvkaMst {
       // min_by aggregate with map-side combine, seen from both endpoints.
       // Materialized once per round: both `picked` and `parent0` consume it,
       // and without the rotate the union+groupBy over the full edge frame
-      // (the heaviest per-round shuffle) would run twice.
+      // (the heaviest per-round shuffle) would run twice. Its row count
+      // doubles as the round's liveness check (0 picks ⟺ no cross edges).
       val jumpRot = new graft.CheckpointRotator
       val pick = struct(col("weight"), col("lo"), col("hi"),
         col("ca"), col("cb")).as("e")
       val minPick = jumpRot.rotate(e.select(col("ca").as("comp"), pick)
         .unionAll(e.select(col("cb").as("comp"), pick))
         .groupBy(col("comp")).agg(min(col("e")).as("e")))
-      val picked = minPick
-        .select(col("e.lo").as("lo"), col("e.hi").as("hi"),
-          col("e.weight").as("weight"), col("e.ca").as("ca"), col("e.cb").as("cb"))
-        .distinct() // an edge picked by both its components appears twice
+      val nComps = minPick.count()
+      if (nComps == 0) { done = true; jumpRot.close() }
+      else {
+        val picked = minPick
+          .select(col("e.lo").as("lo"), col("e.hi").as("hi"),
+            col("e.weight").as("weight"))
+          .distinct() // an edge picked by both its components appears twice
 
-      forest = forestRot.rotate(
-        if (forest == null) picked.select(col("lo"), col("hi"), col("weight"))
-        else forest.unionAll(picked.select(col("lo"), col("hi"), col("weight"))))
+        forest = forestRot.rotate(
+          if (forest == null) picked else forest.unionAll(picked))
 
-      // contract the pick graph. It is FUNCTIONAL (each component has
-      // exactly one outgoing pick, and mutual picks are always the same
-      // edge under the total order — if c's min to d and d's min to c
-      // differed, the lighter one would be incident to both and win both),
-      // so instead of the general star-contraction CC we root each 2-cycle
-      // at its min member and pointer-jump: parent ← parent(parent),
-      // ceil(log2 #comps)+1 rounds — one narrow self-join per round, no
-      // convergence detection needed (the bound is deterministic).
-      val parent0 = minPick.select(col("comp"),
-        when(col("e.ca") === col("comp"), col("e.cb"))
-          .otherwise(col("e.ca")).as("parent"))
-      var p = jumpRot.rotate(parent0.as("x")
-        .join(parent0.as("y"), col("x.parent") === col("y.comp"))
-        .select(col("x.comp").as("comp"),
-          when(col("y.parent") === col("x.comp"),
-            least(col("x.comp"), col("x.parent")))
-            .otherwise(col("x.parent")).as("parent")))
-      val nComps = p.count()
-      val jumps = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nComps - 1)) + 1
-      for (_ <- 1L to jumps) {
-        p = jumpRot.rotate(p.as("a")
-          .join(p.as("b"), col("a.parent") === col("b.comp"))
-          .select(col("a.comp").as("comp"), col("b.parent").as("parent")))
+        // contract the pick graph. It is FUNCTIONAL (each component has
+        // exactly one outgoing pick, and mutual picks are always the same
+        // edge under the total order — if c's min to d and d's min to c
+        // differed, the lighter one would be incident to both and win both),
+        // so instead of the general star-contraction CC we root each 2-cycle
+        // at its min member and pointer-jump. Each materialized step squares
+        // the (already-squared) pointer, and the loop exits at the observed
+        // fixpoint — NN-pick chains are short on real data, so this is
+        // usually 1-2 materializations — with the deterministic
+        // ceil(log2 #comps) worst-case bound as a backstop.
+        def step(d: DataFrame): DataFrame = d.as("a")
+          .join(d.as("b"), col("a.parent") === col("b.comp"))
+          .select(col("a.comp").as("comp"), col("b.parent").as("parent"))
+        val parent0 = minPick.select(col("comp"),
+          when(col("e.ca") === col("comp"), col("e.cb"))
+            .otherwise(col("e.ca")).as("parent"))
+        var p = jumpRot.rotate(parent0.as("x")
+          .join(parent0.as("y"), col("x.parent") === col("y.comp"))
+          .select(col("x.comp").as("comp"),
+            when(col("y.parent") === col("x.comp"),
+              least(col("x.comp"), col("x.parent")))
+              .otherwise(col("x.parent")).as("parent")))
+        val jumps = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nComps - 1)) + 1
+        var converged = false
+        var j = 1L
+        while (!converged && j <= jumps) {
+          val next = jumpRot.rotate(step(step(p)))
+          converged = next.as("x").join(p.as("y"), col("x.comp") === col("y.comp"))
+            .filter(col("x.parent") =!= col("y.parent")).isEmpty
+          p = next
+          j += 2
+        }
+        val contracted = p
+          .select(col("comp").as("old_comp"), col("parent").as("new_comp"))
+
+        // relabel surviving edges directly through the contraction map and
+        // drop the ones now inside a component. A vertex-level label frame
+        // is unnecessary (and its build was a full-edge-frame distinct):
+        // any endpoint component with a surviving cross edge had an
+        // outgoing edge this round, so it appears in the contraction map;
+        // components that finished keep their id via the left-join coalesce.
+        e = eRot.rotate(e
+          .join(contracted.withColumnRenamed("old_comp", "ca")
+            .withColumnRenamed("new_comp", "na"), Seq("ca"), "left")
+          .join(contracted.withColumnRenamed("old_comp", "cb")
+            .withColumnRenamed("new_comp", "nb"), Seq("cb"), "left")
+          .select(col("lo"), col("hi"), col("weight"),
+            coalesce(col("na"), col("ca")).as("ca"),
+            coalesce(col("nb"), col("cb")).as("cb"))
+          .filter(col("ca") =!= col("cb")))
+        jumpRot.close()
+        rounds += 1
       }
-      val contracted = p.select(col("comp").as("old_comp"), col("parent").as("new_comp"))
-      val base =
-        if (labels == null)
-          e.select(col("lo").as("vertex"), col("ca").as("comp"))
-            .unionAll(e.select(col("hi").as("vertex"), col("cb").as("comp")))
-            .distinct()
-        else labels
-      labels = labelRot.rotate(base
-        .join(contracted, col("comp") === col("old_comp"), "left")
-        .select(col("vertex"), coalesce(col("new_comp"), col("comp")).as("comp")))
-      jumpRot.close() // labels is materialized; the jump frames are consumed
-
-      // relabel surviving edges, dropping the ones now inside a component
-      e = eRot.rotate(e.select(col("lo"), col("hi"), col("weight"))
-        .join(labels.withColumnRenamed("vertex", "lo").withColumnRenamed("comp", "ca"), "lo")
-        .join(labels.withColumnRenamed("vertex", "hi").withColumnRenamed("comp", "cb"), "hi")
-        .filter(col("ca") =!= col("cb"))
-        .select(col("lo"), col("hi"), col("weight"), col("ca"), col("cb")))
-      done = e.isEmpty
-      rounds += 1
     }
     val out = forest match {
       case null =>
@@ -121,7 +133,7 @@ object BoruvkaMst {
           f.select(col("lo").as("src"), col("hi").as("dst"), col("weight")))
         materialized
     }
-    eRot.close(); labelRot.close(); forestRot.close()
+    eRot.close(); forestRot.close()
     out
   }
 }

@@ -77,6 +77,33 @@ class HdbscanSpec extends SparkTestBase {
     assert(k >= nBlobs - 2, s"found $k clusters")
   }
 
+  test("mode=exact past maxExactPoints: distributed Borůvka merge matches driver Kruskal") {
+    import spark.implicits._
+    // same split + kernels (same seed/maxLocalSize) → same candidate edge
+    // set; only the global merge differs. The two MSTs may pick different
+    // equal-weight edges, but single-linkage structure is MST-tie-invariant,
+    // so the flat partition, core distances, and GLOSH scores must agree.
+    val df = blobData.map(t => (t._1, t._2)).toDF("id", "features").cache()
+    val base = Hdbscan(minPts = 4, minClusterSize = 10, maxLocalSize = 150)
+    def run(h: Hdbscan): Map[Long, (Int, Double, Double)] = h.fit(df)
+      .select("id", "label", "outlier_score", "core_dist")
+      .as[(Long, Int, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val kruskal = run(base) // 600 ≤ maxExactPoints: driver path
+    val boruvka = run(base.setMode("exact").setMaxExactPoints(100))
+    def canon(m: Map[Long, (Int, Double, Double)]): Map[Long, Long] = {
+      val minId = m.toSeq.filter(_._2._1 != 0).groupBy(_._2._1)
+        .map { case (l, g) => (l, g.map(_._1).min) }
+      m.map { case (id, (l, _, _)) => id -> (if (l == 0) -1L else minId(l)) }
+    }
+    assert(canon(boruvka) == canon(kruskal), "flat partition differs between merges")
+    kruskal.foreach { case (id, (_, score, core)) =>
+      assert(math.abs(boruvka(id)._3 - core) < 1e-12, s"core_dist differs at $id")
+      assert(math.abs(boruvka(id)._2 - score) < 1e-9, s"outlier score differs at $id")
+    }
+    df.unpersist()
+  }
+
   test("testdata embeddings: all rows labeled, outlier scores in [0,1]") {
     val pts = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("features"))
