@@ -89,10 +89,12 @@ final case class Hdbscan(
   /** Instance-level constraints (pointIdA, pointIdB, isMustLink) that steer
     * flat extraction (G10, `HDBSCANStar.java:738-789`): selection prefers
     * clusters satisfying more constraints, stability breaks ties. Honored by
-    * the exact paths (single-kernel and partitioned-exact, where the
-    * condensed tree is over points); the bubble sketch ignores them (its
-    * tree is over bubbles, and the reference's constraint path is the
-    * single-node HDBSCANStar too). */
+    * every mode: exact paths apply them on the point-level condensed tree;
+    * the bubble sketch maps each constraint to its endpoints' containing
+    * bubbles through the assignment frame and applies them to the
+    * bubble-level tree (pairs inside one bubble drop — a must-link there is
+    * trivially satisfied, a cannot-link is unresolvable below sketch
+    * granularity). */
   def setConstraints(v: Seq[(Long, Long, Boolean)]): Hdbscan = copy(constraints = v)
 
   /** @param df (id: long, features: array<double>) */
@@ -485,8 +487,30 @@ final case class Hdbscan(
       if (i == j) 0.0 else math.max(bd(i)(j), math.max(bCore(i), bCore(j))))
     val mst = HdbscanKernel.primMstMatrix(mrd)
     val globalIdEdges = mst.map(e => (ids(e.src), ids(e.dst), e.weight))
+    // ---- G10 at sketch granularity: point-level constraints map to their
+    // containing bubbles through the assignment frame (two constraint-sized
+    // broadcast joins), then steer bubble-level extraction exactly like the
+    // exact path. Same-bubble pairs drop: a must-link inside one bubble is
+    // trivially satisfied, a cannot-link inside one bubble is unresolvable
+    // below the sketch's granularity (use an exact mode to honor it).
+    val consBubble: Array[(Int, Int, Boolean)] =
+      if (constraints.isEmpty) Array.empty
+      else {
+        val consDf = spark.createDataset(constraints).toDF("pa", "pb", "ml")
+        val idxOf = ids.zipWithIndex.toMap
+        // constraint frame is the broadcast side both times; each join's
+        // output stays constraint-sized
+        val withA = idMap.select(col("id").as("pa"), col("sample_id").as("ba"))
+          .join(broadcast(consDf), Seq("pa"))
+        idMap.select(col("id").as("pb"), col("sample_id").as("bb"))
+          .join(broadcast(withA), Seq("pb"))
+          .select(col("ba"), col("bb"), col("ml"))
+          .as[(Long, Long, Boolean)].collect()
+          .collect { case (a, b, ml) if a != b => (idxOf(a), idxOf(b), ml) }
+          .distinct
+      }
     val h = HdbscanKernel.hierarchy(m, mst, bCore, minClusterSize.toDouble, mass,
-      allowSingleCluster)
+      allowSingleCluster, consBubble)
 
     // ---- G8: noise-bubble reattachment to the nearest labeled bubble by
     // bubble distance (E7) — points inside noise bubbles were all

@@ -265,6 +265,32 @@ object Dedup {
       idCol: String = "doc_id",
       n: Int = 3,
       threshold: Double = 0.3): DataFrame = {
+    val (sh, candidates) = prefixCandidates(docs, blockCol, textCol, idCol, n, threshold)
+    // exact verify on the full sets
+    candidates
+      .join(sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("block", "id_a"))
+      .join(sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("block", "id_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The shingle frame and the UNVERIFIED candidate pairs of
+    * [[ngramJaccardPairsPrefix]] — the stage whose size is the operator's
+    * scale story (prefixes structurally exclude high-df shingles from
+    * posting lists, so candidates stay output-bound under skew; the skew
+    * smoke test measures exactly this). */
+  private[graft] def prefixCandidates(
+      docs: DataFrame,
+      blockCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      threshold: Double = 0.3): (DataFrame, DataFrame) = {
     val sh = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
         graft.expr.TextExpressions.charShingleHashes(col(textCol), n).as("sh"))
       .withColumn("nsh", size(col("sh")))
@@ -290,17 +316,7 @@ object Dedup {
       .filter(least(col("nsh_a"), col("nsh_b")).cast("double") /
         greatest(col("nsh_a"), col("nsh_b")) >= threshold)
       .select(col("block"), col("id_a"), col("id_b")).distinct()
-    // exact verify on the full sets
-    candidates
-      .join(sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a")),
-        Seq("block", "id_a"))
-      .join(sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b")),
-        Seq("block", "id_b"))
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
+    (sh, candidates)
   }
 
   /** Duplicate-group resolution: near-dup PAIRS (from [[minhashNearDup]],

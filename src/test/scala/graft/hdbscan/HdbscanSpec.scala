@@ -77,6 +77,29 @@ class HdbscanSpec extends SparkTestBase {
     assert(k >= nBlobs - 2, s"found $k clusters")
   }
 
+  test("bubble-mode constraints: must-link flips selection to the merged parent") {
+    import spark.implicits._
+    // mirrors the kernel-level G10 test through the sketch path: blobs A and
+    // B adjacent (their merge parent is a real condensed node), C far away,
+    // n > maxExactPoints so the bubble mode runs and the point constraint
+    // must travel point → bubble through the assignment frame
+    val pts = Array.tabulate(60)(i => (i.toLong, Array(0.0 + i * 0.01))) ++
+      Array.tabulate(60)(i => ((60 + i).toLong, Array(3.0 + i * 0.01))) ++
+      Array.tabulate(60)(i => ((120 + i).toLong, Array(100.0 + i * 0.01)))
+    val df = pts.toSeq.toDF("id", "features").cache()
+    val base = Hdbscan(minPts = 4, minClusterSize = 10, maxExactPoints = 100, sampleCap = 30)
+    def labelsOf(h: Hdbscan): Map[Long, Int] =
+      h.fit(df).select("id", "label").as[(Long, Int)].collect().toMap
+    val plain = labelsOf(base)
+    assert(plain(0L) != 0 && plain(70L) != 0 && plain(0L) != plain(70L),
+      s"expected A/B split unconstrained, got A=${plain(0L)} B=${plain(70L)}")
+    val ml = labelsOf(base.setConstraints(Seq((0L, 70L, true))))
+    assert(ml(0L) != 0 && ml(0L) == ml(70L),
+      s"must-link should merge A and B, got A=${ml(0L)} B=${ml(70L)}")
+    assert(ml(130L) != 0 && ml(130L) != ml(0L), "C stays its own cluster")
+    df.unpersist()
+  }
+
   test("mode=exact past maxExactPoints: distributed Borůvka merge matches driver Kruskal") {
     import spark.implicits._
     // same split + kernels (same seed/maxLocalSize) → same candidate edge

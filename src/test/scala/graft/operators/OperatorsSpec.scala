@@ -138,6 +138,54 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("prefix-filtered ngram jaccard: universal hot shingle stays out of posting lists") {
+    import spark.implicits._
+    // the structural skew claim turned into a measurement: a shingle that
+    // appears in EVERY document has maximal df, sorts last in the
+    // df-ascending canonical order, and therefore cannot enter any prefix —
+    // candidates must stay output-bound instead of going quadratic, and
+    // wall time must stay flat vs the unplanted corpus.
+    val rnd = new scala.util.Random(11)
+    def word(): String = Array.fill(6)(('a' + rnd.nextInt(26)).toChar).mkString
+    def salad(): String = Seq.fill(10)(word()).mkString(" ")
+    val base = Seq.tabulate(400)(i => (i.toLong, salad(), "s"))
+    val withDups = base ++ Seq.tabulate(5)(i =>
+      ((1000 + i).toLong, base(i)._2, "s")) // 5 planted exact duplicates
+    val plain = withDups.toDF("doc_id", "text", "src")
+    // " qqq" appended everywhere = the universal hot shingles
+    val planted = withDups.map { case (id, t, s) => (id, t + " qqq", s) }
+      .toDF("doc_id", "text", "src")
+
+    def run(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val t0 = System.nanoTime()
+      val cand = Dedup.prefixCandidates(df, "src", threshold = 0.5)._2.count()
+      val out = Dedup.ngramJaccardPairsPrefix(df, "src", threshold = 0.5).count()
+      (cand, out, (System.nanoTime() - t0) / 1000000)
+    }
+    val (candPlain, outPlain, msPlain) = run(plain)
+    val (candPlanted, outPlanted, msPlanted) = run(planted)
+    // the 5 duplicate pairs survive in both corpora; nothing else qualifies
+    assert(outPlain == 5 && outPlanted == 5, s"got $outPlain / $outPlanted")
+    // counterfactual: without prefix filtering, the universal shingle makes
+    // EVERY pair a candidate — count pairs sharing ANY shingle
+    val (shPlanted, _) = Dedup.prefixCandidates(planted, "src", threshold = 0.5)
+    import org.apache.spark.sql.functions.explode
+    val inv = shPlanted.select($"block", $"id", explode($"sh").as("h"))
+    val unfiltered = inv.select($"block", $"h", $"id".as("id_a"))
+      .join(inv.select($"block", $"h", $"id".as("id_b")), Seq("block", "h"))
+      .filter($"id_a" < $"id_b").select("id_a", "id_b").distinct().count()
+    assert(unfiltered == 405L * 404 / 2,
+      s"hot shingle should make all pairs collide unfiltered, got $unfiltered")
+    // the prefix keeps the hot shingle out of posting lists: candidates stay
+    // flat vs the unplanted corpus instead of jumping to all-pairs
+    assert(candPlanted <= 2 * candPlain + 200,
+      s"hot shingle inflated candidates: $candPlain -> $candPlanted")
+    assert(candPlanted < unfiltered / 5,
+      s"candidates not output-bound: $candPlanted of $unfiltered")
+    // wall time flat (generous bound — CI noise), the VERDICT r2 ask
+    assert(msPlanted < 4 * msPlain + 4000, s"skew slowed the join: $msPlain ms -> $msPlanted ms")
+  }
+
   test("ngram jaccard: identical docs in same block score 1.0") {
     import spark.implicits._
     val docs = Seq(

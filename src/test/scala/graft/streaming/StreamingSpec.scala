@@ -64,6 +64,53 @@ class StreamingSpec extends SparkTestBase {
     assert(emitted.length == 3 && emitted.distinct.length == 3, s"got $emitted")
   }
 
+  test("watermark drops late data and finalizes windows across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wm").toString
+    // watermark timeline: after batch 1 (max 13:00, 1h delay) the watermark
+    // is 12:00; DURING batch 2 it passes the [10:00,11:00) window's end, so
+    // that window is emitted and its state evicted. Batch 3's 10:15
+    // straggler then arrives behind cleaned-up state — the case where the
+    // watermark contract GUARANTEES the drop (a straggler whose window is
+    // still live may legally still merge; that is not a drop scenario).
+    Seq("2024-01-01 10:00:00", "2024-01-01 10:30:00", "2024-01-01 13:00:00")
+      .toDF("s").select(to_timestamp(col("s")).as("ts"))
+      .coalesce(1).write.parquet(s"$dir/b1")
+    Seq("2024-01-01 13:30:00")
+      .toDF("s").select(to_timestamp(col("s")).as("ts"))
+      .coalesce(1).write.parquet(s"$dir/b2")
+    Seq("2024-01-01 10:15:00", "2024-01-01 14:00:00")
+      .toDF("s").select(to_timestamp(col("s")).as("ts"))
+      .coalesce(1).write.parquet(s"$dir/b3")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val counts = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").format("parquet").load(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("cnt"))
+    val name = s"wm_test_${System.nanoTime()}"
+    // append mode: a window row is emitted exactly once, when the watermark
+    // passes its end — the mode where watermark semantics are load-bearing
+    // (complete mode would retain and re-emit everything)
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val droppedByWatermark = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    val emitted = spark.table(name)
+      .select(col("window.start").cast("string"), col("cnt"))
+      .as[(String, Long)].collect().toSeq.sorted
+    spark.catalog.dropTempView(name)
+    assert(droppedByWatermark == 1L,
+      s"exactly the 10:15 straggler should be dropped by the watermark, got $droppedByWatermark")
+    // the finalized 10:00 window counts 2 rows — NOT 3: the late row never
+    // entered it. Later windows stay open at stream end (watermark 13:00 <
+    // their ends) and are correctly unemitted.
+    assert(emitted == Seq(("2024-01-01 10:00:00", 2L)), s"got $emitted")
+  }
+
   test("stateful streaming sessionization matches batch session counts") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingOps.sessionizeStream(spark, sf()).collect()
