@@ -1,42 +1,42 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.TextOps
 
-/** Dev profiling main: stage-by-stage timings for hotspot hunting. */
+/** Dev profiling main: interleaved same-session A/B of the fingerprint
+  * variants (VERDICT r2 "what's wrong" #1 — the committed q_fingerprint
+  * number did not reproduce in the driver bench). A = the shipped md5
+  * oracle-checkable pair, B = the xxhash64 production pair; alternating
+  * rounds isolate hash cost from machine load. */
 object Prof {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = GraftSession.localBuilder("graft-prof", 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
-    def time(name: String)(f: => Long): Unit = {
+    def time(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
-      val n = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+      f
+      println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      SessionHygiene.sweep(spark)
     }
 
-    time("charShingles only") {
-      docs.select(TextOps.charShingles(col("text"), 3).as("sh")).selectExpr("size(sh)").count()
-    }
-    time("+ xxhash transform") {
-      docs.select(transform(TextOps.charShingles(col("text"), 3), s => xxhash64(s)).as("sh"))
-        .selectExpr("size(sh)").count()
-    }
-    time("+ array_distinct") {
-      docs.select(array_distinct(transform(TextOps.charShingles(col("text"), 3),
-        s => xxhash64(s))).as("sh")).selectExpr("size(sh)").count()
-    }
-    time("explode+distinct variant") {
-      docs.select(col("doc_id"), explode(transform(TextOps.charShingles(col("text"), 3),
-        s => xxhash64(s))).as("h")).distinct().count()
-    }
-    time("full ngramJaccardPairs") {
-      graft.operators.Dedup.ngramJaccardPairs(docs, "source").count()
+    for (round <- 1 to 3) {
+      time(s"md5 pair      #$round") {
+        docs.select(col("doc_id"),
+            TextOps.fullMd5(col("text")).as("full_md5"),
+            TextOps.minShingleMd5(col("text")).as("min_shingle_md5"))
+          .orderBy(col("doc_id"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"xxhash64 pair #$round") {
+        docs.select(col("doc_id"),
+            TextOps.fullHash(col("text")).as("full_hash"),
+            TextOps.minShingleHash(col("text")).as("min_shingle_hash"))
+          .orderBy(col("doc_id"))
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

@@ -320,6 +320,18 @@ object SparkEntry {
     "q_langid" -> ((s: SparkSession, d: String) =>
       docs(s, d).select(col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("lang_pred")).orderBy(col("doc_id"))),
+    "q_decontaminate" -> ((s: SparkSession, d: String) => {
+      // pre-training hygiene: docs 0-19 stand in for a benchmark/eval set;
+      // every remaining corpus doc is scored by how many of its word
+      // 5-grams collide with the eval set (broadcast eval shingles,
+      // one corpus scan)
+      val all = docs(s, d)
+      TextOps.decontaminate(all.filter(col("doc_id") >= 20),
+          all.filter(col("doc_id") < 20), n = 5)
+        .orderBy(col("doc_id"))
+    }),
+    "q_repetition" -> ((s: SparkSession, d: String) =>
+      TextOps.repetitionStats(docs(s, d)).orderBy(col("doc_id"))),
     "q_fingerprint" -> ((s: SparkSession, d: String) =>
       // md5-selected fingerprints: same winnowing structure as the xxhash64
       // production pair (TextOps.fingerprint, parity-tested in ScalaTest),
@@ -732,6 +744,45 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, n_subwords, alpha_ratio, digit_ratio, mean_tok_len,
          |  stopword_ratio, quality, CASE WHEN best.h = 0 THEN 'und' ELSE best.l END AS lang_pred
          |FROM m ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |            FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(generate_series(1, len(toks) - 4),
+        |                i -> array_to_string(toks[i:i+4], ' ')) END) AS s
+        |       FROM tk),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+        |hits AS (SELECT doc_id, count(*) AS n FROM sh
+        |         WHERE doc_id >= 20 AND s IN (SELECT s FROM ev) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(h.n, 0) AS n_contaminated_ngrams,
+        |  coalesce(h.n, 0) = 0 AS is_clean
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+        |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH tk AS (SELECT doc_id, text,
+        |              regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |            FROM documents),
+        |tri AS (SELECT doc_id,
+        |          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |            ELSE list_transform(generate_series(1, len(toks) - 2),
+        |                   i -> array_to_string(toks[i:i+2], ' ')) END AS g
+        |        FROM tk),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(toks) AS tok FROM tk) GROUP BY 1, 2),
+        |top AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS tr FROM cnt GROUP BY 1)
+        |SELECT tk.doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(toks) AS BIGINT) END AS n_tokens,
+        |  CASE WHEN len(trim(text)) = 0 OR len(toks) = 0 THEN 0.0
+        |       ELSE round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+        |  END AS dup_token_ratio,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0.0 ELSE round(coalesce(tr, 0.0), 6)
+        |  END AS top_token_ratio,
+        |  CASE WHEN len(trim(text)) = 0 OR len(g) = 0 THEN 0.0
+        |       ELSE round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 6)
+        |  END AS dup_trigram_ratio
+        |FROM tk JOIN tri USING (doc_id) LEFT JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """WITH tk AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
         |                   regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),

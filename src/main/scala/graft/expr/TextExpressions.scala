@@ -218,6 +218,80 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Word `n`-gram shingles as STRINGS, occurrences included — the
+    * single-tokenize form of `TextOps.wordShingles` (whose `slice` lambda
+    * re-runs the split per element: O(L²) interpreted). Used where the
+    * shingle TEXT matters (decontamination joins against an eval set the
+    * oracle must reproduce), unlike [[wordShingleHashes]] which hashes and
+    * dedups. */
+  def wordShingleStrings(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokensOf(text)
+    if (toks.length < n)
+      return new GenericArrayData(Array[Any](UTF8String.fromString(toks.mkString(" "))))
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One-pass repetition signals (Gopher-style quality filters):
+    * `[n_tokens, dup_token_ratio, top_token_ratio, dup_trigram_ratio]`,
+    * unrounded; a whitespace-only document is all zeros (the
+    * `len(trim(text)) = 0` convention of the token-count oracle). One
+    * tokenize, one hash-map pass for token counts, one sliding window for
+    * the `n`-gram distinct set. */
+  def repetitionSignals(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    var st = 0
+    var en = s.length
+    while (st < en && s.charAt(st) == ' ') st += 1
+    while (en > st && s.charAt(en - 1) == ' ') en -= 1
+    if (en == st) return new GenericArrayData(Array(0.0, 0.0, 0.0, 0.0))
+    val toks = tokensOf(text)
+    val counts = new java.util.HashMap[String, Int]()
+    var maxCount = 0
+    var i = 0
+    while (i < toks.length) {
+      val c = counts.merge(toks(i), 1, Integer.sum)
+      if (c > maxCount) maxCount = c
+      i += 1
+    }
+    val nTok = toks.length
+    val dupTok = 1.0 - counts.size.toDouble / nTok
+    val topTok = maxCount.toDouble / nTok
+    var dupTri = 0.0
+    if (toks.length >= n) {
+      val seen = new java.util.HashSet[String]()
+      val total = toks.length - n + 1
+      val sb = new java.lang.StringBuilder(64)
+      i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      dupTri = 1.0 - seen.size.toDouble / total
+    }
+    new GenericArrayData(Array(nTok.toDouble, dupTok, topTok, dupTri))
+  }
+
   /** All `numHashes` MinHash lanes in ONE pass over the shingle hashes.
     * Lane k of shingle s is `xxhash64(s, k)` exactly as the HOF form
     * computed it: XxHash64 folds its children, so the lane value is
@@ -335,6 +409,35 @@ case class CharShingleHashesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd `TextKernels.wordShingleStrings` (decontamination first stage). */
+case class WordShingleStringsExpr(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.wordShingleStrings(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextKernels.wordShingleStrings($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd one-pass repetition signals (ARRAY<DOUBLE> of 4). */
+case class RepetitionSignalsExpr(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.DoubleType,
+    containsNull = false)
+  override def prettyName: String = "graft_repetition_signals"
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.repetitionSignals(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextKernels.repetitionSignals($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd one-pass MinHash signature over BIGINT shingle hashes. */
 case class MinHashSigExpr(child: Expression, numHashes: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -372,6 +475,10 @@ object TextExpressions {
     GraftShim.column(LangIdExpr(GraftShim.expression(text)))
   def wordShingleHashes(text: Column, n: Int): Column =
     GraftShim.column(WordShingleHashesExpr(GraftShim.expression(text), n))
+  def wordShingleStrings(text: Column, n: Int): Column =
+    GraftShim.column(WordShingleStringsExpr(GraftShim.expression(text), n))
+  def repetitionSignals(text: Column, n: Int = 3): Column =
+    GraftShim.column(RepetitionSignalsExpr(GraftShim.expression(text), n))
   def charShingleHashes(text: Column, n: Int): Column =
     GraftShim.column(CharShingleHashesExpr(GraftShim.expression(text), n))
   def minhashSignature(shingleHashes: Column, numHashes: Int): Column =

@@ -134,6 +134,38 @@ case class CosineSimExpr(left: Expression, right: Expression) extends VectorFold
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** 1 - cov(x,y)/(sd(x)·sd(y)) — the reference's pearson "distance" (E5),
+  * two-pass (means, then centered sums) with the same left-to-right
+  * summation order as the interpreted `Distances.pearsonDistanceHof` and
+  * the DuckDB oracle, so 6dp-rounded values agree bit-for-bit. */
+case class PearsonDistExpr(left: Expression, right: Expression) extends VectorFoldExpression {
+  override def prettyName: String = "graft_pearson_dist"
+  protected def javaLoop(a: String, b: String, n: String, res: String,
+      i: String, tmp: String): String =
+    s"""double ${tmp}_sa = 0.0, ${tmp}_sb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) { ${tmp}_sa += $a.getDouble($i); ${tmp}_sb += $b.getDouble($i); }
+       |double ${tmp}_ma = ${tmp}_sa / $n, ${tmp}_mb = ${tmp}_sb / $n;
+       |double ${tmp}_cov = 0.0, ${tmp}_va = 0.0, ${tmp}_vb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double ${tmp}_xa = $a.getDouble($i) - ${tmp}_ma, ${tmp}_xb = $b.getDouble($i) - ${tmp}_mb;
+       |  ${tmp}_cov += ${tmp}_xa * ${tmp}_xb; ${tmp}_va += ${tmp}_xa * ${tmp}_xa; ${tmp}_vb += ${tmp}_xb * ${tmp}_xb;
+       |}
+       |$res = 1.0 - ${tmp}_cov / (java.lang.Math.sqrt(${tmp}_va) * java.lang.Math.sqrt(${tmp}_vb));""".stripMargin
+  protected def scalaFold(x: ArrayData, y: ArrayData, n: Int): Double = {
+    var sa = 0.0; var sb = 0.0; var i = 0
+    while (i < n) { sa += x.getDouble(i); sb += y.getDouble(i); i += 1 }
+    val ma = sa / n; val mb = sb / n
+    var cov = 0.0; var va = 0.0; var vb = 0.0
+    i = 0
+    while (i < n) {
+      val xa = x.getDouble(i) - ma; val xb = y.getDouble(i) - mb
+      cov += xa * xb; va += xa * xa; vb += xb * xb; i += 1
+    }
+    1.0 - cov / (math.sqrt(va) * math.sqrt(vb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 object VectorExpressions {
   private def bin(f: (Expression, Expression) => Expression)(a: Column, b: Column): Column =
     GraftShim.column(f(GraftShim.expression(a), GraftShim.expression(b)))
@@ -143,4 +175,5 @@ object VectorExpressions {
   val chebyshev: (Column, Column) => Column = bin(ChebyshevDistExpr)
   val dot: (Column, Column) => Column = bin(DotProductExpr)
   val cosineSim: (Column, Column) => Column = bin(CosineSimExpr)
+  val pearsonDist: (Column, Column) => Column = bin(PearsonDistExpr)
 }

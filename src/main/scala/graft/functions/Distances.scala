@@ -60,7 +60,15 @@ object Distances {
   def cosineDistance(a: Column, b: Column): Column = lit(1.0) - cosineSimilarity(a, b)
 
   /** 1 - cov(x,y)/(sd(x) sd(y)) — reference's pearson "distance". */
-  def pearsonDistance(a: Column, b: Column): Column = {
+  def pearsonDistance(a: Column, b: Column): Column =
+    graft.expr.VectorExpressions.pearsonDist(a, b)
+
+  /** Interpreted-HOF reference form of [[pearsonDistance]] (parity-tested;
+    * not for hot paths — CollapseProject re-inlines `meanA`/`meanB` into the
+    * element lambdas, so each mean is recomputed PER ELEMENT: O(d²) per row,
+    * interpreted, and the CodegenFallback knocks every sibling column out of
+    * whole-stage codegen — measured 0.3 s → 6.0 s on q_distance_pairs). */
+  def pearsonDistanceHof(a: Column, b: Column): Column = {
     val n = size(a).cast("double")
     val meanA = aggregate(a, lit(0.0), _ + _) / n
     val meanB = aggregate(b, lit(0.0), _ + _) / n

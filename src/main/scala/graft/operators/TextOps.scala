@@ -144,6 +144,59 @@ object TextOps {
   def fingerprint(text: Column): Column =
     struct(fullHash(text).as("full_hash"), minShingleHash(text).as("min_shingle_hash"))
 
+  /** Benchmark decontamination: per corpus document, how many of its word
+    * n-gram occurrences also appear in an evaluation set — the standard
+    * pre-training hygiene pass (an eval item leaking into training data
+    * invalidates the benchmark; n-gram collision is the accepted detector).
+    *
+    * Scale shape: the eval side is tiny next to the corpus, so its distinct
+    * shingle set broadcasts; the corpus explodes its shingles once, a
+    * left-semi join keeps only colliding occurrences, and the per-doc count
+    * aggregates with map-side combine. Clean documents are restored by one
+    * broadcast-able left join against the corpus id column — the corpus text
+    * is scanned exactly once.
+    *
+    * @return (doc_id, n_contaminated_ngrams, is_clean) — one row per corpus doc
+    */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame, n: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // single-tokenize codegen shingles — the HOF wordShingles re-splits the
+    // text per element (O(L²) interpreted; same trap as minShingleHashHof)
+    val shingles = graft.expr.TextExpressions.wordShingleStrings(col(textCol), n)
+    val evalShingles = evalDocs
+      .select(explode(shingles).as("shingle")).distinct()
+    val hits = corpus
+      .select(col(idCol), explode(shingles).as("shingle"))
+      .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated_ngrams"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_contaminated_ngrams"), lit(0L)).as("n_contaminated_ngrams"),
+        (coalesce(col("n_contaminated_ngrams"), lit(0L)) === 0L).as("is_clean"))
+  }
+
+  /** Gopher-style repetition signals: duplicate-token fraction, top-token
+    * dominance, and duplicate word-trigram fraction — boilerplate, spam and
+    * degenerate generations score high on all three while natural prose
+    * stays low. One single-pass codegen kernel per document
+    * ([[graft.expr.TextKernels.repetitionSignals]]): no shuffle at all, so
+    * the operator is a pure map over the corpus scan.
+    *
+    * @return (doc_id, n_tokens, dup_token_ratio, top_token_ratio,
+    *         dup_trigram_ratio)
+    */
+  def repetitionStats(docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sig = graft.expr.TextExpressions.repetitionSignals(col(textCol), 3)
+    docs.select(col(idCol), sig.as("sig"))
+      .select(col(idCol),
+        element_at(col("sig"), 1).cast("long").as("n_tokens"),
+        round(element_at(col("sig"), 2), 6).as("dup_token_ratio"),
+        round(element_at(col("sig"), 3), 6).as("top_token_ratio"),
+        round(element_at(col("sig"), 4), 6).as("dup_trigram_ratio"))
+  }
+
   /** TF-IDF top-k terms per document.
     *
     * Shapes for scale: one explode of the token stream, one (doc, term)

@@ -17,13 +17,16 @@ class OperatorsSpec extends SparkTestBase {
     val rows = df.select(
       Distances.euclidean($"a", $"b"), Distances.manhattan($"a", $"b"),
       Distances.supremum($"a", $"b"), Distances.cosineDistance($"a", $"b"),
-      Distances.pearsonDistance($"a", $"b")).collect()
+      Distances.pearsonDistance($"a", $"b"),
+      Distances.pearsonDistanceHof($"a", $"b")).collect()
     vecs.zip(rows).foreach { case ((a, b), r) =>
       assert(math.abs(r.getDouble(0) - HdbscanKernel.euclidean(a, b)) < 1e-12)
       assert(math.abs(r.getDouble(1) - HdbscanKernel.manhattan(a, b)) < 1e-12)
       assert(math.abs(r.getDouble(2) - HdbscanKernel.supremum(a, b)) < 1e-12)
       assert(math.abs(r.getDouble(3) - HdbscanKernel.cosine(a, b)) < 1e-12)
       assert(math.abs(r.getDouble(4) - HdbscanKernel.pearson(a, b)) < 1e-12)
+      // codegen Expression vs interpreted-HOF form of pearson
+      assert(math.abs(r.getDouble(4) - r.getDouble(5)) < 1e-12)
     }
   }
 
