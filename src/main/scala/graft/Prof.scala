@@ -22,6 +22,20 @@ object Prof {
       SessionHygiene.sweep(spark)
     }
 
+    // ranking-stage A/B for the prefix-AllPairs join (VERDICT r2 wrong #3):
+    // aggregate (sort_array(collect_list)) vs window (row_number) plans,
+    // proven output-identical in OperatorsSpec
+    for (round <- 1 to 2) {
+      time(s"ngram agg-rank  #$round") {
+        graft.operators.Dedup.ngramJaccardPairsPrefix(docs, "source")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"ngram win-rank  #$round") {
+        graft.operators.Dedup.ngramJaccardPairsPrefix(docs, "source", windowRanking = true)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
     for (round <- 1 to 3) {
       time(s"md5 pair      #$round") {
         docs.select(col("doc_id"),

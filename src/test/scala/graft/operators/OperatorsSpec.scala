@@ -119,6 +119,9 @@ class OperatorsSpec extends SparkTestBase {
         .collect().map(_.toString).sorted.toSeq
       assert(pref == base, s"t=$t: prefix-filtered output differs")
       assert(base.nonEmpty, s"t=$t: vacuous comparison")
+      val prefWin = Dedup.ngramJaccardPairsPrefix(docs, "source", threshold = t,
+        windowRanking = true).collect().map(_.toString).sorted.toSeq
+      assert(prefWin == base, s"t=$t: window-ranked variant differs")
     }
   }
 
