@@ -51,6 +51,11 @@ object SkinSmoke {
     // 245k points forces ~3 split levels; driver state O(#bubbles)
     report("bubbles", Hdbscan(minPts = 4, minClusterSize = 100,
       maxLocalSize = 4000, maxExactPoints = 100000, sampleCap = 2000))
+    // unbounded exact: maxExactPoints below n forces the distributed
+    // Borůvka global merge (the reference's Phase-2 completed) — candidate
+    // edges never reach the driver, only the 245k-row final MST does
+    report("exact-boruvka", Hdbscan(minPts = 4, minClusterSize = 100,
+      maxLocalSize = 4000, maxExactPoints = 100000).setMode("exact"))
     spark.stop()
   }
 }

@@ -320,6 +320,12 @@ object SparkEntry {
     "q_langid" -> ((s: SparkSession, d: String) =>
       docs(s, d).select(col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("lang_pred")).orderBy(col("doc_id"))),
+    "q_train_split" -> ((s: SparkSession, d: String) =>
+      // engine-portable deterministic split: md5-nibble of (seed, id) — a
+      // re-run can never leak val/test docs into train
+      TextOps.trainSplitReport(docs(s, d)).orderBy(col("split"))),
+    "q_corpus_mix" -> ((s: SparkSession, d: String) =>
+      TextOps.corpusMix(docs(s, d)).orderBy(col("source"), col("lang"))),
     "q_decontaminate" -> ((s: SparkSession, d: String) => {
       // pre-training hygiene: docs 0-19 stand in for a benchmark/eval set;
       // every remaining corpus doc is scored by how many of its word
@@ -744,6 +750,26 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, n_subwords, alpha_ratio, digit_ratio, mean_tok_len,
          |  stopword_ratio, quality, CASE WHEN best.h = 0 THEN 'und' ELSE best.l END AS lang_pred
          |FROM m ORDER BY doc_id""".stripMargin,
+    "q_train_split" ->
+      """WITH t AS (SELECT
+        |  CASE substr(md5('split42:' || doc_id), 1, 1)
+        |    WHEN '0' THEN 'test' WHEN '1' THEN 'val' ELSE 'train' END AS split,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |  END AS n_tokens
+        |FROM documents)
+        |SELECT split, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+        |FROM t GROUP BY split ORDER BY split""".stripMargin,
+    "q_corpus_mix" ->
+      """WITH cells AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |        ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |        END) AS n_tokens
+        |  FROM documents GROUP BY source, lang)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM cells), 6) AS token_share
+        |FROM cells ORDER BY source, lang""".stripMargin,
     "q_decontaminate" ->
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
         |            FROM documents),

@@ -197,6 +197,40 @@ object TextOps {
         round(element_at(col("sig"), 4), 6).as("dup_trigram_ratio"))
   }
 
+  /** Deterministic train/val/test assignment: the split is a pure function
+    * of (seed, doc id) — stable across runs, machines and engines (md5 hex
+    * is engine-portable, unlike seeded RNG sampling), so a re-run never
+    * leaks val/test docs into train. First hex nibble of
+    * `md5(seed || ':' || id)`: '0' → test, '1' → val, else train
+    * (6.25% / 6.25% / 87.5%). */
+  def splitAssign(id: Column, seed: String = "split42"): Column = {
+    val nibble = substring(md5(concat(lit(seed), lit(":"), id.cast("string"))), 1, 1)
+    when(nibble === "0", "test").when(nibble === "1", "val").otherwise("train")
+  }
+
+  /** Per-split doc/token totals for a corpus under [[splitAssign]]. */
+  def trainSplitReport(docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(splitAssign(col(idCol)).as("split"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  /** Corpus-mix report: per (source, lang) document and token totals plus
+    * each cell's share of global tokens — what a data-mixture/curriculum
+    * designer reads. The global total joins back as a broadcast single row
+    * (no unpartitioned window over the corpus). */
+  def corpusMix(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val cells = docs
+      .select(col("source"), col("lang"), tokenCount(col(textCol)).cast("long").as("t"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+    val total = cells.agg(sum(col("n_tokens")).as("total_tokens"))
+    cells.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total_tokens"), 6).as("token_share"))
+  }
+
   /** TF-IDF top-k terms per document.
     *
     * Shapes for scale: one explode of the token stream, one (doc, term)

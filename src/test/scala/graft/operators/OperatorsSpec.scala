@@ -192,6 +192,56 @@ class OperatorsSpec extends SparkTestBase {
     assert(msPlanted < 4 * msPlain + 4000, s"skew slowed the join: $msPlain ms -> $msPlanted ms")
   }
 
+  test("decontaminate: eval-copying doc flagged, clean doc passes, short docs handled") {
+    import spark.implicits._
+    val eval = Seq((0L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "prefix words then the quick brown fox jumps over the lazy dog indeed"),
+      (11L, "completely unrelated content with nothing shared at all here"),
+      (12L, "tiny doc")) // shorter than n=5 → whole-doc shingle, no collision
+      .toDF("doc_id", "text")
+    val res = TextOps.decontaminate(corpus, eval, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(res(0)._1 == 10L && res(0)._2 == 5L && !res(0)._3,
+      s"5 overlapping 5-grams expected, got ${res(0)}") // 9-token phrase = 5 shared 5-grams
+    assert(res(1) == ((11L, 0L, true)))
+    assert(res(2) == ((12L, 0L, true)))
+  }
+
+  test("repetitionStats: degenerate repetition scores high, varied text low") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam"),                    // 4 tokens, 1 distinct
+      (2L, "all tokens here are fully distinct ones"), // no repetition
+      (3L, "   "),                                     // whitespace-only
+      (4L, "a b a b a b a b"))                         // alternating
+      .toDF("doc_id", "text")
+    val m = TextOps.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(m(1L) == ((4L, 0.75, 1.0, 0.5)), s"got ${m(1L)}") // trigrams: 2 total, 1 distinct
+    assert(m(2L)._2 == 0.0 && m(2L)._3 < 0.2 && m(2L)._4 == 0.0)
+    assert(m(3L) == ((0L, 0.0, 0.0, 0.0)))
+    // 8 tokens / 2 distinct = 0.75 dup; trigrams "a b a"/"b a b" ×3 → 2/6 distinct
+    assert(m(4L) == ((8L, 0.75, 0.5, round4(1.0 - 2.0 / 6))), s"got ${m(4L)}")
+  }
+
+  private def round4(d: Double): Double = math.rint(d * 1e6) / 1e6
+
+  test("splitAssign: deterministic, complete, roughly proportioned") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("doc_id")
+    val once = ids.select(col("doc_id"), TextOps.splitAssign(col("doc_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val again = ids.select(col("doc_id"), TextOps.splitAssign(col("doc_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(once == again, "split must be a pure function of the id")
+    val counts = once.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // expectations 87.5% / 6.25% / 6.25% of 2000 = 1750 / 125 / 125
+    assert(counts("train") > 1600 && counts("test") > 60 && counts("val") > 60, s"$counts")
+  }
+
   test("ngram jaccard: identical docs in same block score 1.0") {
     import spark.implicits._
     val docs = Seq(
