@@ -320,6 +320,17 @@ object SparkEntry {
     "q_langid" -> ((s: SparkSession, d: String) =>
       docs(s, d).select(col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("lang_pred")).orderBy(col("doc_id"))),
+    "q_filter_funnel" -> ((s: SparkSession, d: String) => {
+      // the corpus is uniformly clean, so plant deterministic pathological
+      // docs (identically constructible in SQL, like q_redact_pii): every
+      // 97th doc becomes degenerate repetition, the next one digit noise —
+      // the funnel must route them to their stages
+      val planted = docs(s, d).select(
+        when(col("doc_id") % 97 === 0, repeat(lit("lorem ipsum dolor "), 20))
+          .when(col("doc_id") % 97 === 1, repeat(lit("12 34 56 78 90 "), 8))
+          .otherwise(col("text")).as("text"))
+      TextOps.filterFunnel(planted).orderBy(col("stage"))
+    }),
     "q_train_split" -> ((s: SparkSession, d: String) =>
       // engine-portable deterministic split: md5-nibble of (seed, id) — a
       // re-run can never leak val/test docs into train
@@ -750,6 +761,29 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, n_subwords, alpha_ratio, digit_ratio, mean_tok_len,
          |  stopword_ratio, quality, CASE WHEN best.h = 0 THEN 'und' ELSE best.l END AS lang_pred
          |FROM m ORDER BY doc_id""".stripMargin,
+    "q_filter_funnel" ->
+      """WITH planted AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 97 = 0 THEN repeat('lorem ipsum dolor ', 20)
+        |       WHEN doc_id % 97 = 1 THEN repeat('12 34 56 78 90 ', 8)
+        |       ELSE text END AS text FROM documents),
+        |tk AS (SELECT doc_id, text,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM planted),
+        |s AS (SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0 ELSE CAST(len(toks) AS BIGINT) END AS n_tokens,
+        |  CASE WHEN len(text) = 0 THEN 0.0
+        |       ELSE round(CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / len(text), 6)
+        |  END AS alpha,
+        |  CASE WHEN len(trim(text)) = 0 OR len(toks) < 3 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |              i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE) / (len(toks) - 2)
+        |  END AS duptri
+        |FROM tk)
+        |SELECT stage, count(*) AS n_docs, sum(n_tokens) AS n_tokens FROM (
+        |  SELECT CASE WHEN n_tokens < 20 THEN '1_too_short'
+        |              WHEN alpha < 0.6 THEN '2_low_alpha'
+        |              WHEN duptri > 0.3 THEN '3_repetitive'
+        |              ELSE '4_kept' END AS stage, n_tokens FROM s)
+        |GROUP BY stage ORDER BY stage""".stripMargin,
     "q_train_split" ->
       """WITH t AS (SELECT
         |  CASE substr(md5('split42:' || doc_id), 1, 1)

@@ -197,6 +197,29 @@ object TextOps {
         round(element_at(col("sig"), 4), 6).as("dup_trigram_ratio"))
   }
 
+  /** Quality-filter funnel: assign every document to the FIRST pipeline
+    * stage that rejects it — too_short → low_alpha → repetitive → kept —
+    * and report per-stage doc/token totals. This is the report a pipeline
+    * owner reads before committing a filtering config (how much data does
+    * each rule cost?). One scan, one bounded groupBy; the stage expression
+    * rides the one-pass repetition kernel. */
+  def filterFunnel(docs: DataFrame, minTokens: Int = 20, minAlpha: Double = 0.6,
+      maxDupTrigram: Double = 0.3, textCol: String = "text"): DataFrame = {
+    val sig = graft.expr.TextExpressions.repetitionSignals(col(textCol), 3)
+    val staged = docs.select(
+      tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      alphaRatio(col(textCol)).as("alpha"),
+      element_at(sig, 4).as("duptri"))
+    staged.select(
+        when(col("n_tokens") < minTokens, "1_too_short")
+          .when(col("alpha") < minAlpha, "2_low_alpha")
+          .when(col("duptri") > maxDupTrigram, "3_repetitive")
+          .otherwise("4_kept").as("stage"),
+        col("n_tokens"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
   /** Deterministic train/val/test assignment: the split is a pure function
     * of (seed, doc id) — stable across runs, machines and engines (md5 hex
     * is engine-portable, unlike seeded RNG sampling), so a re-run never

@@ -242,6 +242,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(counts("train") > 1600 && counts("test") > 60 && counts("val") > 60, s"$counts")
   }
 
+  test("filterFunnel: first-rejecting stage wins; totals partition the corpus") {
+    import spark.implicits._
+    val long = (1 to 30).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, "too short"),                                  // < 20 tokens
+      (2L, ("12 34 56 78 90 " * 8).trim),                 // 40 tokens, digits → low alpha
+      (3L, ("lorem ipsum dolor " * 20).trim),             // 60 tokens, repetitive trigrams
+      (4L, long))                                         // clean → kept
+      .toDF("doc_id", "text")
+    val res = TextOps.filterFunnel(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(res.keySet == Set("1_too_short", "2_low_alpha", "3_repetitive", "4_kept"), s"$res")
+    assert(res("1_too_short")._1 == 1 && res("2_low_alpha") == ((1L, 40L)) &&
+      res("3_repetitive") == ((1L, 60L)) && res("4_kept") == ((1L, 30L)), s"$res")
+    // a doc failing several rules lands only in its FIRST stage (counts sum to n)
+    assert(res.values.map(_._1).sum == 4L)
+  }
+
   test("ngram jaccard: identical docs in same block score 1.0") {
     import spark.implicits._
     val docs = Seq(
