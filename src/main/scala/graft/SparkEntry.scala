@@ -331,6 +331,19 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       TextOps.filterFunnel(planted).orderBy(col("stage"))
     }),
+    "q_boilerplate" -> ((s: SparkSession, d: String) => {
+      // the corpus is single-line prose, so plant boilerplate exactly as the
+      // oracle does: every 7th doc gets a newsletter header + copyright
+      // footer, every 5th (non-overlapping) a cookie banner
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+            concat(lit("JOIN OUR NEWSLETTER TODAY\n"), col("text"),
+              lit("\nCopyright 2026 Example Corp. All rights reserved.")))
+          .when(col("doc_id") % 5 === 0,
+            concat(lit("This site uses cookies. Accept all?\n"), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextOps.boilerplateRemove(planted, minDf = 5).orderBy(col("doc_id"))
+    }),
     "q_train_split" -> ((s: SparkSession, d: String) =>
       // engine-portable deterministic split: md5-nibble of (seed, id) — a
       // re-run can never leak val/test docs into train
@@ -784,6 +797,27 @@ object SparkEntry {
         |              WHEN duptri > 0.3 THEN '3_repetitive'
         |              ELSE '4_kept' END AS stage, n_tokens FROM s)
         |GROUP BY stage ORDER BY stage""".stripMargin,
+    "q_boilerplate" ->
+      """WITH planted AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'JOIN OUR NEWSLETTER TODAY' || chr(10) || text
+        |         || chr(10) || 'Copyright 2026 Example Corp. All rights reserved.'
+        |       WHEN doc_id % 5 = 0 THEN 'This site uses cookies. Accept all?' || chr(10) || text
+        |       ELSE text END AS text FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM planted),
+        |ex AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS pos, arr FROM ls),
+        |lines AS (SELECT doc_id, pos, arr[pos] AS line FROM ex),
+        |freq AS (SELECT nline FROM (
+        |    SELECT trim(line) AS nline, count(*) AS df
+        |    FROM (SELECT DISTINCT trim(line) AS line, doc_id FROM lines
+        |          WHERE len(trim(line)) > 0)
+        |    GROUP BY 1) WHERE df >= 5)
+        |SELECT l.doc_id,
+        |  sum(CASE WHEN f.nline IS NULL THEN 1 ELSE 0 END) AS kept_lines,
+        |  sum(CASE WHEN f.nline IS NULL THEN 0 ELSE 1 END) AS dropped_lines,
+        |  md5(coalesce(string_agg(CASE WHEN f.nline IS NULL THEN l.line END,
+        |        chr(10) ORDER BY l.pos), '')) AS clean_md5
+        |FROM lines l LEFT JOIN freq f ON trim(l.line) = f.nline
+        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
     "q_train_split" ->
       """WITH t AS (SELECT
         |  CASE substr(md5('split42:' || doc_id), 1, 1)

@@ -220,6 +220,41 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
   }
 
+  /** CCNet/RefinedWeb-style boilerplate line removal: a line whose trimmed
+    * form appears in >= minDf distinct documents is boilerplate (nav menus,
+    * cookie banners, copyright footers) and is dropped from every document
+    * it appears in. Returns per-doc kept/dropped line counts plus an md5 of
+    * the cleaned text (lines rejoined in original order).
+    *
+    * Scale shape: the frequent-line table is small BY CONSTRUCTION — a line
+    * must repeat across >= minDf documents to qualify, so its distinct count
+    * is at most corpus_lines/minDf and in practice tiny — which makes the
+    * drop step a broadcast left-anti lookup (no shuffle of the corpus, no
+    * skew: hot boilerplate lines hit a hash map). The df computation is two
+    * map-side-combinable aggregations; whitespace-only lines are excluded
+    * from the frequent set (they'd always qualify). */
+  def boilerplateRemove(docs: DataFrame, minDf: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val freq = lines.select(trim(col("line")).as("nline"), col(idCol))
+      .where(length(col("nline")) > 0)
+      .distinct() // (line, doc) pairs; partial agg absorbs hot lines
+      .groupBy(col("nline")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select("nline")
+    val tagged = lines.join(broadcast(freq), trim(col("line")) === col("nline"), "left")
+    // kept lines, original order: collect_list drops the nulls the `when`
+    // produces for boilerplate rows; array_sort orders by pos (unique/doc)
+    val kept = array_sort(collect_list(
+      when(col("nline").isNull, struct(col("pos"), col("line")))))
+    tagged.groupBy(col(idCol))
+      .agg(
+        sum(when(col("nline").isNull, 1L).otherwise(0L)).as("kept_lines"),
+        sum(when(col("nline").isNotNull, 1L).otherwise(0L)).as("dropped_lines"),
+        md5(concat_ws("\n", transform(kept, s => s.getField("line")))).as("clean_md5"))
+  }
+
   /** Deterministic train/val/test assignment: the split is a pure function
     * of (seed, doc id) — stable across runs, machines and engines (md5 hex
     * is engine-portable, unlike seeded RNG sampling), so a re-run never

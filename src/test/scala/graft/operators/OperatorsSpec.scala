@@ -260,6 +260,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(res.values.map(_._1).sum == 4L)
   }
 
+  test("boilerplateRemove: frequent lines dropped, order preserved, md5 stable") {
+    import spark.implicits._
+    val footer = "(c) 2026 Example Corp"
+    // footer in 5 docs (= minDf), unique bodies; doc 6 clean; doc 7 footer-only
+    val docs = ((1L to 5L).map(i => (i, s"body $i line one\nbody $i line two\n$footer")) ++
+      Seq((6L, "clean solo document"), (7L, footer))).toDF("doc_id", "text")
+    val res = TextOps.boilerplateRemove(docs, minDf = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    (1L to 5L).foreach { i =>
+      assert(res(i)._1 == 2 && res(i)._2 == 1, s"doc $i: ${res(i)}")
+      val expect = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"body $i line one\nbody $i line two".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(res(i)._3 == expect, s"doc $i md5 mismatch")
+    }
+    assert(res(6L)._1 == 1 && res(6L)._2 == 0)   // untouched
+    assert(res(7L) == ((0L, 1L, // everything dropped → md5 of empty string
+      "d41d8cd98f00b204e9800998ecf8427e")), s"${res(7L)}")
+    // one doc below the df threshold keeps its (now infrequent) footer
+    val below = TextOps.boilerplateRemove(docs.filter($"doc_id" <= 4 || $"doc_id" === 6), minDf = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(below.values.sum == 0, s"df=4 < minDf must drop nothing: $below")
+  }
+
   test("ngram jaccard: identical docs in same block score 1.0") {
     import spark.implicits._
     val docs = Seq(
