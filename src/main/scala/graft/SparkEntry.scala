@@ -478,7 +478,10 @@ object SparkEntry {
     "q_stream_enrich" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamingOps.enrichStream(s, d)),
     "q_stream_runmax" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamingOps.runningMaxStream(s, d))
+      graft.streaming.StreamingOps.runningMaxStream(s, d)),
+    "q_stream_attribution" -> ((s: SparkSession, d: String) =>
+      // watermarked stream-stream join: views ⋈ purchases within 6h per user
+      graft.streaming.StreamingOps.attributionStream(s, d))
   )
 
   // ---------- DuckDB oracle SQL ----------
@@ -1030,6 +1033,18 @@ object SparkEntry {
     "q_stream_runmax" ->
       """SELECT user_id, round(max(value), 4) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_stream_attribution" ->
+      // micros truncation mirrors the engine's nanos→micros read path, so
+      // the horizon boundary is compared at identical precision
+      """WITH v AS (SELECT event_id AS view_id, user_id, epoch_ns(ts) // 1000 AS v_us
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_ns(ts) // 1000 AS p_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, view_id, purchase_id,
+        |  round((p_us - v_us) / 60000000.0, 4) AS delay_min
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p_us > v_us AND p_us <= v_us + 21600000000
+        |ORDER BY view_id, purchase_id""".stripMargin,
     "q_stream_enrich" ->
       """SELECT c_nationkey, event_type, count(*) AS cnt,
         |  round(sum(value), 3) AS sum_value

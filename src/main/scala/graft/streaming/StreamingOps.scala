@@ -154,6 +154,54 @@ object StreamingOps {
     out.orderBy(col("user_id"))
   }
 
+  /** Watermarked stream-stream inner join core: views attributed to the
+    * purchases that follow them (same user) within `horizonHours`. Both
+    * sides carry event-time watermarks AND the join condition bounds the
+    * time skew — the two ingredients Spark needs to expire join state
+    * instead of buffering both streams forever. Exposed separately so
+    * multi-batch MemoryStream tests can drive it directly. */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+      horizonHours: Int): DataFrame =
+    views.withWatermark("view_ts", "1 hour")
+      .join(purchases.withWatermark("purchase_ts", "1 hour"),
+        expr(s"user_id = p_user AND purchase_ts > view_ts" +
+          s" AND purchase_ts <= view_ts + INTERVAL $horizonHours HOURS"))
+
+  /** Streaming view→purchase attribution over the events stream: the
+    * canonical ad-attribution stream-stream join (impressions ⋈ conversions
+    * within a horizon). State per side is bounded by watermark + horizon;
+    * on a real cluster the state store shards by user_id. AvailableNow over
+    * history makes the result equal to the batch time-range join, so it
+    * oracle-checks in SQL (on micro-truncated timestamps, matching the
+    * engine's nanos→micros read path). */
+  def attributionStream(spark: SparkSession, dir: String,
+      horizonHours: Int = 6): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").format("parquet").load(dir)
+    val views = events.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("view_ts"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        timestamp_micros(expr("ts div 1000")).as("purchase_ts"))
+    val joined = attributionJoin(views, purchases, horizonHours)
+    val name = s"attribution_${System.nanoTime()}"
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (out, _) = org.apache.spark.sql.GraftShim.materialize(
+      spark.table(name).select(col("user_id"), col("view_id"), col("purchase_id"),
+        round((unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          / lit(60000000.0), 4).as("delay_min")))
+    spark.catalog.dropTempView(name)
+    out.orderBy(col("view_id"), col("purchase_id"))
+  }
+
   /** Per-user session state carried across micro-batches. */
   final case class SessionState(lastTsMs: Long, sessions: Long)
 

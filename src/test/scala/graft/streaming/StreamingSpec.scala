@@ -111,6 +111,47 @@ class StreamingSpec extends SparkTestBase {
     assert(emitted == Seq(("2024-01-01 10:00:00", 2L)), s"got $emitted")
   }
 
+  test("stream-stream attribution join buffers state across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("attr").toString
+    Seq((10L, 1L, "2024-01-01 10:00:00"), (11L, 2L, "2024-01-01 10:00:00"))
+      .toDF("view_id", "user_id", "s")
+      .select(col("view_id"), col("user_id"), to_timestamp(col("s")).as("view_ts"))
+      .coalesce(1).write.parquet(s"$dir/views/b1")
+    // purchases arrive over two micro-batches: user 2 in batch 1 (in
+    // horizon), user 1 in batch 2 — its matching view is a batch behind, so
+    // the join only fires if view-side state survived the boundary. The
+    // 20:00 purchase is beyond the 6h horizon and must not match.
+    Seq((20L, 2L, "2024-01-01 11:00:00"))
+      .toDF("purchase_id", "p_user", "s")
+      .select(col("purchase_id"), col("p_user"), to_timestamp(col("s")).as("purchase_ts"))
+      .coalesce(1).write.parquet(s"$dir/purch/b1")
+    Seq((21L, 1L, "2024-01-01 12:00:00"), (22L, 1L, "2024-01-01 20:00:00"))
+      .toDF("purchase_id", "p_user", "s")
+      .select(col("purchase_id"), col("p_user"), to_timestamp(col("s")).as("purchase_ts"))
+      .coalesce(1).write.parquet(s"$dir/purch/b2")
+    val vSchema = spark.read.parquet(s"$dir/views/b1").schema
+    val pSchema = spark.read.parquet(s"$dir/purch/b1").schema
+    val views = spark.readStream.schema(vSchema)
+      .option("recursiveFileLookup", "true").format("parquet").load(s"$dir/views")
+    val purchases = spark.readStream.schema(pSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").format("parquet").load(s"$dir/purch")
+    val name = s"attr_test_${System.nanoTime()}"
+    val q = StreamingOps.attributionJoin(views, purchases, horizonHours = 6)
+      .select(col("view_id"), col("purchase_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    val emitted = spark.table(name).as[(Long, Long)].collect().toSeq.sorted
+    spark.catalog.dropTempView(name)
+    assert(nBatches >= 2, s"expected the purchases to span micro-batches, got $nBatches")
+    assert(emitted == Seq((10L, 21L), (11L, 20L)), s"got $emitted")
+  }
+
   test("stateful streaming sessionization matches batch session counts") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingOps.sessionizeStream(spark, sf()).collect()
