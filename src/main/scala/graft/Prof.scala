@@ -36,6 +36,22 @@ object Prof {
       }
     }
 
+    // ObjectHashAggregate sort-fallback hypothesis for q_adjacency_list:
+    // default fallbackThreshold=128 distinct keys per partition vs raised
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    def adjacency(): Unit = orders.groupBy(col("o_custkey"))
+      .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("orderkeys"),
+        count(lit(1)).as("degree"))
+      .orderBy(col("o_custkey"))
+      .write.format("noop").mode("overwrite").save()
+    for (round <- 1 to 3) {
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+      time(s"adjacency fb=128  #$round")(adjacency())
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      time(s"adjacency fb=1M   #$round")(adjacency())
+      spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+    }
+
     for (round <- 1 to 3) {
       time(s"md5 pair      #$round") {
         docs.select(col("doc_id"),
