@@ -103,6 +103,62 @@ object Similarity {
     cents
   }
 
+  /** Fully distributed spherical k-means (Lloyd): assignment and per-dim
+    * averaging run over the WHOLE corpus as DataFrame aggregations — no
+    * sample, no driver-side math over corpus rows. Driver state per round is
+    * the k×dim centroid table only (the bounded state every distributed
+    * k-means rebroadcasts). This is the fitter to use when the corpus is too
+    * skewed for a 2k-row sample to see every region — the caveat the
+    * sample fitter ([[kmeansCentroids]]) carries.
+    *
+    * Per round: broadcast-crossJoin argmin (narrow rows, map-side-combining
+    * min_by; the wide vector rides `first()` which partial-aggregates before
+    * the shuffle), then per-(centroid, dim) averages — the same
+    * hot-group-spreading shuffle key as the embedding-centroid operator.
+    * Empty clusters keep their previous position. */
+  def kmeansCentroidsDistributed(
+      corpus: DataFrame,
+      nCentroids: Int,
+      iters: Int = 5,
+      seed: Long = 42L): Array[Array[Double]] = {
+    import corpus.sparkSession.implicits._
+    val nrm = Distances.norm(col("cv"))
+    // normalize ONCE and cache: every Lloyd round scans this frame, and the
+    // interpreted normalize lambda must not be re-inlined into each round's
+    // distance expressions (the CollapseProject trap measured in round 1)
+    val unit = corpus.select(col("cid"),
+        when(nrm > 0, transform(col("cv"), x => x / nrm)).otherwise(col("cv")).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents = unit.orderBy(xxhash64(col("cid"), lit(seed))).limit(nCentroids)
+        .select(col("cv")).as[Array[Double]].collect() // k×dim bounded seed state
+      val k = cents.length
+      var it = 0
+      while (it < iters) {
+        val centsDf = cents.zipWithIndex
+          .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("centroid_id", "centroid")
+        val assigned = unit.crossJoin(broadcast(centsDf))
+          .select(col("cid"), col("cv"),
+            Distances.cosineDistance(col("cv"), col("centroid")).as("d"), col("centroid_id"))
+          .groupBy(col("cid"))
+          .agg(min_by(col("centroid_id"), struct(col("d"), col("centroid_id"))).as("centroid_id"),
+            first(col("cv")).as("cv"))
+        val means = assigned
+          .select(col("centroid_id"), posexplode(col("cv")).as(Seq("pos", "v")))
+          .groupBy(col("centroid_id"), col("pos")).agg(avg(col("v")).as("m"))
+          .collect() // k×dim rows — bounded centroid state, not corpus data
+        val next = cents.map(_.clone())
+        means.foreach(r => next(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2))
+        cents = next.map { v =>
+          val n = math.sqrt(v.map(x => x * x).sum)
+          if (n > 0) v.map(_ / n) else v
+        }
+        it += 1
+      }
+      cents
+    } finally unit.unpersist(blocking = false)
+  }
+
   /** IVF top-k: assign corpus rows to their nearest centroid, probe the
     * `nProbe` nearest centroids per query, exact rerank inside the probed
     * buckets only.
@@ -117,10 +173,17 @@ object Similarity {
       corpus: DataFrame,    // (cid, cv)
       nCentroids: Int = 16,
       nProbe: Int = 4,
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      distributedFit: Boolean = false,
+      precomputed: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = kmeansCentroids(corpus, nCentroids)
+    // centroids are an index: fit once (either fitter), reuse across calls
+    val fitted = precomputed.getOrElse {
+      if (distributedFit) kmeansCentroidsDistributed(corpus, nCentroids)
+      else kmeansCentroids(corpus, nCentroids)
+    }
+    val cents = fitted
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
       .toDF("centroid_id", "centroid")
 

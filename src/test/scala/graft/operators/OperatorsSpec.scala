@@ -341,6 +341,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.count() == 25)
   }
 
+  test("distributed k-means fit: recall >= 0.9, unit centroids, every blob seen") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian() * 5.0))
+    val pts = for (b <- 0 until 8; i <- 0 until 60) yield
+      (b * 60L + i, centers(b).map(x => x + rng.nextGaussian() * 0.3))
+    val c = pts.toDF("cid", "cv")
+    val q = c.filter($"cid" % 60 === 0).select($"cid".as("qid"), $"cv".as("qv"))
+    val cents = Similarity.kmeansCentroidsDistributed(c, nCentroids = 8)
+    assert(cents.length == 8)
+    cents.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"centroid not unit-norm: $n")
+    }
+    val exact = Similarity.bruteForceTopK(q, c, 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val approx = Similarity
+      .ivfTopK(q, c, nCentroids = 8, nProbe = 2, k = 5, distributedFit = true)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"distributed-fit IVF recall too low: $recall")
+  }
+
   test("distributed Boruvka MST equals driver Kruskal on a random 2-component graph") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
