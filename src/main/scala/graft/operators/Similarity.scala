@@ -159,26 +159,28 @@ object Similarity {
     } finally unit.unpersist(blocking = false)
   }
 
-  /** IVF top-k: assign corpus rows to their nearest centroid, probe the
-    * `nProbe` nearest centroids per query, exact rerank inside the probed
-    * buckets only.
+  /** A built IVF index: the centroid table plus the corpus bucketed by its
+    * nearest centroid. In a deployment both halves persist (the assignment
+    * is a parquet table partitioned by centroid_id); searches then touch
+    * only the probed buckets. */
+  final case class IvfIndex(centroids: DataFrame /* (centroid_id, centroid) */ ,
+      assigned: DataFrame /* (centroid_id, cid, cv) */)
+
+  /** Build the IVF index: fit centroids (sample or distributed Lloyd) and
+    * assign every corpus row to its nearest one.
     *
     * The corpus→centroid argmin is a narrow-row `min_by` aggregate with
     * map-side combine (same J1 shape as `Hdbscan`'s assignment join) — NOT a
     * window partitioned per corpus row, which would shuffle the full corpus
     * to evaluate a per-row minimum (VERDICT r1 wrong #5).
     */
-  def ivfTopK(
-      queries: DataFrame,   // (qid, qv)
-      corpus: DataFrame,    // (cid, cv)
+  def buildIvfIndex(
+      corpus: DataFrame,   // (cid, cv)
       nCentroids: Int = 16,
-      nProbe: Int = 4,
-      k: Int = 10,
       distributedFit: Boolean = false,
-      precomputed: Option[Array[Array[Double]]] = None): DataFrame = {
+      precomputed: Option[Array[Array[Double]]] = None): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // centroids are an index: fit once (either fitter), reuse across calls
     val fitted = precomputed.getOrElse {
       if (distributedFit) kmeansCentroidsDistributed(corpus, nCentroids)
       else kmeansCentroids(corpus, nCentroids)
@@ -186,9 +188,6 @@ object Similarity {
     val cents = fitted
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
       .toDF("centroid_id", "centroid")
-
-    // corpus → nearest centroid: narrow (cid, centroid_id, d) rows through a
-    // map-side-combining min_by, winner joined back to the wide rows.
     // Cosine distance (centroids are unit vectors) — same metric the rerank
     // uses, so bucket geometry matches the search.
     val bestCent = corpus.crossJoin(broadcast(cents))
@@ -198,11 +197,17 @@ object Similarity {
       .agg(min_by(col("centroid_id"), struct(col("d"), col("centroid_id"))).as("centroid_id"))
     val assigned = corpus.join(bestCent, "cid")
       .select(col("centroid_id"), col("cid"), col("cv"))
+    IvfIndex(cents, assigned)
+  }
 
+  /** Search a built index: probe the `nProbe` nearest centroids per query,
+    * exact rerank inside the probed buckets only. */
+  def ivfSearch(queries: DataFrame, index: IvfIndex, nProbe: Int = 4,
+      k: Int = 10): DataFrame = {
     // query → nProbe nearest centroids (window fine: partitions by qid, and
     // the query side is small by contract)
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("d"), col("centroid_id"))
-    val probes = queries.crossJoin(broadcast(cents))
+    val probes = queries.crossJoin(broadcast(index.centroids))
       .select(col("qid"), col("qv"), col("centroid_id"),
         Distances.cosineDistance(col("qv"), col("centroid")).as("d"))
       .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
@@ -210,7 +215,7 @@ object Similarity {
 
     // rerank within probed buckets
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))
-    probes.join(assigned, Seq("centroid_id"))
+    probes.join(index.assigned, Seq("centroid_id"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         round(Distances.cosineSimilarity(col("qv"), col("cv")), 6).as("cos_sim"))
@@ -218,4 +223,17 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn").as("rank"), col("cid"), col("cos_sim"))
   }
+
+  /** IVF top-k convenience: build (or reuse `precomputed` centroids) then
+    * search in one call. */
+  def ivfTopK(
+      queries: DataFrame,   // (qid, qv)
+      corpus: DataFrame,    // (cid, cv)
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      k: Int = 10,
+      distributedFit: Boolean = false,
+      precomputed: Option[Array[Array[Double]]] = None): DataFrame =
+    ivfSearch(queries,
+      buildIvfIndex(corpus, nCentroids, distributedFit, precomputed), nProbe, k)
 }
