@@ -21,11 +21,15 @@ object Prof {
       println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       SessionHygiene.sweep(spark)
     }
+    // section selection: no args = all; else run only named sections, so an
+    // A/B can be measured in a fresh JVM without the other sections' heap
+    def section(name: String)(body: => Unit): Unit =
+      if (args.isEmpty || args.contains(name)) body
 
     // ranking-stage A/B for the prefix-AllPairs join (VERDICT r2 wrong #3):
     // aggregate (sort_array(collect_list)) vs window (row_number) plans,
     // proven output-identical in OperatorsSpec
-    for (round <- 1 to 2) {
+    section("rank") { for (round <- 1 to 2) {
       time(s"ngram agg-rank  #$round") {
         graft.operators.Dedup.ngramJaccardPairsPrefix(docs, "source")
           .write.format("noop").mode("overwrite").save()
@@ -34,10 +38,44 @@ object Prof {
         graft.operators.Dedup.ngramJaccardPairsPrefix(docs, "source", windowRanking = true)
           .write.format("noop").mode("overwrite").save()
       }
+    } }
+
+    // verify-stage A/B for the n-gram Jaccard join: size(array_intersect)
+    // (hash set + materialized intersection array) vs sort_array + codegen
+    // merge-count — the sort cost is charged to the merge variant, so a win
+    // here is a lower bound on the operator-integrated win
+    section("verify") {
+      val (sh0, cand0) = graft.operators.Dedup.prefixCandidates(docs, "source")
+      val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"verify A/B over ${cand.count()} candidates, ${sh.count()} docs")
+      def joined(s: org.apache.spark.sql.DataFrame) = cand
+        .join(s.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a")),
+          Seq("block", "id_a"))
+        .join(s.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b")),
+          Seq("block", "id_b"))
+      def finish(d: org.apache.spark.sql.DataFrame) = d
+        .withColumn("jaccard", round(col("common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
+        .filter(col("jaccard") >= 0.3)
+        .write.format("noop").mode("overwrite").save()
+      for (round <- 1 to 3) {
+        time(s"verify intersect #$round") {
+          finish(joined(sh)
+            .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b")))))
+        }
+        time(s"verify mergecnt  #$round") {
+          finish(joined(sh.withColumn("sh", sort_array(col("sh"))))
+            .withColumn("common", graft.expr.TextExpressions
+              .sortedIntersectCount(col("sh_a"), col("sh_b"))))
+        }
+      }
+      sh.unpersist(blocking = false); cand.unpersist(blocking = false)
     }
 
     // ObjectHashAggregate sort-fallback hypothesis for q_adjacency_list:
     // default fallbackThreshold=128 distinct keys per partition vs raised
+    section("adjacency") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     def adjacency(): Unit = orders.groupBy(col("o_custkey"))
       .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("orderkeys"),
@@ -50,9 +88,9 @@ object Prof {
       spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       time(s"adjacency fb=1M   #$round")(adjacency())
       spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
-    }
+    } }
 
-    for (round <- 1 to 3) {
+    section("fingerprint") { for (round <- 1 to 3) {
       time(s"md5 pair      #$round") {
         docs.select(col("doc_id"),
             TextOps.fullMd5(col("text")).as("full_md5"),
@@ -67,7 +105,7 @@ object Prof {
           .orderBy(col("doc_id"))
           .write.format("noop").mode("overwrite").save()
       }
-    }
+    } }
     spark.stop()
   }
 }

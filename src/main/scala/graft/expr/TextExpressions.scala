@@ -1,10 +1,10 @@
 package graft.expr
 
 import org.apache.spark.sql.{Column, GraftShim}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression, XXH64, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass text kernels behind native codegen Expressions.
@@ -216,6 +216,28 @@ object TextKernels {
     var i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Intersection size of two ASCENDING-SORTED distinct long arrays: one
+    * merge pass, zero allocation — the verify-stage replacement for
+    * `size(array_intersect(a, b))`, which builds a hash set AND materializes
+    * the intersection array just to take its length. Caller contract: both
+    * inputs sorted ascending and duplicate-free (e.g. `sort_array` over the
+    * shingle-hash sets). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val la = a.numElements()
+    val lb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < la && j < lb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
   }
 
   /** Word `n`-gram shingles as STRINGS, occurrences included — the
@@ -452,6 +474,22 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd merge-count over two sorted distinct long arrays — see
+  * `TextKernels.sortedIntersectCount` for the caller contract. */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_count"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expr.TextKernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Codegen'd one-pass 64-bit SimHash. */
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -485,4 +523,7 @@ object TextExpressions {
     GraftShim.column(MinHashSigExpr(GraftShim.expression(shingleHashes), numHashes))
   def simhash64(text: Column): Column =
     GraftShim.column(SimHash64Expr(GraftShim.expression(text)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftShim.column(SortedIntersectCountExpr(
+      GraftShim.expression(a), GraftShim.expression(b)))
 }

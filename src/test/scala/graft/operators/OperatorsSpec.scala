@@ -284,6 +284,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(below.values.sum == 0, s"df=4 < minDf must drop nothing: $below")
   }
 
+  test("sortedIntersectCount equals size(array_intersect) on random sorted sets") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    val rows = Seq.tabulate(300) { i =>
+      val a = Seq.fill(rng.nextInt(40))(rng.nextInt(60).toLong).distinct.sorted
+      val b = Seq.fill(rng.nextInt(40))(rng.nextInt(60).toLong).distinct.sorted
+      (i, a, b)
+    }
+    val df = rows.toDF("i", "a", "b")
+    val got = df.select(col("i"),
+        graft.expr.TextExpressions.sortedIntersectCount(col("a"), col("b")).as("m"),
+        size(array_intersect(col("a"), col("b"))).as("r"))
+      .collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(2), s"row ${r.getInt(0)}"))
+    // empty sides
+    val e = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+      .select(graft.expr.TextExpressions.sortedIntersectCount(col("a"), col("b")))
+      .collect()(0).getInt(0)
+    assert(e == 0)
+  }
+
   test("ngram jaccard: identical docs in same block score 1.0") {
     import spark.implicits._
     val docs = Seq(
