@@ -152,6 +152,65 @@ class StreamingSpec extends SparkTestBase {
     assert(emitted == Seq((10L, 21L), (11L, 20L)), s"got $emitted")
   }
 
+  test("attribution join state is watermark-bounded: expired views evict") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("attr_wm").toString
+    // the GLOBAL watermark is the MIN across both inputs' watermarks, so the
+    // view side must advance too: the unrelated 20:30 view keeps the view
+    // watermark from pinning the global one at 9:00
+    Seq((10L, 1L, "2024-01-01 10:00:00"), (99L, 8L, "2024-01-01 20:30:00"))
+      .toDF("view_id", "user_id", "s")
+      .select(col("view_id"), col("user_id"), to_timestamp(col("s")).as("view_ts"))
+      .coalesce(1).write.parquet(s"$dir/views/b1")
+    // watermark timeline (same 3-batch shape as the aggregation watermark
+    // test — cleanup runs a batch AFTER the watermark passes, and only a
+    // straggler arriving behind CLEANED-UP state is guaranteed dropped):
+    // batch 1 (purchase 20:00) → watermark 19:00, past the 10:00 view's
+    // horizon end (16:00); batch 2 (purchase 20:05) runs under it and
+    // evicts the view's state; batch 3's 15:00 purchase would have matched
+    // inside the horizon but arrives behind evicted state — no pair emits.
+    Seq((20L, 9L, "2024-01-01 20:00:00"))
+      .toDF("purchase_id", "p_user", "s")
+      .select(col("purchase_id"), col("p_user"), to_timestamp(col("s")).as("purchase_ts"))
+      .coalesce(1).write.parquet(s"$dir/purch/b1")
+    Thread.sleep(1200) // distinct mtimes: the file source orders batches by them
+    Seq((22L, 9L, "2024-01-01 20:05:00"))
+      .toDF("purchase_id", "p_user", "s")
+      .select(col("purchase_id"), col("p_user"), to_timestamp(col("s")).as("purchase_ts"))
+      .coalesce(1).write.parquet(s"$dir/purch/b2")
+    Thread.sleep(1200)
+    Seq((21L, 1L, "2024-01-01 15:00:00"))
+      .toDF("purchase_id", "p_user", "s")
+      .select(col("purchase_id"), col("p_user"), to_timestamp(col("s")).as("purchase_ts"))
+      .coalesce(1).write.parquet(s"$dir/purch/b3")
+    val vSchema = spark.read.parquet(s"$dir/views/b1").schema
+    val pSchema = spark.read.parquet(s"$dir/purch/b1").schema
+    val views = spark.readStream.schema(vSchema)
+      .option("recursiveFileLookup", "true").format("parquet").load(s"$dir/views")
+    val purchases = spark.readStream.schema(pSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").format("parquet").load(s"$dir/purch")
+    val name = s"attr_wm_${System.nanoTime()}"
+    val q = StreamingOps.attributionJoin(views, purchases, horizonHours = 6)
+      .select(col("view_id"), col("purchase_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val emitted = spark.table(name).as[(Long, Long)].collect().toSeq
+    val progress = q.recentProgress
+    val dropped = progress.flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    val finalState = progress.flatMap(_.stateOperators).map(_.numRowsTotal).lastOption
+    spark.catalog.dropTempView(name)
+    assert(emitted.isEmpty, s"evicted view must not match: $emitted")
+    assert(dropped >= 1, s"the late 15:00 purchase should be watermark-dropped, got $dropped")
+    // 5 input rows entered; the evicted 10:00 view and the dropped purchase
+    // must not sit in the store — at most the live 20:30 view + two live
+    // purchases remain
+    assert(finalState.exists(_ <= 3), s"join state not bounded: $finalState")
+  }
+
   test("stateful streaming sessionization matches batch session counts") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingOps.sessionizeStream(spark, sf()).collect()
