@@ -344,6 +344,9 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       TextOps.boilerplateRemove(planted, minDf = 5).orderBy(col("doc_id"))
     }),
+    "q_unigram_logprob" -> ((s: SparkSession, d: String) =>
+      // perplexity-proxy quality score under a corpus-trained unigram model
+      TextOps.unigramLogProb(docs(s, d)).orderBy(col("doc_id"))),
     "q_train_split" -> ((s: SparkSession, d: String) =>
       // engine-portable deterministic split: md5-nibble of (seed, id) — a
       // re-run can never leak val/test docs into train
@@ -821,6 +824,17 @@ object SparkEntry {
         |        chr(10) ORDER BY l.pos), '')) AS clean_md5
         |FROM lines l LEFT JOIN freq f ON trim(l.line) = f.nline
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |t AS (SELECT doc_id, tok FROM tk WHERE len(tok) > 0),
+        |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS total FROM c)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  round(avg(ln(CAST(c.cnt AS DOUBLE) / total)), 6) AS logprob
+        |FROM t JOIN c USING (tok) CROSS JOIN tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q_train_split" ->
       """WITH t AS (SELECT
         |  CASE substr(md5('split42:' || doc_id), 1, 1)

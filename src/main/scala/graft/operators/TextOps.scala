@@ -255,6 +255,30 @@ object TextOps {
         md5(concat_ws("\n", transform(kept, s => s.getField("line")))).as("clean_md5"))
   }
 
+  /** Unigram log-probability score — the perplexity-proxy quality filter
+    * (CCNet-style): per-doc mean ln(count(token)/total) under a unigram
+    * model trained on the corpus itself. Natural prose lands in a stable
+    * band; gibberish and rare-token soup score low, degenerate repetition
+    * of common tokens scores suspiciously high — both tails get reviewed.
+    *
+    * Scale shape: one explode + token-count aggregation (map-side combine;
+    * vocabulary-sized result, bounded by language not corpus), then a
+    * BROADCAST join of tokens→counts (hot stopword tokens hit a hash map,
+    * never a shuffle key) and a per-doc average. Docs with no tokens are
+    * omitted (they have no model probability). */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    toks.join(broadcast(counts), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt").cast("double") / col("total"))), 6).as("logprob"))
+  }
+
   /** Deterministic train/val/test assignment: the split is a pure function
     * of (seed, doc id) — stable across runs, machines and engines (md5 hex
     * is engine-portable, unlike seeded RNG sampling), so a re-run never

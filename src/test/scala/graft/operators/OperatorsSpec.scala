@@ -305,6 +305,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(e == 0)
   }
 
+  test("unigramLogProb: hand-computed scores; rare-token docs score lower") {
+    import spark.implicits._
+    // counts: a=3, b=2, total=5
+    val docs = Seq((1L, "a a a b"), (2L, "b"), (3L, "   ")).toDF("doc_id", "text")
+    val m = TextOps.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val r6 = (d: Double) => math.rint(d * 1e6) / 1e6
+    assert(m(1L) == ((4L, r6((3 * math.log(3.0 / 5) + math.log(2.0 / 5)) / 4))), s"${m(1L)}")
+    assert(m(2L) == ((1L, r6(math.log(2.0 / 5)))), s"${m(2L)}")
+    assert(!m.contains(3L), "token-free docs have no model probability")
+    assert(m(1L)._2 > m(2L)._2, "common-token doc must outscore the rarer one")
+  }
+
   test("ngram jaccard: identical docs in same block score 1.0") {
     import spark.implicits._
     val docs = Seq(
