@@ -353,6 +353,12 @@ object SparkEntry {
       TextOps.trainSplitReport(docs(s, d)).orderBy(col("split"))),
     "q_corpus_mix" -> ((s: SparkSession, d: String) =>
       TextOps.corpusMix(docs(s, d)).orderBy(col("source"), col("lang"))),
+    "q_resample_mix" -> ((s: SparkSession, d: String) =>
+      // rebalance: halve src0, quarter src1, keep the rest — deterministic
+      // md5-uniform, so the exact kept row set is the oracle contract
+      TextOps.resampleByRate(docs(s, d), Map("src0" -> 0.5, "src1" -> 0.25))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
     "q_decontaminate" -> ((s: SparkSession, d: String) => {
       // pre-training hygiene: docs 0-19 stand in for a benchmark/eval set;
       // every remaining corpus doc is scored by how many of its word
@@ -824,6 +830,12 @@ object SparkEntry {
         |        chr(10) ORDER BY l.pos), '')) AS clean_md5
         |FROM lines l LEFT JOIN freq f ON trim(l.line) = f.nline
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
+    "q_resample_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(('0x' || substr(md5('mix42:' || doc_id), 1, 8)) AS BIGINT)
+        |    / 4294967296.0
+        |  < (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25 ELSE 1.0 END)
+        |ORDER BY doc_id""".stripMargin,
     "q_unigram_logprob" ->
       """WITH tk AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok

@@ -298,6 +298,24 @@ object TextOps {
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
 
+  /** Deterministic mix resampling: keep each doc with per-source probability
+    * `rates(source)` (sources not listed keep everything). The decision is
+    * an engine-portable uniform — the first 8 md5 hex nibbles of (seed, id)
+    * over 16^8 — so it is a pure function of (seed, id): re-runs and other
+    * engines keep EXACTLY the same rows (no seeded-RNG drift), and it
+    * composes with [[splitAssign]] without correlation (different seed).
+    * One scan, zero shuffle; at 100 TB this is a pushdown-friendly filter. */
+  def resampleByRate(docs: DataFrame, rates: Map[String, Double],
+      seed: String = "mix42", sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val u = conv(substring(md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long").cast("double") / math.pow(16, 8)
+    val rate = rates.foldLeft(lit(1.0)) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    docs.where(u < rate)
+  }
+
   /** Corpus-mix report: per (source, lang) document and token totals plus
     * each cell's share of global tokens — what a data-mixture/curriculum
     * designer reads. The global total joins back as a broadcast single row

@@ -305,6 +305,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(e == 0)
   }
 
+  test("resampleByRate: deterministic, per-source rates, unlisted sources intact") {
+    import spark.implicits._
+    val docs = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val once = TextOps.resampleByRate(docs, Map("a" -> 0.25))
+      .as[(Long, String)].collect().toSet
+    val again = TextOps.resampleByRate(docs, Map("a" -> 0.25))
+      .as[(Long, String)].collect().toSet
+    assert(once == again, "resample must be a pure function of (seed, id)")
+    val byS = once.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byS("b") == 2000, "unlisted source must keep every row")
+    assert(byS("a") > 350 && byS("a") < 650, s"a-rate ~0.25 of 2000, got ${byS("a")}")
+    // a different seed draws a different (but still deterministic) sample
+    val other = TextOps.resampleByRate(docs, Map("a" -> 0.25), seed = "mix43")
+      .as[(Long, String)].collect().toSet
+    assert(other != once)
+  }
+
   test("unigramLogProb: hand-computed scores; rare-token docs score lower") {
     import spark.implicits._
     // counts: a=3, b=2, total=5
