@@ -803,7 +803,7 @@ object SparkEntry {
         |              i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE) / (len(toks) - 2)
         |  END AS duptri
         |FROM tk)
-        |SELECT stage, count(*) AS n_docs, sum(n_tokens) AS n_tokens FROM (
+        |SELECT stage, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM (
         |  SELECT CASE WHEN n_tokens < 20 THEN '1_too_short'
         |              WHEN alpha < 0.6 THEN '2_low_alpha'
         |              WHEN duptri > 0.3 THEN '3_repetitive'
@@ -824,8 +824,8 @@ object SparkEntry {
         |          WHERE len(trim(line)) > 0)
         |    GROUP BY 1) WHERE df >= 5)
         |SELECT l.doc_id,
-        |  sum(CASE WHEN f.nline IS NULL THEN 1 ELSE 0 END) AS kept_lines,
-        |  sum(CASE WHEN f.nline IS NULL THEN 0 ELSE 1 END) AS dropped_lines,
+        |  CAST(sum(CASE WHEN f.nline IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+        |  CAST(sum(CASE WHEN f.nline IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS dropped_lines,
         |  md5(coalesce(string_agg(CASE WHEN f.nline IS NULL THEN l.line END,
         |        chr(10) ORDER BY l.pos), '')) AS clean_md5
         |FROM lines l LEFT JOIN freq f ON trim(l.line) = f.nline
@@ -855,14 +855,14 @@ object SparkEntry {
         |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
         |  END AS n_tokens
         |FROM documents)
-        |SELECT split, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+        |SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM t GROUP BY split ORDER BY split""".stripMargin,
     "q_corpus_mix" ->
       """WITH cells AS (
         |  SELECT source, lang, count(*) AS n_docs,
-        |    sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
         |        ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |        END) AS n_tokens
+        |        END) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source, lang)
         |SELECT source, lang, n_docs, n_tokens,
         |  round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM cells), 6) AS token_share

@@ -41,6 +41,13 @@ for name, sql in sorted(oracle.items()):
     mismatch = []
     for c in exp.columns:
         e, g = exp[c], got[c]
+        # Dtype-strict: the driver hashes canonicalized values, so an oracle
+        # HUGEINT (object/float in pandas) vs a Spark BIGINT hash-mismatches even
+        # when the numbers are equal. Fail here on any dtype-kind difference so
+        # this local gate predicts the driver gate.
+        if e.dtype.kind != g.dtype.kind:
+            mismatch.append(f"{c}:dtype:oracle={e.dtype}({e.dtype.kind}) spark={g.dtype}({g.dtype.kind})")
+            continue
         try:
             if e.dtype.kind == "f" or g.dtype.kind == "f":
                 ok = np.allclose(e.astype(float), g.astype(float), rtol=0, atol=0, equal_nan=True)
