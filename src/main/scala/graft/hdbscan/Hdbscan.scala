@@ -15,6 +15,34 @@ final case class ClusteredPoint(id: Long, label: Int, outlier_score: Double, cor
 
 /** Mixed per-subset kernel output (edges + point results in one pass, the
   * reference's key=-1 disambiguation trick done with a proper tag column). */
+/** One split-round assignment row: `subset` is the NEW cell (nearest seed,
+  * ties → lowest seed id), `seed2`/`d2` the second-nearest seed when the
+  * cell drew ≥ 2 seeds (the inter-subset boundary candidate edge). */
+private[hdbscan] final case class AssignedRow(
+    subset: Long, id: Long, features: Array[Double],
+    seed2: Option[Long], d2: Option[Double])
+
+object Hdbscan {
+  /** Job-description tag on every action in the exact path that is
+    * WITTINGLY driver-O(n) (core rows, final MST edges, the sub-
+    * `maxExactPoints` Kruskal candidate collect). Anything else returning
+    * O(n) bytes to the driver on that path is a scale bug —
+    * HdbscanSpec asserts this with a listener on per-job result sizes. */
+  val DriverCollectTag = "graft:driver-O(n)"
+
+  /** Tag for collects whose size is bounded by cluster METADATA (seed
+    * rows, cell counts — O(#cells × dim)), not by n. */
+  val BoundedCollectTag = "graft:driver-bounded"
+
+  private[hdbscan] def tagged[T](spark: SparkSession, tag: String = DriverCollectTag)(
+      body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(tag)
+    try body finally sc.setJobDescription(prev)
+  }
+}
+
 private[hdbscan] final case class LocalOut(
     kind: Int, // 0 = point result, 1 = MST edge
     id: Long, label: Int, score: Double, core: Double,
@@ -76,9 +104,13 @@ final case class Hdbscan(
     *     ([[graft.operators.BoruvkaMst]]) over the union of local-MST and
     *     boundary edge frames — the reference's Phase-2
     *     (`Main.java:302-411`, which self-aborts there) completed
-    *     distributively; only the final n-1 MST edges reach the driver for
-    *     the condensed-tree extraction (the reference's own single-node
-    *     Phase-3 shape, `HDBSCANStar.java`).
+    *     distributively. The CANDIDATE edge set (O(n) boundary + local-MST
+    *     rows) never reaches the driver on that path; what the driver does
+    *     hold is still O(n): the final n-1 MST edges, the n (id, core)
+    *     rows, and the point-level condensed tree built from them (the
+    *     reference's own single-node Phase-3 shape, `HDBSCANStar.java`).
+    *     Exact mode is therefore driver-O(n) by construction — bounded
+    *     driver state at arbitrary n is what `"bubbles"` is for.
     *   - `"bubbles"`: always sketch (useful to bound cost regardless of n).
     */
   def setMode(v: String): Hdbscan = {
@@ -189,22 +221,27 @@ final case class Hdbscan(
     * accumulated as inter-subset boundary candidates — they reconnect
     * clusters that a cell boundary cut (far tighter than seed-to-seed
     * edges alone) — plus a per-parent seed MST so the cell-adjacency graph
-    * stays connected.
+    * stays connected. The candidates stay DISTRIBUTED (a rotated
+    * DataFrame, O(n) rows) — the caller decides whether to collect them
+    * (driver Kruskal below `maxExactPoints`) or feed them straight into
+    * the distributed Borůvka merge; only O(#seeds) seed metadata ever
+    * touches the driver here.
     *
     * @return final assignment (subset, id, features) — a rotated frame
     *         owned by `rot` (caller must `rot.close()` when done) — and
-    *         the boundary candidate edges (global ids).
+    *         the boundary candidate edge frame (src, dst, w0; global ids),
+    *         owned by `bndRot`.
     */
   private def voronoiSplit(
       pts: Dataset[Point],
       n: Long,
       fitSize: Long,
       collectBoundary: Boolean,
-      rot: graft.CheckpointRotator): (DataFrame, Array[(Long, Long, Double)]) = {
+      rot: graft.CheckpointRotator,
+      bndRot: graft.CheckpointRotator): (DataFrame, DataFrame) = {
     val spark = pts.sparkSession
     import spark.implicits._
-    val distFn = graft.functions.Distances.byName(distance)
-    val boundaryBuf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    var boundary = Seq.empty[(Long, Long, Double)].toDF("src", "dst", "w0")
     var assigned = rot.rotate(pts.toDF()
       .select(lit(Long.MinValue).as("subset"), col("id"), col("features")))
     var iterNo = 0
@@ -212,9 +249,11 @@ final case class Hdbscan(
     while (iterNo < 8 && !done) {
       // 2x slack: a cell at (1..2]x fitSize costs at most 4x the kernel
       // budget (still parallel), far cheaper than another full split round
-      val oversized = assigned.groupBy(col("subset")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > 2L * fitSize)
-        .as[(Long, Long)].collect()
+      val oversized = Hdbscan.tagged(spark, Hdbscan.BoundedCollectTag) {
+        assigned.groupBy(col("subset")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 2L * fitSize)
+          .as[(Long, Long)].collect()
+      }
       if (oversized.isEmpty) done = true
       else {
         val overSet = oversized.map(_._1).toSet
@@ -234,70 +273,87 @@ final case class Hdbscan(
         val subSeeds = overDf
           .filter(pmod(xxhash64(col("id"), lit(seed + iterNo)), lit(ratio)) === 0)
           .select(col("subset"), col("id").as("seed_id"), col("features").as("seed_vec"))
-        // Top-2 seeds per point with PRIMITIVE-only aggregations: min(double)
-        // and min(long) run in fast whole-stage-codegen HashAggregate with
-        // map-side combine, whereas collect_list(struct) falls back to
-        // sort-based ObjectHashAggregate past 128 groups (measured 8s → 1528s
-        // when scaling 60k → 245k points). Ties break on min seed id —
-        // deterministic at any parallelism. The pairs frame is recomputed per
-        // pass; the codegen distance is cheaper than caching 60M rows.
-        def pairs = overDf.join(broadcast(subSeeds), "subset")
-          .select(col("id"), col("seed_id"),
-            distFn(col("features"), col("seed_vec")).as("d"))
-        val d1 = pairs.groupBy(col("id")).agg(min(col("d")).as("d1"))
-        val winner = pairs.join(broadcast(d1), "id")
-          .filter(col("d") === col("d1"))
-          .groupBy(col("id")).agg(min(col("seed_id")).as("new_subset"))
-        val top2 =
-          if (!collectBoundary) winner.select(col("id"), col("new_subset")).persist()
-          else {
-            val d2 = pairs.join(broadcast(winner), "id")
-              .filter(col("seed_id") =!= col("new_subset"))
-              .groupBy(col("id")).agg(min(col("d")).as("d2"))
-            val second = pairs.join(broadcast(winner), "id").join(broadcast(d2), "id")
-              .filter(col("seed_id") =!= col("new_subset") && col("d") === col("d2"))
-              .groupBy(col("id")).agg(min(col("seed_id")).as("seed2"), first(col("d2")).as("d2"))
-            winner.join(second, Seq("id"), "left")
-              .select(col("id"), col("new_subset"), col("seed2"), col("d2"))
-              .persist()
-          }
+        // Seed metadata is the ONLY thing collected in the split loop —
+        // O(#seeds × dim) per round, the same bound as a broadcast-join
+        // build side. Per-point top-2 assignment then runs as a compiled
+        // per-partition scan against the broadcast seed arrays: one pass,
+        // no shuffle, and no per-point frame is ever broadcast or joined.
+        // (Two earlier plans are deliberately dead: collect_list(struct)
+        // top-2 falls out of hash aggregation past 128 groups — measured
+        // 8s → 1528s at 245k points — and the min/min join cascade
+        // broadcast O(n)-row argmin frames, a driver OOM at cluster
+        // scale.) Seeds are sorted by id so distance ties deterministically
+        // keep the lowest seed id at any parallelism.
+        val seedRows = Hdbscan.tagged(spark, Hdbscan.BoundedCollectTag) {
+          subSeeds.as[(Long, Long, Array[Double])].collect()
+        }
+        val seedArrays: Map[Long, Array[(Long, Array[Double])]] = seedRows
+          .groupBy(_._1)
+          .map { case (s, g) => s -> g.map(t => (t._2, t._3)).sortBy(_._1) }
+        val bSeeds = spark.sparkContext.broadcast(seedArrays)
+        val localDist = dist
+        val top2 = overDf.select(col("subset"), col("id"), col("features"))
+          .as[(Long, Long, Array[Double])]
+          .mapPartitions { it =>
+            val bySubset = bSeeds.value
+            val noSeeds = Array.empty[(Long, Array[Double])]
+            it.map { case (sub, id, feats) =>
+              val seeds = bySubset.getOrElse(sub, noSeeds)
+              var bestId = -1L; var bestD = Double.MaxValue
+              var secId = -1L; var secD = Double.MaxValue
+              var i = 0
+              while (i < seeds.length) {
+                val d = localDist(feats, seeds(i)._2)
+                if (d < bestD) { secId = bestId; secD = bestD; bestId = seeds(i)._1; bestD = d }
+                else if (d < secD) { secId = seeds(i)._1; secD = d }
+                i += 1
+              }
+              // a cell that drew zero seeds this round keeps its subset
+              // (retried next round with a different hash salt)
+              AssignedRow(if (bestId >= 0) bestId else sub, id, feats,
+                if (secId >= 0) Some(secId) else None,
+                if (secId >= 0) Some(secD) else None)
+            }
+          }.persist()
         if (collectBoundary) {
-          boundaryBuf ++= top2.filter(col("seed2").isNotNull)
-            .select(col("id"), col("seed2"), col("d2"))
-            .as[(Long, Long, Double)].collect()
+          // 2nd-seed candidates stay distributed: selected out of the
+          // persisted top2 frame and eagerly rotated into the accumulated
+          // boundary frame below — never collected here (driver Kruskal
+          // below `maxExactPoints` collects the final frame; the Borůvka
+          // path never does)
+          val secondEdges = top2.filter(col("seed2").isNotNull)
+            .select(col("id").as("src"), col("seed2").as("dst"), col("d2").as("w0"))
           // per-parent seed MST: guarantees the cell-adjacency graph stays
           // connected (2nd-seed edges alone can island a region that owns
           // several seeds); round 1's parent spans everything, so the union
-          // of all rounds' seed MSTs connects every cell transitively
-          subSeeds.select(col("subset"), col("seed_id"), col("seed_vec"))
-            .as[(Long, Long, Array[Double])].collect()
-            .groupBy(_._1).values.filter(_.length > 1).foreach { group =>
-              val arr = group.sortBy(_._2)
-              val m = arr.length
-              val w = Array.tabulate(m, m)((i, j) =>
-                if (i == j) 0.0 else dist(arr(i)._3, arr(j)._3))
-              boundaryBuf ++= HdbscanKernel.primMstMatrix(w)
-                .map(e => (arr(e.src)._2, arr(e.dst)._2, e.weight))
-            }
+          // of all rounds' seed MSTs connects every cell transitively.
+          // Driver-sized by construction (reuses the seed rows collected
+          // above): O(#seeds this round) rows.
+          val seedMstBuf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+          seedRows.groupBy(_._1).values.filter(_.length > 1).foreach { group =>
+            val arr = group.sortBy(_._2)
+            val m = arr.length
+            val w = Array.tabulate(m, m)((i, j) =>
+              if (i == j) 0.0 else dist(arr(i)._3, arr(j)._3))
+            seedMstBuf ++= HdbscanKernel.primMstMatrix(w)
+              .map(e => (arr(e.src)._2, arr(e.dst)._2, e.weight))
+          }
+          boundary = bndRot.rotate(boundary
+            .unionAll(secondEdges)
+            .unionAll(seedMstBuf.toSeq.toDF("src", "dst", "w0")))
         }
-        // left join: a cell that drew zero seeds this round keeps its subset
-        // (retried next round with a different hash salt)
-        val reassigned = overDf.select(col("subset"), col("id"), col("features"))
-          .join(top2.select(col("id"), col("new_subset")), Seq("id"), "left")
-          .select(coalesce(col("new_subset"), col("subset")).as("subset"),
-            col("id"), col("features"))
         // rotate: truncates the logical plan per round (the reference's
         // object-file checkpoints, Main.java:101,199,298, served the same
         // purpose) — without it the union-of-filters lineage grows
         // exponentially and even plan-string generation stalls the driver.
         // rotate() is eager, so the old round's blocks are freed immediately.
         assigned = rot.rotate(assigned.filter(!col("subset").isInCollection(overSet))
-          .unionAll(reassigned))
+          .unionAll(top2.select(col("subset"), col("id"), col("features"))))
         top2.unpersist()
         iterNo += 1
       }
     }
-    (assigned, boundaryBuf.toArray)
+    (assigned, boundary)
   }
 
   private def exactGlobal(pts: Dataset[Point], n: Long)
@@ -306,8 +362,9 @@ final case class Hdbscan(
     import spark.implicits._
     val tStart = System.nanoTime()
     val rot = new graft.CheckpointRotator
-    val (assigned, boundaryEdges) =
-      voronoiSplit(pts, n, maxLocalSize.toLong, collectBoundary = true, rot)
+    val bndRot = new graft.CheckpointRotator
+    val (assigned, boundary) =
+      voronoiSplit(pts, n, maxLocalSize.toLong, collectBoundary = true, rot, bndRot)
     val tSplit = System.nanoTime()
 
     // ---- exact kernel per subset: local MST (global ids) + core distances ----
@@ -343,7 +400,9 @@ final case class Hdbscan(
     // collected, which the condensed-tree extraction — the reference's own
     // single-node Phase-3 — needs on the driver regardless. ----
     val useBoruvka = n > maxExactPoints
-    val coreRows = local.filter(_.kind == 0).map(o => (o.id, o.core)).collect()
+    val coreRows = Hdbscan.tagged(spark) {
+      local.filter(_.kind == 0).map(o => (o.id, o.core)).collect()
+    }
     val tKernels = System.nanoTime()
     val idToIdx = coreRows.map(_._1).zipWithIndex.toMap
     val coreArr = coreRows.map(_._2)
@@ -360,7 +419,14 @@ final case class Hdbscan(
       }
     val mstGlobal =
       if (!useBoruvka) {
-        val localEdges = local.filter(_.kind == 1).map(o => (o.src, o.dst, o.weight)).collect()
+        val localEdges = Hdbscan.tagged(spark) {
+          local.filter(_.kind == 1).map(o => (o.src, o.dst, o.weight)).collect()
+        }
+        // below the maxExactPoints gate a driver Kruskal is fastest, and
+        // collecting the boundary frame here is ≤ O(maxExactPoints) rows
+        val boundaryEdges = Hdbscan.tagged(spark) {
+          boundary.as[(Long, Long, Double)].collect()
+        }
         // inter edges (seed MST + Voronoi-boundary candidates) get
         // mutual-reachability weights w.r.t. subset-local cores
         val allEdges = (localEdges ++
@@ -375,25 +441,30 @@ final case class Hdbscan(
         bridge(mstKruskal, uf, if (allEdges.nonEmpty) allEdges.map(_.weight).max else 0.0)
       } else {
         // the same candidate set as DataFrames: local MST rows stay where
-        // the kernels produced them; boundary candidates (already
-        // driver-side, O(#cells + #2nd-seed rows)) pick up their
+        // the kernels produced them; the boundary candidate frame (O(n)
+        // rows, never collected on this path) picks up its
         // mutual-reachability weights via two narrow joins against the
         // distributed core frame instead of a driver map
         val coresDf = local.filter(_.kind == 0).map(o => (o.id, o.core)).toDF("vid", "vcore")
         val localMst = local.filter(_.kind == 1)
           .map(o => (o.src, o.dst, o.weight)).toDF("src", "dst", "weight")
-        val bnd = spark.createDataset(boundaryEdges.toSeq).toDF("src", "dst", "w0")
+        val bnd = boundary
           .join(coresDf.select(col("vid").as("src"), col("vcore").as("cs")), "src")
           .join(coresDf.select(col("vid").as("dst"), col("vcore").as("cd")), "dst")
           .select(col("src"), col("dst"), greatest(col("w0"), col("cs"), col("cd")).as("weight"))
-        val forest = graft.operators.BoruvkaMst.run(spark, localMst.unionAll(bnd))
-          .as[(Long, Long, Double)].collect()
+        // run() drives its log-rounds internally (untagged: their per-job
+        // results must stay small); only the final n-1 forest rows are a
+        // legitimate driver-O(n) collect
+        val forestDf = graft.operators.BoruvkaMst.run(spark, localMst.unionAll(bnd))
+        val forest = Hdbscan.tagged(spark) {
+          forestDf.as[(Long, Long, Double)].collect()
+        }
         val edges = forest.map { case (s, d, w) => Edge(idToIdx(s), idToIdx(d), w) }
         val uf = new graft.kernel.UnionFind(coreArr.length)
         edges.foreach(e => uf.union(e.src, e.dst))
         bridge(edges, uf, if (forest.nonEmpty) forest.map(_._3).max else 0.0)
       }
-    local.unpersist(); rot.close()
+    local.unpersist(); rot.close(); bndRot.close()
 
     val tMerge = System.nanoTime()
     val consIdx = constraints.collect {
@@ -434,7 +505,9 @@ final case class Hdbscan(
     val tStart = System.nanoTime()
     val fitSize = math.max(4L, math.ceil(4.0 * n / sampleCap).toLong)
     val rot = new graft.CheckpointRotator
-    val (assigned, _) = voronoiSplit(pts, n, fitSize, collectBoundary = false, rot)
+    val bndRot = new graft.CheckpointRotator
+    val (assigned, _) = voronoiSplit(pts, n, fitSize, collectBoundary = false, rot, bndRot)
+    bndRot.close() // no boundary edges on the bubble path
     val tSplit = System.nanoTime()
 
     // ---- CF-bubble aggregation: one shuffle, map-side combine ----

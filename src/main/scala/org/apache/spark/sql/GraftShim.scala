@@ -32,6 +32,11 @@ object GraftShim {
     * consumer plan is a flat scan of the blocks, so iterative drivers
     * don't accumulate an ever-growing logical plan.
     */
+  /** Flush the async listener bus so a test's `SparkListener` has seen
+    * every event from work submitted before this call. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   def materialize(df: DataFrame): (DataFrame, RDD[_]) = {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
     val rdd = df.queryExecution.toRdd.map(_.copy())

@@ -135,4 +135,81 @@ class HdbscanSpec extends SparkTestBase {
     val stats = df.agg(min("outlier_score"), max("outlier_score")).collect()(0)
     assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0)
   }
+
+  test("exact-Borůvka path: only tagged driver-O(n) collects return big results") {
+    import spark.implicits._
+    // 30k points is big enough that an accidental O(n) collect (e.g. the
+    // boundary candidate frame, VERDICT r3 #4) produces a job whose result
+    // bytes rival the tagged core-row collect; every legitimate untagged
+    // job (counts, seed collects, rotations, Borůvka rounds) stays far
+    // below it.
+    val rng2 = new scala.util.Random(7)
+    val centers = Array.fill(6, 2)(rng2.nextDouble() * 50.0)
+    val data = (0 until 30000).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, Array(c(0) + rng2.nextGaussian() * 0.5, c(1) + rng2.nextGaussian() * 0.5))
+    }
+    val df = data.toDF("id", "features").repartition(8).cache()
+    df.count()
+    val listener = new ResultSizeListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Hdbscan(minPts = 4, minClusterSize = 50, maxLocalSize = 500)
+        .setMode("exact").setMaxExactPoints(1000).fit(df)
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val jobs = listener.snapshot()
+    // Three kinds of jobs legitimately run here: (a) the declared
+    // driver-O(n) collects — tagged; (b) broadcast-exchange builds on the
+    // SQL thread pool — these do collect a frame to the driver, but the
+    // planner only picks broadcast when the measured size is under
+    // autoBroadcastJoinThreshold, so they are size-bounded at any n;
+    // (c) counts/materializations whose task results are metrics only.
+    // A scale bug is a DATA-returning action (collect/take) in graft code
+    // that is not tagged — exactly how the r3 boundary-edge buffer looked.
+    val dataActions = jobs.filter(j =>
+      j.site.contains("collect at") || j.site.contains("take at") ||
+        j.site.contains("head at") || j.site.contains("toLocalIterator at"))
+    val rogue = dataActions.filter(j =>
+      j.tag != Hdbscan.DriverCollectTag && j.tag != Hdbscan.BoundedCollectTag)
+    assert(dataActions.exists(_.tag == Hdbscan.DriverCollectTag),
+      "expected tagged driver-O(n) collects on the exact path")
+    assert(rogue.isEmpty,
+      s"untagged data-returning actions on the exact-Borůvka path:\n" +
+        rogue.map(j => s"  ${j.bytes} B  ${j.site}").mkString("\n"))
+    // collects declared METADATA-bounded must actually be small — far below
+    // the O(n) core-row collect at this scale
+    val maxOfN = dataActions.filter(_.tag == Hdbscan.DriverCollectTag).map(_.bytes).max
+    dataActions.filter(_.tag == Hdbscan.BoundedCollectTag).foreach { j =>
+      assert(j.bytes < maxOfN / 4,
+        s"'bounded' collect returned ${j.bytes} B (O(n) max is $maxOfN) at ${j.site}")
+    }
+    df.unpersist()
+  }
+}
+
+private final case class JobRecord(tag: String, site: String, bytes: Long)
+
+/** Per-job: the job description active at submit time, the action callsite
+  * (result-stage name), and the summed task result bytes. */
+private final class ResultSizeListener extends org.apache.spark.scheduler.SparkListener {
+  import org.apache.spark.scheduler.{SparkListenerJobStart, SparkListenerTaskEnd}
+  private val stageToJob = scala.collection.concurrent.TrieMap[Int, Int]()
+  private val jobTag = scala.collection.concurrent.TrieMap[Int, String]()
+  private val jobSite = scala.collection.concurrent.TrieMap[Int, String]()
+  private val jobBytes = scala.collection.concurrent.TrieMap[Int, Long]()
+  override def onJobStart(js: SparkListenerJobStart): Unit = {
+    // a job's result-stage position inside stageInfos varies with stage
+    // reuse/skipping, so keep every stage name for callsite matching
+    jobSite(js.jobId) = js.stageInfos.map(_.name).mkString(" | ")
+    jobTag(js.jobId) = Option(js.properties)
+      .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+    js.stageIds.foreach(s => stageToJob(s) = js.jobId)
+  }
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+    for (j <- stageToJob.get(te.stageId); m <- Option(te.taskMetrics))
+      jobBytes.updateWith(j)(v => Some(v.getOrElse(0L) + m.resultSize))
+  def snapshot(): Seq[JobRecord] = jobBytes.toSeq.map { case (j, b) =>
+    JobRecord(jobTag.getOrElse(j, ""), jobSite.getOrElse(j, "?"), b)
+  }
 }
