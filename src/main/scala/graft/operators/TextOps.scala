@@ -226,13 +226,14 @@ object TextOps {
     * it appears in. Returns per-doc kept/dropped line counts plus an md5 of
     * the cleaned text (lines rejoined in original order).
     *
-    * Scale shape: the frequent-line table is small BY CONSTRUCTION — a line
-    * must repeat across >= minDf documents to qualify, so its distinct count
-    * is at most corpus_lines/minDf and in practice tiny — which makes the
-    * drop step a broadcast left-anti lookup (no shuffle of the corpus, no
-    * skew: hot boilerplate lines hit a hash map). The df computation is two
-    * map-side-combinable aggregations; whitespace-only lines are excluded
-    * from the frequent set (they'd always qualify). */
+    * Scale shape: the frequent-line table is bounded by corpus_lines/minDf
+    * — small relative to the corpus, but it GROWS with the corpus, so it
+    * gets no broadcast hint: AQE picks a broadcast lookup while the
+    * measured size fits and falls back to a shuffle join past the
+    * threshold (a forced broadcast here is a driver/executor OOM at the
+    * 100 TB target). The df computation is two map-side-combinable
+    * aggregations; whitespace-only lines are excluded from the frequent
+    * set (they'd always qualify). */
   def boilerplateRemove(docs: DataFrame, minDf: Int = 5, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val lines = docs.select(col(idCol),
@@ -243,7 +244,7 @@ object TextOps {
       .groupBy(col("nline")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
       .select("nline")
-    val tagged = lines.join(broadcast(freq), trim(col("line")) === col("nline"), "left")
+    val tagged = lines.join(freq, trim(col("line")) === col("nline"), "left")
     // kept lines, original order: collect_list drops the nulls the `when`
     // produces for boilerplate rows; array_sort orders by pos (unique/doc)
     val kept = array_sort(collect_list(
@@ -261,22 +262,30 @@ object TextOps {
     * band; gibberish and rare-token soup score low, degenerate repetition
     * of common tokens scores suspiciously high — both tails get reviewed.
     *
-    * Scale shape: one explode + token-count aggregation (map-side combine;
-    * vocabulary-sized result, bounded by language not corpus), then a
-    * BROADCAST join of tokens→counts (hot stopword tokens hit a hash map,
-    * never a shuffle key) and a per-doc average. Docs with no tokens are
-    * omitted (they have no model probability). */
+    * Scale shape: one explode + token-count aggregation (map-side
+    * combine), then a tokens→counts join and a per-doc average. On raw
+    * web-scale text the vocabulary is CORPUS-shaped (URLs, numbers,
+    * typos, code), not language-bounded, so the count table gets no
+    * broadcast hint — AQE broadcasts while it measures small and shuffle-
+    * joins past the threshold. `minCount` prunes the model's long tail:
+    * tokens below it are scored with the floor probability
+    * ln(minCount/total) instead of joining, which keeps the count table
+    * ~stopword-sized at web scale (the CCNet trick) without changing the
+    * default minCount=1 semantics. Docs with no tokens are omitted (they
+    * have no model probability). */
   def unigramLogProb(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", minCount: Long = 1L): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .where(length(col("tok")) > 0)
-    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt")).as("total"))
-    toks.join(broadcast(counts), "tok")
-      .crossJoin(broadcast(total))
+    val allCounts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = allCounts.agg(sum(col("cnt")).as("total"))
+    val counts = if (minCount <= 1L) allCounts else allCounts.where(col("cnt") >= minCount)
+    toks.join(counts, Seq("tok"), "left")
+      .crossJoin(broadcast(total)) // single row: genuinely bounded
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log(col("cnt").cast("double") / col("total"))), 6).as("logprob"))
+        round(avg(log(coalesce(col("cnt"), lit(minCount)).cast("double") / col("total"))), 6)
+          .as("logprob"))
   }
 
   /** Deterministic train/val/test assignment: the split is a pure function

@@ -336,6 +336,42 @@ class OperatorsSpec extends SparkTestBase {
     assert(m(1L)._2 > m(2L)._2, "common-token doc must outscore the rarer one")
   }
 
+  test("unigramLogProb minCount: pruned tail tokens score the floor probability") {
+    import spark.implicits._
+    // counts: a=3, b=2, z=1, total=6; minCount=2 prunes z → ln(2/6) floor
+    val docs = Seq((1L, "a a a b b z")).toDF("doc_id", "text")
+    val r6 = (d: Double) => math.rint(d * 1e6) / 1e6
+    val got = TextOps.unigramLogProb(docs, minCount = 2L).collect()(0).getDouble(2)
+    val want = r6((3 * math.log(3.0 / 6) + 2 * math.log(2.0 / 6) + math.log(2.0 / 6)) / 6)
+    assert(got == want, s"$got != $want")
+  }
+
+  test("boilerplate/unigram joins fall back to shuffle when broadcast is off") {
+    import spark.implicits._
+    // Simulates the 100 TB case where the data-dependent build sides
+    // (frequent-line table, unigram vocabulary) outgrow the broadcast
+    // threshold: with autoBroadcastJoinThreshold=-1 the planner must be
+    // free to shuffle-join — a forced broadcast() hint would override it.
+    val docs = ((1L to 5L).map(i => (i, s"body $i\nCOMMON FOOTER")) ++
+      Seq((6L, "a a b"))).toDF("doc_id", "text")
+    val defaultBp = TextOps.boilerplateRemove(docs, minDf = 5).collect()
+      .sortBy(_.getLong(0)).map(_.toString).toSeq
+    val defaultUg = TextOps.unigramLogProb(docs).collect()
+      .sortBy(_.getLong(0)).map(_.toString).toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bp = TextOps.boilerplateRemove(docs, minDf = 5)
+      val ug = TextOps.unigramLogProb(docs)
+      assert(!bp.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "boilerplate freq join must not force broadcast")
+      assert(!ug.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "unigram count join must not force broadcast")
+      assert(bp.collect().sortBy(_.getLong(0)).map(_.toString).toSeq == defaultBp)
+      assert(ug.collect().sortBy(_.getLong(0)).map(_.toString).toSeq == defaultUg)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("ngram jaccard: identical docs in same block score 1.0") {
     import spark.implicits._
     val docs = Seq(
