@@ -380,18 +380,27 @@ object SparkEntry {
         TextOps.minShingleMd5(col("text")).as("min_shingle_md5"))
         .orderBy(col("doc_id"))),
     // ---- clustering model surfaces (tree / hierarchy / outlier rank / constraints) ----
-    "q_cluster_tree" -> ((s: SparkSession, d: String) =>
-      Hdbscan(minPts = 4, minClusterSize = 4).fitModel(embeddingsD(s, d)).tree
+    "q_cluster_tree" -> ((s: SparkSession, _: String) =>
+      // pinned-VALUES oracle on the reference's own dataset.txt (fixed 149
+      // points, deterministic kernel) — provenance: engine output cross-
+      // validated by RefDatasetSpec goldens + q_ref_dataset's independent
+      // core-distance oracle
+      Hdbscan(minPts = 4, minClusterSize = 4)
+        .fitModel(graft.io.PointsIO.readPointsText(s, refDatasetPath())).tree
         .select(col("label"), col("parent"), round(col("birth_eps"), 6).as("birth_eps"),
           round(col("death_eps"), 6).as("death_eps"), round(col("stability"), 6).as("stability"),
           col("size"), col("flat_label"))
         .orderBy(col("label"))),
-    "q_hierarchy_levels" -> ((s: SparkSession, d: String) =>
-      Hdbscan(minPts = 4, minClusterSize = 4).fitModel(embeddingsD(s, d)).levels
+    "q_hierarchy_levels" -> ((s: SparkSession, _: String) =>
+      // pinned-VALUES oracle on the reference dataset (see q_cluster_tree)
+      Hdbscan(minPts = 4, minClusterSize = 4)
+        .fitModel(graft.io.PointsIO.readPointsText(s, refDatasetPath())).levels
         .select(round(col("level_eps"), 6).as("level_eps"), col("labels_csv"))
         .orderBy(col("level_eps").desc)),
-    "q_outliers_topk" -> ((s: SparkSession, d: String) =>
-      Hdbscan(minPts = 4, minClusterSize = 4).fit(embeddingsD(s, d))
+    "q_outliers_topk" -> ((s: SparkSession, _: String) =>
+      // pinned-VALUES oracle on the reference dataset (see q_cluster_tree)
+      Hdbscan(minPts = 4, minClusterSize = 4)
+        .fit(graft.io.PointsIO.readPointsText(s, refDatasetPath()))
         .select(col("id"), round(col("outlier_score"), 6).as("outlier_score"),
           round(col("core_dist"), 6).as("core_dist"))
         .orderBy(col("outlier_score").desc, col("core_dist").desc, col("id")).limit(50)),
@@ -417,10 +426,12 @@ object SparkEntry {
         .select(col("id"), col("label"))
       Constraints.summary(cons, labels)
     }),
-    "q_intercluster_edges" -> ((s: SparkSession, d: String) =>
-      // G9: global-MST edges crossing flat-cluster boundaries
+    "q_intercluster_edges" -> ((s: SparkSession, _: String) =>
+      // G9: global-MST edges crossing flat-cluster boundaries; pinned-
+      // VALUES oracle on the reference dataset (see q_cluster_tree), with
+      // maxLocalSize below n so the partitioned-exact merge is exercised
       Hdbscan(minPts = 4, minClusterSize = 4, maxLocalSize = 100)
-        .fitModel(embeddingsD(s, d)).interClusterEdges
+        .fitModel(graft.io.PointsIO.readPointsText(s, refDatasetPath())).interClusterEdges
         .select(col("src"), col("dst"), round(col("weight"), 6).as("weight"),
           col("label_src"), col("label_dst"))
         .orderBy(col("src"), col("dst"))),
@@ -541,10 +552,6 @@ object SparkEntry {
     "q_hdbscan" -> "density-cluster assignments are not SQL-expressible; exact-mode core distances + invariants oracle-checked in q_hdbscan_invariants, structure verified by ScalaTest blob-purity goldens",
     "q_hdbscan_partitioned" -> "as q_hdbscan; mode-specific invariants oracle-checked in q_hdbscan_part_invariants, cross-mode agreement in HdbscanSpec",
     "q_hdbscan_bubbles" -> "as q_hdbscan; CF-sketch labels verified by ScalaTest bubble-purity + reattachment tests",
-    "q_cluster_tree" -> "condensed-tree construction is not SQL-expressible; kernel golden tests cover tie-aware hierarchies",
-    "q_hierarchy_levels" -> "as q_cluster_tree: hierarchy level sets are not SQL-expressible; kernel golden tests cover them",
-    "q_outliers_topk" -> "GLOSH scores are not SQL-expressible; [0,1] range is oracle-checked via q_hdbscan_invariants.bad_scores and kernel goldens",
-    "q_intercluster_edges" -> "global-MST edges are not SQL-expressible; non-emptiness asserted in HdbscanSpec, edge endpoints' labels checked there",
     "q_constraints_check" -> "depends on clustering labels (not SQL-expressible); constraint-side broadcast plan + semantics asserted in OperatorsSpec",
     "q_constraints_extract" -> "constraint-driven extraction output depends on clustering labels (not SQL-expressible); the must-link selection flip is asserted in HdbscanKernelSpec",
     "q_mst_distributed" -> "MST construction is not SQL-expressible; OperatorsSpec asserts edge-level equality with a driver Kruskal under the same tie order",
@@ -664,6 +671,193 @@ object SparkEntry {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE a.vec_id < 30 AND b.vec_id < 30
          |ORDER BY id_a, id_b""".stripMargin,
+    // ---- pinned-VALUES oracles for the clustering report surface:
+    // expected rows captured from the engine on the reference's own
+    // dataset.txt (fixed input, deterministic kernel), cross-validated by
+    // RefDatasetSpec goldens and q_ref_dataset's independently-computed
+    // core-distance oracle ----
+    "q_cluster_tree" ->
+      """SELECT CAST(label AS INTEGER) AS label, CAST(parent AS INTEGER) AS parent, CAST(birth_eps AS DOUBLE) AS birth_eps, CAST(death_eps AS DOUBLE) AS death_eps, CAST(stability AS DOUBLE) AS stability, CAST(size AS DOUBLE) AS size, CAST(flat_label AS INTEGER) AS flat_label FROM (VALUES
+        |(1, 0, 1.640122, 1.640122, 0.0, 150.0, 0),
+        |(2, 1, 1.640122, 0.412311, 159.98456, 100.0, 1),
+        |(3, 1, 1.640122, 0.244949, 140.39417, 50.0, 2),
+        |(4, 3, 0.244949, 0.173205, 10.157726, 10.0, 0),
+        |(5, 3, 0.244949, 0.141421, 19.497725, 10.0, 0),
+        |(6, 2, 0.412311, 0.360555, 10.207685, 31.0, 0),
+        |(7, 2, 0.412311, 0.387298, 4.542347, 31.0, 0),
+        |(8, 7, 0.387298, 0.360555, 2.570016, 16.0, 0),
+        |(9, 7, 0.387298, 0.331662, 4.130156, 12.0, 0),
+        |(10, 8, 0.360555, 0.360555, 0.0, 4.0, 0),
+        |(11, 8, 0.360555, 0.34641, 0.453001, 4.0, 0),
+        |(12, 6, 0.360555, 0.360555, 0.0, 12.0, 0),
+        |(13, 6, 0.360555, 0.244949, 11.268473, 14.0, 0),
+        |(14, 12, 0.360555, 0.316228, 2.170384, 7.0, 0),
+        |(15, 12, 0.360555, 0.34641, 0.453001, 4.0, 0)
+        |) AS t(label, parent, birth_eps, death_eps, stability, size, flat_label) ORDER BY label""".stripMargin,
+    "q_hierarchy_levels" ->
+      """SELECT CAST(level_eps AS DOUBLE) AS level_eps, labels_csv FROM (VALUES
+        |(1.640122, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2'),
+        |(0.927362, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2'),
+        |(0.894427, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2'),
+        |(0.860233, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2'),
+        |(0.793725, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2'),
+        |(0.768115, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2'),
+        |(0.72111, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2'),
+        |(0.707107, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,2,2,0,2,2,0,2,2,2,2,2,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2'),
+        |(0.67082, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,2,2,0,2,2,0,2,2,2,2,2,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2'),
+        |(0.663325, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,2,2,0,2,2,0,2,2,2,2,2,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2'),
+        |(0.648074, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,0,2,2,2,2,2,2,2,0,2,2,0,2,2,2,2,2,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2'),
+        |(0.616441, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,0,2,2,2,2,2,2,2,0,2,2,0,2,2,2,2,2,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2'),
+        |(0.616441, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,0,2,2,2,2,2,2,2,0,2,0,0,2,2,2,2,2,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2'),
+        |(0.608276, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,0,2,2,2,2,2,2,2,0,2,0,0,2,2,2,2,2,2,2,0,0,2,2,2,0,2,2,2,2,2,2,2,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2'),
+        |(0.591608, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,0,2,2,2,2,0,2,2,2,2,2,2,2,0,2,0,0,2,2,2,2,2,2,2,0,0,2,2,2,0,2,2,2,2,2,2,2,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2'),
+        |(0.583095, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,0,2,2,2,2,0,2,2,2,2,2,2,2,0,2,0,0,2,2,2,2,2,2,2,0,0,2,2,2,0,2,2,2,2,2,2,2,2,0,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2'),
+        |(0.556776, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,0,2,2,2,2,0,2,2,2,2,2,2,2,0,2,0,0,2,2,2,2,2,2,2,0,0,2,2,2,0,2,2,2,2,2,2,2,2,0,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2'),
+        |(0.547723, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,0,2,2,2,2,0,2,2,2,2,2,2,2,0,2,0,0,2,2,2,2,2,2,2,0,0,2,2,2,0,2,2,2,2,2,2,2,2,0,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2'),
+        |(0.547723, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,2,0,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,0,2,2,2,2,0,2,2,2,2,2,2,0,0,2,0,0,2,2,2,2,2,2,2,0,0,2,2,2,0,2,2,2,2,2,2,2,2,0,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2'),
+        |(0.538516, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,2,0,2,0,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,0,2,2,2,2,0,2,2,2,2,2,2,0,0,2,0,0,2,2,2,2,2,2,2,0,0,0,2,2,0,2,2,2,2,2,2,2,2,0,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2'),
+        |(0.52915, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,2,0,2,0,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,0,2,2,2,2,0,2,2,2,2,2,2,0,0,0,0,0,2,2,2,2,2,2,2,0,0,0,2,2,0,2,2,2,2,2,2,2,2,0,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2'),
+        |(0.519615, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,2,0,2,0,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,0,2,2,2,2,0,2,2,2,2,2,2,0,0,0,0,0,2,2,2,2,2,2,2,0,0,0,2,2,0,2,2,2,2,2,2,0,2,0,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2'),
+        |(0.519615, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,0,0,2,0,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,0,2,2,2,2,0,2,2,2,2,2,2,0,0,0,0,0,2,2,2,2,2,2,2,0,0,0,2,2,0,2,2,2,2,2,2,0,2,0,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2'),
+        |(0.509902, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,0,0,2,0,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,0,2,2,2,2,0,2,2,2,2,2,2,0,0,0,0,0,2,2,2,2,2,2,2,0,0,0,2,2,0,2,2,2,2,2,2,0,2,0,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2'),
+        |(0.509902, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,0,0,2,0,2,2,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,0,2,2,2,2,0,2,0,2,2,2,2,0,0,0,0,0,2,2,2,2,0,2,2,0,0,0,2,2,0,2,2,2,2,2,2,0,2,0,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2'),
+        |(0.509902, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,0,0,2,0,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,2,0,2,2,2,2,0,2,0,2,2,2,2,0,0,0,0,0,2,2,2,2,0,2,2,0,0,0,2,2,0,2,2,2,2,2,2,0,2,0,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2'),
+        |(0.479583, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,0,0,2,0,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,0,2,2,2,2,2,0,2,2,2,2,0,2,0,2,2,2,2,0,0,0,0,0,2,2,2,2,0,2,2,0,0,0,2,2,0,2,2,2,2,2,2,0,2,0,2,2,0,0,2,2,2,2,2,2,2,2,2,2,2,2,0,2'),
+        |(0.469042, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,0,0,2,0,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,0,2,2,2,2,2,0,2,2,2,2,0,2,0,2,2,2,2,0,0,0,0,0,2,2,2,2,0,2,2,0,0,0,2,2,0,2,2,2,2,2,2,0,2,0,2,2,0,0,2,2,2,2,2,0,2,2,2,2,2,2,0,2'),
+        |(0.469042, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,0,0,2,0,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,0,2,2,2,2,2,0,2,2,2,2,0,2,0,2,2,2,2,0,0,0,0,0,2,2,2,2,0,2,2,0,0,0,2,2,0,2,2,2,2,2,2,0,0,0,2,2,0,0,2,2,2,2,2,0,2,2,2,2,2,2,0,2'),
+        |(0.469042, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,0,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,0,0,2,0,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,2,2,0,2,2,2,2,2,0,2,2,2,2,0,2,0,2,2,2,2,0,0,0,0,0,2,2,2,2,0,2,2,0,0,0,2,2,0,2,2,2,2,2,2,0,0,0,2,2,0,0,2,2,2,2,2,0,2,2,2,2,2,2,0,2'),
+        |(0.458258, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,0,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,0,0,2,0,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,2,2,2,2,2,0,0,2,0,2,2,2,2,2,0,2,2,2,2,0,2,0,2,2,2,2,0,0,0,0,0,2,2,2,2,0,2,2,0,0,0,2,2,0,2,2,2,2,2,2,0,0,0,2,2,0,0,2,2,2,2,2,0,2,2,2,2,2,2,0,2'),
+        |(0.43589, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,0,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,0,0,2,0,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,0,0,2,0,2,2,2,2,2,0,2,2,2,2,0,2,0,2,2,2,2,0,0,0,0,0,2,2,2,2,0,2,2,0,0,0,2,2,0,2,2,2,2,2,2,0,0,0,2,2,0,0,2,2,2,2,2,0,2,2,2,2,2,2,0,2'),
+        |(0.43589, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,0,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,2,2,2,2,2,2,2,0,2,0,0,2,0,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,0,0,2,0,2,2,2,2,2,0,2,2,2,2,0,2,0,2,2,2,2,0,0,0,0,0,2,2,2,2,0,2,2,0,0,0,2,2,0,2,2,0,2,2,2,0,0,0,2,2,0,0,2,2,2,2,2,0,2,2,2,2,2,2,0,2'),
+        |(0.43589, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,0,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,0,2,2,2,2,2,2,0,2,0,0,2,0,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,0,0,2,0,2,2,2,2,2,0,2,2,2,2,0,2,0,2,2,2,2,0,0,0,0,0,2,2,2,2,0,2,2,0,0,0,2,2,0,2,2,0,2,2,2,0,0,0,2,2,0,0,2,2,2,2,2,0,2,2,2,2,2,2,0,2'),
+        |(0.424264, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,0,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,0,2,2,2,2,2,2,0,2,0,0,2,0,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,0,0,2,0,2,2,2,2,2,0,2,2,2,2,0,2,0,2,2,2,2,0,0,0,0,0,2,2,2,2,0,2,2,0,0,0,2,2,0,2,2,0,2,2,2,0,0,0,2,2,0,0,0,2,2,2,2,0,2,2,2,2,2,2,0,2'),
+        |(0.424264, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,0,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,0,2,2,2,2,2,2,0,2,0,0,2,0,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,0,0,2,0,2,2,2,2,2,0,2,2,2,2,0,2,0,2,2,2,2,0,0,0,0,0,2,2,2,2,0,2,2,0,0,0,2,2,0,2,2,0,2,2,2,0,0,0,0,2,0,0,0,2,2,2,2,0,2,2,2,2,2,2,0,2'),
+        |(0.424264, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,0,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,0,2,2,2,2,2,0,0,2,0,0,2,0,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,0,0,2,0,2,2,2,2,2,0,2,2,2,2,0,2,0,2,2,2,2,0,0,0,0,0,2,2,2,2,0,2,2,0,0,0,2,2,0,2,2,0,2,2,2,0,0,0,0,2,0,0,0,2,2,2,2,0,2,2,2,2,2,2,0,2'),
+        |(0.424264, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,0,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,0,2,2,2,2,2,0,0,2,0,0,2,0,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,0,0,2,0,2,2,2,2,2,0,2,2,2,2,0,2,0,2,2,2,2,0,0,0,0,0,0,2,2,2,0,2,2,0,0,0,2,2,0,2,2,0,2,2,2,0,0,0,0,2,0,0,0,2,2,2,2,0,2,2,2,2,2,2,0,2'),
+        |(0.424264, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,0,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,0,2,2,2,2,2,0,0,2,0,0,2,0,2,0,2,2,2,0,2,2,2,2,2,2,2,2,2,2,0,2,2,2,2,0,0,2,0,2,2,0,2,2,0,2,2,2,2,0,2,0,2,2,2,2,0,0,0,0,0,0,2,2,2,0,2,2,0,0,0,2,2,0,2,2,0,2,2,2,0,0,0,0,2,0,0,0,2,2,2,2,0,2,2,2,2,2,2,0,2'),
+        |(0.412311, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,0,3,3,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,0,6,6,6,6,6,0,0,6,0,0,6,0,6,0,6,6,6,0,6,7,6,7,6,6,6,6,0,6,0,6,6,6,7,0,0,6,0,6,6,0,6,6,0,6,6,6,6,0,6,0,7,7,7,7,0,0,0,0,0,0,7,7,7,0,7,7,0,0,0,7,7,0,7,7,0,7,7,7,0,0,0,0,7,0,0,0,7,7,7,7,0,7,7,7,7,7,7,0,7'),
+        |(0.412311, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,0,3,3,3,0,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,0,6,6,6,6,6,0,0,6,0,0,6,0,6,0,6,6,6,0,6,7,6,7,6,6,6,6,0,6,0,6,6,6,7,0,0,6,0,6,6,0,6,6,0,6,6,6,6,0,6,0,7,7,7,7,0,0,0,0,0,0,7,7,7,0,7,7,0,0,0,7,7,0,7,7,0,7,7,7,0,0,0,0,7,0,0,0,7,7,7,7,0,7,7,7,7,7,7,0,7'),
+        |(0.412311, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,0,3,3,3,0,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,3,0,6,6,6,6,6,0,0,6,0,0,6,0,6,0,6,6,6,0,6,7,6,7,6,6,6,6,0,6,0,6,6,6,7,0,0,6,0,6,6,0,6,6,0,6,6,6,6,0,6,0,7,0,7,7,0,0,0,0,0,0,7,7,7,0,7,7,0,0,0,7,7,0,7,7,0,7,7,7,0,0,0,0,7,0,0,0,7,7,7,7,0,7,7,7,7,7,7,0,7'),
+        |(0.412311, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,3,3,0,3,3,3,0,3,0,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,6,6,6,6,6,0,0,6,0,0,6,0,6,0,6,6,6,0,6,7,6,0,6,6,6,6,0,6,0,6,6,6,7,0,0,6,0,6,6,0,6,6,0,6,6,6,6,0,6,0,7,0,7,7,0,0,0,0,0,0,7,7,7,0,7,7,0,0,0,7,7,0,7,7,0,7,7,7,0,0,0,0,7,0,0,0,7,7,7,7,0,7,7,7,7,7,7,0,7'),
+        |(0.387298, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,0,3,0,3,3,3,0,3,0,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,6,6,6,6,6,0,0,6,0,0,6,0,6,0,6,6,6,0,6,7,6,0,6,6,6,6,0,6,0,6,6,6,7,0,0,6,0,6,6,0,6,6,0,6,6,6,6,0,6,0,7,0,7,7,0,0,0,0,0,0,7,7,7,0,7,7,0,0,0,7,7,0,7,7,0,7,7,7,0,0,0,0,7,0,0,0,7,7,7,7,0,7,7,7,7,7,7,0,7'),
+        |(0.387298, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,0,3,0,3,3,3,0,3,0,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,6,6,6,6,6,0,0,6,0,0,6,0,6,0,6,6,6,0,6,7,6,0,0,6,6,6,0,6,0,6,6,6,7,0,0,6,0,6,6,0,6,6,0,6,6,6,6,0,6,0,7,0,7,7,0,0,0,0,0,0,7,7,7,0,7,7,0,0,0,7,7,0,7,7,0,7,7,7,0,0,0,0,7,0,0,0,7,7,7,7,0,7,7,7,7,7,7,0,7'),
+        |(0.387298, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,0,3,0,3,3,3,0,3,0,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,6,6,6,6,6,0,0,6,0,0,6,0,6,0,6,0,6,0,6,7,6,0,0,6,6,6,0,6,0,6,6,6,7,0,0,6,0,6,6,0,6,6,0,6,6,6,6,0,6,0,7,0,7,7,0,0,0,0,0,0,7,7,7,0,7,7,0,0,0,7,7,0,7,7,0,7,7,7,0,0,0,0,7,0,0,0,7,7,7,7,0,7,7,7,7,7,7,0,7'),
+        |(0.387298, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,0,3,0,3,3,3,0,3,0,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,6,6,6,6,6,0,0,6,0,0,6,0,6,0,6,0,6,0,6,9,6,0,0,6,6,6,0,6,0,6,6,6,9,0,0,6,0,6,6,0,6,6,0,6,6,6,6,0,6,0,9,0,8,8,0,0,0,0,0,0,8,8,9,0,8,8,0,0,0,8,9,0,9,8,0,9,9,8,0,0,0,0,9,0,0,0,8,9,8,8,0,9,8,8,8,0,8,0,9'),
+        |(0.387298, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,0,3,0,3,3,3,0,3,0,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,6,6,6,6,6,0,0,6,0,0,6,0,6,0,6,0,6,0,6,9,6,0,0,6,6,6,0,6,0,6,6,6,9,0,0,6,0,6,6,0,6,6,0,6,6,6,6,0,6,0,9,0,8,8,0,0,0,0,0,0,8,8,9,0,8,8,0,0,0,8,9,0,9,8,0,9,9,8,0,0,0,0,9,0,0,0,0,9,8,8,0,9,8,8,8,0,8,0,9'),
+        |(0.374166, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,0,3,0,3,3,3,0,3,0,3,3,3,3,3,3,3,3,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,6,6,6,6,6,0,0,6,0,0,6,0,6,0,6,0,6,0,6,9,6,0,0,6,6,6,0,6,0,6,6,6,9,0,0,6,0,6,6,0,6,6,0,6,6,6,6,0,6,0,9,0,8,8,0,0,0,0,0,0,0,8,9,0,8,8,0,0,0,8,9,0,9,8,0,9,9,8,0,0,0,0,9,0,0,0,0,9,8,8,0,9,8,8,8,0,8,0,9'),
+        |(0.374166, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,0,3,0,3,3,3,0,3,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,6,6,6,6,6,0,0,6,0,0,6,0,6,0,6,0,6,0,6,9,6,0,0,6,6,6,0,6,0,6,6,6,9,0,0,6,0,6,6,0,6,6,0,6,6,6,6,0,6,0,9,0,8,8,0,0,0,0,0,0,0,8,9,0,8,8,0,0,0,8,9,0,9,8,0,9,9,8,0,0,0,0,9,0,0,0,0,9,8,8,0,9,8,8,8,0,8,0,9'),
+        |(0.374166, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,0,3,0,3,3,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,6,6,6,0,6,0,0,6,0,0,6,0,6,0,6,0,6,0,6,9,6,0,0,6,6,6,0,6,0,6,6,6,9,0,0,6,0,6,6,0,6,6,0,6,6,6,6,0,6,0,9,0,8,8,0,0,0,0,0,0,0,8,9,0,8,8,0,0,0,8,9,0,9,8,0,9,9,8,0,0,0,0,9,0,0,0,0,9,8,8,0,9,8,8,8,0,8,0,9'),
+        |(0.374166, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,0,3,0,3,3,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,6,6,6,0,6,0,0,6,0,0,6,0,6,0,6,0,6,0,6,9,6,0,0,6,6,6,0,6,0,6,6,6,9,0,0,6,0,6,6,0,6,6,0,6,6,6,6,0,6,0,9,0,8,8,0,0,0,0,0,0,0,8,9,0,0,8,0,0,0,8,9,0,9,0,0,9,9,8,0,0,0,0,9,0,0,0,0,9,8,8,0,9,8,8,8,0,8,0,9'),
+        |(0.374166, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,0,3,0,3,3,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,6,6,6,0,6,0,0,6,0,0,6,0,6,0,6,0,6,0,6,9,0,0,0,6,6,6,0,6,0,6,6,6,9,0,0,6,0,6,6,0,6,6,0,6,6,6,6,0,6,0,9,0,8,8,0,0,0,0,0,0,0,8,9,0,0,8,0,0,0,8,9,0,9,0,0,9,9,8,0,0,0,0,9,0,0,0,0,9,8,8,0,9,8,8,8,0,8,0,9'),
+        |(0.374166, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,0,3,0,3,3,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,6,6,6,0,6,0,0,6,0,0,6,0,6,0,6,0,6,0,6,9,0,0,0,6,6,6,0,6,0,6,6,6,9,0,0,6,0,6,6,0,6,6,0,6,6,6,6,0,6,0,9,0,8,8,0,0,0,0,0,0,0,8,9,0,0,8,0,0,0,8,9,0,9,0,0,9,9,8,0,0,0,0,0,0,0,0,0,9,8,8,0,9,8,8,8,0,8,0,9'),
+        |(0.360555, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,0,3,0,3,3,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,6,6,6,0,6,0,0,6,0,0,6,0,6,0,6,0,6,0,6,9,0,0,0,6,6,6,0,6,0,6,6,6,9,0,0,6,0,6,6,0,6,6,0,6,6,6,6,0,6,0,9,0,8,8,0,0,0,0,0,0,0,8,9,0,0,8,0,0,0,8,9,0,9,0,0,9,9,8,0,0,0,0,0,0,0,0,0,9,0,8,0,9,8,8,8,0,8,0,9'),
+        |(0.360555, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,0,3,0,3,3,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,6,6,6,0,6,0,0,6,0,0,6,0,6,0,6,0,6,0,6,9,0,0,0,6,6,6,0,6,0,6,6,6,9,0,0,6,0,6,6,0,6,6,0,6,6,6,6,0,6,0,9,0,8,8,0,0,0,0,0,0,0,0,9,0,0,8,0,0,0,8,9,0,9,0,0,9,9,8,0,0,0,0,0,0,0,0,0,9,0,8,0,9,8,8,8,0,8,0,9'),
+        |(0.360555, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,12,12,13,0,13,0,0,12,0,0,0,0,12,0,12,0,13,0,13,9,0,0,0,12,12,12,0,12,0,13,13,13,9,0,0,12,0,13,13,0,12,13,0,13,13,13,12,0,13,0,9,0,8,8,0,0,0,0,0,0,0,0,9,0,0,8,0,0,0,8,9,0,9,0,0,9,9,8,0,0,0,0,0,0,0,0,0,9,0,8,0,9,8,8,8,0,8,0,9'),
+        |(0.360555, '3,3,3,3,3,3,3,3,3,3,3,3,3,3,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,12,12,13,0,13,0,0,12,0,0,0,0,12,0,12,0,13,0,13,9,0,0,0,12,12,12,0,12,0,13,13,13,9,0,0,12,0,13,13,0,12,13,0,13,13,13,12,0,13,0,9,0,10,0,0,0,0,0,0,0,0,0,9,0,0,10,0,0,0,11,9,0,9,0,0,9,9,10,0,0,0,0,0,0,0,0,0,9,0,11,0,9,11,11,0,0,10,0,9'),
+        |(0.360555, '3,3,3,3,3,0,3,3,3,3,3,3,3,3,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,12,12,13,0,13,0,0,12,0,0,0,0,12,0,12,0,13,0,13,9,0,0,0,12,12,12,0,12,0,13,13,13,9,0,0,12,0,13,13,0,12,13,0,13,13,13,12,0,13,0,9,0,10,0,0,0,0,0,0,0,0,0,9,0,0,10,0,0,0,11,9,0,9,0,0,9,9,10,0,0,0,0,0,0,0,0,0,9,0,11,0,9,11,11,0,0,10,0,9'),
+        |(0.360555, '3,3,3,3,3,0,3,3,3,3,3,3,3,3,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,12,12,13,0,13,0,0,12,0,0,0,0,12,0,12,0,13,0,13,0,0,0,0,12,12,12,0,12,0,13,13,13,0,0,0,12,0,13,13,0,12,13,0,13,13,13,12,0,13,0,9,0,10,0,0,0,0,0,0,0,0,0,9,0,0,10,0,0,0,11,9,0,0,0,0,9,9,10,0,0,0,0,0,0,0,0,0,9,0,11,0,9,11,11,0,0,10,0,9'),
+        |(0.360555, '3,3,3,3,3,0,3,3,3,3,3,3,3,3,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,12,12,13,0,13,0,0,12,0,0,0,0,12,0,12,0,13,0,13,0,0,0,0,12,12,12,0,12,0,13,13,13,0,0,0,12,0,13,13,0,12,13,0,13,13,13,12,0,13,0,9,0,0,0,0,0,0,0,0,0,0,0,9,0,0,0,0,0,0,11,9,0,0,0,0,9,9,0,0,0,0,0,0,0,0,0,0,9,0,11,0,9,11,11,0,0,0,0,9'),
+        |(0.360555, '3,3,3,3,3,0,3,3,3,3,3,3,3,3,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,14,14,13,0,13,0,0,14,0,0,0,0,15,0,14,0,13,0,13,0,0,0,0,0,14,14,0,15,0,13,13,13,0,0,0,14,0,13,13,0,15,13,0,13,13,13,15,0,13,0,9,0,0,0,0,0,0,0,0,0,0,0,9,0,0,0,0,0,0,11,9,0,0,0,0,9,9,0,0,0,0,0,0,0,0,0,0,9,0,11,0,9,11,11,0,0,0,0,9'),
+        |(0.34641, '3,3,3,3,3,0,3,3,3,3,3,3,3,3,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,14,14,13,0,13,0,0,14,0,0,0,0,15,0,14,0,13,0,13,0,0,0,0,0,14,0,0,15,0,13,13,13,0,0,0,14,0,13,13,0,15,13,0,13,13,13,15,0,13,0,9,0,0,0,0,0,0,0,0,0,0,0,9,0,0,0,0,0,0,11,9,0,0,0,0,9,9,0,0,0,0,0,0,0,0,0,0,9,0,11,0,9,11,11,0,0,0,0,9'),
+        |(0.34641, '3,3,3,3,3,0,3,3,3,3,3,3,3,3,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,14,14,13,0,13,0,0,14,0,0,0,0,15,0,14,0,13,0,13,0,0,0,0,0,14,0,0,15,0,13,0,13,0,0,0,14,0,13,13,0,15,13,0,13,13,13,15,0,13,0,9,0,0,0,0,0,0,0,0,0,0,0,9,0,0,0,0,0,0,11,9,0,0,0,0,9,9,0,0,0,0,0,0,0,0,0,0,9,0,11,0,9,11,11,0,0,0,0,9'),
+        |(0.34641, '3,3,3,3,3,0,3,3,3,3,3,3,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,14,14,13,0,13,0,0,14,0,0,0,0,15,0,14,0,13,0,13,0,0,0,0,0,14,0,0,15,0,13,0,13,0,0,0,14,0,13,13,0,15,13,0,13,13,13,15,0,13,0,9,0,0,0,0,0,0,0,0,0,0,0,9,0,0,0,0,0,0,11,9,0,0,0,0,9,9,0,0,0,0,0,0,0,0,0,0,9,0,11,0,9,11,11,0,0,0,0,9'),
+        |(0.34641, '3,3,3,3,3,0,3,3,3,3,3,3,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,14,14,13,0,13,0,0,14,0,0,0,0,0,0,14,0,13,0,13,0,0,0,0,0,14,0,0,0,0,13,0,13,0,0,0,14,0,13,13,0,0,13,0,13,13,13,0,0,13,0,9,0,0,0,0,0,0,0,0,0,0,0,9,0,0,0,0,0,0,11,9,0,0,0,0,9,9,0,0,0,0,0,0,0,0,0,0,9,0,11,0,9,11,11,0,0,0,0,9'),
+        |(0.34641, '3,3,3,3,3,0,3,3,3,3,3,3,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,0,14,13,0,13,0,0,14,0,0,0,0,0,0,14,0,13,0,13,0,0,0,0,0,14,0,0,0,0,13,0,13,0,0,0,14,0,13,13,0,0,13,0,13,13,13,0,0,13,0,9,0,0,0,0,0,0,0,0,0,0,0,9,0,0,0,0,0,0,11,9,0,0,0,0,9,9,0,0,0,0,0,0,0,0,0,0,9,0,11,0,9,11,11,0,0,0,0,9'),
+        |(0.34641, '3,3,3,3,3,0,3,3,3,3,3,3,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,0,14,13,0,13,0,0,14,0,0,0,0,0,0,14,0,13,0,13,0,0,0,0,0,14,0,0,0,0,13,0,13,0,0,0,14,0,13,13,0,0,13,0,13,13,13,0,0,13,0,9,0,0,0,0,0,0,0,0,0,0,0,9,0,0,0,0,0,0,0,9,0,0,0,0,9,9,0,0,0,0,0,0,0,0,0,0,9,0,0,0,9,0,0,0,0,0,0,9'),
+        |(0.331662, '3,3,3,3,3,0,3,3,3,3,3,3,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,3,3,3,3,3,0,3,3,0,3,3,3,3,3,0,0,14,13,0,13,0,0,14,0,0,0,0,0,0,14,0,13,0,13,0,0,0,0,0,14,0,0,0,0,13,0,13,0,0,0,14,0,13,13,0,0,13,0,13,13,13,0,0,13,0,9,0,0,0,0,0,0,0,0,0,0,0,9,0,0,0,0,0,0,0,9,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,9,0,0,0,0,0,0,0'),
+        |(0.331662, '3,3,3,3,3,0,3,3,3,3,3,3,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,0,3,3,3,3,0,3,3,0,3,3,3,3,3,0,0,14,13,0,13,0,0,14,0,0,0,0,0,0,14,0,13,0,13,0,0,0,0,0,14,0,0,0,0,13,0,13,0,0,0,14,0,13,13,0,0,13,0,13,13,13,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.331662, '3,3,3,3,3,0,3,3,3,3,3,3,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,0,3,3,3,3,0,3,3,0,3,3,3,3,3,0,0,14,13,0,13,0,0,14,0,0,0,0,0,0,14,0,0,0,13,0,0,0,0,0,14,0,0,0,0,13,0,13,0,0,0,14,0,13,13,0,0,13,0,13,13,13,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.316228, '3,3,3,3,3,0,3,3,3,3,3,3,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,0,3,3,3,3,0,3,3,0,3,3,3,3,3,0,0,0,13,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,0,0,0,0,0,0,0,13,0,13,0,0,0,0,0,13,13,0,0,13,0,13,13,13,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.316228, '3,3,3,3,3,0,3,3,0,3,3,3,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,0,3,3,3,3,0,3,3,0,3,3,3,3,3,0,0,0,13,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,0,0,0,0,0,0,0,13,0,13,0,0,0,0,0,13,13,0,0,13,0,13,13,13,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.316228, '3,3,3,3,3,0,3,3,0,3,3,3,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,3,0,3,3,3,3,0,3,0,0,3,3,3,3,3,0,0,0,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,0,0,0,0,0,0,0,13,0,13,0,0,0,0,0,13,13,0,0,13,0,13,13,13,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.316228, '3,3,3,3,3,0,3,3,0,3,3,3,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,0,0,3,3,3,3,0,3,0,0,3,3,3,3,3,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,0,0,0,0,0,0,0,13,0,13,0,0,0,0,0,13,13,0,0,13,0,13,13,13,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.3, '3,3,3,3,3,0,0,3,0,3,3,3,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,3,0,0,3,0,0,3,3,3,3,0,3,0,0,3,3,3,3,3,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,0,0,0,0,0,0,0,13,0,13,0,0,0,0,0,13,13,0,0,13,0,13,13,13,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.3, '3,3,3,3,3,0,0,3,0,3,3,3,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,0,0,0,3,0,0,3,3,3,3,0,3,0,0,3,3,3,3,3,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,0,0,0,0,0,0,0,13,0,13,0,0,0,0,0,13,13,0,0,13,0,13,13,13,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.3, '3,3,3,3,3,0,0,3,0,3,3,3,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,0,0,0,3,0,0,3,3,3,3,0,3,0,0,3,3,3,3,3,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,0,0,13,0,0,0,13,0,13,13,13,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.3, '3,3,3,3,3,0,0,3,0,3,0,3,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,0,0,0,3,0,0,3,3,3,3,0,3,0,0,3,3,3,3,3,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,0,0,13,0,0,0,13,0,13,13,13,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.3, '3,3,3,3,3,0,0,3,0,3,0,3,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,0,0,0,3,0,0,3,0,3,3,0,0,0,0,3,3,3,3,3,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,0,0,13,0,0,0,13,0,13,13,13,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.282843, '3,3,3,3,3,0,0,3,0,3,0,0,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,0,0,0,3,0,0,3,0,3,3,0,0,0,0,3,3,3,3,3,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,0,0,13,0,0,0,13,0,13,13,13,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.282843, '3,3,3,3,3,0,0,3,0,3,0,0,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,0,0,0,3,0,0,3,0,3,3,0,0,0,0,3,3,3,3,3,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,13,0,13,13,13,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.264575, '3,3,3,3,3,0,0,3,0,3,0,0,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,0,0,0,3,0,0,3,0,3,3,0,0,0,0,3,3,3,3,3,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,13,0,13,13,13,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.264575, '3,3,3,3,3,0,0,3,0,3,0,0,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,0,0,0,3,0,0,3,0,3,3,0,0,0,0,3,3,3,3,3,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,13,0,0,13,13,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.264575, '3,3,0,3,3,0,0,3,0,3,0,0,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,0,0,0,3,0,0,3,0,3,3,0,0,0,0,3,3,3,3,3,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,13,0,0,13,13,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.264575, '3,3,0,3,3,0,0,3,0,3,0,0,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,0,0,0,3,0,0,0,0,3,3,0,0,0,0,3,3,3,3,3,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,13,0,0,13,13,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.264575, '3,3,0,3,3,0,0,3,0,3,0,0,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,0,0,0,3,0,0,0,0,3,3,0,0,0,0,3,3,3,3,3,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,13,0,0,0,0,0,0,13,13,0,0,13,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.244949, '3,3,0,3,3,0,0,3,0,3,0,0,3,0,0,0,0,3,0,3,0,3,0,0,0,3,3,3,3,3,3,0,0,0,3,0,0,0,0,3,3,0,0,0,0,3,3,3,3,3,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.244949, '3,3,0,3,3,0,0,3,0,3,0,0,3,0,0,0,0,3,0,3,0,0,0,0,0,3,3,3,3,3,3,0,0,0,3,0,0,0,0,3,3,0,0,0,0,3,3,3,3,3,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.244949, '3,3,0,3,3,0,0,3,0,3,0,0,3,0,0,0,0,3,0,3,0,0,0,0,0,3,3,3,3,3,3,0,0,0,3,0,0,0,0,3,3,0,0,0,0,3,0,3,3,3,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.244949, '3,3,0,3,3,0,0,3,0,3,0,0,3,0,0,0,0,3,0,0,0,0,0,0,0,3,3,3,3,3,3,0,0,0,3,0,0,0,0,3,3,0,0,0,0,3,0,3,0,3,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.244949, '5,4,0,4,5,0,0,5,0,4,0,0,4,0,0,0,0,5,0,0,0,0,0,0,0,4,5,5,5,4,4,0,0,0,4,0,0,0,0,5,5,0,0,0,0,4,0,4,0,5,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.223607, '5,4,0,0,5,0,0,5,0,4,0,0,4,0,0,0,0,5,0,0,0,0,0,0,0,4,5,5,5,4,4,0,0,0,4,0,0,0,0,5,5,0,0,0,0,4,0,0,0,5,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.223607, '5,4,0,0,5,0,0,5,0,4,0,0,4,0,0,0,0,5,0,0,0,0,0,0,0,4,0,5,5,4,4,0,0,0,4,0,0,0,0,5,5,0,0,0,0,4,0,0,0,5,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.223607, '5,4,0,0,5,0,0,5,0,4,0,0,4,0,0,0,0,5,0,0,0,0,0,0,0,0,0,5,5,4,4,0,0,0,4,0,0,0,0,5,5,0,0,0,0,4,0,0,0,5,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.223607, '5,4,0,0,5,0,0,5,0,4,0,0,4,0,0,0,0,5,0,0,0,0,0,0,0,0,0,5,5,4,4,0,0,0,4,0,0,0,0,5,5,0,0,0,0,4,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.223607, '5,4,0,0,5,0,0,5,0,4,0,0,4,0,0,0,0,5,0,0,0,0,0,0,0,0,0,5,5,0,4,0,0,0,4,0,0,0,0,5,5,0,0,0,0,4,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.2, '5,4,0,0,5,0,0,5,0,4,0,0,4,0,0,0,0,5,0,0,0,0,0,0,0,0,0,5,5,0,4,0,0,0,4,0,0,0,0,5,5,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.2, '5,4,0,0,5,0,0,5,0,4,0,0,0,0,0,0,0,5,0,0,0,0,0,0,0,0,0,5,5,0,4,0,0,0,4,0,0,0,0,5,5,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.173205, '5,0,0,0,5,0,0,5,0,0,0,0,0,0,0,0,0,5,0,0,0,0,0,0,0,0,0,5,5,0,0,0,0,0,0,0,0,0,0,5,5,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.173205, '5,0,0,0,5,0,0,5,0,0,0,0,0,0,0,0,0,5,0,0,0,0,0,0,0,0,0,5,5,0,0,0,0,0,0,0,0,0,0,5,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.173205, '5,0,0,0,5,0,0,0,0,0,0,0,0,0,0,0,0,5,0,0,0,0,0,0,0,0,0,5,5,0,0,0,0,0,0,0,0,0,0,5,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.173205, '5,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,5,5,0,0,0,0,0,0,0,0,0,0,5,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0'),
+        |(0.141421, '0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0')
+        |) AS t(level_eps, labels_csv) ORDER BY level_eps DESC""".stripMargin,
+    "q_outliers_topk" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(outlier_score AS DOUBLE) AS outlier_score, CAST(core_dist AS DOUBLE) AS core_dist FROM (VALUES
+        |(41, 0.815885, 0.768115),
+        |(15, 0.770584, 0.616441),
+        |(14, 0.741801, 0.547723),
+        |(131, 0.735865, 0.927362),
+        |(118, 0.726139, 0.894427),
+        |(22, 0.72265, 0.509902),
+        |(117, 0.715253, 0.860233),
+        |(18, 0.698489, 0.469042),
+        |(106, 0.691393, 0.793725),
+        |(98, 0.660317, 0.72111),
+        |(24, 0.657003, 0.412311),
+        |(44, 0.657003, 0.412311),
+        |(109, 0.65359, 0.707107),
+        |(60, 0.634852, 0.67082),
+        |(16, 0.634852, 0.387298),
+        |(33, 0.634852, 0.387298),
+        |(135, 0.630726, 0.663325),
+        |(57, 0.622036, 0.458258),
+        |(93, 0.622036, 0.387298),
+        |(23, 0.622036, 0.374166),
+        |(32, 0.622036, 0.374166),
+        |(5, 0.607768, 0.360555),
+        |(20, 0.607768, 0.360555),
+        |(108, 0.60264, 0.616441),
+        |(122, 0.597306, 0.608276),
+        |(13, 0.591752, 0.34641),
+        |(87, 0.585961, 0.591608),
+        |(134, 0.579916, 0.583095),
+        |(36, 0.573599, 0.331662),
+        |(148, 0.560059, 0.556776),
+        |(62, 0.552786, 0.547723),
+        |(105, 0.552786, 0.547723),
+        |(8, 0.552786, 0.316228),
+        |(35, 0.552786, 0.316228),
+        |(43, 0.552786, 0.316228),
+        |(68, 0.545141, 0.538516),
+        |(119, 0.545141, 0.538516),
+        |(107, 0.53709, 0.52915),
+        |(59, 0.528595, 0.519615),
+        |(129, 0.528595, 0.519615),
+        |(6, 0.528595, 0.3),
+        |(10, 0.528595, 0.3),
+        |(31, 0.528595, 0.3),
+        |(42, 0.528595, 0.3),
+        |(38, 0.528595, 0.244949),
+        |(64, 0.519616, 0.509902),
+        |(100, 0.519616, 0.509902),
+        |(114, 0.519616, 0.509902),
+        |(11, 0.5, 0.282843),
+        |(84, 0.489246, 0.479583)
+        |) AS t(id, outlier_score, core_dist) ORDER BY outlier_score DESC, core_dist DESC, id""".stripMargin,
+    "q_intercluster_edges" ->
+      """SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, CAST(weight AS DOUBLE) AS weight, CAST(label_src AS INTEGER) AS label_src, CAST(label_dst AS INTEGER) AS label_dst FROM (VALUES
+        |(23, 98, 1.640122, 2, 1)
+        |) AS t(src, dst, weight, label_src, label_dst) ORDER BY src, dst""".stripMargin,
     "q_ref_dataset" ->
       s"""WITH pts(id, v) AS (VALUES $refDatasetValuesSql),
          |pairs AS (
