@@ -65,6 +65,15 @@ object SparkEntry {
     }
   }
 
+  /** Demo BPE merge vocab for q_token_count_bpe: common English merges +
+    * the full single-char alphanumerics (so only punctuation falls through
+    * to the unknown-char rule). Lowercase — the tokenizer lowercases. */
+  private[graft] val bpeVocab: Seq[String] = Seq(
+    "the", "and", "ing", "ion", "tion", "ent", "for", "ter", "ate", "est",
+    "er", "re", "on", "at", "en", "an", "or", "te", "ed", "es", "in", "is",
+    "it", "ar", "st", "nd", "nt", "th", "he", "to", "of", "ou", "le", "al") ++
+    ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
+
   /** The fixture rendered as DuckDB VALUES rows `(id, [v1,...,v4])` — the
     * oracle's copy of the data, independent of filesystem layout. */
   private def refDatasetValuesSql: String = {
@@ -309,6 +318,13 @@ object SparkEntry {
     "q_token_count" -> ((s: SparkSession, d: String) =>
       docs(s, d).select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens")).orderBy(col("doc_id"))),
+    "q_token_count_bpe" -> ((s: SparkSession, d: String) =>
+      // real subword counting under a merge vocab (greedy longest-match
+      // codegen kernel); the oracle replays the same greedy walk with a
+      // recursive CTE over the identical inline vocab
+      docs(s, d).select(col("doc_id"),
+        TextOps.bpeTokenCount(col("text"), bpeVocab).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))),
     "q_text_ratios" -> ((s: SparkSession, d: String) =>
       docs(s, d).select(col("doc_id"),
         TextOps.alphaRatio(col("text")).as("alpha_ratio"),
@@ -915,6 +931,24 @@ object SparkEntry {
       """SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0
         |  ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_count_bpe" ->
+      s"""WITH RECURSIVE vocab(piece) AS (
+         |  SELECT * FROM (VALUES ${bpeVocab.map(p => s"('$p')").mkString(", ")}) v(p)),
+         |docs_arr AS (SELECT doc_id,
+         |  regexp_split_to_array(trim(lower(text)), '\\s+') AS arr FROM documents),
+         |words AS (SELECT doc_id, pos AS wpos, arr[pos] AS word FROM (
+         |  SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS pos FROM docs_arr)),
+         |seg AS (
+         |  SELECT doc_id, wpos, word, 1 AS p, 0 AS n FROM words
+         |  UNION ALL
+         |  SELECT doc_id, wpos, word,
+         |    p + coalesce((SELECT max(len(piece)) FROM vocab
+         |                  WHERE piece = substr(word, p, len(piece))), 1),
+         |    n + 1
+         |  FROM seg WHERE p <= len(word)),
+         |per_word AS (SELECT doc_id, wpos, max(n) AS n FROM seg GROUP BY doc_id, wpos)
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bpe_tokens
+         |FROM per_word GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_ratios" ->
       """SELECT doc_id,
         |  CASE WHEN len(text) = 0 THEN 0.0 ELSE

@@ -403,6 +403,78 @@ case class LangIdExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Codegen'd greedy longest-match BPE-style token count over a fixed vocab.
+  * The table is attached via `addReferenceObj`, so generated code calls a
+  * pre-built per-executor object — the vocab is never re-parsed per row. */
+  // ---- BPE-style subword counting: greedy longest-match against a vocab ----
+
+/** Greedy longest-match subword tokenizer table (WordPiece-style count,
+  * no continuation markers): at each position consume the LONGEST vocab
+  * piece that prefixes the remainder, else one (unknown) character; each
+  * consumption is one token. Deterministic, order-free.
+  *
+  * Ships inside the Expression as a codegen reference object, so it rides
+  * Spark's task-binary BROADCAST — one copy per executor, never per row
+  * or per task, even for a real ~50k-piece vocab. */
+final class BpeTable(vocab: Seq[String]) extends Serializable {
+  private val byLen: Array[java.util.HashSet[String]] = {
+    val maxLen = if (vocab.isEmpty) 0 else vocab.map(_.length).max
+    val arr = Array.fill[java.util.HashSet[String]](maxLen + 1)(null)
+    vocab.foreach { p =>
+      if (p.nonEmpty) {
+        if (arr(p.length) == null) arr(p.length) = new java.util.HashSet[String]()
+        arr(p.length).add(p)
+      }
+    }
+    arr
+  }
+
+  private def countWord(w: String): Long = {
+    var p = 0
+    var n = 0L
+    while (p < w.length) {
+      var l = math.min(byLen.length - 1, w.length - p)
+      var consumed = 1
+      var found = false
+      while (l >= 1 && !found) {
+        if (byLen(l) != null && byLen(l).contains(w.substring(p, p + l))) {
+          consumed = l; found = true
+        }
+        l -= 1
+      }
+      n += 1
+      p += consumed
+    }
+    n
+  }
+
+  /** Total subword tokens of a doc under `tokensOf` whitespace splitting. */
+  def count(text: UTF8String): Long = {
+    val toks = TextKernels.tokensOf(text)
+    var total = 0L
+    var i = 0
+    while (i < toks.length) { total += countWord(toks(i)); i += 1 }
+    total
+  }
+}
+
+case class BpeCountExpr(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  @transient private lazy val tableEval = new BpeTable(vocab)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bpe_count"
+  override def nullSafeEval(t: Any): Any =
+    tableEval.count(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", new BpeTable(vocab),
+      classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd `TextKernels.wordShingleHashes` (MinHash first stage). */
 case class WordShingleHashesExpr(child: Expression, n: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -511,6 +583,8 @@ object TextExpressions {
     GraftShim.column(MinShingleMd5Expr(GraftShim.expression(text), n))
   def langId(text: Column): Column =
     GraftShim.column(LangIdExpr(GraftShim.expression(text)))
+  def bpeCount(text: Column, vocab: Seq[String]): Column =
+    GraftShim.column(BpeCountExpr(GraftShim.expression(text), vocab))
   def wordShingleHashes(text: Column, n: Int): Column =
     GraftShim.column(WordShingleHashesExpr(GraftShim.expression(text), n))
   def wordShingleStrings(text: Column, n: Int): Column =

@@ -19,10 +19,18 @@ object TextOps {
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
   /** BPE-ish subword count estimate: words + extra tokens for long words
-    * (a word of length L costs ceil(L/4) subwords, a common BPE heuristic). */
+    * (a word of length L costs ceil(L/4) subwords, a common BPE heuristic).
+    * For counting under an ACTUAL vocab use [[bpeTokenCount]]. */
   def subwordCountEstimate(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
+
+  /** Real subword token count under a merge vocab: greedy longest-match
+    * (WordPiece-style) per whitespace word, one codegen pass per row; the
+    * vocab table rides the task-binary broadcast (one copy per executor).
+    * See [[graft.expr.BpeTable]] for the match semantics. */
+  def bpeTokenCount(text: Column, vocab: Seq[String]): Column =
+    graft.expr.TextExpressions.bpeCount(text, vocab)
 
   /** Character-class ratios (computed over the raw text, 6dp). */
   def charRatio(text: Column, charClass: String): Column =

@@ -99,6 +99,22 @@ class TextKernelsSpec extends SparkTestBase {
     assert(pruned.size <= exact.size)
   }
 
+  test("bpeTokenCount: greedy longest-match, hand-computed") {
+    import spark.implicits._
+    val vocab = Seq("the", "ing", "in", "er", "an", "a", "e", "i", "o", "u",
+      "t", "h", "n", "g", "r", "s", "d")
+    val docs = Seq(
+      (1L, "The thing  sang"), // the=1; t,h,ing=3; s,an,g=3 → 7
+      (2L, ""),                // empty → 0
+      (3L, "zz!"),             // all unknown chars → 3 (consume-1 rule)
+      (4L, "thethe"),          // the,the → 2 (longest-match repeats)
+      (5L, "  inger ")         // ing,er → 2 (longest wins over in+g+er)
+    ).toDF("doc_id", "text")
+    val got = docs.select($"doc_id", TextOps.bpeTokenCount($"text", vocab).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 7L, 2L -> 0L, 3L -> 3L, 4L -> 2L, 5L -> 2L), s"$got")
+  }
+
   test("fingerprint equality tracks normalized-text equality on duplicates") {
     import spark.implicits._
     val docs = Seq(
