@@ -576,7 +576,7 @@ object SparkEntry {
     "q_knn_ivf" -> "approximate by design; recall>=0.9 vs the oracle-checked brute-force baseline asserted in OperatorsSpec",
     "q_sample_stratified" -> "per-stratum Bernoulli sampling is seeded engine-specifically; DuckDB cannot reproduce the sample",
     "q_seq_pack" -> "bin ASSIGNMENT is engine-specific (per-partition first-fit-decreasing); the checkable invariants — every doc packed exactly once, token totals preserved, budget bound, fill ratio — are asserted in PackingSpec and summarized in the output columns",
-    "q_multimodal_features" -> "binary codec plumbing with a documented fake codec; round-trip + schema tested in ScalaTest")
+    "q_multimodal_features" -> "container metadata is real (PNG/JPEG/GIF magic-byte header parsing, fixture-tested incl. the canonical 1x1 PNG); deep pixel/audio decode stays a declared stub (no media libs in container), so feature VALUES are engine-specific")
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_filter_project" ->

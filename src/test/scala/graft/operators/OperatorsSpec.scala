@@ -660,6 +660,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(cf.extent > 0 && cf.nnDist(2.0) > 0)
   }
 
+  test("multimodal: real PNG/JPEG/GIF header parsing + mixed pipeline") {
+    import spark.implicits._
+    import Multimodal.ImageHeaders
+    // public fixture: the canonical 1x1 transparent PNG
+    val onePx = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    assert(ImageHeaders.sniff(onePx).contains(("png", 1, 1)))
+    val pay = "payload".getBytes("UTF-8")
+    assert(ImageHeaders.sniff(ImageHeaders.pngWrap(640, 480, pay)).contains(("png", 640, 480)))
+    assert(ImageHeaders.sniff(ImageHeaders.jpegWrap(1920, 1080, pay)).contains(("jpeg", 1920, 1080)))
+    assert(ImageHeaders.sniff(ImageHeaders.gifWrap(320, 200, pay)).contains(("gif", 320, 200)))
+    assert(ImageHeaders.sniff("not an image".getBytes("UTF-8")).isEmpty)
+    // mixed pipeline: id%5 → 0 gif, 3 png, 4 jpeg, else fake container
+    val docs = (0L to 9L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(Multimodal.synthesizeBlobs(docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(0L).media_type == "gif" && feats(5L).media_type == "gif")
+    assert(feats(3L).media_type == "png" && feats(8L).media_type == "png")
+    assert(feats(4L).media_type == "jpeg" && feats(9L).media_type == "jpeg")
+    assert(feats(1L).media_type == "audio" && feats(2L).media_type == "video")
+    assert(feats(3L).width == 160 && feats(3L).height == 160)
+  }
+
   test("multimodal: fake codec round-trip + feature extraction") {
     import spark.implicits._
     val docs = Seq((1L, "hello world"), (2L, "abc")).toDF("doc_id", "text")
