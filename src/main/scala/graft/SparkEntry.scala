@@ -517,7 +517,10 @@ object SparkEntry {
       graft.streaming.StreamingOps.runningMaxStream(s, d)),
     "q_stream_attribution" -> ((s: SparkSession, d: String) =>
       // watermarked stream-stream join: views ⋈ purchases within 6h per user
-      graft.streaming.StreamingOps.attributionStream(s, d))
+      graft.streaming.StreamingOps.attributionStream(s, d)),
+    "q_stream_attribution_outer" -> ((s: SparkSession, d: String) =>
+      // watermark-forced null emission: views that never converted
+      graft.streaming.StreamingOps.attributionOuterStream(s, d))
   )
 
   // ---------- DuckDB oracle SQL ----------
@@ -1297,6 +1300,25 @@ object SparkEntry {
         |SELECT v.user_id, view_id, purchase_id,
         |  round((p_us - v_us) / 60000000.0, 4) AS delay_min
         |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p_us > v_us AND p_us <= v_us + 21600000000
+        |ORDER BY view_id, purchase_id""".stripMargin,
+    "q_stream_attribution_outer" ->
+      // same micros truncation as q_stream_attribution; the cutoff — the
+      // end-of-history global watermark basis min(max view, max purchase)
+      // minus delay+horizon+slack (8h) — keeps only views whose
+      // convert-or-not outcome is final, mirroring the engine's filter
+      """WITH cutoff AS (SELECT least(
+        |    (SELECT max(epoch_ns(ts) // 1000) FROM events WHERE event_type = 'view'),
+        |    (SELECT max(epoch_ns(ts) // 1000) FROM events WHERE event_type = 'purchase'))
+        |    - 28800000000 AS c),
+        |v AS (SELECT event_id AS view_id, user_id, epoch_ns(ts) // 1000 AS v_us
+        |           FROM events WHERE event_type = 'view'
+        |             AND epoch_ns(ts) // 1000 <= (SELECT c FROM cutoff)),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_ns(ts) // 1000 AS p_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, view_id, purchase_id,
+        |  round((p_us - v_us) / 60000000.0, 4) AS delay_min
+        |FROM v LEFT JOIN p ON v.user_id = p.user_id
         |  AND p_us > v_us AND p_us <= v_us + 21600000000
         |ORDER BY view_id, purchase_id""".stripMargin,
     "q_stream_enrich" ->

@@ -202,6 +202,65 @@ object StreamingOps {
     out.orderBy(col("view_id"), col("purchase_id"))
   }
 
+  /** Left-outer variant of [[attributionJoin]]: a view that never converts
+    * within the horizon emits EXACTLY ONCE, with null purchase columns,
+    * once the global watermark passes its join window — the state store's
+    * watermark-forced null-emission path (the one outer-join shape the
+    * inner attribution join doesn't exercise). */
+  def attributionJoinOuter(views: DataFrame, purchases: DataFrame,
+      horizonHours: Int): DataFrame =
+    views.withWatermark("view_ts", "1 hour")
+      .join(purchases.withWatermark("purchase_ts", "1 hour"),
+        expr(s"user_id = p_user AND purchase_ts > view_ts" +
+          s" AND purchase_ts <= view_ts + INTERVAL $horizonHours HOURS"),
+        "leftOuter")
+
+  /** Streaming "views that never converted" report: [[attributionJoinOuter]]
+    * replayed over history. The full streams are ingested (the view-side
+    * watermark derives from the max view INGESTED — pre-filtering views
+    * would cap it and withhold the tail's null rows); the OUTPUT is then
+    * filtered to views whose outcome is FINAL under the end-of-history
+    * global watermark: view_ts ≤ min(max view, max purchase) − 1 h delay
+    * − horizon − 1 h slack. Every kept view either matched or had its
+    * null row watermark-forced, so the emission set equals the batch left
+    * join under the same cutoff (SQL-oracle-checkable); the unfinalized
+    * tail is excluded on BOTH sides rather than silently under-reported. */
+  def attributionOuterStream(spark: SparkSession, dir: String,
+      horizonHours: Int = 6): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val Array(maxViewUs, maxPurchUs) = Array("view", "purchase").map { t =>
+      batch.where(col("event_type") === t)
+        .agg(max(expr("ts div 1000"))).collect()(0).getLong(0)
+    }
+    val cutoffUs = math.min(maxViewUs, maxPurchUs) -
+      (horizonHours + 2L) * 3600L * 1000000L
+    val schema = batch.schema
+    def events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").format("parquet").load(dir)
+    val views = events.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("view_ts"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        timestamp_micros(expr("ts div 1000")).as("purchase_ts"))
+    val joined = attributionJoinOuter(views, purchases, horizonHours)
+      .where(col("view_ts") <= timestamp_micros(lit(cutoffUs)))
+    val name = s"attribution_outer_${System.nanoTime()}"
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (out, _) = org.apache.spark.sql.GraftShim.materialize(
+      spark.table(name).select(col("user_id"), col("view_id"), col("purchase_id"),
+        round((unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          / lit(60000000.0), 4).as("delay_min")))
+    spark.catalog.dropTempView(name)
+    out.orderBy(col("view_id"), col("purchase_id"))
+  }
+
   /** Per-user session state carried across micro-batches. */
   final case class SessionState(lastTsMs: Long, sessions: Long)
 

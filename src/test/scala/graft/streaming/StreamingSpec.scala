@@ -211,6 +211,56 @@ class StreamingSpec extends SparkTestBase {
     assert(finalState.exists(_ <= 3), s"join state not bounded: $finalState")
   }
 
+  test("left-outer attribution: unconverted view emits its null row exactly once") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("attr_outer").toString
+    // views: 10 converts; 11 never converts (null row must fire once its
+    // 6h window is below the final watermark); 99 never converts but sits
+    // in the unfinalized tail (window 20:30+6h is past the final global
+    // watermark 19:30 = min(20:30, 23:30) - 1h) → must NOT emit
+    Seq((10L, 1L, "2024-01-01 10:00:00"), (11L, 2L, "2024-01-01 10:05:00"),
+      (99L, 8L, "2024-01-01 20:30:00"))
+      .toDF("view_id", "user_id", "s")
+      .select(col("view_id"), col("user_id"), to_timestamp(col("s")).as("view_ts"))
+      .coalesce(1).write.parquet(s"$dir/views/b1")
+    // purchases span three micro-batches: the match for 10, then two
+    // watermark pushers — the null row for 11 can only appear after b2
+    // advances the global watermark past 16:05, and b3 runs another batch
+    // to prove it doesn't re-emit
+    Seq((20L, 1L, "2024-01-01 11:00:00")).toDF("purchase_id", "p_user", "s")
+      .select(col("purchase_id"), col("p_user"), to_timestamp(col("s")).as("purchase_ts"))
+      .coalesce(1).write.parquet(s"$dir/purch/b1")
+    Seq((21L, 9L, "2024-01-01 23:00:00")).toDF("purchase_id", "p_user", "s")
+      .select(col("purchase_id"), col("p_user"), to_timestamp(col("s")).as("purchase_ts"))
+      .coalesce(1).write.parquet(s"$dir/purch/b2")
+    Seq((22L, 9L, "2024-01-01 23:30:00")).toDF("purchase_id", "p_user", "s")
+      .select(col("purchase_id"), col("p_user"), to_timestamp(col("s")).as("purchase_ts"))
+      .coalesce(1).write.parquet(s"$dir/purch/b3")
+    val vSchema = spark.read.parquet(s"$dir/views/b1").schema
+    val pSchema = spark.read.parquet(s"$dir/purch/b1").schema
+    val views = spark.readStream.schema(vSchema)
+      .option("recursiveFileLookup", "true").format("parquet").load(s"$dir/views")
+    val purchases = spark.readStream.schema(pSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").format("parquet").load(s"$dir/purch")
+    val name = s"attr_outer_test_${System.nanoTime()}"
+    val q = StreamingOps.attributionJoinOuter(views, purchases, horizonHours = 6)
+      .select(col("view_id"), col("purchase_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    val emitted = spark.table(name)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq.sorted
+    spark.catalog.dropTempView(name)
+    assert(nBatches >= 3, s"expected purchases to span micro-batches, got $nBatches")
+    assert(emitted == Seq((10L, 20L), (11L, -1L)),
+      s"expected one match and EXACTLY ONE null row for view 11, none for tail view 99; got $emitted")
+  }
+
   test("stateful streaming sessionization matches batch session counts") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingOps.sessionizeStream(spark, sf()).collect()
