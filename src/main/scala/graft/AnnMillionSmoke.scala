@@ -33,7 +33,7 @@ object AnnMillionSmoke {
     val corpus = spark.range(n).select(id.as("cid"), feat.as("cv"))
       .repartition(64).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"generated ${corpus.count()} vectors, $blobs blobs, $dims dims")
-    val queries = corpus.filter(col("cid") % lit(n / 100) === 0)
+    val queries = corpus.filter(col("cid") % lit(math.max(1L, n / 100)) === 0)
       .select(col("cid").as("qid"), col("cv").as("qv")).persist()
     val nQ = queries.count()
 

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** ScalaCheck property for the distributed Borůvka merge: on random
+  * multigraphs with HEAVILY duplicated weights (weights drawn from
+  * {1,2,3,4}), `BoruvkaMst.run` must return exactly the driver Kruskal
+  * forest under the same (weight, lo, hi) total order. The total-order
+  * argument at BoruvkaMst.scala:12-18 is load-bearing — without it,
+  * equal-weight ties could make two components pick edges that close a
+  * cycle — and was previously exercised only on real data.
+  */
+object BoruvkaPropertySpec extends Properties("BoruvkaMst") {
+
+  // each case spins Spark jobs; a handful of random graphs is the point,
+  // not statistical volume
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withMaxDiscardRatio(10)
+
+  private val graphGen: Gen[List[(Long, Long, Double)]] = for {
+    n <- Gen.choose(4, 24)
+    m <- Gen.choose(n, 4 * n)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.choose(0, n - 1)
+      b <- Gen.choose(0, n - 1)
+      w <- Gen.choose(1, 4) // tiny weight domain → many exact ties
+    } yield (a * 7L + 3, b * 7L + 3, w.toDouble)) // non-contiguous ids
+  } yield es
+
+  /** Driver Kruskal under the identical normalization + total order. */
+  private def kruskal(edges: Seq[(Long, Long, Double)]): Set[(Long, Long, Double)] = {
+    val norm = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2), e._3))
+      .groupBy(e => (e._1, e._2)).map { case (_, g) => g.minBy(_._3) }.toSeq
+      .sortBy(e => (e._3, e._1, e._2))
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted.zipWithIndex.toMap
+    val uf = new graft.kernel.UnionFind(ids.size)
+    norm.filter { case (a, b, _) =>
+      uf.find(ids(a)) != uf.find(ids(b)) && { uf.union(ids(a), ids(b)); true }
+    }.toSet
+  }
+
+  property("equals driver Kruskal on duplicate-weight multigraphs") =
+    Prop.forAll(graphGen) { es =>
+      val spark = graft.SparkTestBase.session
+      import spark.implicits._
+      val got = BoruvkaMst.run(spark, es.toDF("src", "dst", "weight"))
+        .as[(Long, Long, Double)].collect().toSet
+      val want = kruskal(es)
+      if (got != want) {
+        println(s"edges=$es\nboruvka=${got.toSeq.sorted}\nkruskal=${want.toSeq.sorted}")
+      }
+      got == want
+    }
+}

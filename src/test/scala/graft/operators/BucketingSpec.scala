@@ -15,8 +15,10 @@ class BucketingSpec extends SparkTestBase {
     val left = (0L until 5000L).map(i => (i % 500, i)).toDF("k", "v")
     val right = (0L until 2000L).map(i => (i % 500, i * 10)).toDF("k", "w")
     // disable broadcast so the join strategy is decided by partitioning;
-    // explicit external paths keep the shared session's warehouse untouched
-    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+    // explicit external paths keep the shared session's warehouse untouched.
+    // try/finally: a failed assert must still drop the four tables, or the
+    // shared test session's catalog leaks into re-runs and other suites
+    try withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       left.write.option("path", s"$wh/bk_left")
         .bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bk_left")
       right.write.option("path", s"$wh/bk_right")
@@ -40,8 +42,7 @@ class BucketingSpec extends SparkTestBase {
       val b = plain.agg(count(lit(1)), sum($"v" + $"w").cast("decimal(30,0)"))
         .collect()(0)
       assert(a == b, s"$a vs $b")
-    }
-    Seq("bk_left", "bk_right", "plain_left", "plain_right")
+    } finally Seq("bk_left", "bk_right", "plain_left", "plain_right")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
