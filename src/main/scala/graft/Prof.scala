@@ -73,6 +73,26 @@ object Prof {
       sh.unpersist(blocking = false); cand.unpersist(blocking = false)
     }
 
+    // driver-vs-local >2x spread triage (VERDICT r3 wrong #5): the three
+    // flagged queries interleaved with a fixed-cost control over several
+    // rounds. A plan/session problem reproduces in EVERY round; machine
+    // load shows as round-to-round variance that moves the control too.
+    section("spread") {
+      val qs = Seq("q_corpus_mix", "q_core_distance_window", "q_dedup_exact")
+      for (round <- 1 to 3) {
+        time(s"control groupBy   #$round") {
+          spark.range(200000000L).selectExpr("id % 97 AS k").groupBy("k").count()
+            .write.format("noop").mode("overwrite").save()
+        }
+        qs.foreach { q =>
+          time(f"$q%-18s #$round") {
+            SparkEntry.queries(q)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+      }
+    }
+
     // ObjectHashAggregate sort-fallback hypothesis for q_adjacency_list:
     // default fallbackThreshold=128 distinct keys per partition vs raised
     section("adjacency") {
