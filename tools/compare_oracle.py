@@ -41,6 +41,18 @@ for name, sql in sorted(oracle.items()):
     mismatch = []
     for c in exp.columns:
         e, g = exp[c], got[c]
+        # Date/timestamp columns: parquet DATE loads into pandas as object
+        # (datetime.date) while DuckDB yields datetime64 — a pandas artifact,
+        # not an engine mismatch (the driver canonicalizes both). Normalize
+        # and compare as datetimes.
+        if e.dtype.kind == "M" or g.dtype.kind == "M":
+            try:
+                eq = pd.to_datetime(e).values == pd.to_datetime(g).values
+                if not eq.all():
+                    mismatch.append(f"{c}:{int((~eq).sum())}rows")
+            except Exception as ex:
+                mismatch.append(f"{c}:cmp_error:{ex}")
+            continue
         # Dtype-strict: the driver hashes canonicalized values, so an oracle
         # HUGEINT (object/float in pandas) vs a Spark BIGINT hash-mismatches even
         # when the numbers are equal. Fail here on any dtype-kind difference so
