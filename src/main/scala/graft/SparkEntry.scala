@@ -183,11 +183,15 @@ object SparkEntry {
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       ConnectedComponents.run(s, edges).orderBy(col("vertex"))
     }),
-    "q_mst_distributed" -> ((s: SparkSession, d: String) => {
-      // the unbounded global-merge path: Borůvka over the pairwise
-      // mutual-reachability-free distance graph of the first 150 embeddings
-      val a = embPair(s, d, "src", "va").filter(col("src") < 150)
-      val b = embPair(s, d, "dst", "vb").filter(col("dst") < 150)
+    "q_mst_distributed" -> ((s: SparkSession, _: String) => {
+      // the unbounded global-merge path: Borůvka over the full pairwise
+      // distance graph of the reference dataset's 150 points. Unique under
+      // the (weight, lo, hi) total order, so the edge SET pins exactly;
+      // cross-validated against a driver Kruskal in OperatorsSpec and by
+      // BoruvkaPropertySpec on tie-heavy random graphs
+      val pts = graft.io.PointsIO.readPointsText(s, refDatasetPath())
+      val a = pts.select(col("id").as("src"), col("features").as("va"))
+      val b = pts.select(col("id").as("dst"), col("features").as("vb"))
       val edges = a.crossJoin(b).filter(col("src") < col("dst"))
         .select(col("src"), col("dst"),
           graft.functions.Distances.euclidean(col("va"), col("vb")).as("weight"))
@@ -420,25 +424,32 @@ object SparkEntry {
         .select(col("id"), round(col("outlier_score"), 6).as("outlier_score"),
           round(col("core_dist"), 6).as("core_dist"))
         .orderBy(col("outlier_score").desc, col("core_dist").desc, col("id")).limit(50)),
-    "q_constraints_check" -> ((s: SparkSession, d: String) => {
+    "q_constraints_check" -> ((s: SparkSession, _: String) => {
       import s.implicits._
-      // deterministic synthetic constraints over the embedding ids
+      // deterministic synthetic constraints over the reference dataset's
+      // point ids; pinned-VALUES oracle (see q_cluster_tree provenance)
       val cons = ((0L until 10L).map(i => (i, i + 1L, "ml")) ++
-        (0L until 10L).map(i => (i, i + 250L, "cl"))).toDF("point_a", "point_b", "ctype")
-      val labels = Hdbscan(minPts = 4, minClusterSize = 4).fit(embeddingsD(s, d))
+        (0L until 10L).map(i => (i, i + 75L, "cl"))).toDF("point_a", "point_b", "ctype")
+      val labels = Hdbscan(minPts = 4, minClusterSize = 4)
+        .fit(graft.io.PointsIO.readPointsText(s, refDatasetPath()))
         .select(col("id"), col("label"))
       Constraints.summary(cons, labels)
     }),
-    "q_constraints_extract" -> ((s: SparkSession, d: String) => {
+    "q_constraints_extract" -> ((s: SparkSession, _: String) => {
       import s.implicits._
       // G10: the same constraints STEER extraction (selection prefers
       // satisfying clusters; kernel test shows a must-link flipping the
-      // selection) — summary reports satisfaction under the constrained fit
-      val consSeq = (0L until 10L).map(i => (i, i + 250L, true))
+      // selection) — summary reports satisfaction under the constrained
+      // fit on the reference dataset; pinned-VALUES oracle
+      // must-links across the two OVERLAPPING species (versicolor ids
+      // 50.. vs virginica ids 100..): satisfiable by selecting their
+      // merged parent, which pure stability would not pick
+      val consSeq = (0L until 10L).map(i => (50L + i, 100L + i, true))
       val cons = consSeq.map { case (a, b, _) => (a, b, "ml") }
         .toDF("point_a", "point_b", "ctype")
       val labels = Hdbscan(minPts = 4, minClusterSize = 4)
-        .setConstraints(consSeq).fit(embeddingsD(s, d))
+        .setConstraints(consSeq)
+        .fit(graft.io.PointsIO.readPointsText(s, refDatasetPath()))
         .select(col("id"), col("label"))
       Constraints.summary(cons, labels)
     }),
@@ -571,9 +582,6 @@ object SparkEntry {
     "q_hdbscan" -> "density-cluster assignments are not SQL-expressible; exact-mode core distances + invariants oracle-checked in q_hdbscan_invariants, structure verified by ScalaTest blob-purity goldens",
     "q_hdbscan_partitioned" -> "as q_hdbscan; mode-specific invariants oracle-checked in q_hdbscan_part_invariants, cross-mode agreement in HdbscanSpec",
     "q_hdbscan_bubbles" -> "as q_hdbscan; CF-sketch labels verified by ScalaTest bubble-purity + reattachment tests",
-    "q_constraints_check" -> "depends on clustering labels (not SQL-expressible); constraint-side broadcast plan + semantics asserted in OperatorsSpec",
-    "q_constraints_extract" -> "constraint-driven extraction output depends on clustering labels (not SQL-expressible); the must-link selection flip is asserted in HdbscanKernelSpec",
-    "q_mst_distributed" -> "MST construction is not SQL-expressible; OperatorsSpec asserts edge-level equality with a driver Kruskal under the same tie order",
     "q_dedup_minhash" -> "xxhash64/minhash signatures have no DuckDB equivalent; codegen-vs-HOF parity + planted-duplicate recall tested in ScalaTest",
     "q_dedup_simhash" -> "as q_dedup_minhash: simhash bit votes have no DuckDB equivalent; parity + planted-pair recall in ScalaTest",
     "q_knn_ivf" -> "approximate by design; recall>=0.9 vs the oracle-checked brute-force baseline asserted in OperatorsSpec",
@@ -877,6 +885,167 @@ object SparkEntry {
       """SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, CAST(weight AS DOUBLE) AS weight, CAST(label_src AS INTEGER) AS label_src, CAST(label_dst AS INTEGER) AS label_dst FROM (VALUES
         |(23, 98, 1.640122, 2, 1)
         |) AS t(src, dst, weight, label_src, label_dst) ORDER BY src, dst""".stripMargin,
+    "q_constraints_check" ->
+      """SELECT ctype, CAST(total AS BIGINT) AS total, CAST(satisfied AS BIGINT) AS satisfied FROM (VALUES
+        |('cl', 10, 10),
+        |('ml', 10, 10)
+        |) AS t(ctype, total, satisfied) ORDER BY ctype""".stripMargin,
+    "q_constraints_extract" ->
+      """SELECT ctype, CAST(total AS BIGINT) AS total, CAST(satisfied AS BIGINT) AS satisfied FROM (VALUES
+        |('ml', 10, 10)
+        |) AS t(ctype, total, satisfied) ORDER BY ctype""".stripMargin,
+    "q_mst_distributed" ->
+      """SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, CAST(weight AS DOUBLE) AS weight FROM (VALUES
+        |(0, 4, 0.141421),
+        |(0, 17, 0.1),
+        |(0, 27, 0.141421),
+        |(0, 39, 0.141421),
+        |(1, 12, 0.141421),
+        |(1, 34, 0.141421),
+        |(1, 45, 0.141421),
+        |(2, 47, 0.141421),
+        |(3, 29, 0.173205),
+        |(3, 47, 0.141421),
+        |(4, 37, 0.141421),
+        |(5, 10, 0.34641),
+        |(5, 18, 0.331662),
+        |(6, 22, 0.458258),
+        |(6, 47, 0.223607),
+        |(7, 11, 0.223607),
+        |(7, 26, 0.223607),
+        |(7, 39, 0.1),
+        |(7, 49, 0.141421),
+        |(8, 38, 0.141421),
+        |(8, 41, 0.6245),
+        |(9, 34, 0.1),
+        |(10, 16, 0.34641),
+        |(10, 36, 0.3),
+        |(10, 48, 0.1),
+        |(11, 24, 0.3),
+        |(11, 29, 0.223607),
+        |(13, 38, 0.244949),
+        |(14, 33, 0.412311),
+        |(15, 33, 0.360555),
+        |(17, 40, 0.141421),
+        |(19, 21, 0.141421),
+        |(19, 46, 0.141421),
+        |(19, 48, 0.244949),
+        |(20, 27, 0.3),
+        |(20, 31, 0.282843),
+        |(23, 26, 0.2),
+        |(23, 98, 1.640122),
+        |(25, 34, 0.173205),
+        |(26, 43, 0.223607),
+        |(27, 28, 0.141421),
+        |(27, 48, 0.223607),
+        |(29, 30, 0.141421),
+        |(30, 34, 0.141421),
+        |(32, 33, 0.34641),
+        |(32, 46, 0.34641),
+        |(35, 49, 0.223607),
+        |(38, 42, 0.2),
+        |(42, 47, 0.223607),
+        |(44, 46, 0.360555),
+        |(50, 52, 0.264575),
+        |(51, 56, 0.264575),
+        |(51, 75, 0.316228),
+        |(52, 77, 0.316228),
+        |(52, 86, 0.282843),
+        |(53, 89, 0.2),
+        |(54, 58, 0.244949),
+        |(55, 66, 0.3),
+        |(55, 90, 0.316228),
+        |(56, 85, 0.374166),
+        |(57, 93, 0.141421),
+        |(57, 98, 0.387298),
+        |(58, 75, 0.244949),
+        |(58, 76, 0.316228),
+        |(59, 89, 0.387298),
+        |(60, 93, 0.360555),
+        |(61, 78, 0.331662),
+        |(61, 96, 0.3),
+        |(62, 92, 0.489898),
+        |(63, 73, 0.223607),
+        |(63, 91, 0.141421),
+        |(64, 82, 0.424264),
+        |(65, 75, 0.141421),
+        |(65, 86, 0.316228),
+        |(66, 84, 0.2),
+        |(67, 92, 0.244949),
+        |(68, 72, 0.509902),
+        |(68, 87, 0.264575),
+        |(69, 80, 0.173205),
+        |(69, 89, 0.244949),
+        |(69, 92, 0.264575),
+        |(70, 138, 0.223607),
+        |(71, 82, 0.34641),
+        |(71, 97, 0.331662),
+        |(72, 119, 0.43589),
+        |(72, 133, 0.360555),
+        |(74, 75, 0.264575),
+        |(74, 97, 0.2),
+        |(77, 147, 0.412311),
+        |(78, 91, 0.2),
+        |(79, 81, 0.34641),
+        |(80, 81, 0.141421),
+        |(81, 93, 0.648074),
+        |(82, 92, 0.141421),
+        |(82, 99, 0.264575),
+        |(83, 101, 0.360555),
+        |(83, 133, 0.331662),
+        |(84, 106, 0.734847),
+        |(88, 95, 0.173205),
+        |(90, 94, 0.264575),
+        |(94, 99, 0.173205),
+        |(95, 96, 0.141421),
+        |(96, 99, 0.141421),
+        |(100, 136, 0.424264),
+        |(101, 113, 0.264575),
+        |(101, 121, 0.316228),
+        |(101, 142, 0.0),
+        |(101, 149, 0.331662),
+        |(102, 120, 0.4),
+        |(102, 125, 0.387298),
+        |(103, 116, 0.244949),
+        |(103, 128, 0.331662),
+        |(103, 134, 0.538516),
+        |(104, 132, 0.3),
+        |(104, 140, 0.360555),
+        |(105, 107, 0.52915),
+        |(105, 117, 0.818535),
+        |(105, 122, 0.264575),
+        |(107, 125, 0.43589),
+        |(107, 130, 0.264575),
+        |(108, 128, 0.556776),
+        |(109, 143, 0.632456),
+        |(110, 115, 0.374166),
+        |(110, 147, 0.223607),
+        |(111, 146, 0.374166),
+        |(111, 147, 0.34641),
+        |(112, 139, 0.173205),
+        |(112, 140, 0.34641),
+        |(114, 121, 0.489898),
+        |(115, 148, 0.3),
+        |(116, 137, 0.141421),
+        |(116, 147, 0.360555),
+        |(117, 131, 0.412311),
+        |(118, 122, 0.412311),
+        |(120, 124, 0.3),
+        |(120, 140, 0.264575),
+        |(120, 143, 0.223607),
+        |(123, 126, 0.173205),
+        |(123, 146, 0.244949),
+        |(125, 129, 0.34641),
+        |(126, 127, 0.244949),
+        |(127, 138, 0.141421),
+        |(127, 149, 0.282843),
+        |(128, 132, 0.1),
+        |(130, 135, 0.538516),
+        |(136, 148, 0.244949),
+        |(140, 144, 0.244949),
+        |(141, 145, 0.244949),
+        |(145, 147, 0.360555)
+        |) AS t(src, dst, weight) ORDER BY src, dst""".stripMargin,
     "q_ref_dataset" ->
       s"""WITH pts(id, v) AS (VALUES $refDatasetValuesSql),
          |pairs AS (
