@@ -136,7 +136,10 @@ object SparkEntry {
       // aggregate, join back as a broadcast single row, and assignment is
       // a codegen'd count of boundaries below each score.
       val scored = docs(s, d).select(col("doc_id"),
-        TextOps.qualityScore(col("text")).as("q"))
+        // single-pass kernel quality (parity-tested vs TextOps.qualityScore);
+        // rounding matches the HOF form's round(.., 6)
+        round(graft.expr.TextExpressions.textStats(col("text"))
+          .getField("quality"), 6).as("q"))
       val bounds = scored.agg(percentile(col("q"),
         array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bs"))
       scored.crossJoin(broadcast(bounds))
@@ -329,12 +332,16 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"),
         TextOps.bpeTokenCount(col("text"), bpeVocab).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))),
-    "q_text_ratios" -> ((s: SparkSession, d: String) =>
+    "q_text_ratios" -> ((s: SparkSession, d: String) => {
+      // same single-pass kernel as q_text_stats (parity-tested against the
+      // per-column HOF forms); rounding applied here, as before
+      val st = graft.expr.TextExpressions.textStats(col("text"))
       docs(s, d).select(col("doc_id"),
-        TextOps.alphaRatio(col("text")).as("alpha_ratio"),
-        TextOps.digitRatio(col("text")).as("digit_ratio"),
-        TextOps.meanTokenLength(col("text")).as("mean_tok_len"),
-        TextOps.stopwordRatio(col("text")).as("stopword_ratio")).orderBy(col("doc_id"))),
+        round(st.getField("alpha_ratio"), 6).as("alpha_ratio"),
+        round(st.getField("digit_ratio"), 6).as("digit_ratio"),
+        round(st.getField("mean_tok_len"), 6).as("mean_tok_len"),
+        round(st.getField("stopword_ratio"), 6).as("stopword_ratio")).orderBy(col("doc_id"))
+    }),
     "q_text_stats" -> ((s: SparkSession, d: String) =>
       TextOps.analyze(docs(s, d)).orderBy(col("doc_id"))),
     "q_langid" -> ((s: SparkSession, d: String) =>

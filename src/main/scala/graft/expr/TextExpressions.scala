@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression, XXH64, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass text kernels behind native codegen Expressions.
@@ -108,6 +110,58 @@ object TextKernels {
       k += 1
     }
     if (counts(best) == 0) UND else langU8(best)
+  }
+
+
+  // ---- single-pass per-doc text statistics (q_text_stats hot path) ----
+
+  private val stopSet: java.util.HashSet[String] = {
+    val h = new java.util.HashSet[String]()
+    graft.operators.TextOps.englishStopwords.foreach(h.add)
+    h
+  }
+
+  /** One tokenize + one code-point scan computing every `TextOps.analyze`
+    * numeric column at once — the HOF form re-tokenized per column and ran
+    * interpreted lambdas. Values are UNROUNDED; callers apply Spark
+    * `round()` so rounding semantics are bit-identical to the old plan.
+    * Fields: (n_tokens int, n_subwords long, alpha_ratio, digit_ratio,
+    * mean_tok_len, stopword_ratio, quality). */
+  def textStats(text: UTF8String): InternalRow = {
+    val raw = text.toString
+    var cp = 0; var alpha = 0; var digit = 0
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.codePointAt(i)
+      cp += 1
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) alpha += 1
+      else if (c >= '0' && c <= '9') digit += 1
+      i += Character.charCount(c)
+    }
+    val toks = tokensOf(text)
+    var sumLen = 0L; var subw = 0L; var stop = 0
+    var j = 0
+    while (j < toks.length) {
+      val t = toks(j)
+      val tl = t.codePointCount(0, t.length)
+      sumLen += tl
+      subw += (tl + 3) / 4 // ceil(len/4)
+      if (stopSet.contains(t)) stop += 1
+      j += 1
+    }
+    // `when(length(trim(text)) === 0, 0)`: trim strips 0x20 only
+    var st = 0; var en = raw.length
+    while (st < en && raw.charAt(st) == ' ') st += 1
+    while (en > st && raw.charAt(en - 1) == ' ') en -= 1
+    val nTokens = if (en == st) 0 else toks.length
+    val n = toks.length.toDouble // split(-1) never yields an empty array
+    val alphaR = if (cp == 0) 0.0 else alpha.toDouble / cp
+    val digitR = if (cp == 0) 0.0 else digit.toDouble / cp
+    val stopR = stop / n
+    val quality = 0.4 * math.min(cp / 500.0, 1.0) +
+      0.4 * (alpha.toDouble / math.max(cp.toDouble, 1.0)) +
+      0.2 * math.min(stopR * 5.0, 1.0)
+    new GenericInternalRow(Array[Any](nTokens, subw, alphaR, digitR, sumLen / n, stopR, quality))
   }
 
   private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
@@ -403,6 +457,28 @@ case class LangIdExpr(child: Expression)
     copy(child = newChild)
 }
 
+
+/** Codegen'd single-pass `TextKernels.textStats` struct. */
+case class TextStatsExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_subwords", LongType, nullable = false),
+    StructField("alpha_ratio", DoubleType, nullable = false),
+    StructField("digit_ratio", DoubleType, nullable = false),
+    StructField("mean_tok_len", DoubleType, nullable = false),
+    StructField("stopword_ratio", DoubleType, nullable = false),
+    StructField("quality", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_text_stats"
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.textStats(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextKernels.textStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd greedy longest-match BPE-style token count over a fixed vocab.
   * The table is attached via `addReferenceObj`, so generated code calls a
   * pre-built per-executor object — the vocab is never re-parsed per row. */
@@ -585,6 +661,8 @@ object TextExpressions {
     GraftShim.column(LangIdExpr(GraftShim.expression(text)))
   def bpeCount(text: Column, vocab: Seq[String]): Column =
     GraftShim.column(BpeCountExpr(GraftShim.expression(text), vocab))
+  def textStats(text: Column): Column =
+    GraftShim.column(TextStatsExpr(GraftShim.expression(text)))
   def wordShingleHashes(text: Column, n: Int): Column =
     GraftShim.column(WordShingleHashesExpr(GraftShim.expression(text), n))
   def wordShingleStrings(text: Column, n: Int): Column =

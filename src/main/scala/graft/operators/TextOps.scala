@@ -49,7 +49,7 @@ object TextOps {
       .otherwise(round(aggregate(t, lit(0L), (a, x) => a + length(x)).cast("double") / size(t), 6))
   }
 
-  private val englishStopwords = Seq(
+  private[graft] val englishStopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "by", "at", "it", "this", "that")
 
@@ -404,10 +404,19 @@ object TextOps {
   /** Full per-document text-stats frame over a `documents`-shaped table. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    df.select(col("doc_id"), tokenCount(t).as("n_tokens"),
-      subwordCountEstimate(t).as("n_subwords"),
-      alphaRatio(t).as("alpha_ratio"), digitRatio(t).as("digit_ratio"),
-      meanTokenLength(t).as("mean_tok_len"), stopwordRatio(t).as("stopword_ratio"),
-      qualityScore(t).as("quality"), langId(t).as("lang_pred"))
+    // single-pass codegen kernel (one tokenize for all numeric columns;
+    // whole-stage CSE evaluates the struct once); values identical to the
+    // per-column HOF forms above — rounding stays out here so semantics
+    // are bit-equal to the old plan (and the DuckDB oracle)
+    val st = graft.expr.TextExpressions.textStats(t)
+    df.select(col("doc_id"),
+      st.getField("n_tokens").as("n_tokens"),
+      st.getField("n_subwords").as("n_subwords"),
+      round(st.getField("alpha_ratio"), 6).as("alpha_ratio"),
+      round(st.getField("digit_ratio"), 6).as("digit_ratio"),
+      round(st.getField("mean_tok_len"), 6).as("mean_tok_len"),
+      round(st.getField("stopword_ratio"), 6).as("stopword_ratio"),
+      round(st.getField("quality"), 6).as("quality"),
+      langId(t).as("lang_pred"))
   }
 }

@@ -99,6 +99,33 @@ class TextKernelsSpec extends SparkTestBase {
     assert(pruned.size <= exact.size)
   }
 
+  test("textStats kernel == per-column HOF forms on the sf0.001 corpus + edge cases") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionAll(Seq((90001L, ""), (90002L, "   "), (90003L, "\n\n"),
+        (90004L, "the the the"), (90005L, "ALL CAPS 123 !!!")).toDF("doc_id", "text"))
+    val t = col("text")
+    val st = graft.expr.TextExpressions.textStats(t)
+    val rows = corpus.select($"doc_id",
+      st.getField("n_tokens").as("k_tok"), TextOps.tokenCount(t).as("h_tok"),
+      st.getField("n_subwords").as("k_sub"), TextOps.subwordCountEstimate(t).as("h_sub"),
+      round(st.getField("alpha_ratio"), 6).as("k_al"), TextOps.alphaRatio(t).as("h_al"),
+      round(st.getField("digit_ratio"), 6).as("k_dg"), TextOps.digitRatio(t).as("h_dg"),
+      round(st.getField("mean_tok_len"), 6).as("k_mt"), TextOps.meanTokenLength(t).as("h_mt"),
+      round(st.getField("stopword_ratio"), 6).as("k_sw"), TextOps.stopwordRatio(t).as("h_sw"),
+      round(st.getField("quality"), 6).as("k_q"), TextOps.qualityScore(t).as("h_q"))
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == r.getInt(2), s"n_tokens@$id")
+      assert(r.getLong(3) == r.getLong(4), s"n_subwords@$id")
+      for ((k, h, nm) <- Seq((5, 6, "alpha"), (7, 8, "digit"), (9, 10, "mean_tok"),
+        (11, 12, "stopword"), (13, 14, "quality")))
+        assert(r.getDouble(k) == r.getDouble(h), s"$nm@$id: ${r.getDouble(k)} vs ${r.getDouble(h)}")
+    }
+  }
+
   test("bpeTokenCount: greedy longest-match, hand-computed") {
     import spark.implicits._
     val vocab = Seq("the", "ing", "in", "er", "an", "a", "e", "i", "o", "u",
