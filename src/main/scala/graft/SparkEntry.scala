@@ -538,7 +538,10 @@ object SparkEntry {
       graft.streaming.StreamingOps.attributionStream(s, d)),
     "q_stream_attribution_outer" -> ((s: SparkSession, d: String) =>
       // watermark-forced null emission: views that never converted
-      graft.streaming.StreamingOps.attributionOuterStream(s, d))
+      graft.streaming.StreamingOps.attributionOuterStream(s, d)),
+    "q_stream_session_window" -> ((s: SparkSession, d: String) =>
+      // native session_window aggregation (declarative sessionizer)
+      graft.streaming.StreamingOps.sessionWindowStream(s, d))
   )
 
   // ---------- DuckDB oracle SQL ----------
@@ -1497,6 +1500,24 @@ object SparkEntry {
         |FROM v LEFT JOIN p ON v.user_id = p.user_id
         |  AND p_us > v_us AND p_us <= v_us + 21600000000
         |ORDER BY view_id, purchase_id""".stripMargin,
+    "q_stream_session_window" ->
+      // gaps-and-islands with Spark's STRICT merge rule (diff >= gap
+      // breaks); end_us = last event + gap, matching session_window.end;
+      // cutoff = watermark delay (1h) + 2x gap, mirroring the engine
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |x AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |       OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |y AS (SELECT user_id, us,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY us) AS sid FROM x),
+        |s AS (SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+        |  CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |  FROM y GROUP BY user_id, sid)
+        |SELECT user_id, start_us, end_us, n_events FROM s
+        |WHERE end_us <= (SELECT max(epoch_ns(ts) // 1000) - 7200000000 FROM events)
+        |ORDER BY user_id, start_us""".stripMargin,
     "q_stream_enrich" ->
       """SELECT c_nationkey, event_type, count(*) AS cnt,
         |  round(sum(value), 3) AS sum_value

@@ -6,20 +6,22 @@ import org.apache.spark.sql.functions._
 /** Decoded media metadata + features for one blob. */
 final case class MediaFeatures(
     doc_id: Long, media_type: String, width: Int, height: Int,
+    sample_rate: Int, channels: Int,
     n_bytes: Long, byte_mean: Double, byte_entropy: Double)
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded/feature-extracted in partition-local batches.
   *
-  * Container metadata is REAL for images: [[ImageHeaders.sniff]] parses
-  * PNG (signature + IHDR), JPEG (segment walk to SOFn) and GIF (logical
-  * screen descriptor) dimensions straight from the public container
-  * formats' magic bytes — no image library needed. What remains stubbed is
-  * DEEP decode (pixels, frames, samples): blobs that are none of those
-  * formats fall back to [[FakeCodec]], a declared 16-byte fake container —
-  * swap that one function for a real codec. The Spark-side contract
-  * (schema, binary column, partition batching, feature output shape) is
-  * real and tested.
+  * Container metadata is REAL for images and audio: [[ImageHeaders.sniff]]
+  * parses PNG (signature + IHDR), JPEG (segment walk to SOFn) and GIF
+  * (logical screen descriptor) dimensions, and [[AudioHeaders.sniffWav]]
+  * walks RIFF/WAVE chunks to the `fmt ` block (channels / sample rate) —
+  * straight from the public container formats' magic bytes, no media
+  * library needed. What remains stubbed is DEEP decode (pixels, frames,
+  * samples): blobs that are none of those formats fall back to
+  * [[FakeCodec]], a declared 16-byte fake container — swap that one
+  * function for a real codec. The Spark-side contract (schema, binary
+  * column, partition batching, feature output shape) is real and tested.
   *
   * At 100 TB: blobs stay columnar in parquet, the scan prunes to (id, blob),
   * decode runs per-partition with zero shuffles; only the small feature
@@ -123,6 +125,47 @@ object Multimodal {
         .put(payload).put(0x3b.toByte).array()
   }
 
+  /** RIFF/WAVE header parsing (public format: little-endian RIFF chunks;
+    * the `fmt ` chunk carries channels/sample-rate/bit-depth). Returns
+    * (channels, sampleRate, bitsPerSample). */
+  object AudioHeaders {
+    private def le16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+      b.length >= i + 4 && b(i) == s(0).toByte && b(i + 1) == s(1).toByte &&
+        b(i + 2) == s(2).toByte && b(i + 3) == s(3).toByte
+
+    def sniffWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (!(tag(b, 0, "RIFF") && tag(b, 8, "WAVE"))) return None
+      var p = 12
+      while (p + 8 <= b.length) {
+        val size = le32(b, p + 4)
+        if (size < 0) return None
+        if (tag(b, p, "fmt ") && p + 8 + 16 <= b.length)
+          return Some((le16(b, p + 10), le32(b, p + 12), le16(b, p + 22)))
+        p += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      None
+    }
+
+    /** Structurally-valid RIFF/WAVE + PCM `fmt ` header with the payload as
+      * the data chunk (parseable metadata; silence-free fake samples). */
+    def wavWrap(channels: Int, sampleRate: Int, bits: Int, payload: Array[Byte]): Array[Byte] = {
+      val byteRate = sampleRate * channels * bits / 8
+      val blockAlign = channels * bits / 8
+      val bb = java.nio.ByteBuffer.allocate(44 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + payload.length)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
+        .putInt(byteRate).putShort(blockAlign.toShort).putShort(bits.toShort)
+      bb.put("data".getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      bb.array()
+    }
+  }
+
   /** Deterministic fake media container: 16-byte header
     * [magic:4]["GRFT"] [width:4 BE] [height:4 BE] [type:4] + payload. */
   object FakeCodec {
@@ -161,6 +204,8 @@ object Multimodal {
       val payload = text.getBytes("UTF-8")
       val blob = (id % 5) match {
         case 0 => ImageHeaders.gifWrap(w, h, payload)
+        case 1 => AudioHeaders.wavWrap((1 + id % 2).toInt, (8000 * (1 + id % 3)).toInt,
+          16, payload)
         case 3 => ImageHeaders.pngWrap(w, h, payload)
         case 4 => ImageHeaders.jpegWrap(w, h, payload)
         case r => Multimodal.FakeCodec.encode(w, h, (r % 3).toInt, payload)
@@ -180,13 +225,15 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, blob) =>
-          // real containers first (PNG/JPEG/GIF magic bytes), then the
-          // declared fake container; neither → dropped
+          // real containers first (PNG/JPEG/GIF/WAV magic bytes), then
+          // the declared fake container; neither → dropped
           val meta = ImageHeaders.sniff(blob)
-            .map { case (fmt, w, h) => (fmt, w, h, blob) }
+            .map { case (fmt, w, h) => (fmt, w, h, 0, 0, blob) }
+            .orElse(AudioHeaders.sniffWav(blob)
+              .map { case (ch, rate, _) => ("wav", 0, 0, rate, ch, blob) })
             .orElse(FakeCodec.decode(blob)
-              .map { case (w, h, t, payload) => (typeNames(t % 3), w, h, payload) })
-          meta.map { case (fmt, w, h, payload) =>
+              .map { case (w, h, t, payload) => (typeNames(t % 3), w, h, 0, 0, payload) })
+          meta.map { case (fmt, w, h, rate, ch, payload) =>
             val counts = new Array[Long](256)
             payload.foreach(b => counts(b & 0xff) += 1)
             val n = payload.length.toDouble.max(1.0)
@@ -200,7 +247,7 @@ object Multimodal {
               }
               i += 1
             }
-            MediaFeatures(id, fmt, w, h, blob.length.toLong,
+            MediaFeatures(id, fmt, w, h, rate, ch, blob.length.toLong,
               math.rint(mean * 1e6) / 1e6, math.rint(entropy * 1e6) / 1e6)
           }
         }

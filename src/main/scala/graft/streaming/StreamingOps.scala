@@ -261,6 +261,45 @@ object StreamingOps {
     out.orderBy(col("view_id"), col("purchase_id"))
   }
 
+  /** Native `session_window` aggregation — the DECLARATIVE sessionizer
+    * (state-store session merging handled by Spark) next to the custom
+    * `mapGroupsWithState` one below. Append mode emits each session
+    * exactly once, when the watermark passes its end; output is filtered
+    * to sessions FINAL by end-of-history (the attributionOuterStream
+    * cutoff discipline: watermark delay + 2× gap slack), so the emission
+    * set equals the batch gaps-and-islands sessionization and
+    * oracle-checks. Spark's merge rule is STRICT (an event exactly `gap`
+    * after the previous one opens a NEW session) — the oracle replicates
+    * it with `diff >= gap` as the break condition. */
+  def sessionWindowStream(spark: SparkSession, dir: String, gapMin: Int = 30): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val maxUs = batch.agg(max(expr("ts div 1000"))).collect()(0).getLong(0)
+    val cutoffUs = maxUs - (3600L + 2L * gapMin * 60L) * 1000000L
+    val schema = batch.schema
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").format("parquet").load(dir)
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ets"))
+    val sessions = events.withWatermark("ets", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ets"), s"$gapMin minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+    val name = s"session_window_${System.nanoTime()}"
+    val q = sessions.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (out, _) = org.apache.spark.sql.GraftShim.materialize(
+      spark.table(name).where(col("end_us") <= cutoffUs))
+    spark.catalog.dropTempView(name)
+    out.orderBy(col("user_id"), col("start_us"))
+  }
+
   /** Per-user session state carried across micro-batches. */
   final case class SessionState(lastTsMs: Long, sessions: Long)
 

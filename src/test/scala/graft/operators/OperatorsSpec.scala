@@ -672,26 +672,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(ImageHeaders.sniff(ImageHeaders.jpegWrap(1920, 1080, pay)).contains(("jpeg", 1920, 1080)))
     assert(ImageHeaders.sniff(ImageHeaders.gifWrap(320, 200, pay)).contains(("gif", 320, 200)))
     assert(ImageHeaders.sniff("not an image".getBytes("UTF-8")).isEmpty)
-    // mixed pipeline: id%5 → 0 gif, 3 png, 4 jpeg, else fake container
+    // WAV: RIFF chunk walk to fmt (channels, sampleRate, bits)
+    assert(Multimodal.AudioHeaders.sniffWav(
+      Multimodal.AudioHeaders.wavWrap(2, 44100, 16, pay)).contains((2, 44100, 16)))
+    assert(Multimodal.AudioHeaders.sniffWav("RIFFxxxxNOPE".getBytes("UTF-8")).isEmpty)
+    // mixed pipeline: id%5 → 0 gif, 1 wav, 3 png, 4 jpeg, else fake container
     val docs = (0L to 9L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(Multimodal.synthesizeBlobs(docs))
       .collect().map(f => f.doc_id -> f).toMap
     assert(feats(0L).media_type == "gif" && feats(5L).media_type == "gif")
     assert(feats(3L).media_type == "png" && feats(8L).media_type == "png")
     assert(feats(4L).media_type == "jpeg" && feats(9L).media_type == "jpeg")
-    assert(feats(1L).media_type == "audio" && feats(2L).media_type == "video")
+    assert(feats(1L).media_type == "wav" && feats(6L).media_type == "wav")
+    assert(feats(1L).channels == 2 && feats(1L).sample_rate == 16000) // id 1: 1+1%2=2ch, 8000*(1+1%3)=16k
+    assert(feats(2L).media_type == "video")
     assert(feats(3L).width == 160 && feats(3L).height == 160)
   }
 
   test("multimodal: fake codec round-trip + feature extraction") {
     import spark.implicits._
-    val docs = Seq((1L, "hello world"), (2L, "abc")).toDF("doc_id", "text")
+    // ids ≡ 2 (mod 5) take the declared fake-container path
+    val docs = Seq((2L, "hello world"), (7L, "abc")).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(Multimodal.synthesizeBlobs(docs)).collect()
     assert(feats.length == 2)
-    val f1 = feats.find(_.doc_id == 1L).get
-    assert(f1.media_type == "audio") // doc_id 1 % 3 = 1
-    assert(f1.width == 96 && f1.height == 96)
-    assert(f1.n_bytes == 16 + "hello world".length)
-    assert(f1.byte_entropy > 0)
+    val f2 = feats.find(_.doc_id == 2L).get
+    assert(f2.media_type == "video") // fake path encodes t = 2
+    assert(f2.width == 128 && f2.height == 128)
+    assert(f2.n_bytes == 16 + "hello world".length)
+    assert(f2.byte_entropy > 0)
   }
 }
