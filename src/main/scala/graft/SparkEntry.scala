@@ -371,6 +371,8 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       TextOps.boilerplateRemove(planted, minDf = 5).orderBy(col("doc_id"))
     }),
+    "q_bigram_logprob" -> ((s: SparkSession, d: String) =>
+      TextOps.bigramLogProb(docs(s, d)).orderBy(col("doc_id"))),
     "q_unigram_logprob" -> ((s: SparkSession, d: String) =>
       // perplexity-proxy quality score under a corpus-trained unigram model
       TextOps.unigramLogProb(docs(s, d)).orderBy(col("doc_id"))),
@@ -1246,6 +1248,19 @@ object SparkEntry {
         |    / 4294967296.0
         |  < (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25 ELSE 1.0 END)
         |ORDER BY doc_id""".stripMargin,
+    "q_bigram_logprob" ->
+      """WITH tk AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |ex AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |       FROM tk WHERE len(toks) >= 2),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM ex
+        |       WHERE len(toks[i]) > 0 AND len(toks[i + 1]) > 0),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
+        |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln(CAST(c2.c2 AS DOUBLE) / c1.c1)), 6) AS logprob
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
     "q_unigram_logprob" ->
       """WITH tk AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok

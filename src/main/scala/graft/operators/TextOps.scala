@@ -296,6 +296,38 @@ object TextOps {
           .as("logprob"))
   }
 
+  /** Bigram conditional log-probability — the step up from
+    * [[unigramLogProb]] as a fluency proxy: per-doc mean
+    * ln(c(w1,w2)/c(w1)) under bigram counts trained on the corpus itself,
+    * with c(w1) counted as bigram LEFT context so the conditionals
+    * normalize. Scrambled text scores far lower than prose even when its
+    * unigram mix is identical — the signal the unigram model cannot see.
+    *
+    * Scale shape: one posexplode + one per-doc window (lead) to form
+    * bigrams (doc_id partitions are document-sized), two map-side-
+    * combinable count aggregations, then two joins with NO broadcast
+    * hints — bigram/unigram context tables are corpus-shaped, AQE decides
+    * (the [[unigramLogProb]] lesson). Docs with < 2 non-empty tokens are
+    * omitted (no bigram probability exists). */
+  def bigramLogProb(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    // empty tokens only occur at the split edges; dropping pairs touching
+    // them leaves interior adjacency intact (lead null at doc end filters
+    // itself: length(null) is null)
+    val bg = toks.withColumn("w2", lead(col("tok"), 1).over(w))
+      .where(length(col("tok")) > 0 && length(col("w2")) > 0)
+      .select(col(idCol), col("tok").as("w1"), col("w2"))
+    val cnt2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val cnt1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bg.join(cnt2, Seq("w1", "w2")).join(cnt1, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c2").cast("double") / col("c1"))), 6).as("logprob"))
+  }
+
   /** Deterministic train/val/test assignment: the split is a pure function
     * of (seed, doc id) — stable across runs, machines and engines (md5 hex
     * is engine-portable, unlike seeded RNG sampling), so a re-run never

@@ -336,6 +336,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(m(1L)._2 > m(2L)._2, "common-token doc must outscore the rarer one")
   }
 
+  test("bigramLogProb: hand-computed conditionals; scrambled text scores lower") {
+    import spark.implicits._
+    // bigrams: doc1 (a,a),(a,b); doc2 (a,b) → c2(a,a)=1 c2(a,b)=2, c1(a)=3
+    val docs = Seq((1L, "a a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val m = TextOps.bigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val r6 = (d: Double) => math.rint(d * 1e6) / 1e6
+    assert(m(1L) == ((2L, r6((math.log(1.0 / 3) + math.log(2.0 / 3)) / 2))), s"${m(1L)}")
+    assert(m(2L) == ((1L, r6(math.log(2.0 / 3)))), s"${m(2L)}")
+    assert(!m.contains(3L), "single-token docs have no bigram probability")
+    // fluency signal: same unigram mix, scrambled order → lower score
+    val prose = "the cat sat on the mat and the dog sat on the rug"
+    val scrambled = "mat the on dog sat the rug and cat the on sat the"
+    val corpus = ((0L until 20L).map(i => (i, prose)) :+ (99L, scrambled))
+      .toDF("doc_id", "text")
+    val s2 = TextOps.bigramLogProb(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s2(99L) < s2(0L), s"scrambled ${s2(99L)} must score below prose ${s2(0L)}")
+  }
+
   test("unigramLogProb minCount: pruned tail tokens score the floor probability") {
     import spark.implicits._
     // counts: a=3, b=2, z=1, total=6; minCount=2 prunes z → ln(2/6) floor

@@ -261,6 +261,42 @@ class StreamingSpec extends SparkTestBase {
       s"expected one match and EXACTLY ONE null row for view 11, none for tail view 99; got $emitted")
   }
 
+  test("session_window merges a session that spans micro-batches, emits it once closed") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sesswin").toString
+    // user 1's session: events at 10:00 and (next batch) 10:20 — inside the
+    // 30 min gap, so the state store must MERGE across the batch boundary.
+    // The 20:00 event (both batches' tail) pushes the watermark to 19:00,
+    // closing user 1's session (ends 10:50) but NOT user 9's (ends 20:30).
+    Seq((1L, "2024-01-01 10:00:00")).toDF("user_id", "s")
+      .select(col("user_id"), to_timestamp(col("s")).as("ets"))
+      .coalesce(1).write.parquet(s"$dir/b1")
+    Seq((1L, "2024-01-01 10:20:00"), (9L, "2024-01-01 20:00:00"))
+      .toDF("user_id", "s")
+      .select(col("user_id"), to_timestamp(col("s")).as("ets"))
+      .coalesce(1).write.parquet(s"$dir/b2")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").format("parquet").load(dir)
+    val name = s"sesswin_test_${System.nanoTime()}"
+    val q = events.withWatermark("ets", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ets"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").cast("string").as("st"), col("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    val emitted = spark.table(name).as[(Long, String, Long)].collect().toSeq.sorted
+    spark.catalog.dropTempView(name)
+    assert(nBatches >= 2, s"expected events to span micro-batches, got $nBatches")
+    assert(emitted == Seq((1L, "2024-01-01 10:00:00", 2L)),
+      s"expected ONE merged 2-event session for user 1 and nothing for user 9; got $emitted")
+  }
+
   test("stateful streaming sessionization matches batch session counts") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingOps.sessionizeStream(spark, sf()).collect()
