@@ -303,29 +303,32 @@ object TextOps {
     * normalize. Scrambled text scores far lower than prose even when its
     * unigram mix is identical — the signal the unigram model cannot see.
     *
-    * Scale shape: one posexplode + one per-doc window (lead) to form
-    * bigrams (doc_id partitions are document-sized), two map-side-
-    * combinable count aggregations, then two joins with NO broadcast
-    * hints — bigram/unigram context tables are corpus-shaped, AQE decides
-    * (the [[unigramLogProb]] lesson). Docs with < 2 non-empty tokens are
+    * Scale shape: bigram formation is a PURE MAP — zip the token array
+    * with its own tail (`arrays_zip(slice, slice)`) and explode; no
+    * per-doc window, no shuffle until the two map-side-combinable count
+    * aggregations. The joins carry NO broadcast hints — bigram/unigram
+    * context tables are corpus-shaped, AQE decides (the
+    * [[unigramLogProb]] lesson). Docs with < 2 non-empty tokens are
     * omitted (no bigram probability exists). */
   def bigramLogProb(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val t = tokens(col(textCol))
     // empty tokens only occur at the split edges; dropping pairs touching
-    // them leaves interior adjacency intact (lead null at doc end filters
-    // itself: length(null) is null)
-    val bg = toks.withColumn("w2", lead(col("tok"), 1).over(w))
-      .where(length(col("tok")) > 0 && length(col("w2")) > 0)
-      .select(col(idCol), col("tok").as("w1"), col("w2"))
+    // them leaves interior adjacency intact
+    val bg = docs
+      .select(col(idCol),
+        explode(arrays_zip(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))).as("p"))
+      .select(col(idCol), col("p.0").as("w1"), col("p.1").as("w2"))
+      .where(length(col("w1")) > 0 && length(col("w2")) > 0)
     val cnt2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val cnt1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    bg.join(cnt2, Seq("w1", "w2")).join(cnt1, Seq("w1"))
+    // pre-join the two VOCAB-shaped count tables into a (w1,w2)→logprob
+    // model, so the corpus-row frame joins once, not twice
+    val model = cnt2.join(cnt1, "w1")
+      .select(col("w1"), col("w2"), log(col("c2").cast("double") / col("c1")).as("lp"))
+    bg.join(model, Seq("w1", "w2"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log(col("c2").cast("double") / col("c1"))), 6).as("logprob"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("logprob"))
   }
 
   /** Deterministic train/val/test assignment: the split is a pure function
