@@ -382,6 +382,10 @@ object SparkEntry {
       TextOps.trainSplitReport(docs(s, d)).orderBy(col("split"))),
     "q_corpus_mix" -> ((s: SparkSession, d: String) =>
       TextOps.corpusMix(docs(s, d)).orderBy(col("source"), col("lang"))),
+    "q_mix_temperature" -> ((s: SparkSession, d: String) =>
+      // multilingual-LM temperature sampling weights (tau=0.5 → sqrt,
+      // IEEE-exact in both engines; budget 100k tokens)
+      TextOps.mixTemperature(docs(s, d), tau = 0.5, budgetTokens = 100000L)),
     "q_resample_mix" -> ((s: SparkSession, d: String) =>
       // rebalance: halve src0, quarter src1, keep the rest — deterministic
       // md5-uniform, so the exact kept row set is the oracle contract
@@ -1242,6 +1246,18 @@ object SparkEntry {
         |        chr(10) ORDER BY l.pos), '')) AS clean_md5
         |FROM lines l LEFT JOIN freq f ON trim(l.line) = f.nline
         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |        ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |        END) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z FROM c)
+        |SELECT source, n_docs, n_tokens,
+        |  round(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6) AS target_share,
+        |  round(least(1.0, 100000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / z
+        |    / CAST(n_tokens AS DOUBLE)), 6) AS keep_rate
+        |FROM c CROSS JOIN z ORDER BY source""".stripMargin,
     "q_resample_mix" ->
       """SELECT doc_id, source FROM documents
         |WHERE CAST(('0x' || substr(md5('mix42:' || doc_id), 1, 8)) AS BIGINT)

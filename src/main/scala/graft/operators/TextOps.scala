@@ -331,6 +331,35 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("logprob"))
   }
 
+  /** Temperature-scaled corpus-mix weights — the multilingual-LM sampling
+    * rule (p_s ∝ n_s^tau; tau < 1 flattens the mix toward uniform,
+    * upweighting low-resource sources). Emits per-source token counts, the
+    * temperature-scaled target share, and the without-replacement keep
+    * rate that hits `budgetTokens` (capped at 1 — a source can't supply
+    * more than it has). Feed the rates to [[resampleByRate]] to act on it.
+    *
+    * Scale shape: one scan + one map-side-combinable groupBy (sources are
+    * tiny-cardinality); the normalizer joins back as a single-row
+    * broadcast. tau = 0.5 evaluates via sqrt, which IEEE 754 rounds
+    * exactly in every engine — the oracle-stable choice; other taus go
+    * through pow. */
+  def mixTemperature(docs: DataFrame, tau: Double = 0.5, budgetTokens: Long = 1000000L,
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    def w(c: Column): Column =
+      if (tau == 0.5) sqrt(c) else pow(c, lit(tau))
+    val counts = docs.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val z = counts.agg(sum(w(col("n_tokens").cast("double"))).as("z"))
+    counts.crossJoin(broadcast(z)) // single row: genuinely bounded
+      .select(col(srcCol), col("n_docs"), col("n_tokens"),
+        round(w(col("n_tokens").cast("double")) / col("z"), 6).as("target_share"),
+        round(least(lit(1.0),
+          lit(budgetTokens.toDouble) * w(col("n_tokens").cast("double")) / col("z")
+            / col("n_tokens").cast("double")), 6).as("keep_rate"))
+      .orderBy(col(srcCol))
+  }
+
   /** Deterministic train/val/test assignment: the split is a pure function
     * of (seed, doc id) — stable across runs, machines and engines (md5 hex
     * is engine-portable, unlike seeded RNG sampling), so a re-run never

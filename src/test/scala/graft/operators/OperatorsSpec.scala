@@ -336,6 +336,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(m(1L)._2 > m(2L)._2, "common-token doc must outscore the rarer one")
   }
 
+  test("mixTemperature: tau=0.5 flattens toward uniform; rates cap at 1") {
+    import spark.implicits._
+    // a: 400 tokens, b: 4 → sqrt weights 20:2 → shares 10/11, 1/11.
+    // budget 100: rate_a = 100*(10/11)/400, rate_b = min(1, 100*(1/11)/4) = 1
+    val docs = ((1L to 4L).map(i => (i, "a", ("w " * 100).trim)) ++
+      Seq((5L, "b", "x y"), (6L, "b", "x y"))).toDF("doc_id", "source", "text")
+    val m = TextOps.mixTemperature(docs, tau = 0.5, budgetTokens = 100L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val r6 = (d: Double) => math.rint(d * 1e6) / 1e6
+    assert(m("a") == ((400L, r6(10.0 / 11), r6(100.0 * (10.0 / 11) / 400))), s"${m("a")}")
+    assert(m("b") == ((4L, r6(1.0 / 11), 1.0)), s"${m("b")}")
+  }
+
   test("bigramLogProb: hand-computed conditionals; scrambled text scores lower") {
     import spark.implicits._
     // bigrams: doc1 (a,a),(a,b); doc2 (a,b) → c2(a,a)=1 c2(a,b)=2, c1(a)=3
