@@ -261,6 +261,46 @@ class StreamingSpec extends SparkTestBase {
       s"expected one match and EXACTLY ONE null row for view 11, none for tail view 99; got $emitted")
   }
 
+  test("dropDuplicatesWithinWatermark: in-horizon repeats drop, evicted keys re-emit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    // the bounded-state twin of dedupStream's dropDuplicates: state for a
+    // key lives only while the watermark allows a duplicate to arrive.
+    // b1: key A at 10:00 (+ watermark pusher 12:00)
+    // b2: key A again at 10:30 — inside the 1h horizon → dropped;
+    //     pusher 23:00 advances the watermark to 22:00, evicting A's state
+    // b3: key A at 22:30 — after eviction → EMITS AGAIN (proof state died)
+    val dir = java.nio.file.Files.createTempDirectory("dedup_wm").toString
+    Seq(("A", "2024-01-01 10:00:00"), ("zz1", "2024-01-01 12:00:00"))
+      .toDF("k", "s").select(col("k"), to_timestamp(col("s")).as("ts"))
+      .coalesce(1).write.parquet(s"$dir/b1")
+    Seq(("A", "2024-01-01 10:30:00"), ("zz2", "2024-01-01 23:00:00"))
+      .toDF("k", "s").select(col("k"), to_timestamp(col("s")).as("ts"))
+      .coalesce(1).write.parquet(s"$dir/b2")
+    Seq(("A", "2024-01-01 22:30:00"))
+      .toDF("k", "s").select(col("k"), to_timestamp(col("s")).as("ts"))
+      .coalesce(1).write.parquet(s"$dir/b3")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val name = s"dedup_wm_test_${System.nanoTime()}"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").format("parquet").load(dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+      .select(col("k"), col("ts").cast("string").as("t"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    val emittedA = spark.table(name).as[(String, String)].collect().toSeq
+      .filter(_._1 == "A").map(_._2).sorted
+    spark.catalog.dropTempView(name)
+    assert(nBatches >= 3, s"expected 3 micro-batches, got $nBatches")
+    assert(emittedA == Seq("2024-01-01 10:00:00", "2024-01-01 22:30:00"),
+      s"expected the in-horizon repeat dropped and the post-eviction one re-emitted; got $emittedA")
+  }
+
   test("session_window merges a session that spans micro-batches, emits it once closed") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
