@@ -53,5 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       LangIdExpr(_))
     unary(ext, "graft_min_shingle_hash", "winnowing min xxhash64 of 5-word shingles",
       MinShingleHashExpr(_, 5))
+    binary(ext, "graft_pearson", "pearson distance (1 - correlation) of two double arrays",
+      PearsonDistExpr(_, _))
+    unary(ext, "graft_text_stats",
+      "struct(n_tokens, n_subwords, alpha_ratio, digit_ratio, mean_tok_len, stopword_ratio, quality)",
+      TextStatsExpr(_))
   }
 }
