@@ -41,6 +41,22 @@ object Dedup {
     * recall. At scale: one explode (docs × bands), one shuffle on
     * (band, band_hash), self-join only within buckets — never all-pairs.
     *
+    * '''Duplicate-cluster contract''' (the 100 TB case): K signature-identical
+    * documents (boilerplate duplicated 10⁴–10⁶× in web corpora) share every
+    * band bucket, so a naive within-bucket self-join emits K(K−1)/2 pairs —
+    * 10¹⁰⁺ shuffle rows from one hot cluster. Instead, docs are ranked within
+    * their identical-signature group: each non-leader chains to its
+    * predecessor (K−1 pairs, linear in K) and only the group leader enters
+    * banding, so bucket width is bounded by DISTINCT signatures, not
+    * documents. The output is therefore not the all-pairs set but a
+    * same-transitive-closure subset: downstream grouping ([[dedupClusters]])
+    * is unchanged, because signature-identical docs agree on all numHashes
+    * minima (true jaccard ≈ 1; chain links are still exact-verified), and
+    * cross-content candidates go through the leader as the group's proxy.
+    * For corpora where no two docs share a full signature (e.g. planted
+    * near-dup pairs), every doc is its own leader and the output is
+    * identical to the all-pairs formulation.
+    *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
     */
   def minhashNearDup(
@@ -64,16 +80,31 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"),
       graft.expr.TextExpressions.wordShingleHashes(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sh
+    // identical-signature ranking: one narrow window shuffle keyed by the
+    // full signature array (exact equality — no hash-collision channel);
+    // `prev` is null exactly for the group leader. persisted: consumed by
+    // both the chain and the leaders-only banding below.
+    val wk = Window.partitionBy(col("sig")).orderBy(col("id"))
+    val ranked = sh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("prev", lag(col("id"), 1).over(wk))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // spanning chain inside each duplicate cluster: K−1 adjacent-id pairs
+    // instead of K(K−1)/2 bucket pairs (see scaladoc contract)
+    val chain = ranked.filter(col("prev").isNotNull)
+      .select(col("prev").as("id_a"), col("id").as("id_b"))
+    val banded = ranked.filter(col("prev").isNull)
       .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     // candidate pairs carry only ids through the bucket join + distinct;
-    // shingle sets are re-joined afterwards for the exact-jaccard verify
+    // shingle sets are re-joined afterwards for the exact-jaccard verify.
+    // chain pairs (leader → non-leader, disjoint from the leader-leader
+    // bucket pairs by construction) are verified identically.
     val candidates = banded.as("a").join(banded.as("b"), Seq("band", "band_hash"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      .unionAll(chain)
     // NOTE: deliberately NOT the sorted-merge-count verify that ships in
     // ngramJaccardPairsPrefix — the win there scales with candidates/docs
     // (605k candidates over 5k docs); LSH's whole point is FEW candidates
@@ -92,6 +123,7 @@ object Dedup {
     // session, degrading every later query (VERDICT r1, 20-100x)
     val (out, _) = org.apache.spark.sql.GraftShim.materialize(verified)
     sh.unpersist(blocking = false)
+    ranked.unpersist(blocking = false)
     out
   }
 
@@ -126,7 +158,15 @@ object Dedup {
     * Pigeonhole banding: split the 64-bit hash into (maxHamming+1) chunks —
     * any pair within the bound matches exactly on ≥1 chunk, so candidates
     * come from equi-joins on (chunk_idx, chunk_value), then verified with
-    * bit_count(a XOR b). No all-pairs anywhere. */
+    * bit_count(a XOR b). No all-pairs anywhere.
+    *
+    * Duplicate-cluster contract (as [[minhashNearDup]], where it is derived):
+    * signature-identical docs — hamming 0 by definition — chain to their
+    * rank predecessor and only group leaders enter banding, so chunk-bucket
+    * width is bounded by distinct signatures rather than documents. Unlike
+    * MinHash this is lossless under the transitive-closure view: the group
+    * key IS the full simhash, so any cross-group pair's hamming equals its
+    * leaders' hamming exactly, and chain pairs have hamming 0 exactly. */
   def simhashNearDup(
       docs: DataFrame,
       textCol: String = "text",
@@ -139,7 +179,12 @@ object Dedup {
     // share one evaluation (round 1's interpreted fold was re-inlined
     // per chunk by CollapseProject and needed a barrier shuffle)
     val withSig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-    val banded = withSig.select(col("id"), col("sig"),
+    val wk = Window.partitionBy(col("sig")).orderBy(col("id"))
+    val ranked = withSig.withColumn("prev", lag(col("id"), 1).over(wk))
+    val chain = ranked.filter(col("prev").isNotNull)
+      .select(col("prev").as("id_a"), col("id").as("id_b"), lit(0).as("hamming"))
+    val banded = ranked.filter(col("prev").isNull)
+      .select(col("id"), col("sig"),
         posexplode(array((0 until chunks).map(c =>
           shiftright(col("sig"), c * bitsPer)
             .bitwiseAND(lit((1L << bitsPer) - 1))): _*)))
@@ -151,6 +196,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming")).distinct()
       .filter(col("hamming") <= maxHamming)
+      .unionAll(chain)
   }
 
   /** Character n-gram Jaccard similarity for candidate pairs drawn from the
@@ -225,8 +271,20 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       signBits(col(vecCol), planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand))
     }
-    val banded = emb.select(col(idCol).as("id"),
-        posexplode(array(bandCols: _*)))
+    // duplicate-cluster contract (as minhashNearDup, where it is derived):
+    // vectors with the IDENTICAL full multi-band signature — exact copies
+    // being the overwhelming real-world case — chain to their rank
+    // predecessor; only leaders enter banding, so bucket width is bounded
+    // by distinct signatures. Chain pairs still go through the exact-cosine
+    // verify below (signature-identical ≠ vector-identical), so every
+    // emitted pair's cos_sim is exact and ≥ threshold.
+    val withSig = emb.select(col(idCol).as("id"), array(bandCols: _*).as("sig"))
+    val wk = Window.partitionBy(col("sig")).orderBy(col("id"))
+    val ranked = withSig.withColumn("prev", lag(col("id"), 1).over(wk))
+    val chain = ranked.filter(col("prev").isNotNull)
+      .select(col("prev").as("id_a"), col("id").as("id_b"))
+    val banded = ranked.filter(col("prev").isNull)
+      .select(col("id"), posexplode(col("sig")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
@@ -235,6 +293,7 @@ object Dedup {
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+      .unionAll(chain)
     candidates
       .join(emb.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
       .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")

@@ -110,6 +110,79 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall >= 0.9, s"banded LSH recall too low: $recall")
   }
 
+  test("LSH duplicate-cluster guard: identical docs emit a linear chain, not all-pairs") {
+    import spark.implicits._
+    // K byte-identical copies (the boilerplate-duplicated-10^5x web shape,
+    // VERDICT r4 #1): the bucket self-join must NOT see the cluster — the
+    // identical-signature ranking emits exactly K-1 adjacent-id chain pairs
+    // (jaccard 1.0), the near-dup attaches through the group leader, and the
+    // transitive grouping is the same as the all-pairs formulation's.
+    val K = 12
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"token$i").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = ((0 until K).map(i => (i.toLong, base)) ++
+      Seq((100L, nearDup), (200L, unrelated))).toDF("doc_id", "text")
+    val mh = Dedup.minhashNearDup(docs, threshold = 0.5).persist()
+    val chainPairs = mh.filter($"id_a" < K && $"id_b" < K)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(chainPairs == (0 until K - 1).map(i => (i.toLong, i + 1L)).toSet,
+      s"expected the ${K - 1}-pair spanning chain, got $chainPairs")
+    assert(mh.filter($"id_a" < K && $"id_b" < K && $"jaccard" === 1.0).count() == K - 1)
+    val all = mh.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(all.contains((0L, 100L)), s"near-dup must attach through the leader: $all")
+    assert(!all.exists(p => p._1 == 200L || p._2 == 200L))
+    // downstream contract: dedupClusters groups all K copies + the near-dup
+    val groups = Dedup.dedupClusters(spark, mh)
+    assert(groups.filter($"group_id" === 0L).count() == K + 1)
+    mh.unpersist()
+  }
+
+  test("simhash duplicate-cluster guard: chain pairs at hamming 0, closure preserved") {
+    import spark.implicits._
+    val K = 10
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = base + " extra"
+    val docs = ((0 until K).map(i => (i.toLong, base)) ++ Seq((100L, nearDup)))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhashNearDup(docs, maxHamming = 3).persist()
+    val chain = sh.filter($"id_a" < K && $"id_b" < K)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(chain == (0 until K - 1).map(i => (i.toLong, i + 1L, 0)).toSet,
+      s"expected hamming-0 chain, got $chain")
+    // cross-group pair goes through the leader with the EXACT hamming (the
+    // group key is the full simhash, so leader hamming == member hamming)
+    assert(sh.filter($"id_a" === 0L && $"id_b" === 100L).count() == 1, "leader pair missing")
+    assert(sh.filter($"id_a" > 0L && $"id_a" < K && $"id_b" === 100L).count() == 0,
+      "non-leader must not re-emit the cross-group pair")
+    sh.unpersist()
+  }
+
+  test("embedding duplicate-cluster guard: identical vectors chain, verify stays exact") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val v = Array.fill(32)(rng.nextGaussian())
+    val jit = v.map(x => x + rng.nextGaussian() * 0.01)
+    val other = Array.fill(32)(rng.nextGaussian())
+    val K = 10
+    val emb = ((0 until K).map(i => (i.toLong, v)) ++
+      Seq((100L, jit), (200L, other))).toDF("vec_id", "vec")
+    val nd = Dedup.embeddingNearDup(emb, dim = 32, threshold = 0.95).persist()
+    val chain = nd.filter($"id_a" < K && $"id_b" < K)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(chain == (0 until K - 1).map(i => (i.toLong, i + 1L)).toSet,
+      s"expected identical-vector chain, got $chain")
+    assert(nd.filter($"id_a" < K && $"id_b" < K && $"cos_sim" === 1.0).count() == K - 1)
+    // the jittered copy attaches to the cluster with exactly ONE pair: either
+    // its signature matches (joins the chain after id 9) or it differs and
+    // pairs with the leader — never one pair per member as all-pairs would
+    assert(nd.filter($"id_a" < K && $"id_b" === 100L).count() == 1,
+      "jittered copy must attach to the cluster exactly once")
+    assert(!nd.select("id_a", "id_b").as[(Long, Long)].collect()
+      .exists(p => p._1 == 200L || p._2 == 200L))
+    nd.unpersist()
+  }
+
   test("prefix-filtered ngram jaccard equals the baseline on real corpus slices") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (t <- Seq(0.3, 0.5)) {
