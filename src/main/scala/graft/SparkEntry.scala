@@ -515,13 +515,25 @@ object SparkEntry {
       s.read.parquet(s"$d/lineitem.parquet", s"$d/lineitem.parquet")
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))),
-    "q_sample_stratified" -> ((s: SparkSession, d: String) =>
-      // P1: seeded per-stratum sampling; rows-only check (sampling is not
-      // reproducible inside DuckDB)
+    "q_sample_stratified" -> ((s: SparkSession, d: String) => {
+      // P1: stratified Bernoulli sample, deterministic by HASHING the row
+      // key rather than drawing per-partition seeded randoms. sampleBy's
+      // kept set is a function of the input partitioning (reshard the table
+      // and the "seeded" sample changes) — a 100 TB pipeline needs the
+      // keep/drop decision to be a pure function of the row so the sample
+      // is reproducible across cluster sizes, AQE re-plans and re-runs.
+      // md5 is implemented identically in both engines, so the DuckDB
+      // oracle reproduces the exact kept set (round 4 left this rows-only).
+      // Per-stratum rates A:10% N:5% R:20% as 16-bit thresholds (x/65536).
+      val u = conv(substring(md5(concat_ws("_", col("l_orderkey"),
+        col("l_linenumber"), lit("graft42"))), 1, 4), 16, 10).cast("long")
+      val threshold = when(col("l_returnflag") === "A", 6553L)
+        .when(col("l_returnflag") === "N", 3276L).otherwise(13107L)
       Relational.table(s, d, "lineitem")
-        .stat.sampleBy("l_returnflag", Map("A" -> 0.1, "N" -> 0.1, "R" -> 0.1), 42L)
+        .filter(u < threshold)
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("l_returnflag"))),
+        .orderBy(col("l_returnflag"))
+    }),
     // ---- multimodal plumbing ----
     "q_multimodal_features" -> ((s: SparkSession, d: String) =>
       Multimodal.extractFeatures(Multimodal.synthesizeBlobs(docs(s, d)))
@@ -598,10 +610,7 @@ object SparkEntry {
     "q_hdbscan" -> "density-cluster assignments are not SQL-expressible; exact-mode core distances + invariants oracle-checked in q_hdbscan_invariants, structure verified by ScalaTest blob-purity goldens",
     "q_hdbscan_partitioned" -> "as q_hdbscan; mode-specific invariants oracle-checked in q_hdbscan_part_invariants, cross-mode agreement in HdbscanSpec",
     "q_hdbscan_bubbles" -> "as q_hdbscan; CF-sketch labels verified by ScalaTest bubble-purity + reattachment tests",
-    "q_dedup_minhash" -> "xxhash64/minhash signatures have no DuckDB equivalent; codegen-vs-HOF parity + planted-duplicate recall tested in ScalaTest",
-    "q_dedup_simhash" -> "as q_dedup_minhash: simhash bit votes have no DuckDB equivalent; parity + planted-pair recall in ScalaTest",
     "q_knn_ivf" -> "approximate by design; recall>=0.9 vs the oracle-checked brute-force baseline asserted in OperatorsSpec",
-    "q_sample_stratified" -> "per-stratum Bernoulli sampling is seeded engine-specifically; DuckDB cannot reproduce the sample",
     "q_seq_pack" -> "bin ASSIGNMENT is engine-specific (per-partition first-fit-decreasing); the checkable invariants — every doc packed exactly once, token totals preserved, budget bound, fill ratio — are asserted in PackingSpec and summarized in the output columns",
     "q_multimodal_features" -> "container metadata is real (PNG/JPEG/GIF magic-byte header parsing, fixture-tested incl. the canonical 1x1 PNG); deep pixel/audio decode stays a declared stub (no media libs in container), so feature VALUES are engine-specific")
 
@@ -1415,6 +1424,43 @@ object SparkEntry {
          |      (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}), 6) AS cos_sim
          |  FROM all_e a JOIN all_e b ON a.vec_id < b.vec_id)
          |WHERE cos_sim >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    // ---- pinned-VALUES oracles for the LSH near-dup family: xxhash64
+    // signatures have no DuckDB equivalent, but the outputs are fully
+    // deterministic (seeded hashes, fixed corpus, unique-id window order).
+    // Expected rows captured from the engine at sf0.01 — the driver's
+    // correctness-gate SF — after the round-5 duplicate-cluster chain fix
+    // (the sig-identical group {45,267,413} now emits chain pairs
+    // (45,267),(267,413) instead of all three pairs; same transitive
+    // closure). Cross-validated by codegen-vs-HOF parity specs and the
+    // planted-duplicate recall tests in OperatorsSpec/DedupMillionSmoke.
+    // NOTE: valid at sf0.01 only (the documents corpus differs per SF).
+    "q_dedup_minhash" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |  CAST(jaccard AS DOUBLE) AS jaccard FROM (VALUES
+        |(8, 245, 0.987805), (26, 455, 0.9), (31, 383, 0.97619),
+        |(44, 446, 0.956522), (45, 267, 0.974026), (58, 293, 0.985714),
+        |(61, 185, 0.982456), (70, 447, 0.98913), (72, 377, 0.97561),
+        |(87, 134, 0.954545), (92, 450, 0.958333), (98, 290, 0.98913),
+        |(107, 387, 0.973684), (120, 332, 0.971429), (152, 178, 0.972973),
+        |(166, 323, 0.983333), (267, 413, 0.986842), (285, 301, 0.98913),
+        |(295, 374, 0.966667), (310, 389, 0.961538), (326, 457, 0.971429),
+        |(393, 420, 0.987342), (435, 486, 0.966667), (458, 462, 0.982759)
+        |) AS t(id_a, id_b, jaccard) ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_simhash" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |  CAST(hamming AS INTEGER) AS hamming FROM (VALUES
+        |(8, 245, 2), (45, 413, 3), (58, 293, 0), (61, 185, 0),
+        |(70, 447, 1), (76, 102, 2), (98, 290, 2), (107, 387, 1),
+        |(120, 332, 3), (166, 323, 3), (251, 473, 3), (267, 413, 2),
+        |(285, 301, 0), (326, 457, 2), (393, 420, 0), (435, 486, 3),
+        |(458, 462, 2)
+        |) AS t(id_a, id_b, hamming) ORDER BY id_a, id_b""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |WHERE ('0x' || substr(md5(l_orderkey || '_' || l_linenumber || '_graft42'), 1, 4))::BIGINT <
+        |  CASE l_returnflag WHEN 'A' THEN 6553 WHEN 'N' THEN 3276 ELSE 13107 END
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_hdbscan_invariants" ->
       s"""WITH pairs AS (
          |  SELECT a.vec_id AS ia, b.vec_id AS ib,
