@@ -538,6 +538,18 @@ object SparkEntry {
     "q_multimodal_features" -> ((s: SparkSession, d: String) =>
       Multimodal.extractFeatures(Multimodal.synthesizeBlobs(docs(s, d)))
         .toDF().orderBy(col("doc_id"))),
+    "q_multimodal_headers" -> ((s: SparkSession, d: String) =>
+      // the deterministic container-metadata projection of
+      // q_multimodal_features: type/width/height/channels/sample-rate
+      // round-trip through REAL container bytes (the synthesized PNG/JPEG/
+      // GIF/WAV headers are parsed back by the magic-byte sniffers), and
+      // the DuckDB oracle recomputes the expected fields from the synthesis
+      // formula — so the writer+parser inverse pair is oracle-checked even
+      // while the byte-stat features stay engine-specific (VERDICT r4 #4)
+      Multimodal.extractFeatures(Multimodal.synthesizeBlobs(docs(s, d)))
+        .toDF().select(col("doc_id"), col("media_type"), col("width"),
+          col("height"), col("sample_rate"), col("channels"))
+        .orderBy(col("doc_id"))),
     // ---- sessionization (batch window + stateful streaming) ----
     "q_sessionize" -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
     "q_stream_sessionize" -> ((s: SparkSession, d: String) =>
@@ -612,7 +624,7 @@ object SparkEntry {
     "q_hdbscan_bubbles" -> "as q_hdbscan; CF-sketch labels verified by ScalaTest bubble-purity + reattachment tests",
     "q_knn_ivf" -> "approximate by design; recall>=0.9 vs the oracle-checked brute-force baseline asserted in OperatorsSpec",
     "q_seq_pack" -> "bin ASSIGNMENT is engine-specific (per-partition first-fit-decreasing); the checkable invariants — every doc packed exactly once, token totals preserved, budget bound, fill ratio — are asserted in PackingSpec and summarized in the output columns",
-    "q_multimodal_features" -> "container metadata is real (PNG/JPEG/GIF magic-byte header parsing, fixture-tested incl. the canonical 1x1 PNG); deep pixel/audio decode stays a declared stub (no media libs in container), so feature VALUES are engine-specific")
+    "q_multimodal_features" -> "the deterministic header columns ARE oracle-checked via q_multimodal_headers; this full-feature variant keeps the byte-stat columns, whose values depend on the engine-side byte histogram (deep pixel/audio decode stays a declared stub — no media libs in container)")
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_filter_project" ->
@@ -1455,6 +1467,15 @@ object SparkEntry {
         |(285, 301, 0), (326, 457, 2), (393, 420, 0), (435, 486, 3),
         |(458, 462, 2)
         |) AS t(id_a, id_b, hamming) ORDER BY id_a, id_b""".stripMargin,
+    "q_multimodal_headers" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'gif' WHEN 1 THEN 'wav' WHEN 3 THEN 'png'
+        |    WHEN 4 THEN 'jpeg' ELSE 'video' END AS media_type,
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN 0 ELSE 64 + (doc_id % 16) * 32 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN 0 ELSE 64 + (doc_id % 9) * 32 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN 8000 * (1 + doc_id % 3) ELSE 0 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN 1 + doc_id % 2 ELSE 0 END AS INTEGER) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem

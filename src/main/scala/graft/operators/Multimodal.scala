@@ -30,10 +30,14 @@ final case class MediaFeatures(
 object Multimodal {
 
   /** Magic-byte dimension parsing for the public image container formats.
-    * Returns (format, width, height); everything here is from the public
-    * specs: PNG (RFC 2083 §12.12: 8-byte signature, IHDR first chunk),
-    * JPEG/JFIF (ITU T.81: FF-marker segments, dims in SOF0-SOF15 except
-    * DHT/JPG/DAC), GIF87a/89a (6-byte version + little-endian screen size).
+    * Returns (format, width, height, headerLen) where headerLen is the
+    * number of prefix bytes the parser consumed — the byte-stat features
+    * are computed over the post-header payload for EVERY media type, so
+    * the feature columns mean the same thing across formats (ADVICE r4).
+    * Everything here is from the public specs: PNG (RFC 2083 §12.12:
+    * 8-byte signature, IHDR first chunk), JPEG/JFIF (ITU T.81: FF-marker
+    * segments, dims in SOF0-SOF15 except DHT/JPG/DAC), GIF87a/89a (6-byte
+    * version + little-endian screen size).
     */
   object ImageHeaders {
     private def be32(b: Array[Byte], i: Int): Int =
@@ -44,19 +48,20 @@ object Multimodal {
     private val PngSig: Array[Byte] =
       Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-    def sniff(blob: Array[Byte]): Option[(String, Int, Int)] =
+    def sniff(blob: Array[Byte]): Option[(String, Int, Int, Int)] =
       png(blob).orElse(jpeg(blob)).orElse(gif(blob))
 
-    private def png(b: Array[Byte]): Option[(String, Int, Int)] =
+    // PNG metadata header = signature + IHDR chunk (always first): 33 bytes
+    private def png(b: Array[Byte]): Option[(String, Int, Int, Int)] =
       if (b.length >= 24 && b.take(8).sameElements(PngSig) &&
         b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
-        Some(("png", be32(b, 16), be32(b, 20)))
+        Some(("png", be32(b, 16), be32(b, 20), 33))
       else None
 
     private def isSof(m: Int): Boolean =
       m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
 
-    private def jpeg(b: Array[Byte]): Option[(String, Int, Int)] = {
+    private def jpeg(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
       if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
       var p = 2
       while (p + 3 < b.length) {
@@ -69,7 +74,9 @@ object Multimodal {
           val len = be16(b, p + 2)
           if (len < 2) return None
           if (isSof(m)) {
-            return if (p + 8 < b.length) Some(("jpeg", be16(b, p + 7), be16(b, p + 5)))
+            // header ends after the SOF segment that carried the dims
+            return if (p + 8 < b.length)
+              Some(("jpeg", be16(b, p + 7), be16(b, p + 5), p + 2 + len))
             else None
           }
           p += 2 + len
@@ -78,10 +85,11 @@ object Multimodal {
       None
     }
 
-    private def gif(b: Array[Byte]): Option[(String, Int, Int)] =
+    // GIF header + logical screen descriptor: 13 bytes
+    private def gif(b: Array[Byte]): Option[(String, Int, Int, Int)] =
       if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
-        Some(("gif", le16(b, 6), le16(b, 8)))
+        Some(("gif", le16(b, 6), le16(b, 8), 13))
       else None
 
     // ---- structurally-valid header builders (test fixtures + synthetic
@@ -127,7 +135,8 @@ object Multimodal {
 
   /** RIFF/WAVE header parsing (public format: little-endian RIFF chunks;
     * the `fmt ` chunk carries channels/sample-rate/bit-depth). Returns
-    * (channels, sampleRate, bitsPerSample). */
+    * (channels, sampleRate, bitsPerSample, headerLen) — headerLen is the
+    * end of the parsed `fmt ` chunk, mirroring [[ImageHeaders.sniff]]. */
   object AudioHeaders {
     private def le16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
     private def le32(b: Array[Byte], i: Int): Int =
@@ -136,14 +145,14 @@ object Multimodal {
       b.length >= i + 4 && b(i) == s(0).toByte && b(i + 1) == s(1).toByte &&
         b(i + 2) == s(2).toByte && b(i + 3) == s(3).toByte
 
-    def sniffWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    def sniffWav(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
       if (!(tag(b, 0, "RIFF") && tag(b, 8, "WAVE"))) return None
       var p = 12
       while (p + 8 <= b.length) {
         val size = le32(b, p + 4)
         if (size < 0) return None
         if (tag(b, p, "fmt ") && p + 8 + 16 <= b.length)
-          return Some((le16(b, p + 10), le32(b, p + 12), le16(b, p + 22)))
+          return Some((le16(b, p + 10), le32(b, p + 12), le16(b, p + 22), p + 8 + 16))
         p += 8 + size + (size & 1) // chunks are word-aligned
       }
       None
@@ -226,11 +235,14 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, blob) =>
           // real containers first (PNG/JPEG/GIF/WAV magic bytes), then
-          // the declared fake container; neither → dropped
+          // the declared fake container; neither → dropped. Byte stats run
+          // over the POST-HEADER payload for every media type (the header
+          // prefix the sniffer consumed is sliced off), so byte_mean /
+          // byte_entropy mean the same thing across formats (ADVICE r4).
           val meta = ImageHeaders.sniff(blob)
-            .map { case (fmt, w, h) => (fmt, w, h, 0, 0, blob) }
+            .map { case (fmt, w, h, hdr) => (fmt, w, h, 0, 0, blob.drop(hdr)) }
             .orElse(AudioHeaders.sniffWav(blob)
-              .map { case (ch, rate, _) => ("wav", 0, 0, rate, ch, blob) })
+              .map { case (ch, rate, _, hdr) => ("wav", 0, 0, rate, ch, blob.drop(hdr)) })
             .orElse(FakeCodec.decode(blob)
               .map { case (w, h, t, payload) => (typeNames(t % 3), w, h, 0, 0, payload) })
           meta.map { case (fmt, w, h, rate, ch, payload) =>

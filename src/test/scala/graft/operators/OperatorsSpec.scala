@@ -776,15 +776,17 @@ class OperatorsSpec extends SparkTestBase {
     // public fixture: the canonical 1x1 transparent PNG
     val onePx = java.util.Base64.getDecoder.decode(
       "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
-    assert(ImageHeaders.sniff(onePx).contains(("png", 1, 1)))
+    assert(ImageHeaders.sniff(onePx).contains(("png", 1, 1, 33)))
     val pay = "payload".getBytes("UTF-8")
-    assert(ImageHeaders.sniff(ImageHeaders.pngWrap(640, 480, pay)).contains(("png", 640, 480)))
-    assert(ImageHeaders.sniff(ImageHeaders.jpegWrap(1920, 1080, pay)).contains(("jpeg", 1920, 1080)))
-    assert(ImageHeaders.sniff(ImageHeaders.gifWrap(320, 200, pay)).contains(("gif", 320, 200)))
+    // headerLen: png = sig+IHDR (33); jpeg = through the SOF segment
+    // (SOI 2 + APP0 18 + SOF 13 = 33 for jpegWrap); gif = header+LSD (13)
+    assert(ImageHeaders.sniff(ImageHeaders.pngWrap(640, 480, pay)).contains(("png", 640, 480, 33)))
+    assert(ImageHeaders.sniff(ImageHeaders.jpegWrap(1920, 1080, pay)).contains(("jpeg", 1920, 1080, 33)))
+    assert(ImageHeaders.sniff(ImageHeaders.gifWrap(320, 200, pay)).contains(("gif", 320, 200, 13)))
     assert(ImageHeaders.sniff("not an image".getBytes("UTF-8")).isEmpty)
-    // WAV: RIFF chunk walk to fmt (channels, sampleRate, bits)
+    // WAV: RIFF chunk walk to fmt (channels, sampleRate, bits, headerEnd=36)
     assert(Multimodal.AudioHeaders.sniffWav(
-      Multimodal.AudioHeaders.wavWrap(2, 44100, 16, pay)).contains((2, 44100, 16)))
+      Multimodal.AudioHeaders.wavWrap(2, 44100, 16, pay)).contains((2, 44100, 16, 36)))
     assert(Multimodal.AudioHeaders.sniffWav("RIFFxxxxNOPE".getBytes("UTF-8")).isEmpty)
     // mixed pipeline: id%5 → 0 gif, 1 wav, 3 png, 4 jpeg, else fake container
     val docs = (0L to 9L).map(i => (i, s"text $i")).toDF("doc_id", "text")
@@ -797,6 +799,13 @@ class OperatorsSpec extends SparkTestBase {
     assert(feats(1L).channels == 2 && feats(1L).sample_rate == 16000) // id 1: 1+1%2=2ch, 8000*(1+1%3)=16k
     assert(feats(2L).media_type == "video")
     assert(feats(3L).width == 160 && feats(3L).height == 160)
+    // post-header consistency (ADVICE r4): identical payloads produce
+    // identical byte stats whether the container is a real PNG (id 3) or
+    // the fake codec (id 2) — the header prefix is excluded for both
+    val same = Multimodal.extractFeatures(Multimodal.synthesizeBlobs(
+      Seq((3L, "same payload"), (2L, "same payload")).toDF("doc_id", "text"))).collect()
+    assert(same.length == 2 && same.map(_.byte_mean).distinct.length == 1 &&
+      same.map(_.byte_entropy).distinct.length == 1)
   }
 
   test("multimodal: fake codec round-trip + feature extraction") {
