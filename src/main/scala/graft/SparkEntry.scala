@@ -47,7 +47,8 @@ object SparkEntry {
   private def embPair(s: SparkSession, dir: String, as1: String, as2: String): DataFrame =
     Relational.embeddings(s, dir).select(col("vec_id").as(as1), col("vec").as(as2))
 
-  /** The reference's own shipped dataset (149×4; `源代码/main/Main.java:71-73`
+  /** The reference's own shipped dataset (150 points ×4 dims — wc -l shows
+    * 149 because the last line lacks a trailing newline; `源代码/main/Main.java:71-73`
     * runs it with minPts=4, minClSize=4, euclidean). Prefers the live
     * reference file; falls back to the byte-identical bundled fixture so the
     * query is runnable anywhere the jar is. */
@@ -423,10 +424,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     // ---- clustering model surfaces (tree / hierarchy / outlier rank / constraints) ----
     "q_cluster_tree" -> ((s: SparkSession, _: String) =>
-      // pinned-VALUES oracle on the reference's own dataset.txt (fixed 149
-      // points, deterministic kernel) — provenance: engine output cross-
-      // validated by RefDatasetSpec goldens + q_ref_dataset's independent
-      // core-distance oracle
+      // pinned-VALUES oracle on the reference's own dataset.txt (fixed 150
+      // points, deterministic kernel) — provenance: the full tree
+      // (birth/death/size/stability/flat selection) is INDEPENDENTLY
+      // derived in RefPinsCrossValidationSpec (naive first-principles
+      // HDBSCAN*: recursive threshold components over the MR matrix, no
+      // shared code with the kernel), plus RefDatasetSpec goldens +
+      // q_ref_dataset's independent core-distance oracle
       Hdbscan(minPts = 4, minClusterSize = 4)
         .fitModel(graft.io.PointsIO.readPointsText(s, refDatasetPath())).tree
         .select(col("label"), col("parent"), round(col("birth_eps"), 6).as("birth_eps"),
@@ -745,9 +749,14 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
     // ---- pinned-VALUES oracles for the clustering report surface:
     // expected rows captured from the engine on the reference's own
-    // dataset.txt (fixed input, deterministic kernel), cross-validated by
-    // RefDatasetSpec goldens and q_ref_dataset's independently-computed
-    // core-distance oracle ----
+    // dataset.txt (fixed input, deterministic kernel). NOT merely
+    // self-captured (ADVICE r4): RefPinsCrossValidationSpec re-derives the
+    // condensed tree, hierarchy-level partitions, GLOSH scores, core
+    // distances and MST weights from first principles with an independent
+    // naive implementation and asserts the engine queries match — so these
+    // pins are independently validated, and double as regression pins in
+    // the DuckDB gate. Also cross-checked by RefDatasetSpec goldens and
+    // q_ref_dataset's independently-computed core-distance oracle. ----
     "q_cluster_tree" ->
       """SELECT CAST(label AS INTEGER) AS label, CAST(parent AS INTEGER) AS parent, CAST(birth_eps AS DOUBLE) AS birth_eps, CAST(death_eps AS DOUBLE) AS death_eps, CAST(stability AS DOUBLE) AS stability, CAST(size AS DOUBLE) AS size, CAST(flat_label AS INTEGER) AS flat_label FROM (VALUES
         |(1, 0, 1.640122, 1.640122, 0.0, 150.0, 0),

@@ -350,6 +350,17 @@ final case class Hdbscan(
         assigned = rot.rotate(assigned.filter(!col("subset").isInCollection(overSet))
           .unionAll(top2.select(col("subset"), col("id"), col("features"))))
         top2.unpersist()
+        // free the round's seed-array blocks now rather than waiting for
+        // ContextCleaner GC (ADVICE r4: up to 8 per-round broadcasts
+        // otherwise accumulate across a fit). unpersist, NOT destroy: the
+        // rotate() above persists top2's derived RDD but its LINEAGE still
+        // references this broadcast, and Spark re-serializes the full RDD
+        // graph on every later job over the rotated frame — serializing a
+        // destroyed broadcast throws TaskNotSerializable (verified:
+        // HdbscanSpec fails with destroy() here). unpersist keeps the
+        // driver-side value (re-broadcastable, serializable) while dropping
+        // the executor copies each round.
+        bSeeds.unpersist(blocking = false)
         iterNo += 1
       }
     }

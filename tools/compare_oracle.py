@@ -47,7 +47,11 @@ for name, sql in sorted(oracle.items()):
         # and compare as datetimes.
         if e.dtype.kind == "M" or g.dtype.kind == "M":
             try:
-                eq = pd.to_datetime(e).values == pd.to_datetime(g).values
+                e2, g2 = pd.to_datetime(e), pd.to_datetime(g)
+                # paired NaT (legitimately-null timestamps in both engines,
+                # e.g. outer-join null purchase_ts) compare equal — element-
+                # wise == on NaT is False (ADVICE r4)
+                eq = (e2.isna() & g2.isna()).values | (e2.values == g2.values)
                 if not eq.all():
                     mismatch.append(f"{c}:{int((~eq).sum())}rows")
             except Exception as ex:
