@@ -30,7 +30,13 @@ object BoruvkaMst {
     *         tree per connected component, exactly the Kruskal result under
     *         the same (weight, lo, hi) tie order
     */
-  def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 40): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 40): DataFrame =
+    runCounted(spark, edges, maxRounds)._1
+
+  /** As [[run]], also returning the number of contraction rounds executed —
+    * plan-regression tests assert the O(log V) bound with it. */
+  def runCounted(spark: SparkSession, edges: DataFrame, maxRounds: Int = 40)
+      : (DataFrame, Int) = {
     val eRot = new graft.CheckpointRotator
     val forestRot = new graft.CheckpointRotator
     // normalize to lo < hi once; (weight, lo, hi) is the total edge order.
@@ -134,6 +140,6 @@ object BoruvkaMst {
         materialized
     }
     eRot.close(); forestRot.close()
-    out
+    (out, rounds)
   }
 }

@@ -305,14 +305,30 @@ object TextOps {
     *
     * Scale shape: bigram formation is a PURE MAP — zip the token array
     * with its own tail (`arrays_zip(slice, slice)`) and explode; no
-    * per-doc window, no shuffle until the two map-side-combinable count
-    * aggregations. The joins carry NO broadcast hints — bigram/unigram
+    * per-doc window, no shuffle until the map-side-combinable count
+    * aggregation. The joins carry NO broadcast hints — bigram/unigram
     * context tables are corpus-shaped, AQE decides (the
     * [[unigramLogProb]] lesson). Docs with < 2 non-empty tokens are
-    * omitted (no bigram probability exists). */
+    * omitted (no bigram probability exists).
+    *
+    * Skew: the context join keys on `w1` alone, and natural language makes
+    * `w1 = "the"` a mega-key. AQE's skew-split can NEVER rescue this join:
+    * both inputs are final aggregates, so the `HashAggregate` sits between
+    * the shuffle stage and the join and `OptimizeSkewedJoin`'s
+    * sort-over-shuffle-stage pattern does not match (pinned in
+    * PlanRegressionSpec). So the operator salts it explicitly: `cnt2` rows
+    * take `salt = hash(w2) mod S`, the one-row-per-w1 `cnt1` side
+    * replicates S ways, and the hot key spreads over S partitions. S
+    * bounds the replication at S×vocab rows — trivial next to the
+    * corpus-shaped frames. `cnt1` itself derives from the vocab-shaped
+    * `cnt2` (c(w1) = Σ_w2 c(w1,w2)), not from a second corpus-scale
+    * shuffle; aggregation skew is absorbed by map-side partial sums. The
+    * remaining corpus-row join keys on (w1, w2), whose hottest key is
+    * orders of magnitude cooler than bare `w1`. */
   def bigramLogProb(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val t = tokens(col(textCol))
+    val saltS = 16
     // empty tokens only occur at the split edges; dropping pairs touching
     // them leaves interior adjacency intact
     val bg = docs
@@ -321,10 +337,13 @@ object TextOps {
       .select(col(idCol), col("p.0").as("w1"), col("p.1").as("w2"))
       .where(length(col("w1")) > 0 && length(col("w2")) > 0)
     val cnt2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val cnt1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val cnt1 = cnt2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     // pre-join the two VOCAB-shaped count tables into a (w1,w2)→logprob
-    // model, so the corpus-row frame joins once, not twice
-    val model = cnt2.join(cnt1, "w1")
+    // model, so the corpus-row frame joins once, not twice; salted per the
+    // scaladoc so the w1="the" mega-key spreads over saltS partitions
+    val model = cnt2
+      .withColumn("salt", pmod(xxhash64(col("w2")), lit(saltS)).cast("int"))
+      .join(cnt1.withColumn("salt", explode(lit((0 until saltS).toArray))), Seq("w1", "salt"))
       .select(col("w1"), col("w2"), log(col("c2").cast("double") / col("c1")).as("lp"))
     bg.join(model, Seq("w1", "w2"))
       .groupBy(col(idCol))
