@@ -209,14 +209,18 @@ object TextOps {
     * stage that rejects it — too_short → low_alpha → repetitive → kept —
     * and report per-stage doc/token totals. This is the report a pipeline
     * owner reads before committing a filtering config (how much data does
-    * each rule cost?). One scan, one bounded groupBy; the stage expression
-    * rides the one-pass repetition kernel. */
+    * each rule cost?). One scan, one bounded groupBy; the token/alpha
+    * signals ride the one-pass `TextStatsExpr` kernel (identical values to
+    * the `tokenCount`/`alphaRatio` HOF forms — parity-spec'd — without
+    * the regex split + regexp_replace passes over every document) and the
+    * repetition signal rides the one-pass repetition kernel. */
   def filterFunnel(docs: DataFrame, minTokens: Int = 20, minAlpha: Double = 0.6,
       maxDupTrigram: Double = 0.3, textCol: String = "text"): DataFrame = {
     val sig = graft.expr.TextExpressions.repetitionSignals(col(textCol), 3)
+    val stats = graft.expr.TextExpressions.textStats(col(textCol))
     val staged = docs.select(
-      tokenCount(col(textCol)).cast("long").as("n_tokens"),
-      alphaRatio(col(textCol)).as("alpha"),
+      stats.getField("n_tokens").cast("long").as("n_tokens"),
+      round(stats.getField("alpha_ratio"), 6).as("alpha"),
       element_at(sig, 4).as("duptri"))
     staged.select(
         when(col("n_tokens") < minTokens, "1_too_short")
