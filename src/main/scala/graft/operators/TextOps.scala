@@ -14,9 +14,13 @@ object TextOps {
   def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
-  /** Token count (whitespace tokenization; empty text → 0). */
+  /** Token count (whitespace tokenization; empty text → 0). Rides the
+    * single-pass [[graft.expr.TextExpressions.textStats]] kernel — value
+    * identical to `size(split(trim(lower(text)), "\\s+"))` with the
+    * empty-text guard (parity-spec'd in TextKernelsSpec), without the
+    * per-row regex split. */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+    graft.expr.TextExpressions.textStats(text).getField("n_tokens")
 
   /** BPE-ish subword count estimate: words + extra tokens for long words
     * (a word of length L costs ceil(L/4) subwords, a common BPE heuristic).
