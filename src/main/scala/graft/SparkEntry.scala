@@ -196,7 +196,9 @@ object SparkEntry {
       val pts = graft.io.PointsIO.readPointsText(s, refDatasetPath())
       val a = pts.select(col("id").as("src"), col("features").as("va"))
       val b = pts.select(col("id").as("dst"), col("features").as("vb"))
-      val edges = a.crossJoin(b).filter(col("src") < col("dst"))
+      // broadcast the (fixed, 150-row) side: the text scan has no stats, so
+      // without the hint the planner falls back to CartesianProduct
+      val edges = a.crossJoin(broadcast(b)).filter(col("src") < col("dst"))
         .select(col("src"), col("dst"),
           graft.functions.Distances.euclidean(col("va"), col("vb")).as("weight"))
       graft.operators.BoruvkaMst.run(s, edges)

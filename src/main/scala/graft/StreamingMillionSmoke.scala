@@ -112,16 +112,33 @@ object StreamingMillionSmoke {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var t0 = System.nanoTime()
-    // purchases run up to ~7.5h past the last event — 4 extra slices
+    // FileStreamSource replays oldest-mtime-first, and slice order must
+    // follow event time or the watermark drops whole slices as late. Sleep
+    // spacing between writes is not enough on a filesystem with coarse
+    // (e.g. 1 s) mtime granularity — ties there let slices replay out of
+    // order (round-5 review finding) — so every slice's files get an
+    // EXPLICIT strictly-increasing mtime, 1 s apart, regardless of what
+    // the filesystem recorded at write time.
+    val mtimeBase = (System.currentTimeMillis() / 1000L) * 1000L - (Slices + 5).toLong * 1000L
+    val stamped = scala.collection.mutable.Set[String]()
+    def stampSlice(dir: String, i: Int): Unit =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith("part-") && !stamped.contains(f.getPath))
+        .foreach { f =>
+          require(f.setLastModified(mtimeBase + i.toLong * 1000L), s"setLastModified failed: $f")
+          stamped += f.getPath
+        }
     (0 until Slices + 4).foreach { i =>
       val lo = i.toLong * SliceHours * 3600 * 1000000L
       val hi = (i + 1).toLong * SliceHours * 3600 * 1000000L
-      if (i < Slices)
+      if (i < Slices) {
         events.where(unix_micros(col("ets")) >= lo && unix_micros(col("ets")) < hi)
           .repartition(1).write.mode("append").parquet(eventsDir)
+        stampSlice(eventsDir, i)
+      }
       purchases.where(unix_micros(col("purchase_ts")) >= lo && unix_micros(col("purchase_ts")) < hi)
         .repartition(1).write.mode("append").parquet(purchDir)
-      Thread.sleep(5) // distinct mtimes → deterministic oldest-first file order
+      stampSlice(purchDir, i)
     }
     val nEvents = events.count()
     println(f"generated $nEvents events (${nEvents - n} planted dups) + " +

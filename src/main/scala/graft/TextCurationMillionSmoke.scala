@@ -23,6 +23,14 @@ object TextCurationMillionSmoke {
   private def finalPlan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
   private def assertShuffleJoin(plan: String, what: String): Unit = {
+    // the frame must have been persisted AND materialized before this plan
+    // string was taken: an un-executed AdaptiveSparkPlan (isFinalPlan=false)
+    // prints the static stats-based guess, not the runtime join choice —
+    // asserting on it certifies nothing (round-5 review finding). The
+    // materialized InMemoryRelation embeds its finalized adaptive plan.
+    assert(plan.contains("isFinalPlan=true"),
+      s"$what: plan was never finalized by execution — materialize the frame " +
+        s"before asserting, plan:\n$plan")
     val shuffled = plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
     assert(shuffled, s"$what: expected the corpus-shaped join to fall back to a " +
       s"shuffle join at this size, plan:\n$plan")
@@ -77,22 +85,30 @@ object TextCurationMillionSmoke {
     println(f"[funnel] $funnel in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     // ---- 3. unigram log-prob: ~6M-row vocab model ----
+    // persisted + counted so the adaptive plan inside the cached relation is
+    // FINALIZED before assertShuffleJoin reads it; the agg then reads cache
     t0 = System.nanoTime()
     val uni = operators.TextOps.unigramLogProb(docs, minCount = 2L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    uni.count()
     val uniAgg = uni.agg(count(lit(1)).as("docs"), avg(col("logprob")).as("avg_lp")).collect()(0)
     println(f"[unigram] ${uniAgg.getLong(0)} docs, avg logprob ${uniAgg.getDouble(1)}%.3f " +
       f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     assertShuffleJoin(finalPlan(uni), "unigramLogProb token-model join")
     assert(uniAgg.getLong(0) == n && !uniAgg.getDouble(1).isNaN)
+    uni.unpersist(blocking = false)
 
     // ---- 4. bigram conditional log-prob: model join keyed (w1, w2) ----
     t0 = System.nanoTime()
     val bi = operators.TextOps.bigramLogProb(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bi.count()
     val biAgg = bi.agg(count(lit(1)).as("docs"), avg(col("logprob")).as("avg_lp")).collect()(0)
     println(f"[bigram] ${biAgg.getLong(0)} docs, avg logprob ${biAgg.getDouble(1)}%.3f " +
       f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     assertShuffleJoin(finalPlan(bi), "bigramLogProb model join")
     assert(biAgg.getLong(0) == n && !biAgg.getDouble(1).isNaN)
+    bi.unpersist(blocking = false)
 
     // ---- 5. corpus mix + temperature-scaled weights ----
     t0 = System.nanoTime()

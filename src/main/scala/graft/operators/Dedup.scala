@@ -41,21 +41,24 @@ object Dedup {
     * recall. At scale: one explode (docs × bands), one shuffle on
     * (band, band_hash), self-join only within buckets — never all-pairs.
     *
-    * '''Duplicate-cluster contract''' (the 100 TB case): K signature-identical
-    * documents (boilerplate duplicated 10⁴–10⁶× in web corpora) share every
-    * band bucket, so a naive within-bucket self-join emits K(K−1)/2 pairs —
-    * 10¹⁰⁺ shuffle rows from one hot cluster. Instead, docs are ranked within
-    * their identical-signature group: each non-leader chains to its
-    * predecessor (K−1 pairs, linear in K) and only the group leader enters
-    * banding, so bucket width is bounded by DISTINCT signatures, not
-    * documents. The output is therefore not the all-pairs set but a
-    * same-transitive-closure subset: downstream grouping ([[dedupClusters]])
-    * is unchanged, because signature-identical docs agree on all numHashes
-    * minima (true jaccard ≈ 1; chain links are still exact-verified), and
-    * cross-content candidates go through the leader as the group's proxy.
-    * For corpora where no two docs share a full signature (e.g. planted
-    * near-dup pairs), every doc is its own leader and the output is
-    * identical to the all-pairs formulation.
+    * '''Duplicate-cluster contract''' (the 100 TB case): K copies of the
+    * same document (boilerplate duplicated 10⁴–10⁶× in web corpora) share
+    * every band bucket, so a naive within-bucket self-join emits K(K−1)/2
+    * pairs — 10¹⁰⁺ shuffle rows from one hot cluster. Instead, docs are
+    * ranked within their identical-CONTENT group (md5 of the text — NOT the
+    * minhash signature: two docs can share all numHashes minima with
+    * different shingle sets, ~jaccard^numHashes per pair, and then the
+    * leader's jaccard to a third doc differs from the non-leader's, losing
+    * above-threshold pairs at the boundary; an exact digest has no such
+    * channel). Each non-leader chains to its predecessor (K−1 pairs, linear
+    * in K) and only the group leader enters banding, so bucket width is
+    * bounded by DISTINCT contents, not documents. The transitive closure is
+    * then EXACTLY that of the all-pairs formulation: identical text ⇒
+    * identical shingle set ⇒ identical jaccard to every other doc, so the
+    * leader is a lossless proxy for its group, and chain pairs (jaccard 1)
+    * still pass the exact verify like every other candidate. For corpora
+    * with no verbatim copies, every doc is its own leader and the plan
+    * degenerates to the all-pairs formulation unchanged.
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
     */
@@ -77,16 +80,18 @@ object Dedup {
     // the barriers (full shuffles of the shingle arrays) are gone.
     // persisted: consumed three times (banding + both sides of the verify
     // join); without it the shingle pipeline executes 3x
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = docs.select(col(idCol).as("id"), md5(col(textCol)).as("ck"),
       graft.expr.TextExpressions.wordShingleHashes(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // identical-signature ranking: one narrow window shuffle keyed by the
-    // full signature array (exact equality — no hash-collision channel);
-    // `prev` is null exactly for the group leader. persisted: consumed by
-    // both the chain and the leaders-only banding below.
-    val wk = Window.partitionBy(col("sig")).orderBy(col("id"))
+    // identical-content ranking: one narrow window shuffle keyed by the
+    // 128-bit content digest; `prev` is null exactly for the group leader.
+    // The window rows carry only (id, ck, sig) — the shingle arrays never
+    // enter this shuffle (the verify re-joins them by id from the `sh`
+    // cache). persisted: consumed by both the chain and the leaders-only
+    // banding below.
+    val wk = Window.partitionBy(col("ck")).orderBy(col("id"))
     val ranked = sh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"), col("ck"), minhashSignature(col("sh"), numHashes).as("sig"))
       .withColumn("prev", lag(col("id"), 1).over(wk))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // spanning chain inside each duplicate cluster: K−1 adjacent-id pairs
@@ -160,13 +165,15 @@ object Dedup {
     * come from equi-joins on (chunk_idx, chunk_value), then verified with
     * bit_count(a XOR b). No all-pairs anywhere.
     *
-    * Duplicate-cluster contract (as [[minhashNearDup]], where it is derived):
-    * signature-identical docs — hamming 0 by definition — chain to their
-    * rank predecessor and only group leaders enter banding, so chunk-bucket
-    * width is bounded by distinct signatures rather than documents. Unlike
-    * MinHash this is lossless under the transitive-closure view: the group
-    * key IS the full simhash, so any cross-group pair's hamming equals its
-    * leaders' hamming exactly, and chain pairs have hamming 0 exactly. */
+    * Duplicate-cluster contract (same shape as [[minhashNearDup]]'s, but
+    * keyed on the signature itself): signature-identical docs — hamming 0
+    * by definition — chain to their rank predecessor and only group leaders
+    * enter banding, so chunk-bucket width is bounded by distinct signatures
+    * rather than documents. Unlike MinHash (where the signature key would
+    * be lossy and the content digest is required), this key is lossless by
+    * construction: the emitted metric IS a function of the group key, so
+    * any cross-group pair's hamming equals its leaders' hamming exactly,
+    * and chain pairs have hamming 0 ≤ maxHamming exactly. */
   def simhashNearDup(
       docs: DataFrame,
       textCol: String = "text",
@@ -180,7 +187,10 @@ object Dedup {
     // per chunk by CollapseProject and needed a barrier shuffle)
     val withSig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val wk = Window.partitionBy(col("sig")).orderBy(col("id"))
+    // persisted: chain + banding both consume it — without the cache the
+    // corpus scan, the simhash kernel, and the window shuffle run twice
     val ranked = withSig.withColumn("prev", lag(col("id"), 1).over(wk))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chain = ranked.filter(col("prev").isNotNull)
       .select(col("prev").as("id_a"), col("id").as("id_b"), lit(0).as("hamming"))
     val banded = ranked.filter(col("prev").isNull)
@@ -191,12 +201,17 @@ object Dedup {
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
     val a = banded.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk", "chunk_val"))
+    val pairs = a.join(b, Seq("chunk", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming")).distinct()
       .filter(col("hamming") <= maxHamming)
       .unionAll(chain)
+    // eager materialize so the ranked cache can be released immediately
+    // (session-hygiene rule: operators free their state before returning)
+    val (out, _) = org.apache.spark.sql.GraftShim.materialize(pairs)
+    ranked.unpersist(blocking = false)
+    out
   }
 
   /** Character n-gram Jaccard similarity for candidate pairs drawn from the
@@ -271,16 +286,27 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       signBits(col(vecCol), planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand))
     }
-    // duplicate-cluster contract (as minhashNearDup, where it is derived):
-    // vectors with the IDENTICAL full multi-band signature — exact copies
-    // being the overwhelming real-world case — chain to their rank
-    // predecessor; only leaders enter banding, so bucket width is bounded
-    // by distinct signatures. Chain pairs still go through the exact-cosine
-    // verify below (signature-identical ≠ vector-identical), so every
-    // emitted pair's cos_sim is exact and ≥ threshold.
-    val withSig = emb.select(col(idCol).as("id"), array(bandCols: _*).as("sig"))
-    val wk = Window.partitionBy(col("sig")).orderBy(col("id"))
+    // duplicate-cluster contract (same shape as minhashNearDup's): the
+    // quadratic case is the SAME vector stored 10⁴⁺ times (exact copies of
+    // boilerplate embeddings), so the duplicate-group key is the vector
+    // itself — exact array equality, NOT the sign signature. Keying on the
+    // signature was lossy both ways: signature-identical vectors below the
+    // cosine threshold chained into a pair the verify then dropped (the
+    // non-leader vanished from banding entirely), and the leader's cosine
+    // to a third vector differs from the non-leader's at the threshold
+    // boundary. With the exact key, cos(B,C) == cos(A,C) whenever A == B,
+    // so the leader is a lossless proxy and chain pairs have cos_sim 1
+    // exactly. The window shuffles (id, vec, sig) once; vec is dropped
+    // right after ranking.
+    val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      array(bandCols: _*).as("sig"))
+    val wk = Window.partitionBy(col("v")).orderBy(col("id"))
+    // persisted: chain + banding both consume it — without the cache the
+    // scan, the bands*bitsPerBand hyperplane dot products per vector, and
+    // the window shuffle run twice
     val ranked = withSig.withColumn("prev", lag(col("id"), 1).over(wk))
+      .drop("v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chain = ranked.filter(col("prev").isNotNull)
       .select(col("prev").as("id_a"), col("id").as("id_b"))
     val banded = ranked.filter(col("prev").isNull)
@@ -294,12 +320,16 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
       .unionAll(chain)
-    candidates
+    val verified = candidates
       .join(emb.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
       .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
       .withColumn("cos_sim", round(graft.functions.Distances.cosineSimilarity(col("va"), col("vb")), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
+    // eager materialize so the ranked cache can be released immediately
+    val (out, _) = org.apache.spark.sql.GraftShim.materialize(verified)
+    ranked.unpersist(blocking = false)
+    out
   }
 
   /** Prefix-filtered exact n-gram Jaccard pairs — same output as

@@ -158,6 +158,23 @@ object Multimodal {
       None
     }
 
+    /** Content region of the `data` chunk: (offset, length) of the sample
+      * bytes themselves, excluding the 8-byte chunk framing — byte stats
+      * must run over the same thing for every container, and for WAV that
+      * is the sample payload, not `data`+length+samples. */
+    def dataChunk(b: Array[Byte]): Option[(Int, Int)] = {
+      if (!(tag(b, 0, "RIFF") && tag(b, 8, "WAVE"))) return None
+      var p = 12
+      while (p + 8 <= b.length) {
+        val size = le32(b, p + 4)
+        if (size < 0) return None
+        if (tag(b, p, "data"))
+          return Some((p + 8, math.min(size, b.length - p - 8)))
+        p += 8 + size + (size & 1)
+      }
+      None
+    }
+
     /** Structurally-valid RIFF/WAVE + PCM `fmt ` header with the payload as
       * the data chunk (parseable metadata; silence-free fake samples). */
     def wavWrap(channels: Int, sampleRate: Int, bits: Int, payload: Array[Byte]): Array[Byte] = {
@@ -236,13 +253,30 @@ object Multimodal {
         it.flatMap { case (id, blob) =>
           // real containers first (PNG/JPEG/GIF/WAV magic bytes), then
           // the declared fake container; neither → dropped. Byte stats run
-          // over the POST-HEADER payload for every media type (the header
-          // prefix the sniffer consumed is sliced off), so byte_mean /
-          // byte_entropy mean the same thing across formats (ADVICE r4).
+          // over the CONTENT bytes for every media type — the header prefix
+          // the sniffer consumed AND the format's structural framing are
+          // sliced off (WAV: the data chunk's samples, not its 8-byte
+          // chunk header; GIF: minus the 0x3b trailer; JPEG: minus the
+          // FFD9 EOI marker) — so byte_mean / byte_entropy mean the same
+          // thing across formats (ADVICE r4 + round-5 review). For real
+          // PNGs the post-IHDR bytes still include IDAT chunk framing
+          // (deep chunk walking belongs to the stubbed decode layer).
+          def trimTrailer(fmt: String, body: Array[Byte]): Array[Byte] = fmt match {
+            case "gif" if body.nonEmpty && body.last == 0x3b.toByte => body.dropRight(1)
+            case "jpeg" if body.length >= 2 &&
+              (body(body.length - 2) & 0xff) == 0xff &&
+              (body(body.length - 1) & 0xff) == 0xd9 => body.dropRight(2)
+            case _ => body
+          }
           val meta = ImageHeaders.sniff(blob)
-            .map { case (fmt, w, h, hdr) => (fmt, w, h, 0, 0, blob.drop(hdr)) }
+            .map { case (fmt, w, h, hdr) => (fmt, w, h, 0, 0, trimTrailer(fmt, blob.drop(hdr))) }
             .orElse(AudioHeaders.sniffWav(blob)
-              .map { case (ch, rate, _, hdr) => ("wav", 0, 0, rate, ch, blob.drop(hdr)) })
+              .map { case (ch, rate, _, hdr) =>
+                val body = AudioHeaders.dataChunk(blob)
+                  .map { case (off, len) => blob.slice(off, off + len) }
+                  .getOrElse(blob.drop(hdr))
+                ("wav", 0, 0, rate, ch, body)
+              })
             .orElse(FakeCodec.decode(blob)
               .map { case (w, h, t, payload) => (typeNames(t % 3), w, h, 0, 0, payload) })
           meta.map { case (fmt, w, h, rate, ch, payload) =>

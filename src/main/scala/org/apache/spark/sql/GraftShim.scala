@@ -37,7 +37,14 @@ object GraftShim {
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Test-only audit channel: when set, every [[materialize]] reports the
+    * physical plan it is about to execute. `toRdd` bypasses Dataset actions,
+    * so `QueryExecutionListener`s never see these inner-round plans — plan
+    * audits subscribe here to close that blind spot. */
+  @volatile var planAuditSink: Option[String => Unit] = None
+
   def materialize(df: DataFrame): (DataFrame, RDD[_]) = {
+    planAuditSink.foreach(sink => sink(df.queryExecution.executedPlan.toString))
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
     val rdd = df.queryExecution.toRdd.map(_.copy())
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -1,14 +1,33 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
 /** Automates BASELINE.md/SURVEY §9's plan audit: every declared batch query
-  * is planned (not run) and its physical plan scanned for the two shapes
-  * that are job-killers at 100 TB unless the build side is provably
-  * bounded — `CartesianProduct` (never acceptable: it means Spark found no
-  * equi-key and no broadcastable side) and `BroadcastNestedLoopJoin`
-  * (acceptable ONLY on a bounded build side). The BNLJ whitelist below
-  * carries the boundedness argument per query; a new query that plans an
-  * unlisted BNLJ, or any query that plans a cartesian, fails this spec
-  * instead of waiting for a round's manual `graft.Explain` pass.
+  * is driven through its query function and every physical plan it touches
+  * is scanned for the two shapes that are job-killers at 100 TB unless the
+  * build side is provably bounded — `CartesianProduct` (never acceptable:
+  * it means Spark found no equi-key and no broadcastable side) and
+  * `BroadcastNestedLoopJoin` (acceptable ONLY on a bounded build side).
+  *
+  * "Every plan it touches" is three channels (round-5 review finding — the
+  * returned frame's plan alone is blind to iterative operators, whose inner
+  * rounds execute eagerly inside the query function and leave only a scan
+  * over materialized blocks behind):
+  *   1. the returned frame's own physical plan (planned, not executed);
+  *   2. every Dataset action completed while the function ran (count/collect
+  *      inside loops), via a `QueryExecutionListener`;
+  *   3. every `GraftShim.materialize` call (star-contraction rounds, Borůvka
+  *      rounds, checkpoint rotations — these run through `toRdd`, which no
+  *      listener sees), via `GraftShim.planAuditSink`.
+  *
+  * The BNLJ whitelist below carries the boundedness argument per query; a
+  * new query that plans an unlisted BNLJ, or any query that plans a
+  * cartesian anywhere in its pipeline, fails this spec instead of waiting
+  * for a round's manual `graft.Explain` pass.
   *
   * Streaming queries are excluded: their sinks run inside the query
   * function, and their state/shuffle shape is pinned by the streaming
@@ -19,6 +38,8 @@ class PlanAuditSpec extends SparkTestBase {
   /** query → why its BNLJ build side is bounded (cardinality argument). */
   private val bnljAllowed: Map[String, String] = Map(
     "q_argmin_assign" -> "seed frame: fixed seed sample, tens of rows",
+    "q_connected_components" -> "bounded demo slice crossJoin (<=300-vertex pairwise edge build)",
+    "q_mst_distributed" -> "150-point reference dataset pairwise edge build, broadcast side",
     "q_core_distance_window" -> "bounded demo slice crossJoin (pairwise distances over <=200 points)",
     "q_corpus_mix" -> "single-row corpus-totals frame joined to every cell",
     "q_distance_pairs" -> "bounded demo slice crossJoin (pairwise distance showcase)",
@@ -32,25 +53,49 @@ class PlanAuditSpec extends SparkTestBase {
     "q_tfidf_top_terms" -> "single-row corpus-size frame joined into the IDF term table",
     "q_unigram_logprob" -> "single-row corpus-token-total frame joined into the vocab model")
 
-  test("plan audit: no cartesian products; BNLJ only on whitelisted bounded build sides") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(_._1.startsWith("q_stream"))
-      .flatMap { case (name, fn) =>
-        val plan = fn(spark, sf()).queryExecution.executedPlan.toString
-        val cart = if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
-        val bnlj = if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed.contains(name))
-          Seq(s"$name: unlisted BroadcastNestedLoopJoin") else Nil
-        cart ++ bnlj
-      }
-    assert(offenders.isEmpty,
-      s"plan audit violations (justify + whitelist, or fix the plan):\n${offenders.mkString("\n")}")
+  private object capture extends QueryExecutionListener {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      plans.add(qe.executedPlan.toString)
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
   }
 
-  test("plan audit: whitelist has no stale entries") {
-    val stale = bnljAllowed.keySet
-      .filter(n => SparkEntry.queries.get(n).forall(fn =>
-        !fn(spark, sf()).queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin")))
+  /** Run one query function and return every physical plan it touched. */
+  private def plansTouched(name: String): Seq[String] = {
+    capture.plans.clear()
+    spark.listenerManager.register(capture)
+    GraftShim.planAuditSink = Some(p => capture.plans.add(p))
+    try {
+      val outer = SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+      GraftShim.drainListenerBus(spark)
+      outer +: capture.plans.asScala.toSeq
+    } finally {
+      GraftShim.planAuditSink = None
+      spark.listenerManager.unregister(capture)
+    }
+  }
+
+  private val batchQueries =
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("q_stream"))
+
+  test("plan audit: no cartesian products; BNLJ only on whitelisted bounded build sides") {
+    val seenBnlj = scala.collection.mutable.Set[String]()
+    val offenders = batchQueries.flatMap { name =>
+      val plans = plansTouched(name)
+      val cart = if (plans.exists(_.contains("CartesianProduct")))
+        Seq(s"$name: CartesianProduct") else Nil
+      val hasBnlj = plans.exists(_.contains("BroadcastNestedLoopJoin"))
+      if (hasBnlj) seenBnlj += name
+      val bnlj = if (hasBnlj && !bnljAllowed.contains(name))
+        Seq(s"$name: unlisted BroadcastNestedLoopJoin") else Nil
+      cart ++ bnlj
+    }
+    assert(offenders.isEmpty,
+      s"plan audit violations (justify + whitelist, or fix the plan):\n${offenders.mkString("\n")}")
+    // staleness check rides the same pass (the audit executes eager
+    // pipelines — running it twice would double the spec's cost)
+    val stale = bnljAllowed.keySet -- seenBnlj
     assert(stale.isEmpty,
-      s"whitelisted queries no longer plan a BNLJ — drop them from the list: $stale")
+      s"whitelisted queries no longer touch a BNLJ — drop them from the list: $stale")
   }
 }

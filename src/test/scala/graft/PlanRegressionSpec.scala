@@ -75,11 +75,10 @@ class PlanRegressionSpec extends SparkTestBase {
     assert(nVerts > 0, "vacuous: no near-dup pairs in the slice")
     val bound = 2 * (math.ceil(math.log(nVerts.toDouble.max(2)) / math.log(2)).toInt + 2)
     assert(rounds <= bound, s"star contraction took $rounds rounds for $nVerts vertices (bound $bound)")
-    // and the query's own output plan stays free of all-pairs shapes
-    val df = SparkEntry.queries("q_dedup_clusters")(spark, sf())
-    df.collect()
-    val fin = df.queryExecution.executedPlan.toString
-    assert(!fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoop"), fin)
+    // all-pairs-shape scanning for this query (including the contraction
+    // rounds, which materialize eagerly and never appear in the returned
+    // frame's plan) lives in PlanAuditSpec's three-channel audit — a
+    // final-plan assert here would only see a scan over cached blocks
   }
 
   test("q_mst_distributed: Boruvka contracts in O(log V) rounds on the reference graph") {

@@ -173,9 +173,9 @@ class OperatorsSpec extends SparkTestBase {
     assert(chain == (0 until K - 1).map(i => (i.toLong, i + 1L)).toSet,
       s"expected identical-vector chain, got $chain")
     assert(nd.filter($"id_a" < K && $"id_b" < K && $"cos_sim" === 1.0).count() == K - 1)
-    // the jittered copy attaches to the cluster with exactly ONE pair: either
-    // its signature matches (joins the chain after id 9) or it differs and
-    // pairs with the leader — never one pair per member as all-pairs would
+    // the jittered copy is a distinct vector, so it is its own group leader
+    // and attaches to the cluster with exactly ONE banded pair against the
+    // cluster leader — never one pair per member as all-pairs would
     assert(nd.filter($"id_a" < K && $"id_b" === 100L).count() == 1,
       "jittered copy must attach to the cluster exactly once")
     assert(!nd.select("id_a", "id_b").as[(Long, Long)].collect()
@@ -799,13 +799,17 @@ class OperatorsSpec extends SparkTestBase {
     assert(feats(1L).channels == 2 && feats(1L).sample_rate == 16000) // id 1: 1+1%2=2ch, 8000*(1+1%3)=16k
     assert(feats(2L).media_type == "video")
     assert(feats(3L).width == 160 && feats(3L).height == 160)
-    // post-header consistency (ADVICE r4): identical payloads produce
-    // identical byte stats whether the container is a real PNG (id 3) or
-    // the fake codec (id 2) — the header prefix is excluded for both
+    // content-bytes consistency (ADVICE r4 + round-5 review): the SAME
+    // payload wrapped in EVERY container — gif (0), wav (1), fake (2),
+    // png (3), jpeg (4) — produces identical byte stats: header prefixes,
+    // WAV's data-chunk framing, and GIF/JPEG structural trailers are all
+    // excluded, not just the PNG/fake header pair the old test compared
     val same = Multimodal.extractFeatures(Multimodal.synthesizeBlobs(
-      Seq((3L, "same payload"), (2L, "same payload")).toDF("doc_id", "text"))).collect()
-    assert(same.length == 2 && same.map(_.byte_mean).distinct.length == 1 &&
-      same.map(_.byte_entropy).distinct.length == 1)
+      (0L to 4L).map(i => (i, "same payload")).toDF("doc_id", "text"))).collect()
+    assert(same.length == 5, s"all five containers must decode: ${same.toSeq}")
+    assert(same.map(_.byte_mean).distinct.length == 1 &&
+      same.map(_.byte_entropy).distinct.length == 1,
+      s"byte stats differ across containers for one payload:\n${same.mkString("\n")}")
   }
 
   test("multimodal: fake codec round-trip + feature extraction") {
