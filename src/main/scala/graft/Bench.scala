@@ -6,6 +6,15 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line {"metric":...,"queries":{name:sec,...}}. Results are
   * fully materialized through the noop sink (count() would let Spark prune
   * the plan).
+  *
+  * De-noised (round 7): each query runs SPARK_GRAFT_BENCH_REPS times
+  * (default 3) and reports the MIN — the machine-capability statistic; a
+  * single-shot bench swung 1.75× on a byte-identical jar between rounds 5
+  * and 6 purely from sandbox load, which makes a 2×-of-baseline gate
+  * meaningless. The per-query max−min spread is reported alongside so load
+  * noise is visible instead of silently folded into the timing. Queries
+  * that ERROR are excluded from the timing map and listed under "errors" —
+  * a 0.06 s analysis fast-fail must not masquerade as a measurement.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,19 +39,33 @@ object Bench {
       .foreach(f => spark.read.parquet(f.getPath)
         .write.format("noop").mode("overwrite").save())
     SessionHygiene.sweep(spark)
-    val results = wanted.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      SessionHygiene.sweep(spark) // outside the timer; leftovers are the query's own result blocks
-      name -> dt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = wanted.flatMap { case (name, fn) =>
+      val times = (1 to reps).iterator.map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        SessionHygiene.sweep(spark) // outside the timer; leftovers are the query's own result blocks
+        (ok, dt)
+      }.takeWhile(_._1).map(_._2).toSeq // first failure aborts the query's reps
+      if (times.size < reps) None // errored: excluded from timings, listed in errors
+      else Some((name, times.min, times.max - times.min))
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    def jmap(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, v, _) => k -> f"$v%.3f" })
+    val spread = jmap(results.map { case (k, _, s) => k -> f"$s%.3f" })
+    val errs = jmap(errors.toSeq.map { case (k, v) =>
+      k -> ("\"" + v.replaceAll("[\\\\\"\\n\\r\\t]", " ") + "\"") })
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"min","spread":$spread,"errors":$errs}""")
     spark.stop()
   }
 }

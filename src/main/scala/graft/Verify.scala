@@ -12,13 +12,28 @@ object Verify {
     val spark = GraftSession.local("graft-verify", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter(q => rest.isEmpty || rest.exists(q._1.contains))
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A broken query must yield an ERR ROW in the round artifact, not a
+        // silently missing key (round 6 lost 13 queries that way): dump a
+        // one-row parquet whose schema is the sentinel column graft_error,
+        // so the driver's compare reports it as an explicit schema/hash
+        // mismatch carrying the failure text instead of dropping the name.
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("graft_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error-row dump also failed: ${e2.getMessage}")
+        }
       }
       SessionHygiene.sweep(spark)
     }
@@ -37,6 +52,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable failure summary next to the dumps (empty map = clean)
+    val errJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries failed: ${failures.keys.mkString(", ")}")
   }
 }

@@ -60,7 +60,13 @@ object Dedup {
     * with no verbatim copies, every doc is its own leader and the plan
     * degenerates to the all-pairs formulation unchanged.
     *
-    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    *         NOT the full above-threshold pair set: within each
+    *         identical-content group only the K−1 chain pairs appear, and
+    *         cross-group pairs are emitted leader-to-leader and via the
+    *         chain — a subset whose transitive closure (the thing
+    *         [[dedupClusters]] consumes) equals the all-pairs
+    *         formulation's exactly.
     */
   def minhashNearDup(
       docs: DataFrame,
@@ -173,7 +179,12 @@ object Dedup {
     * be lossy and the content digest is required), this key is lossless by
     * construction: the emitted metric IS a function of the group key, so
     * any cross-group pair's hamming equals its leaders' hamming exactly,
-    * and chain pairs have hamming 0 ≤ maxHamming exactly. */
+    * and chain pairs have hamming 0 ≤ maxHamming exactly.
+    *
+    * @return (id_a, id_b, hamming) with id_a < id_b, hamming ≤ maxHamming.
+    *         As with [[minhashNearDup]], a transitive-closure-equivalent
+    *         SUBSET of the all-pairs result: signature-identical groups
+    *         contribute chain pairs only, cross-group pairs leader-to-leader. */
   def simhashNearDup(
       docs: DataFrame,
       textCol: String = "text",
@@ -272,7 +283,12 @@ object Dedup {
     * round 1's single 12-bit band (unquantified recall, VERDICT r1): recall
     * is 1-(1-p^bits)^bands per pair with bit-collision probability
     * p = 1-θ/π, and identical vectors collide in every band always.
-    * `planes` are deterministic seeded hyperplanes generated driver-side. */
+    * `planes` are deterministic seeded hyperplanes generated driver-side.
+    *
+    * @return (id_a, id_b, cos_sim) with id_a < id_b, cos_sim ≥ threshold.
+    *         As with [[minhashNearDup]], a transitive-closure-equivalent
+    *         SUBSET of the all-pairs result: identical-vector groups
+    *         contribute chain pairs only, cross-group pairs leader-to-leader. */
   def embeddingNearDup(
       emb: DataFrame,
       idCol: String = "vec_id",

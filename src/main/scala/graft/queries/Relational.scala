@@ -21,15 +21,10 @@ object Relational {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark only reads via the nanosAsLong legacy mode; convert to a proper
-    * microsecond timestamp with integer division (ns epochs exceed 2^53, so
-    * floating division would lose precision). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** The events table, with `ts` normalized to TimestampType micros whatever
+    * the testdata's physical encoding — see [[graft.io.EventsReader]]. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    graft.io.EventsReader.batch(spark, dir)
 
   /** S1/S2/F-class: scan → filter → project, pushdown-friendly. */
   def scanFilterProject(spark: SparkSession, dir: String): DataFrame =

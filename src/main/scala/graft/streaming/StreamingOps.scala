@@ -16,14 +16,8 @@ object StreamingOps {
     * semantically identical to the batch `Relational.eventsHourly`.
     */
   def eventsHourlyStream(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    // nanosecond parquet timestamps: read as long, convert (see Relational.events)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(path).schema
-    // file-stream sources need a directory: stream the sf dir, glob to events
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").format("parquet").load(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // schema-adaptive ts normalization + dir-glob file source: EventsReader
+    val stream = graft.io.EventsReader.stream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("raw_sum"))
@@ -78,10 +72,7 @@ object StreamingOps {
     * firehose with a dimension table" shape; no state store involved, so
     * the result equals the batch join and oracle-checks against it. */
   def enrichStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").format("parquet").load(dir)
+    val events = graft.io.EventsReader.stream(spark, dir)
       .select(col("user_id"), col("event_type"), col("value"))
     // static dim: users → nation via customer (user ids alias customer keys)
     val dim = spark.read.parquet(s"$dir/customer.parquet")
@@ -133,10 +124,7 @@ object StreamingOps {
     * checked against it. */
   def runningMaxStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").format("parquet").load(dir)
+    val events = graft.io.EventsReader.stream(spark, dir)
       .select(col("user_id").cast("long"), col("value").cast("double"))
       .as[(Long, Double)]
     val changes = runningMaxChanges(events)
@@ -176,16 +164,13 @@ object StreamingOps {
     * engine's nanos→micros read path). */
   def attributionStream(spark: SparkSession, dir: String,
       horizonHours: Int = 6): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    def events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").format("parquet").load(dir)
+    def events = graft.io.EventsReader.stream(spark, dir)
     val views = events.where(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("view_ts"))
+        col("ts").as("view_ts"))
     val purchases = events.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-        timestamp_micros(expr("ts div 1000")).as("purchase_ts"))
+        col("ts").as("purchase_ts"))
     val joined = attributionJoin(views, purchases, horizonHours)
     val name = s"attribution_${System.nanoTime()}"
     val q = joined.writeStream
@@ -227,23 +212,20 @@ object StreamingOps {
     * tail is excluded on BOTH sides rather than silently under-reported. */
   def attributionOuterStream(spark: SparkSession, dir: String,
       horizonHours: Int = 6): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.io.EventsReader.batch(spark, dir)
     val Array(maxViewUs, maxPurchUs) = Array("view", "purchase").map { t =>
       batch.where(col("event_type") === t)
-        .agg(max(expr("ts div 1000"))).collect()(0).getLong(0)
+        .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
     }
     val cutoffUs = math.min(maxViewUs, maxPurchUs) -
       (horizonHours + 2L) * 3600L * 1000000L
-    val schema = batch.schema
-    def events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").format("parquet").load(dir)
+    def events = graft.io.EventsReader.stream(spark, dir)
     val views = events.where(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("view_ts"))
+        col("ts").as("view_ts"))
     val purchases = events.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-        timestamp_micros(expr("ts div 1000")).as("purchase_ts"))
+        col("ts").as("purchase_ts"))
     val joined = attributionJoinOuter(views, purchases, horizonHours)
       .where(col("view_ts") <= timestamp_micros(lit(cutoffUs)))
     val name = s"attribution_outer_${System.nanoTime()}"
@@ -272,14 +254,11 @@ object StreamingOps {
     * after the previous one opens a NEW session) — the oracle replicates
     * it with `diff >= gap` as the break condition. */
   def sessionWindowStream(spark: SparkSession, dir: String, gapMin: Int = 30): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-    val maxUs = batch.agg(max(expr("ts div 1000"))).collect()(0).getLong(0)
+    val batch = graft.io.EventsReader.batch(spark, dir)
+    val maxUs = batch.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
     val cutoffUs = maxUs - (3600L + 2L * gapMin * 60L) * 1000000L
-    val schema = batch.schema
-    val events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").format("parquet").load(dir)
-      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ets"))
+    val events = graft.io.EventsReader.stream(spark, dir)
+      .select(col("user_id"), col("ts").as("ets"))
     val sessions = events.withWatermark("ets", "1 hour")
       .groupBy(col("user_id"), session_window(col("ets"), s"$gapMin minutes"))
       .agg(count(lit(1)).as("n_events"))
@@ -311,11 +290,8 @@ object StreamingOps {
     */
   def sessionizeStream(spark: SparkSession, dir: String, gapMs: Long = 1800000L): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").format("parquet").load(dir)
-      .select(col("user_id").cast("long"), expr("ts div 1000000").as("ts_ms"))
+    val events = graft.io.EventsReader.stream(spark, dir)
+      .select(col("user_id").cast("long"), unix_millis(col("ts")).as("ts_ms"))
       .as[(Long, Long)]
 
     val counted = events.groupByKey(_._1)

@@ -44,7 +44,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_corpus_mix" -> "single-row corpus-totals frame joined to every cell",
     "q_distance_pairs" -> "bounded demo slice crossJoin (pairwise distance showcase)",
     "q_knn_bruteforce" -> "broadcast query set: fixed handful of probe vectors",
-    "q_knn_ivf" -> "k x dim centroid frame + probe set, both k-bounded",
+    "q_knn_ivf" -> "k x dim centroid frame + probe set, both k-bounded; plus the broadcast fixed query set of the in-query brute-force recall baseline",
     "q_mix_temperature" -> "single-row normalizer z joined to per-source counts",
     "q_mutual_reachability" -> "bounded demo slice: pairwise mutual-reachability showcase",
     "q_quality_buckets" -> "single-row percentile-boundaries frame",
