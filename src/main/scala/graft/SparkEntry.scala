@@ -158,6 +158,25 @@ object SparkEntry {
     // ---- vector/distance surface (E1-E7, W1-W3, J1, J3) ----
     "q_distance_pairs" -> Relational.distancePairs _,
     "q_core_distance_window" -> ((s: SparkSession, d: String) => Relational.coreDistanceWindow(s, d)),
+    "q_core_distance_kernel" -> ((s: SparkSession, d: String) => {
+      // O2 through the REAL per-partition kernel (bounded insertion-buffer
+      // kNN, the code HDBSCAN runs inside every Voronoi cell) instead of
+      // the window formulation above — same oracle, k=4 ⇒ 3rd-nearest-other
+      // distance, so the kernel's partial top-k is on the oracle gate. The
+      // slice is bounded (<200 rows) and lands in ONE partition by
+      // construction, mirroring a single cell of the partitioned pipeline.
+      import s.implicits._
+      val pts = Relational.embeddings(s, d).filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("vec")).as[(Long, Array[Double])]
+      pts.repartition(1).mapPartitions { it =>
+        val arr = it.toArray.sortBy(_._1)
+        val core = graft.kernel.HdbscanKernel.coreDistances(
+          arr.map(_._2), k = 4, graft.kernel.HdbscanKernel.euclidean)
+        arr.iterator.zip(core.iterator).map { case ((id, _), c) => (id, c) }
+      }.toDF("id_a", "core_raw")
+        .select(col("id_a"), round(col("core_raw"), 6).as("core_dist"))
+        .orderBy(col("id_a"))
+    }),
     "q_argmin_assign" -> Relational.argminAssign _,
     "q_mutual_reachability" -> ((s: SparkSession, d: String) => Relational.mutualReachabilityPairs(s, d)),
     // ---- clustering (the reference's reason to exist) ----
@@ -204,6 +223,30 @@ object SparkEntry {
       graft.operators.BoruvkaMst.run(s, edges)
         .select(col("src"), col("dst"), round(col("weight"), 6).as("weight"))
         .orderBy(col("src"), col("dst"))
+    }),
+    "q_mst_prim" -> ((s: SparkSession, _: String) => {
+      // G1 through the REAL per-partition Prim kernel (the O(n²) scan the
+      // partitioned pipeline runs inside each cell), on the same reference
+      // dataset as q_mst_distributed. Prim's tiebreak order differs from
+      // Borůvka's canonical (weight, lo, hi) one, so the edge SET may
+      // legitimately differ on this tie-heavy dataset — but every MST of a
+      // graph has the SAME weight multiset, so the (weight, count)
+      // spectrum is the algorithm-independent pin (oracle derives it from
+      // q_mst_distributed's pinned edge set). Zero core distances ⇒ plain
+      // euclidean MST, matching that pin's weights.
+      import s.implicits._
+      val pts = graft.io.PointsIO.readPointsText(s, refDatasetPath())
+        .select(col("id"), col("features")).as[(Long, Array[Double])]
+      pts.repartition(1).mapPartitions { it =>
+        val arr = it.toArray.sortBy(_._1)
+        val edges = graft.kernel.HdbscanKernel.primMst(
+          arr.map(_._2), new Array[Double](arr.length),
+          graft.kernel.HdbscanKernel.euclidean)
+        edges.iterator.map(_.weight)
+      }.toDF("w")
+        .select(round(col("w"), 6).as("weight"))
+        .groupBy(col("weight")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("weight"))
     }),
     // ---- dedup family ----
     "q_dedup_exact" -> ((s: SparkSession, d: String) =>
@@ -267,6 +310,26 @@ object SparkEntry {
       e.groupBy(col("label"), col("pos").as("dim"))
         .agg(round(avg(col("col")), 6).as("mean_val"))
         .orderBy(col("label"), col("dim"))
+    }),
+    "q_cf_stats" -> ((s: SparkSession, d: String) => {
+      // A3/A9 through the REAL typed-Aggregator path (map-side partial
+      // merge, order-invariant CF(n, LS, SS) — OperatorsSpec proves the
+      // algebra; this puts the same code on the oracle gate), plus the
+      // E8/E9/E10 bubble formulas the CF feeds: extent (mean over dims of
+      // sqrt((2n·SS−2·LS²)/(n(n−1))), negative radicands skipped) and
+      // nnDist(k) = (k/n)^(1/d)·extent. All SQL-expressible from per-dim
+      // sums, so DuckDB recomputes the whole chain independently.
+      import s.implicits._
+      val cf = Relational.embeddings(s, d).select(col("label"), col("vec"))
+        .as[(Int, Array[Double])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.operators.CFAggregator.toColumn.name("cf"))
+      cf.map { case (label, c) => (label, c.n, c.extent, c.nnDist(4.0)) }
+        .toDF("label", "n", "extent_raw", "nn_raw")
+        .select(col("label"), col("n"),
+          round(col("extent_raw"), 6).as("extent"),
+          round(col("nn_raw"), 6).as("nn_dist"))
+        .orderBy(col("label"))
     }),
     // ---- similarity search ----
     "q_knn_bruteforce" -> ((s: SparkSession, d: String) => {
@@ -659,7 +722,23 @@ object SparkEntry {
     "q_hdbscan_bubbles" -> "as q_hdbscan; CF-sketch labels verified by ScalaTest bubble-purity + reattachment tests",
     "q_multimodal_features" -> "the deterministic header columns ARE oracle-checked via q_multimodal_headers; this full-feature variant keeps the byte-stat columns, whose values depend on the engine-side byte histogram (deep pixel/audio decode stays a declared stub — no media libs in container)")
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ oracleSqlDerived
+
+  /** Oracles defined in terms of other oracles (shared pinned data). */
+  private def oracleSqlDerived: Map[String, String] = Map(
+    // every MST of a graph has the same weight multiset (the greedy-
+    // exchange argument), so the Prim kernel's spectrum is checked against
+    // the aggregate of Borůvka's pinned edge set — algorithm- and
+    // tiebreak-independent.
+    "q_mst_prim" ->
+      ("SELECT weight, CAST(count(*) AS BIGINT) AS cnt FROM (" +
+        oracleSqlBase("q_mst_distributed") +
+        ") GROUP BY weight ORDER BY weight"),
+    // the kernel formulation computes the identical quantity as the window
+    // formulation — one oracle serves both
+    "q_core_distance_kernel" -> oracleSqlBase("q_core_distance_window"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, round(l_extendedprice, 2) AS price
         |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05
@@ -1226,6 +1305,24 @@ object SparkEntry {
         |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
         |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // independent recomputation of the CF(n, LS, SS) chain: per-dim sums →
+    // E9 extent (negative radicands skipped, divided by ALL dims) → E10
+    // nnDist(k=4) = (k/n)^(1/d)·extent
+    "q_cf_stats" ->
+      """WITH per_dim AS (
+        |  SELECT label, i, count(*) AS n,
+        |    sum(CAST(embedding[i] AS DOUBLE)) AS ls,
+        |    sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS ss
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |  GROUP BY label, i),
+        |agg AS (
+        |  SELECT label, max(n) AS n, count(*) AS d,
+        |    sum(CASE WHEN (2*n*ss - 2*ls*ls) / (n*(n-1.0)) > 0
+        |        THEN sqrt((2*n*ss - 2*ls*ls) / (n*(n-1.0))) ELSE 0 END) / count(*) AS extent
+        |  FROM per_dim GROUP BY label)
+        |SELECT label, CAST(n AS BIGINT) AS n, round(extent, 6) AS extent,
+        |  round(pow(4.0 / n, 1.0 / d) * extent, 6) AS nn_dist
+        |FROM agg ORDER BY label""".stripMargin,
     "q_knn_bruteforce" ->
       s"""WITH pairs AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,
