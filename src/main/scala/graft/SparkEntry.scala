@@ -636,6 +636,19 @@ object SparkEntry {
     "q_multimodal_features" -> ((s: SparkSession, d: String) =>
       Multimodal.extractFeatures(Multimodal.synthesizeBlobs(docs(s, d)))
         .toDF().orderBy(col("doc_id"))),
+    "q_multimodal_stats" -> ((s: SparkSession, d: String) =>
+      // the byte-stat feature columns (n_bytes, byte_mean, byte_entropy)
+      // that q_multimodal_headers leaves unchecked, aggregated per media
+      // type and pinned as a VALUES oracle at sf0.01 — the blobs are
+      // synthesized deterministically from doc_id, so the aggregates are
+      // exact constants per corpus
+      Multimodal.extractFeatures(Multimodal.synthesizeBlobs(docs(s, d))).toDF()
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          round(avg(col("byte_mean")), 4).as("avg_byte_mean"),
+          round(avg(col("byte_entropy")), 4).as("avg_entropy"))
+        .orderBy(col("media_type"))),
     "q_multimodal_headers" -> ((s: SparkSession, d: String) =>
       // the deterministic container-metadata projection of
       // q_multimodal_features: type/width/height/channels/sample-rate
@@ -720,7 +733,7 @@ object SparkEntry {
     "q_hdbscan" -> "density-cluster assignments are not SQL-expressible; exact-mode core distances + invariants oracle-checked in q_hdbscan_invariants, structure verified by ScalaTest blob-purity goldens",
     "q_hdbscan_partitioned" -> "as q_hdbscan; mode-specific invariants oracle-checked in q_hdbscan_part_invariants, cross-mode agreement in HdbscanSpec",
     "q_hdbscan_bubbles" -> "as q_hdbscan; CF-sketch labels verified by ScalaTest bubble-purity + reattachment tests",
-    "q_multimodal_features" -> "the deterministic header columns ARE oracle-checked via q_multimodal_headers; this full-feature variant keeps the byte-stat columns, whose values depend on the engine-side byte histogram (deep pixel/audio decode stays a declared stub — no media libs in container)")
+    "q_multimodal_features" -> "the deterministic header columns ARE oracle-checked via q_multimodal_headers, and the byte-stat columns' per-type aggregates via q_multimodal_stats (pinned); this full per-doc variant remains rows-only (deep pixel/audio decode stays a declared stub — no media libs in container)")
 
   def oracleSql: Map[String, String] = oracleSqlBase ++ oracleSqlDerived
 
@@ -1622,6 +1635,21 @@ object SparkEntry {
         |  ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens
         |  FROM documents)
         |WHERE n_tokens > 0""".stripMargin,
+    // pinned at sf0.01 (blob synthesis is a pure function of doc_id, so the
+    // per-type byte-stat aggregates are exact corpus constants; captured
+    // from the engine like the LSH-family pins above)
+    "q_multimodal_stats" ->
+      """SELECT media_type, CAST(n AS BIGINT) AS n,
+        |  CAST(total_bytes AS BIGINT) AS total_bytes,
+        |  CAST(avg_byte_mean AS DOUBLE) AS avg_byte_mean,
+        |  CAST(avg_entropy AS DOUBLE) AS avg_entropy FROM (VALUES
+        |('gif', 100, 30864, 94.5061, 4.0884),
+        |('jpeg', 100, 31596, 94.5677, 4.0862),
+        |('png', 100, 33215, 94.5131, 4.0985),
+        |('video', 100, 31894, 94.3874, 4.0987),
+        |('wav', 100, 35805, 94.6197, 4.1023)
+        |) AS t(media_type, n, total_bytes, avg_byte_mean, avg_entropy)
+        |ORDER BY media_type""".stripMargin,
     "q_multimodal_headers" ->
       """SELECT doc_id,
         |  CASE doc_id % 5 WHEN 0 THEN 'gif' WHEN 1 THEN 'wav' WHEN 3 THEN 'png'
