@@ -4,6 +4,35 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Dump one query's result to `outDir/name` as parquet. On ANY failure
+    * (analysis or runtime), dump a one-row parquet whose schema is the
+    * sentinel column `graft_error` instead — a broken query must yield an
+    * ERR ROW in the round artifact, not a silently missing key (round 6
+    * lost 13 queries that way: the driver's compare reports the sentinel
+    * as an explicit schema/hash mismatch carrying the failure text).
+    * Returns the failure message, if any.
+    */
+  def dumpOne(spark: SparkSession, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      sfDir: String, outDir: String): Option[String] =
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      None
+    } catch { case e: Throwable =>
+      val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+      System.err.println(s"[verify] $name failed: $msg")
+      try {
+        import spark.implicits._
+        Seq(msg).toDF("graft_error").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e2: Throwable =>
+        System.err.println(s"[verify] $name error-row dump also failed: ${e2.getMessage}")
+      }
+      Some(msg)
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args: @unchecked
     // optional extra args: substring filters to dump a query subset (the
@@ -16,25 +45,7 @@ object Verify {
     SparkEntry.queries
       .filter(q => rest.isEmpty || rest.exists(q._1.contains))
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        // A broken query must yield an ERR ROW in the round artifact, not a
-        // silently missing key (round 6 lost 13 queries that way): dump a
-        // one-row parquet whose schema is the sentinel column graft_error,
-        // so the driver's compare reports it as an explicit schema/hash
-        // mismatch carrying the failure text instead of dropping the name.
-        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
-        System.err.println(s"[verify] $name failed: $msg")
-        failures(name) = msg
-        try {
-          import spark.implicits._
-          Seq(msg).toDF("graft_error").coalesce(1)
-            .write.mode("overwrite").parquet(s"$outDir/$name")
-        } catch { case e2: Throwable =>
-          System.err.println(s"[verify] $name error-row dump also failed: ${e2.getMessage}")
-        }
-      }
+      dumpOne(spark, name, fn, sfDir, outDir).foreach(failures(name) = _)
       SessionHygiene.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
