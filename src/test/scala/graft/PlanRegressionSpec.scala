@@ -45,6 +45,16 @@ class PlanRegressionSpec extends SparkTestBase {
       s"expected whole-stage codegen in the executed plan:\n$fin")
   }
 
+  test("q_cf_stats: typed CF aggregator combines map-side; only (label, CF) partials shuffle") {
+    val p = formatted("q_cf_stats")
+    // partial_cfaggregator below the Exchange = the 100 TB property: one
+    // CF(n, LS, SS) row per (task, label) crosses the wire, not the vectors
+    assert(p.contains("partial_cfaggregator"),
+      s"expected map-side partial CF aggregation:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"typed Aggregator should plan as ObjectHashAggregate:\n$p")
+  }
+
   // ---- round-5 heavy-tail pins (VERDICT r4 #6) ----
 
   test("q_ngram_jaccard: prefix-posting plan — (block, shingle) exchanges, codegen verify, no cartesian") {
