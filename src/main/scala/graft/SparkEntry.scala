@@ -331,6 +331,36 @@ object SparkEntry {
           round(col("nn_raw"), 6).as("nn_dist"))
         .orderBy(col("label"))
     }),
+    "q_bubble_distance" -> ((s: SparkSession, d: String) => {
+      // E7/E8 end-to-end on the oracle gate: bubbles built by the A3 CF
+      // path over 10 deterministic groups (vec_id mod 10), with dim 0
+      // shifted +0.2·group so pairwise rep distances straddle E7's branch
+      // point — adjacent groups land in the overlap branch max(nnA, nnB),
+      // distant groups in the gap branch d−(eA+eB)+(nnA+nnB); measured
+      // margins ≥~0.05 on both sides, so round-6 precision cannot flip a
+      // branch. rep = LS/n (E8) feeds the euclidean rep distance; the
+      // DuckDB oracle recomputes the whole chain from per-dim sums.
+      import s.implicits._
+      val g = pmod(col("vec_id"), lit(10)).cast("int")
+      val e = Relational.embeddings(s, d)
+        .select(g.as("g"),
+          concat(array(element_at(col("vec"), 1) + lit(0.2) * g),
+            slice(col("vec"), 2, 100000)).as("vec"))
+      val cf = e.as[(Int, Array[Double])].groupByKey(_._1).mapValues(_._2)
+        .agg(graft.operators.CFAggregator.toColumn.name("cf"))
+      val bubbles = cf.map { case (grp, c) => (grp, c.rep, c.extent, c.nnDist(4.0)) }
+        .toDF("g", "rep", "extent", "nn")
+      val a = bubbles.select(col("g").as("ga"), col("rep").as("ra"),
+        col("extent").as("ea"), col("nn").as("na"))
+      val b = bubbles.select(col("g").as("gb"), col("rep").as("rb"),
+        col("extent").as("eb"), col("nn").as("nb"))
+      a.crossJoin(broadcast(b)).filter(col("ga") < col("gb"))
+        .select(col("ga"), col("gb"),
+          round(graft.functions.Distances.bubbleDistance(
+            graft.functions.Distances.euclidean(col("ra"), col("rb")),
+            col("ea"), col("eb"), col("na"), col("nb")), 6).as("bubble_dist"))
+        .orderBy(col("ga"), col("gb"))
+    }),
     // ---- similarity search ----
     "q_knn_bruteforce" -> ((s: SparkSession, d: String) => {
       val e = Relational.embeddings(s, d)
@@ -1318,6 +1348,34 @@ object SparkEntry {
         |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
         |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // E7/E8 recomputed from scratch: the same per-dim-sum chain as
+    // q_cf_stats (on shifted mod-10 groups), then rep = LS/n, rep distance,
+    // and the two-branch bubble-distance formula
+    "q_bubble_distance" ->
+      """WITH x AS (
+        |  SELECT vec_id % 10 AS g, i,
+        |    CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.2*(vec_id % 10)
+        |         ELSE CAST(embedding[i] AS DOUBLE) END AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+        |per_dim AS (
+        |  SELECT g, i, count(*) AS n, sum(v) AS ls, sum(v*v) AS ss FROM x GROUP BY g, i),
+        |agg AS (
+        |  SELECT g, max(n) AS n, count(*) AS d,
+        |    sum(CASE WHEN (2*n*ss - 2*ls*ls) / (n*(n-1.0)) > 0
+        |        THEN sqrt((2*n*ss - 2*ls*ls) / (n*(n-1.0))) ELSE 0 END) / count(*) AS extent
+        |  FROM per_dim GROUP BY g),
+        |nn AS (SELECT g, extent, pow(4.0 / n, 1.0 / d) * extent AS nnd FROM agg),
+        |rd AS (
+        |  SELECT a.g AS ga, b.g AS gb,
+        |    sqrt(sum((a.ls/a.n - b.ls/b.n) * (a.ls/a.n - b.ls/b.n))) AS repdist
+        |  FROM per_dim a JOIN per_dim b ON a.i = b.i AND a.g < b.g
+        |  GROUP BY ga, gb)
+        |SELECT CAST(ga AS INT) AS ga, CAST(gb AS INT) AS gb,
+        |  round(CASE WHEN repdist - (x.extent + y.extent) >= 0
+        |    THEN repdist - (x.extent + y.extent) + x.nnd + y.nnd
+        |    ELSE greatest(x.nnd, y.nnd) END, 6) AS bubble_dist
+        |FROM rd JOIN nn x ON ga = x.g JOIN nn y ON gb = y.g
+        |ORDER BY ga, gb""".stripMargin,
     // independent recomputation of the CF(n, LS, SS) chain: per-dim sums →
     // E9 extent (negative radicands skipped, divided by ALL dims) → E10
     // nnDist(k=4) = (k/n)^(1/d)·extent

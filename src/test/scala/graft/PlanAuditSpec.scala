@@ -38,6 +38,7 @@ class PlanAuditSpec extends SparkTestBase {
   /** query → why its BNLJ build side is bounded (cardinality argument). */
   private val bnljAllowed: Map[String, String] = Map(
     "q_argmin_assign" -> "seed frame: fixed seed sample, tens of rows",
+    "q_bubble_distance" -> "10-row bubble frame crossJoined to itself (pairwise E7 showcase)",
     "q_connected_components" -> "bounded demo slice crossJoin (<=300-vertex pairwise edge build)",
     "q_mst_distributed" -> "150-point reference dataset pairwise edge build, broadcast side",
     "q_core_distance_window" -> "bounded demo slice crossJoin (pairwise distances over <=200 points)",
