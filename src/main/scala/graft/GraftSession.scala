@@ -20,7 +20,9 @@ import org.apache.spark.sql.SparkSession
   *  - broadcast threshold 64m: dimension tables (nation/part/centroids/
   *    constraint frames) should broadcast aggressively; anything bigger
   *    flows through sort-merge with AQE deciding.
-  *  - parquet nanos-as-long: the driver testdata carries TIMESTAMP(NANOS).
+  *  - parquet nanos-as-long: tolerated for legacy TIMESTAMP(NANOS) data
+  *    (harmless otherwise); the events table's encoding drift is handled
+  *    schema-adaptively in [[graft.io.EventsReader]].
   */
 object GraftSession {
 

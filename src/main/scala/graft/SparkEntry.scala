@@ -361,6 +361,39 @@ object SparkEntry {
             col("ea"), col("eb"), col("na"), col("nb")), 6).as("bubble_dist"))
         .orderBy(col("ga"), col("gb"))
     }),
+    "q_bubble_core" -> ((s: SparkSession, d: String) => {
+      // E11 on the oracle gate: same mod-10 shifted bubbles as
+      // q_bubble_distance, with minPts=120 ABOVE any single bubble's mass,
+      // so every bubble takes the accumulate-mass walk — the E11 branch
+      // q_cf_stats' nnDist row does not cover (at sf0.001 total mass < 120
+      // and the walk saturates at the farthest bubble; both sides model
+      // that). Sketches are collected driver-side (10 rows — the same
+      // granularity the real bubble path collects at) and the REAL shared
+      // kernels (bubbleDistanceMatrix + bubbleCoreDistances, the ones
+      // bubbleGlobal runs) compute E7 + E11; DuckDB recomputes the chain
+      // with a cumulative-mass window over bubble-distance order.
+      import s.implicits._
+      val g = pmod(col("vec_id"), lit(10)).cast("int")
+      val cf = Relational.embeddings(s, d)
+        .select(g.as("g"),
+          concat(array(element_at(col("vec"), 1) + lit(0.2) * g),
+            slice(col("vec"), 2, 100000)).as("vec"))
+        .as[(Int, Array[Double])].groupByKey(_._1).mapValues(_._2)
+        .agg(graft.operators.CFAggregator.toColumn.name("cf"))
+        .collect().sortBy(_._1)
+      val cfs = cf.map(_._2)
+      val minPts = 120.0
+      val nnDists = cfs.map(_.nnDist(minPts))
+      val bd = graft.kernel.HdbscanKernel.bubbleDistanceMatrix(
+        cfs.map(_.rep), cfs.map(_.extent), nnDists,
+        graft.kernel.HdbscanKernel.euclidean)
+      val bCore = graft.kernel.HdbscanKernel.bubbleCoreDistances(
+        bd, cfs.map(_.n.toDouble), nnDists, minPts)
+      s.createDataset(cf.indices.map(i => (cf(i)._1, bCore(i))))
+        .toDF("g", "raw")
+        .select(col("g"), round(col("raw"), 6).as("bubble_core"))
+        .orderBy(col("g"))
+    }),
     // ---- similarity search ----
     "q_knn_bruteforce" -> ((s: SparkSession, d: String) => {
       val e = Relational.embeddings(s, d)
@@ -1376,6 +1409,45 @@ object SparkEntry {
         |    ELSE greatest(x.nnd, y.nnd) END, 6) AS bubble_dist
         |FROM rd JOIN nn x ON ga = x.g JOIN nn y ON gb = y.g
         |ORDER BY ga, gb""".stripMargin,
+    // E11 recomputed from scratch: the E7 chain (nnDist at k=minPts=120),
+    // then a cumulative-mass window over bubble-distance order — core is
+    // the distance to the bubble whose mass crosses minPts (ties in bd
+    // resolve by ascending bubble id, matching the kernel's stable sort),
+    // saturating at the farthest bubble when total mass < minPts
+    "q_bubble_core" ->
+      """WITH x AS (
+        |  SELECT vec_id % 10 AS g, i,
+        |    CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.2*(vec_id % 10)
+        |         ELSE CAST(embedding[i] AS DOUBLE) END AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+        |per_dim AS (
+        |  SELECT g, i, count(*) AS n, sum(v) AS ls, sum(v*v) AS ss FROM x GROUP BY g, i),
+        |agg AS (
+        |  SELECT g, max(n) AS n, count(*) AS d,
+        |    sum(CASE WHEN (2*n*ss - 2*ls*ls) / (n*(n-1.0)) > 0
+        |        THEN sqrt((2*n*ss - 2*ls*ls) / (n*(n-1.0))) ELSE 0 END) / count(*) AS extent
+        |  FROM per_dim GROUP BY g),
+        |nn AS (SELECT g, n, extent, pow(120.0 / n, 1.0 / d) * extent AS nnd FROM agg),
+        |rd AS (
+        |  SELECT a.g AS ga, b.g AS gb,
+        |    sqrt(sum((a.ls/a.n - b.ls/b.n) * (a.ls/a.n - b.ls/b.n))) AS repdist
+        |  FROM per_dim a JOIN per_dim b ON a.i = b.i AND a.g <> b.g
+        |  GROUP BY ga, gb),
+        |bd AS (
+        |  SELECT ga AS gi, gb AS gj,
+        |    CASE WHEN repdist - (x.extent + y.extent) >= 0
+        |         THEN repdist - (x.extent + y.extent) + x.nnd + y.nnd
+        |         ELSE greatest(x.nnd, y.nnd) END AS bd
+        |  FROM rd JOIN nn x ON ga = x.g JOIN nn y ON gb = y.g
+        |  UNION ALL SELECT g, g, 0.0 FROM nn),
+        |walk AS (
+        |  SELECT gi, gj, bd,
+        |    sum(m.n) OVER (PARTITION BY gi ORDER BY bd, gj
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM bd JOIN (SELECT g, n FROM agg) m ON gj = m.g)
+        |SELECT CAST(gi AS INT) AS g,
+        |  round(coalesce(min(CASE WHEN cum >= 120 THEN bd END), max(bd)), 6) AS bubble_core
+        |FROM walk GROUP BY gi ORDER BY g""".stripMargin,
     // independent recomputation of the CF(n, LS, SS) chain: per-dim sums →
     // E9 extent (negative radicands skipped, divided by ALL dims) → E10
     // nnDist(k=4) = (k/n)^(1/d)·extent

@@ -546,27 +546,12 @@ final case class Hdbscan(
     val extents = cfs.map(_.extent)
     val nnDists = cfs.map(_.nnDist(minPts.toDouble))
     val mass = cfs.map(_.n.toDouble)
-    // bubble distance matrix (E7)
-    val bd = Array.tabulate(m, m) { (i, j) =>
-      if (i == j) 0.0
-      else {
-        val d = dist(reps(i), reps(j))
-        val gap = d - (extents(i) + extents(j))
-        if (gap >= 0) gap + nnDists(i) + nnDists(j) else math.max(nnDists(i), nnDists(j))
-      }
-    }
-    // bubble core distance (E11, paper semantics): accumulate bubble mass over
-    // nearest bubbles until >= minPts
-    val bCore = Array.tabulate(m) { i =>
-      if (mass(i) >= minPts) nnDists(i)
-      else {
-        val order = (0 until m).sortBy(j => bd(i)(j))
-        var cum = 0.0; var cd = 0.0
-        var k = 0
-        while (k < m && cum < minPts) { cum += mass(order(k)); cd = bd(i)(order(k)); k += 1 }
-        cd
-      }
-    }
+    // bubble distance matrix (E7) + bubble core distance (E11, paper
+    // semantics: accumulate bubble mass over nearest bubbles until
+    // >= minPts) — shared kernels, oracle-checked through
+    // q_bubble_distance / q_bubble_core
+    val bd = HdbscanKernel.bubbleDistanceMatrix(reps, extents, nnDists, dist)
+    val bCore = HdbscanKernel.bubbleCoreDistances(bd, mass, nnDists, minPts.toDouble)
     val mrd = Array.tabulate(m, m)((i, j) =>
       if (i == j) 0.0 else math.max(bd(i)(j), math.max(bCore(i), bCore(j))))
     val mst = HdbscanKernel.primMstMatrix(mrd)

@@ -141,6 +141,43 @@ object HdbscanKernel {
     edges.toArray
   }
 
+  /** E7 bubble-distance matrix over collected bubble sketches: for i ≠ j,
+    * gap = dist(rep_i, rep_j) − (extent_i + extent_j); gap ≥ 0 →
+    * gap + nnDist_i + nnDist_j, else max(nnDist_i, nnDist_j). Diagonal 0.
+    * Reference: `databubbles/HdbscanDataBubbles.java:592-600`. */
+  def bubbleDistanceMatrix(reps: Array[Array[Double]], extents: Array[Double],
+      nnDists: Array[Double], dist: Dist): Array[Array[Double]] =
+    Array.tabulate(reps.length, reps.length) { (i, j) =>
+      if (i == j) 0.0
+      else {
+        val gap = dist(reps(i), reps(j)) - (extents(i) + extents(j))
+        if (gap >= 0) gap + nnDists(i) + nnDists(j)
+        else math.max(nnDists(i), nnDists(j))
+      }
+    }
+
+  /** E11 bubble core distance (paper semantics; the reference's index
+    * bookkeeping bugs at `HdbscanDataBubbles.java:75-146` are documented in
+    * SURVEY §3.3 and not replicated): a bubble holding ≥ minPts mass is
+    * self-sufficient (core = its expected kNN distance); otherwise walk
+    * bubbles in bubble-distance order — STABLE on ties, so equal distances
+    * resolve by ascending index — accumulating mass until minPts is
+    * reached; core = the distance to the bubble that crossed the
+    * threshold (or to the farthest bubble if total mass < minPts). */
+  def bubbleCoreDistances(bd: Array[Array[Double]], mass: Array[Double],
+      nnDists: Array[Double], minPts: Double): Array[Double] =
+    Array.tabulate(bd.length) { i =>
+      if (mass(i) >= minPts) nnDists(i)
+      else {
+        val order = (0 until bd.length).sortBy(j => bd(i)(j))
+        var cum = 0.0; var cd = 0.0; var k = 0
+        while (k < bd.length && cum < minPts) {
+          cum += mass(order(k)); cd = bd(i)(order(k)); k += 1
+        }
+        cd
+      }
+    }
+
   /** MST over an explicit pairwise-distance matrix (bubble mode). */
   def primMstMatrix(w: Array[Array[Double]]): Array[Edge] = {
     val n = w.length
