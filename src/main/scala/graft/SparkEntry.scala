@@ -448,6 +448,27 @@ object SparkEntry {
     }),
     // ---- percentiles / rolling windows ----
     "q_percentiles" -> Relational.valuePercentiles _,
+    "q_percentiles_approx" -> ((s: SparkSession, d: String) => {
+      // the 100 TB quantile path: percentile_approx — a one-pass mergeable
+      // sketch with map-side combine, the operator a web-scale quality
+      // threshold actually runs (the exact percentile in q_percentiles
+      // needs a per-group sort that doesn't scale past memory). The
+      // invariant pins the sketch's rank-error contract: each approx
+      // quantile must land inside the exact [p−0.02, p+0.02] value
+      // envelope (accuracy 10000 → rank error ≤ 1e-4, so the 0.02 slack
+      // is 200×, immune to float jitter and tie plateaus) — making the
+      // approximate operator oracle-checkable as SF-independent booleans.
+      val ev = Relational.table(s, d, "events")
+      ev.groupBy(col("event_type")).agg(
+          percentile_approx(col("value"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"),
+          expr("percentile(value, array(0.48, 0.52, 0.88, 0.92, 0.985, 0.995))").as("ex"))
+        .select(col("event_type"),
+          (col("ap")(0) >= col("ex")(0) && col("ap")(0) <= col("ex")(1)).as("p50_ok"),
+          (col("ap")(1) >= col("ex")(2) && col("ap")(1) <= col("ex")(3)).as("p90_ok"),
+          (col("ap")(2) >= col("ex")(4) && col("ap")(2) <= col("ex")(5)).as("p99_ok"))
+        .orderBy(col("event_type"))
+    }),
     "q_rolling_avg" -> Relational.rollingAvg _,
     // ---- text analysis ----
     "q_tfidf_top_terms" -> ((s: SparkSession, d: String) =>
@@ -1833,6 +1854,13 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.9), 6) AS p90,
         |  round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // invariant oracle: the engine asserts its own sketch against its own
+    // (oracle-checked, q_percentiles) exact quantiles; the driver checks
+    // the booleans per event type — SF-independent
+    "q_percentiles_approx" ->
+      """SELECT event_type, true AS p50_ok, true AS p90_ok, true AS p99_ok
+        |FROM (SELECT DISTINCT event_type FROM events)
+        |ORDER BY event_type""".stripMargin,
     "q_rolling_avg" ->
       """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
