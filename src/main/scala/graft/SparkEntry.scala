@@ -692,6 +692,21 @@ object SparkEntry {
           approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .drop("approx_parts") // approx value is engine-specific; keep exact for the oracle
         .orderBy(col("l_returnflag"))),
+    "q_count_distinct_approx" -> ((s: SparkSession, d: String) =>
+      // the 100 TB cardinality path: HyperLogLog++ (fixed-size mergeable
+      // sketch, map-side combine — exact countDistinct expands to an extra
+      // shuffle of the distinct pairs and keys that don't fit memory on
+      // web-scale ids). The invariant pins the sketch contract: the HLL
+      // estimate at rsd=0.02 must land within 3·rsd of the in-engine exact
+      // count — SF-independent booleans, so the approximate operator is
+      // oracle-checkable (same pattern as q_percentiles_approx).
+      Relational.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+        .select(col("l_returnflag"),
+          (abs(col("approx") - col("exact")) <= col("exact") * 0.06).as("within_rsd"))
+        .orderBy(col("l_returnflag"))),
     "q_multipath_scan" -> ((s: SparkSession, d: String) =>
       // S5: multi-path scan = implicit UNION ALL of part-files
       s.read.parquet(s"$d/lineitem.parquet", s"$d/lineitem.parquet")
@@ -1346,6 +1361,12 @@ object SparkEntry {
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // invariant oracle: the engine asserts its HLL sketch against its own
+    // (oracle-checked) exact distinct count; the driver checks the boolean
+    "q_count_distinct_approx" ->
+      """SELECT l_returnflag, true AS within_rsd
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+        |ORDER BY l_returnflag""".stripMargin,
     "q_multipath_scan" ->
       """SELECT l_returnflag, count(*) AS cnt
         |FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
