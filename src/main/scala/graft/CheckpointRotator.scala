@@ -21,10 +21,10 @@ final class CheckpointRotator {
     * previous rotation's blocks. Lineage is kept (see GraftShim.materialize),
     * so freeing is always safe. */
   def rotate(df: DataFrame): DataFrame = {
-    val (out, rdd) = GraftShim.materialize(df)
+    val pair = GraftShim.materialize(df)
     prev.foreach(_.unpersist(blocking = false))
-    prev = Some(rdd)
-    out
+    prev = Some(pair._2)
+    pair._1
   }
 
   /** Free the last rotation's blocks. Safe to call more than once. */

@@ -18,7 +18,8 @@ import graft.expr._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   private def binary(ext: SparkSessionExtensions, name: String, usage: String,
       build: (Expression, Expression) => Expression): Unit =

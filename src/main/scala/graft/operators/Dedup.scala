@@ -495,7 +495,7 @@ object Dedup {
   /** Pack sign(v · plane_i) bits into a BIGINT bucket id. */
   def signBits(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(lit): _*)
+      val plane = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(lit)): _*)
       when(graft.functions.Distances.dot(vec, plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 }
