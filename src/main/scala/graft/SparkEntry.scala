@@ -748,6 +748,31 @@ object SparkEntry {
           round(avg(col("byte_mean")), 4).as("avg_byte_mean"),
           round(avg(col("byte_entropy")), 4).as("avg_entropy"))
         .orderBy(col("media_type"))),
+    "q_multimodal_resize" -> ((s: SparkSession, d: String) =>
+      // resize plumbing round-trip: every visual container rewritten to
+      // 40×24 by the REAL header writers (pixel resample is the declared
+      // stub), then re-parsed by the REAL sniffers — the oracle recomputes
+      // the expected (type, dims) from the synthesis formula: visual types
+      // land at 40×24, audio passes through untouched
+      Multimodal.extractFeatures(
+          Multimodal.resizeImages(Multimodal.synthesizeBlobs(docs(s, d)), 40, 24))
+        .toDF().select(col("doc_id"), col("media_type"),
+          col("width"), col("height"), col("sample_rate"), col("channels"))
+        .orderBy(col("doc_id"))),
+    "q_multimodal_frames" -> ((s: SparkSession, d: String) => {
+      // frame-sample plumbing: video payloads split at fixed 64-byte
+      // pseudo-frame offsets (the declared stub for codec frame
+      // boundaries), every 2nd frame emitted. The oracle recomputes frame
+      // counts from the documents' utf-8 byte lengths, so the row shape,
+      // per-frame explosion, and sampling arithmetic are all checked.
+      Multimodal.sampleFrames(Multimodal.synthesizeBlobs(docs(s, d)),
+          everyK = 2, frameBytes = 64)
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_frames")).as("n_frames"),
+          count(lit(1)).as("n_sampled"),
+          sum(length(col("frame"))).as("sampled_bytes"))
+        .orderBy(col("doc_id"))
+    }),
     "q_multimodal_headers" -> ((s: SparkSession, d: String) =>
       // the deterministic container-metadata projection of
       // q_multimodal_features: type/width/height/channels/sample-rate
@@ -1822,6 +1847,31 @@ object SparkEntry {
         |('wav', 100, 35805, 94.6197, 4.1023)
         |) AS t(media_type, n, total_bytes, avg_byte_mean, avg_entropy)
         |ORDER BY media_type""".stripMargin,
+    // resize round-trip: visual containers land at the target 40×24 (the
+    // header writers + sniffers are inverse pairs), audio is untouched
+    "q_multimodal_resize" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'gif' WHEN 1 THEN 'wav' WHEN 3 THEN 'png'
+        |    WHEN 4 THEN 'jpeg' ELSE 'video' END AS media_type,
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN 0 ELSE 40 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN 0 ELSE 24 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN 8000 * (1 + doc_id % 3) ELSE 0 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN 1 + doc_id % 2 ELSE 0 END AS INTEGER) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // frame sampling: counts and byte totals recomputed from the utf-8
+    // payload lengths (64-byte pseudo-frames, every 2nd sampled; the tail
+    // frame is short unless the payload divides evenly)
+    "q_multimodal_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |    CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id % 5 = 2 AND octet_length(encode(text)) > 0)
+        |SELECT doc_id, n_frames,
+        |  CAST(ceil(n_frames / 2.0) AS BIGINT) AS n_sampled,
+        |  CAST(64 * ceil(n_frames / 2.0)
+        |    - CASE WHEN (n_frames - 1) % 2 = 0 THEN 64 * n_frames - len ELSE 0 END
+        |    AS BIGINT) AS sampled_bytes
+        |FROM v ORDER BY doc_id""".stripMargin,
     "q_multimodal_headers" ->
       """SELECT doc_id,
         |  CASE doc_id % 5 WHEN 0 THEN 'gif' WHEN 1 THEN 'wav' WHEN 3 THEN 'png'

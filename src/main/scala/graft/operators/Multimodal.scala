@@ -299,4 +299,83 @@ object Multimodal {
         }
       }
   }
+
+  /** Resize plumbing (the brief's resize step): partition-local pass that
+    * rewrites every VISUAL container — real PNG/JPEG/GIF headers and the
+    * fake image/video container — to the target dimensions using the same
+    * writers the synthesizer uses, so the output re-parses through
+    * [[extractFeatures]] with the new dimensions. Pixel RESAMPLING is the
+    * declared stub (the payload passes through unchanged — no media libs
+    * in this container); swapping in a real codec changes only the
+    * payload transform. Audio and undecodable blobs pass through
+    * untouched. No shuffle; schema preserved (doc_id, blob).
+    */
+  def resizeImages(blobs: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, blob) =>
+          val resized = ImageHeaders.sniff(blob) match {
+            case Some((fmt, _, _, hdr)) =>
+              val payload = blob.drop(hdr) // stub resample: payload verbatim
+              fmt match {
+                case "png"  => ImageHeaders.pngWrap(targetW, targetH, payload)
+                case "jpeg" => ImageHeaders.jpegWrap(targetW, targetH,
+                  // jpegWrap appends its own EOI; avoid doubling it
+                  if (payload.length >= 2 &&
+                    (payload(payload.length - 2) & 0xff) == 0xff &&
+                    (payload(payload.length - 1) & 0xff) == 0xd9)
+                    payload.dropRight(2) else payload)
+                case "gif"  => ImageHeaders.gifWrap(targetW, targetH,
+                  // gifWrap appends its own trailer; avoid doubling it
+                  if (payload.nonEmpty && payload.last == 0x3b.toByte)
+                    payload.dropRight(1) else payload)
+                case _ => blob
+              }
+            case None => FakeCodec.decode(blob) match {
+              case Some((_, _, t, payload)) if t % 3 != 1 => // fake image/video
+                FakeCodec.encode(targetW, targetH, t, payload)
+              case _ => blob // audio / unknown: untouched
+            }
+          }
+          (id, resized)
+        }
+      }.toDF("doc_id", "blob")
+  }
+
+  /** One sampled pseudo-frame of a video blob. */
+  final case class SampledFrame(doc_id: Long, frame_idx: Int, n_frames: Long,
+      frame: Array[Byte])
+
+  /** Frame-sampling plumbing (the brief's frame-sample step): the payload
+    * of every VIDEO blob (fake container, type video — the corpus' only
+    * multi-frame media) is treated as a sequence of fixed-size
+    * pseudo-frames and every `everyK`-th frame is emitted as its own row.
+    * Real plumbing — partition-local flatMap, binary frame column, typed
+    * row shape, no shuffle; what a real codec would change is only how
+    * frame boundaries are found (the declared stub splits at fixed
+    * `frameBytes` offsets; the tail frame may be short).
+    */
+  def sampleFrames(blobs: DataFrame, everyK: Int = 2,
+      frameBytes: Int = 64): Dataset[SampledFrame] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, blob) =>
+          FakeCodec.decode(blob) match {
+            case Some((_, _, t, payload)) if typeNames(t % 3) == "video" =>
+              val nFrames = (payload.length + frameBytes - 1) / frameBytes
+              (0 until nFrames).iterator.filter(_ % everyK == 0).map { f =>
+                SampledFrame(id, f, nFrames.toLong,
+                  payload.slice(f * frameBytes, (f + 1) * frameBytes))
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }
+  }
 }

@@ -812,6 +812,47 @@ class OperatorsSpec extends SparkTestBase {
       s"byte stats differ across containers for one payload:\n${same.mkString("\n")}")
   }
 
+  test("multimodal: resize rewrites every visual container, leaves audio; round-trips the sniffers") {
+    import spark.implicits._
+    val docs = (0L to 9L).map(i => (i, s"payload $i")).toDF("doc_id", "text")
+    val blobs = Multimodal.synthesizeBlobs(docs)
+    val feats = Multimodal.extractFeatures(Multimodal.resizeImages(blobs, 40, 24))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats.size == 10, "resize must not drop or duplicate blobs")
+    for (id <- Seq(0L, 2L, 3L, 4L, 5L, 7L, 8L, 9L)) // gif/video/png/jpeg
+      assert(feats(id).width == 40 && feats(id).height == 24,
+        s"visual blob $id not resized: ${feats(id)}")
+    for (id <- Seq(1L, 6L)) { // wav untouched
+      assert(feats(id).media_type == "wav" && feats(id).width == 0)
+      assert(feats(id).sample_rate == (8000 * (1 + id % 3)).toInt)
+    }
+    // resampling is the declared stub: content bytes survive verbatim, so
+    // byte stats are invariant under resize (only header dims changed)
+    val before = Multimodal.extractFeatures(blobs).collect().map(f => f.doc_id -> f).toMap
+    for (id <- 0L to 9L)
+      assert(feats(id).byte_mean == before(id).byte_mean &&
+        feats(id).byte_entropy == before(id).byte_entropy,
+        s"resize must not alter content bytes for $id")
+  }
+
+  test("multimodal: frame sampling splits video payloads at fixed offsets, every k-th") {
+    import spark.implicits._
+    // doc 2: 150-byte payload → 3 frames of 64/64/22; everyK=2 samples 0,2
+    val text = "x" * 150
+    val docs = Seq((2L, text), (1L, "not a video"), (7L, "short")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(Multimodal.synthesizeBlobs(docs),
+      everyK = 2, frameBytes = 64).collect()
+    assert(frames.forall(f => f.doc_id == 2L || f.doc_id == 7L),
+      "only video blobs (id % 5 == 2) produce frames")
+    val d2 = frames.filter(_.doc_id == 2L).sortBy(_.frame_idx)
+    assert(d2.map(_.frame_idx).toSeq == Seq(0, 2), s"expected frames 0,2: ${d2.toSeq}")
+    assert(d2.forall(_.n_frames == 3L))
+    assert(d2(0).frame.length == 64 && d2(1).frame.length == 22,
+      "tail frame must be short, not padded")
+    assert(d2(0).frame.toSeq == text.getBytes("UTF-8").slice(0, 64).toSeq,
+      "frame content must be the payload slice at the frame offset")
+  }
+
   test("multimodal: fake codec round-trip + feature extraction") {
     import spark.implicits._
     // ids ≡ 2 (mod 5) take the declared fake-container path
