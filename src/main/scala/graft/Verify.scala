@@ -41,6 +41,19 @@ object Verify {
     val spark = GraftSession.local("graft-verify", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // drift guard: pinned-VALUES oracles are captured against ONE corpus;
+    // a regenerated testdata turns them into confusing red rows (rounds
+    // 5→6 lost a full round to exactly this). Diagnose it up front.
+    val drift = try TestdataFingerprint.drift(spark, sfDir, "TESTDATA_FPRINT.json")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] fingerprint check failed: ${e.getMessage}"); Nil }
+    if (drift.nonEmpty) {
+      System.err.println("[verify] TESTDATA DRIFT vs committed TESTDATA_FPRINT.json — " +
+        "pinned oracles may be stale; re-capture them and refresh the fingerprint:")
+      drift.foreach(d => System.err.println(s"[verify]   $d"))
+      Files.writeString(Paths.get(s"$outDir/testdata_drift.json"),
+        drift.mkString("[\"", "\",\n \"", "\"]"))
+    }
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter(q => rest.isEmpty || rest.exists(q._1.contains))
