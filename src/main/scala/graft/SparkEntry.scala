@@ -193,6 +193,17 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
     "q_hdbscan" -> hdbscanExact _,
+    "q_hdbscan_histogram" -> ((s: SparkSession, d: String) =>
+      // artifact-level check of the FLAT LABEL OUTPUT itself (the
+      // invariant companions check structure, the specs check goldens —
+      // this pins the actual cluster sizes + per-cluster outlier mass the
+      // driver gate can hash). Deterministic: seeded pipeline, rounded
+      // scores. Pin captured at sf0.01 like the LSH-family pins.
+      hdbscanExact(s, d)
+        .groupBy(col("label").cast("int").as("label"))
+        .agg(count(lit(1)).as("n_points"),
+          round(sum(col("outlier_score")), 6).as("sum_outlier"))
+        .orderBy(col("label"))),
     "q_hdbscan_partitioned" -> hdbscanPartitioned _,
     "q_hdbscan_bubbles" -> hdbscanBubbles _,
     "q_connected_components" -> ((s: SparkSession, d: String) => {
@@ -1544,6 +1555,13 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
          |  FROM pairs)
          |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
+    // pinned at sf0.01 (captured from the engine; the label assignment is
+    // deterministic — seeded pipeline, unique-id tiebreaks)
+    "q_hdbscan_histogram" ->
+      """SELECT CAST(label AS INTEGER) AS label, CAST(n_points AS BIGINT) AS n_points,
+        |  CAST(sum_outlier AS DOUBLE) AS sum_outlier FROM (VALUES
+        |(0, 320, 20.377534), (1, 7, 0.003504), (2, 173, 5.448014)
+        |) AS t(label, n_points, sum_outlier) ORDER BY label""".stripMargin,
     // invariant oracle: the engine computes IVF recall@10 against its own
     // (oracle-checked) brute force; the driver checks the CLAIM — 20 queries
     // evaluated, mean recall >= 0.7 at probe fraction 0.5 (calibrated for
