@@ -375,15 +375,25 @@ object Dedup {
       idCol: String = "doc_id",
       n: Int = 3,
       threshold: Double = 0.3,
-      windowRanking: Boolean = false): DataFrame = {
+      windowRanking: Boolean = false,
+      eager: Boolean = true): DataFrame = {
     val (sh, candidates) =
       prefixCandidates(docs, blockCol, textCol, idCol, n, threshold, windowRanking)
+    // the shingle frame fans out into FOUR subtrees (inverted index,
+    // ranking join inside prefixCandidates, both verify sides below), so
+    // the shingling kernel + corpus scan would run 4x uncached — persist
+    // halves the end-to-end wall at sf0.1 (A/B'd round 7: 17.9/13.5 s
+    // uncached vs 7.1/6.2 s cached, same output). As with minhashNearDup,
+    // the default is eager materialize-then-unpersist so the operator
+    // frees its cache before returning (session-hygiene rule); pass
+    // eager=false for the lazy plan (plan-shape pinning, composition).
+    if (eager) sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact verify on the full sets. The shingle arrays are sorted ONCE per
     // doc (per side) so the intersection is a zero-allocation codegen merge
     // pass — A/B'd in `graft.Prof verify` at 1.6x end-to-end over
     // size(array_intersect), which builds a hash set and materializes the
     // intersection array per candidate pair just to take its length
-    candidates
+    val verified = candidates
       .join(sh.select(col("block"), col("id").as("id_a"),
           sort_array(col("sh")).as("sh_a")), Seq("block", "id_a"))
       .join(sh.select(col("block"), col("id").as("id_b"),
@@ -394,6 +404,12 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
+    if (!eager) verified
+    else {
+      val (out, _) = org.apache.spark.sql.GraftShim.materialize(verified)
+      sh.unpersist(blocking = false)
+      out
+    }
   }
 
   /** The shingle frame and the UNVERIFIED candidate pairs of
