@@ -17,6 +17,12 @@ object AnnMillionSmoke {
       .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, n)
+    spark.stop()
+  }
+
+  /** Body shared by [[main]] and the opt-in SmokeSuite. */
+  def run(spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
     import spark.implicits._
 
     val dims = 32
@@ -61,7 +67,8 @@ object AnnMillionSmoke {
       f"corpus bucketing), search $tIvf%.1f s (${tExact / tIvf}%.1fx vs exact), " +
       f"recall@10 $recall%.4f")
     assert(recall >= 0.9, s"recall $recall < 0.9")
-    spark.stop()
+    index.assigned.unpersist(blocking = false)
+    queries.unpersist(blocking = false); corpus.unpersist(blocking = false)
   }
 
   private def Similarity_exact(queries: org.apache.spark.sql.DataFrame,

@@ -30,7 +30,12 @@ object DedupMillionSmoke {
       .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, n, megaK)
+    spark.stop()
+  }
 
+  /** Body shared by [[main]] and the opt-in SmokeSuite. */
+  def run(spark: org.apache.spark.sql.SparkSession, n: Long, megaK: Long = 50000L): Unit = {
     val vocab = 50000L
     val id = col("doc_id")
     val isDup = pmod(id, lit(10L)) === 1
@@ -89,6 +94,9 @@ object DedupMillionSmoke {
     assert(nMegaExact == megaK - 1, s"mega chain pairs not all jaccard=1.0 ($nMegaExact)")
     assert(megaGroups == 1 && megaSize == megaK,
       s"mega cluster not resolved into one group of $megaK ($megaGroups groups, size $megaSize)")
-    spark.stop()
+    assert(nPairs - hit - nMega == 0,
+      s"${nPairs - hit - nMega} unplanted survivors (random 50k-vocab docs should produce none)")
+    groups.unpersist(blocking = false); pairs.unpersist(blocking = false)
+    docs.unpersist(blocking = false)
   }
 }

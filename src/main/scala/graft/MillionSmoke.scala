@@ -17,7 +17,14 @@ object MillionSmoke {
       .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, n)
+    spark.stop()
+  }
 
+  /** Body shared by [[main]] and the opt-in SmokeSuite (asserts the
+    * BASELINE.md invariants: purity vs the generating blobs ≥ 0.99 at 1M,
+    * cluster count in the blob ballpark, >90% of points labeled). */
+  def run(spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
     val dims = 8
     val blobs = 20
     // deterministic per-row gaussians: xxhash64-seeded uniforms → Box-Muller.
@@ -49,6 +56,11 @@ object MillionSmoke {
       .agg((sum("maj") / sum("tot")).as("purity")).collect()(0).getDouble(0)
     val covered = joined.count()
     println(f"[bubbles] purity vs generating blob: $purity%.4f over $covered labeled points")
-    spark.stop()
+    // BASELINE.md invariants (r4: purity 1.0 at 1M over 20 well-separated
+    // blobs; the sketch may split/halo a blob, so the count bound is loose)
+    assert(purity >= 0.99, s"purity $purity < 0.99 vs generating blobs")
+    assert(nClusters >= 10 && nClusters <= 60, s"implausible cluster count $nClusters for 20 blobs")
+    assert(covered >= (n * 9) / 10, s"only $covered/$n points labeled non-noise")
+    res.unpersist(blocking = false); pts.unpersist(blocking = false)
   }
 }

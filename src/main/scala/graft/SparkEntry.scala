@@ -374,11 +374,14 @@ object SparkEntry {
     }),
     "q_bubble_core" -> ((s: SparkSession, d: String) => {
       // E11 on the oracle gate: same mod-10 shifted bubbles as
-      // q_bubble_distance, with minPts=120 ABOVE any single bubble's mass,
-      // so every bubble takes the accumulate-mass walk — the E11 branch
-      // q_cf_stats' nnDist row does not cover (at sf0.001 total mass < 120
-      // and the walk saturates at the farthest bubble; both sides model
-      // that). Sketches are collected driver-side (10 rows — the same
+      // q_bubble_distance, with minPts=120 ABOVE any single bubble's mass
+      // at sf0.001/0.01 (20/100 per bubble), so there every bubble takes
+      // the accumulate-mass walk — the E11 branch q_cf_stats' nnDist row
+      // does not cover (at sf0.001 total mass < 120 and the walk saturates
+      // at the farthest bubble). At sf0.1 each bubble has mass 200 >= 120
+      // and the kernel's self-sufficient branch fires instead; the oracle
+      // CASEs on the self mass so both branches are modeled and the row is
+      // valid at every SF. Sketches are collected driver-side (10 rows — the same
       // granularity the real bubble path collects at) and the REAL shared
       // kernels (bubbleDistanceMatrix + bubbleCoreDistances, the ones
       // bubbleGlobal runs) compute E7 + E11; DuckDB recomputes the chain
@@ -1491,7 +1494,14 @@ object SparkEntry {
     // then a cumulative-mass window over bubble-distance order — core is
     // the distance to the bubble whose mass crosses minPts (ties in bd
     // resolve by ascending bubble id, matching the kernel's stable sort),
-    // saturating at the farthest bubble when total mass < minPts
+    // saturating at the farthest bubble when total mass < minPts. The
+    // self-sufficient branch (bubble mass >= minPts → nnDist, the kernel's
+    // HdbscanKernel.bubbleCoreDistances:170 short-circuit) is modeled with
+    // a CASE on the self mass, so the oracle is valid at every SF: at
+    // sf0.001/0.01 each mod-10 bubble's mass (20/100) is below 120 and the
+    // walk branch fires; at sf0.1 each bubble has mass 200 >= 120 and the
+    // nnd branch fires (a bare walk would cross minPts on the bd=0 self
+    // row and wrongly return 0.0 there)
     "q_bubble_core" ->
       """WITH x AS (
         |  SELECT vec_id % 10 AS g, i,
@@ -1524,8 +1534,10 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM bd JOIN (SELECT g, n FROM agg) m ON gj = m.g)
         |SELECT CAST(gi AS INT) AS g,
-        |  round(coalesce(min(CASE WHEN cum >= 120 THEN bd END), max(bd)), 6) AS bubble_core
-        |FROM walk GROUP BY gi ORDER BY g""".stripMargin,
+        |  round(CASE WHEN any_value(s.n) >= 120 THEN any_value(s.nnd)
+        |    ELSE coalesce(min(CASE WHEN cum >= 120 THEN bd END), max(bd)) END,
+        |    6) AS bubble_core
+        |FROM walk JOIN nn s ON walk.gi = s.g GROUP BY gi ORDER BY g""".stripMargin,
     // independent recomputation of the CF(n, LS, SS) chain: per-dim sums →
     // E9 extent (negative radicands skipped, divided by ALL dims) → E10
     // nnDist(k=4) = (k/n)^(1/d)·extent

@@ -64,6 +64,12 @@ object StreamingMillionSmoke {
       .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, n)
+    spark.stop()
+  }
+
+  /** Body shared by [[main]] and the opt-in SmokeSuite. */
+  def run(spark: SparkSession, n: Long): Unit = {
     import spark.implicits._
 
     val base = s"/tmp/graft_stream_million_$n"
@@ -252,7 +258,6 @@ object StreamingMillionSmoke {
 
     events.unpersist(blocking = false); purchases.unpersist(blocking = false)
     rmrf(new java.io.File(base))
-    spark.stop()
     println("[streaming-million] all assertions passed")
   }
 }

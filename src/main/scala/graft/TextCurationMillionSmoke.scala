@@ -43,7 +43,12 @@ object TextCurationMillionSmoke {
       .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, n)
+    spark.stop()
+  }
 
+  /** Body shared by [[main]] and the opt-in SmokeSuite. */
+  def run(spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
     val vocab = 5000000L
     val templates = math.max(1000L, n / 7)
     val id = col("doc_id")
@@ -119,7 +124,6 @@ object TextCurationMillionSmoke {
     assert(nCells == 10 && nSrc == 5)
 
     docs.unpersist(blocking = false)
-    spark.stop()
     println("[textcuration-million] all assertions passed")
   }
 }

@@ -56,6 +56,17 @@ class EventsReaderSpec extends graft.SparkTestBase {
     }
   }
 
+  test("batch: int64 ts that is NOT plausible epoch-nanos is rejected loudly") {
+    import spark.implicits._
+    // plain epoch-MICROS stored as int64: the nanos assumption would silently
+    // mis-scale by 1000x (ADVICE r7) — the magnitude guard must throw instead
+    val dir = writeEventsFile(
+      micros.toDF("us").select(col("us").as("ts"), col("us").as("event_id")),
+      Files.createTempDirectory("ev_micros_as_int64"))
+    val e = intercept[IllegalArgumentException](EventsReader.batch(spark, dir))
+    assert(e.getMessage.contains("not plausible epoch-nanos"), e.getMessage)
+  }
+
   test("stream: the same normalization holds on the readStream path") {
     encodings.foreach { case (enc, dir) =>
       val stream = EventsReader.stream(spark, dir)
