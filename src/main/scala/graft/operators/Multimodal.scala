@@ -17,8 +17,11 @@ final case class MediaFeatures(
   * (logical screen descriptor) dimensions, and [[AudioHeaders.sniffWav]]
   * walks RIFF/WAVE chunks to the `fmt ` block (channels / sample rate) —
   * straight from the public container formats' magic bytes, no media
-  * library needed. What remains stubbed is DEEP decode (pixels, frames,
-  * samples): blobs that are none of those formats fall back to
+  * library needed. Deep PIXEL decode is real too: [[PngCodec]] implements
+  * the full PNG path (zlib IDAT inflate + all five scanline unfilters,
+  * JDK-only) and is oracle-checked end-to-end by q_multimodal_pixels.
+  * What remains stubbed is deep decode for audio samples and video frame
+  * boundaries: blobs that match no real container fall back to
   * [[FakeCodec]], a declared 16-byte fake container — swap that one
   * function for a real codec. The Spark-side contract (schema, binary
   * column, partition batching, feature output shape) is real and tested.
