@@ -775,6 +775,17 @@ object SparkEntry {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_sample_exact" -> ((s: SparkSession, d: String) => {
+      // P1's exact-size flavor (the reference's sampleByKeyExact call): the
+      // per-stratum sample size is EXACTLY ceil(f_k * n_k) at any seed and
+      // parallelism, so the size contract is a true SF-independent oracle
+      // (no pin needed) even though row membership is seed-dependent
+      graft.operators.Sampling.sampleByKeyExact(
+          Relational.table(s, d, "lineitem"), "l_returnflag",
+          Map("A" -> 0.1, "N" -> 0.05, "R" -> 0.2), seed = 42L)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"))
+    }),
     // ---- multimodal plumbing ----
     "q_multimodal_features" -> ((s: SparkSession, d: String) =>
       Multimodal.extractFeatures(Multimodal.synthesizeBlobs(docs(s, d)))
@@ -1990,6 +2001,13 @@ object SparkEntry {
         |  CAST(sum((doc_id*7 + j*13) % 256) AS BIGINT) AS pix_sum,
         |  CAST(sum(((doc_id*7 + j*13) % 256) * (j+1)) % 1000000007 AS BIGINT) AS pix_checksum
         |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+    // the exact-size contract: ceil(f_k * n_k) per stratum, recomputed by
+    // DuckDB from the base table — valid at every SF
+    "q_sample_exact" ->
+      """SELECT l_returnflag,
+        |  CAST(ceil(count(*) * CASE l_returnflag WHEN 'A' THEN 0.1
+        |    WHEN 'N' THEN 0.05 ELSE 0.2 END) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_sample_stratified" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem
