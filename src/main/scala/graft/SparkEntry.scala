@@ -674,6 +674,24 @@ object SparkEntry {
         .select(col("id"), col("label"))
       Constraints.summary(cons, labels)
     }),
+    "q_constraints_file" -> ((s: SparkSession, _: String) => {
+      // the reference's constraints INPUT FORMAT end-to-end
+      // (`源代码/main/Main.java:590-597`: CSV `a,b,ml|cl`, zero-indexed):
+      // the exact constraint set of q_constraints_check is round-tripped
+      // through a real CSV file and PointsIO.readConstraints before the
+      // summary, so the reader's schema + parsing sit on the oracle gate
+      // (shared oracle — the two rows must agree or the reader is wrong)
+      val lines = ((0L until 10L).map(i => s"$i,${i + 1},ml") ++
+        (0L until 10L).map(i => s"$i,${i + 75},cl"))
+      val tmp = java.nio.file.Files.createTempFile("graft_constraints", ".csv")
+      java.nio.file.Files.writeString(tmp, lines.mkString("\n"))
+      tmp.toFile.deleteOnExit()
+      val cons = graft.io.PointsIO.readConstraints(s, tmp.toString)
+      val labels = Hdbscan(minPts = 4, minClusterSize = 4)
+        .fit(graft.io.PointsIO.readPointsText(s, refDatasetPath()))
+        .select(col("id"), col("label"))
+      Constraints.summary(cons, labels)
+    }),
     "q_constraints_extract" -> ((s: SparkSession, _: String) => {
       import s.implicits._
       // G10: the same constraints STEER extraction (selection prefers
@@ -952,7 +970,10 @@ object SparkEntry {
         ") GROUP BY weight ORDER BY weight"),
     // the kernel formulation computes the identical quantity as the window
     // formulation — one oracle serves both
-    "q_core_distance_kernel" -> oracleSqlBase("q_core_distance_window")) ++
+    "q_core_distance_kernel" -> oracleSqlBase("q_core_distance_window"),
+    // same constraint set, same labels — the CSV round-trip through
+    // PointsIO.readConstraints must reproduce q_constraints_check exactly
+    "q_constraints_file" -> oracleSqlBase("q_constraints_check")) ++
     hdbscanPinSql
 
   /** Per-point VALUES pins for all three HDBSCAN modes (captured from the
