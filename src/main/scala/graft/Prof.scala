@@ -110,6 +110,45 @@ object Prof {
       spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
     } }
 
+    // reversed-order twin of `rank`: window variant FIRST, so the two
+    // fresh-JVM cold numbers can be compared without the first-run warmup
+    // landing on one variant only
+    section("rankw") { for (round <- 1 to 2) {
+      time(s"ngram win-rank  #$round") {
+        graft.operators.Dedup.ngramJaccardPairsPrefix(docs, "source", windowRanking = true)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"ngram agg-rank  #$round") {
+        graft.operators.Dedup.ngramJaccardPairsPrefix(docs, "source")
+          .write.format("noop").mode("overwrite").save()
+      }
+    } }
+
+    // cold-run anatomy of the heaviest query (VERDICT r7 next-round #3):
+    // first-ever execution pays corpus scan + shingle kernel + cache build
+    // + candidate join + verify at once; this section times each stage
+    // COLD in sequence so the shave target is visible. Run in a fresh JVM.
+    section("coldngram") {
+      val t00 = System.nanoTime()
+      time("scan+shingle (uncached)") {
+        docs.select(col("source").as("block"), col("doc_id").as("id"),
+            graft.expr.TextExpressions.charShingleHashes(col("text"), 3).as("sh"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val (sh0, cand0) = graft.operators.Dedup.prefixCandidates(docs, "source")
+      val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("cache build (count)") { sh.count() }
+      time("candidates (from cache)") {
+        cand0.write.format("noop").mode("overwrite").save()
+      }
+      time("full operator (2nd run, warm-ish)") {
+        graft.operators.Dedup.ngramJaccardPairsPrefix(docs, "source")
+          .write.format("noop").mode("overwrite").save()
+      }
+      sh.unpersist(blocking = false)
+      println(f"coldngram total ${(System.nanoTime() - t00) / 1e9}%8.2f s")
+    }
+
     section("fingerprint") { for (round <- 1 to 3) {
       time(s"md5 pair      #$round") {
         docs.select(col("doc_id"),
