@@ -887,6 +887,39 @@ object SparkEntry {
         }.toDF("doc_id", "width", "height", "pix_sum", "pix_checksum")
         .orderBy(col("doc_id"))
     }),
+    "q_multimodal_samples" -> ((s: SparkSession, d: String) => {
+      // deep AUDIO decode, real and oracle-checked (the PCM analogue of
+      // q_multimodal_pixels): deterministic signed 16-bit samples derived
+      // from doc_id are packed little-endian into a complete RIFF/WAVE
+      // container and decoded back through AudioHeaders.pcmSamples16 on
+      // the executors; exact integer amplitude stats are recomputed by the
+      // DuckDB oracle from the generating formula. After this row the only
+      // remaining deep-decode stub is video frame boundaries.
+      import s.implicits._
+      docs(s, d).select(col("doc_id")).filter(col("doc_id") < 300)
+        .as[Long].map { id =>
+          val nSamp = (200 + id % 300).toInt
+          val bytes = new Array[Byte](nSamp * 2)
+          var k = 0
+          while (k < nSamp) {
+            val v = ((id * 31 + k * 17) % 65536 - 32768).toInt
+            bytes(2 * k) = (v & 0xff).toByte
+            bytes(2 * k + 1) = ((v >> 8) & 0xff).toByte
+            k += 1
+          }
+          val wav = Multimodal.AudioHeaders.wavWrap(
+            (1 + id % 2).toInt, 16000, 16, bytes)
+          val dec = Multimodal.AudioHeaders.pcmSamples16(wav)
+            .getOrElse(sys.error(s"PCM roundtrip failed for doc $id"))
+          var sum = 0L; var sumsq = 0L; var peak = 0L
+          dec.foreach { sAmp =>
+            val v = sAmp.toLong
+            sum += v; sumsq += v * v; peak = math.max(peak, math.abs(v))
+          }
+          (id, dec.length, sum, sumsq, peak)
+        }.toDF("doc_id", "n_samples", "sum_amp", "sum_sq", "peak")
+        .orderBy(col("doc_id"))
+    }),
     // ---- sessionization (batch window + stateful streaming) ----
     "q_sessionize" -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
     "q_stream_sessionize" -> ((s: SparkSession, d: String) =>
@@ -956,7 +989,7 @@ object SparkEntry {
     * rows-only check is the strongest available — nothing is left
     * `no_oracle` silently (VERDICT r1 missing #3). */
   val noOracleReason: Map[String, String] = Map(
-    "q_multimodal_features" -> "the deterministic header columns ARE oracle-checked via q_multimodal_headers, the byte-stat columns' per-type aggregates via q_multimodal_stats (pinned), and deep PNG pixel decode via q_multimodal_pixels (PngCodec inflate+unfilter vs the generating formula); this full per-doc variant remains rows-only (audio-sample / video-frame deep decode stays a declared stub — no media libs in container)")
+    "q_multimodal_features" -> "the deterministic header columns ARE oracle-checked via q_multimodal_headers, the byte-stat columns' per-type aggregates via q_multimodal_stats (pinned), deep PNG pixel decode via q_multimodal_pixels, and deep PCM sample decode via q_multimodal_samples (both vs generating-formula oracles); this full per-doc variant remains rows-only (only video frame-boundary decode stays a declared stub — inherently codec-bound, no media libs in container)")
 
   def oracleSql: Map[String, String] = oracleSqlBase ++ oracleSqlDerived
 
@@ -2024,6 +2057,20 @@ object SparkEntry {
         |  CAST(sum((doc_id*7 + j*13) % 256) AS BIGINT) AS pix_sum,
         |  CAST(sum(((doc_id*7 + j*13) % 256) * (j+1)) % 1000000007 AS BIGINT) AS pix_checksum
         |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+    // deep PCM decode: amplitude stats recomputed from the generating
+    // formula — the engine must reproduce them through a WAV pack → parse →
+    // int16 decode roundtrip. Sample k of doc id = (id*31+k*17)%65536-32768.
+    "q_multimodal_samples" ->
+      """WITH d AS (SELECT doc_id, CAST(200 + doc_id % 300 AS INT) AS n_samples
+        |           FROM documents WHERE doc_id < 300),
+        |sm AS (SELECT doc_id, n_samples,
+        |         (doc_id*31 + unnest(generate_series(0, n_samples - 1))*17) % 65536 - 32768 AS v
+        |       FROM d)
+        |SELECT doc_id, n_samples,
+        |  CAST(sum(v) AS BIGINT) AS sum_amp,
+        |  CAST(sum(v*v) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM sm GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
     // the exact-size contract: ceil(f_k * n_k) per stratum, recomputed by
     // DuckDB from the base table — valid at every SF
     "q_sample_exact" ->

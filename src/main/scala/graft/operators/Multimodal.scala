@@ -17,14 +17,16 @@ final case class MediaFeatures(
   * (logical screen descriptor) dimensions, and [[AudioHeaders.sniffWav]]
   * walks RIFF/WAVE chunks to the `fmt ` block (channels / sample rate) —
   * straight from the public container formats' magic bytes, no media
-  * library needed. Deep PIXEL decode is real too: [[PngCodec]] implements
-  * the full PNG path (zlib IDAT inflate + all five scanline unfilters,
-  * JDK-only) and is oracle-checked end-to-end by q_multimodal_pixels.
-  * What remains stubbed is deep decode for audio samples and video frame
-  * boundaries: blobs that match no real container fall back to
-  * [[FakeCodec]], a declared 16-byte fake container — swap that one
-  * function for a real codec. The Spark-side contract (schema, binary
-  * column, partition batching, feature output shape) is real and tested.
+  * library needed. Deep decode is real for the two library-free formats:
+  * [[PngCodec]] implements the full PNG pixel path (zlib IDAT inflate +
+  * all five scanline unfilters, JDK-only; oracle-checked by
+  * q_multimodal_pixels) and [[AudioHeaders.pcmSamples16]] the 16-bit PCM
+  * sample path (oracle-checked by q_multimodal_samples). What remains
+  * stubbed is video FRAME BOUNDARIES (inherently codec-bound): blobs that
+  * match no real container fall back to [[FakeCodec]], a declared 16-byte
+  * fake container — swap that one function for a real codec. The
+  * Spark-side contract (schema, binary column, partition batching,
+  * feature output shape) is real and tested.
   *
   * At 100 TB: blobs stay columnar in parquet, the scan prunes to (id, blob),
   * decode runs per-partition with zero shuffles; only the small feature
@@ -177,6 +179,26 @@ object Multimodal {
       }
       None
     }
+
+    /** Deep SAMPLE decode for 16-bit PCM WAV — real, no media library
+      * needed (PCM is raw little-endian int16 per the RIFF/WAVE spec):
+      * parses the `fmt ` chunk, requires bits-per-sample 16, and decodes
+      * the `data` chunk's bytes to signed samples. The audio analogue of
+      * [[graft.operators.PngCodec.decode]]; oracle-checked end-to-end by
+      * q_multimodal_samples. Returns None for non-WAV / non-16-bit blobs. */
+    def pcmSamples16(blob: Array[Byte]): Option[Array[Short]] =
+      sniffWav(blob).filter(_._3 == 16).flatMap { _ =>
+        dataChunk(blob).map { case (off, len) =>
+          val n = len / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            out(i) = ((blob(off + 2 * i) & 0xff) | (blob(off + 2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          out
+        }
+      }
 
     /** Structurally-valid RIFF/WAVE + PCM `fmt ` header with the payload as
       * the data chunk (parseable metadata; silence-free fake samples). */

@@ -788,6 +788,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(Multimodal.AudioHeaders.sniffWav(
       Multimodal.AudioHeaders.wavWrap(2, 44100, 16, pay)).contains((2, 44100, 16, 36)))
     assert(Multimodal.AudioHeaders.sniffWav("RIFFxxxxNOPE".getBytes("UTF-8")).isEmpty)
+    // deep PCM sample decode: signed LE int16 roundtrip through the real
+    // container; non-16-bit and non-WAV blobs rejected
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val pcmBytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcmBytes(2 * i) = (v & 0xff).toByte; pcmBytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val wav16 = Multimodal.AudioHeaders.wavWrap(1, 16000, 16, pcmBytes)
+    assert(Multimodal.AudioHeaders.pcmSamples16(wav16).exists(_.sameElements(samples)))
+    assert(Multimodal.AudioHeaders.pcmSamples16(
+      Multimodal.AudioHeaders.wavWrap(1, 16000, 8, pcmBytes)).isEmpty, "8-bit must be rejected")
+    assert(Multimodal.AudioHeaders.pcmSamples16(pay).isEmpty)
     // mixed pipeline: id%5 → 0 gif, 1 wav, 3 png, 4 jpeg, else fake container
     val docs = (0L to 9L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(Multimodal.synthesizeBlobs(docs))
