@@ -65,7 +65,15 @@ object Bench {
     val errs = jmap(errors.toSeq.map { case (k, v) =>
       k -> ("\"" + v.replaceAll("[\\\\\"\\n\\r\\t]", " ") + "\"") })
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"min","spread":$spread,"errors":$errs}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"min","spread":$spread,"errors":$errs}"""
+    println(line)
+    // also persist the JSON where log framing can't mangle it (the round-7
+    // driver artifact carried only a truncated log tail with parsed:null);
+    // opt-in via env so the default contract — one stdout line — is unchanged
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
     spark.stop()
   }
 }
