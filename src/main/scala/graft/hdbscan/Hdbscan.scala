@@ -530,6 +530,13 @@ final case class Hdbscan(
       .mapValues(_._2)
       .agg(cfCol.name("cf"))
       .collect() // O(#bubbles) rows
+      // canonical order: collect() arrival order depends on the partition
+      // layout, and every downstream index — MST tiebreaks, hierarchy
+      // traversal, label NUMBERING — follows bubble position. Sorting by
+      // the (deterministic, hash-seeded) cell id makes the whole sketch
+      // path a pure function of content at any parallelism (local[8] vs
+      // local[32] produced label-renumbered twins before this)
+      .sortBy(_._1)
 
     // narrow (bubble, point) map outlives the rotated split frames: it is
     // the only thing the final label join needs
