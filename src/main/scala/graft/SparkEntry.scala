@@ -341,6 +341,74 @@ object SparkEntry {
       Dedup.embeddingNearDup(planted, threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_semantic_dedup" -> ((s: SparkSession, d: String) => {
+      // SemDeDup (cluster-routed semantic near-dup): plant a ±3%-per-dim
+      // deterministically jittered copy (+100000 id) of every vector —
+      // cos(original, copy) ≈ 0.9995, far above the isotropic corpus's
+      // natural max (≈0.51) — and route candidates through the k-means
+      // bucket router instead of LSH bands. Approximate routing isn't
+      // SQL-expressible, but its QUALITY is (the q_knn_ivf pattern): the
+      // true cos≥0.99 pair set is brute-force-computable in SQL, so the
+      // oracle checks n_true_pairs exactly plus two SF-independent
+      // booleans — recall of the router over the true pair set (calibrated
+      // floor 0.95; measured 1.0 at every SF, enforced per-SF by
+      // SemanticDedupSpec) and that every emitted pair is a true pair.
+      val e = Relational.embeddings(s, d).select(col("vec_id"), col("vec"))
+      val jittered = e.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("vec"), (x, i) =>
+          x * (lit(1.0) + lit(0.01) * ((col("vec_id") + i) % 7 - 3))).as("vec"))
+      val planted = e.unionAll(jittered)
+      val found = Dedup.semanticNearDup(planted, threshold = 0.99)
+        .select(col("id_a"), col("id_b"))
+      val aSide = planted.select(col("vec_id").as("id_a"), col("vec").as("va"))
+      val bSide = planted.select(col("vec_id").as("id_b"), col("vec").as("vb"))
+      val truePairs = bSide.crossJoin(broadcast(aSide))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(graft.functions.Distances.cosineSimilarity(col("va"), col("vb")), 6) >= 0.99)
+        .select(col("id_a"), col("id_b"))
+      val nTrue = truePairs.agg(count(lit(1)).as("n_true_pairs"))
+      val nHit = truePairs.join(found, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val nExtra = found.join(truePairs, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_extra"))
+      nTrue.crossJoin(nHit).crossJoin(nExtra)
+        .select(col("n_true_pairs"),
+          (col("n_hit") >= col("n_true_pairs") * 0.95).as("recall_ge_095"),
+          (col("n_extra") === 0L).as("no_false_pairs"))
+    }),
+    "q_span_dedup" -> ((s: SparkSession, d: String) =>
+      // span-level exact dedup (Lee et al. ACL'22): every 8-token window
+      // shared by more than one document — boilerplate/license/quote spans
+      // the document-level near-dup family can't see. Fully SQL-expressible,
+      // so the oracle replays the identical two-level aggregation.
+      graft.operators.TextOps.duplicateSpans(docs(s, d), n = 8)
+        .orderBy(col("span"))),
+    "q_heavy_hitters" -> ((s: SparkSession, d: String) => {
+      // mergeable Misra-Gries heavy hitters (PODS'12): the sketch shuffles
+      // O(k × tasks) state where the exact count shuffles the vocabulary.
+      // Output = the exact heavy-hitter set (SQL-checkable) annotated with
+      // sketch membership, which the MG merge guarantee forces true for
+      // every token with frequency > n/k regardless of partitioning.
+      val toks = docs(s, d)
+        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      graft.operators.Sketches.heavyHitters(toks, k = 50)
+    }),
+    "q_decontaminate_bloom" -> ((s: SparkSession, d: String) => {
+      // decontamination keep-side at benchmark-set scale: content digests of
+      // a held-out eval slice (doc_id % 7 == 0) become a bloom filter built
+      // by ONE distributed aggregate; the corpus probes it inside codegen
+      // and only the surviving sliver pays the confirming anti-join. Exact
+      // by construction (bloom has no false negatives), so the oracle is a
+      // plain NOT IN over the same md5 keys.
+      val all = docs(s, d)
+      val benchKeys = all.filter(col("doc_id") % 7 === 0)
+        .select(md5(col("text")).as("content_hash"))
+      val corpus = all.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      graft.operators.BloomJoin
+        .bloomAntiJoin(corpus, benchKeys, "content_hash", expectedKeys = 10000L)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "q_embed_centroids" -> ((s: SparkSession, d: String) => {
       // per-group embedding centroids in exploded (group, dim, mean) form —
       // the array-aggregation shape (posexplode → groupBy(key, pos) → avg)
@@ -1950,6 +2018,53 @@ object SparkEntry {
          |      (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}), 6) AS cos_sim
          |  FROM all_e a JOIN all_e b ON a.vec_id < b.vec_id)
          |WHERE cos_sim >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    // invariant oracle (q_knn_ivf pattern): the true cos≥0.99 pair set over
+    // the jitter-planted corpus is exact SQL; the router-quality booleans
+    // are SF-independent claims with ~0.05 margin (measured recall 1.0 at
+    // every SF, re-enforced per-SF by SemanticDedupSpec).
+    "q_semantic_dedup" ->
+      s"""WITH pl AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(generate_series(1, len(embedding)),
+         |      i -> CAST(embedding[i] AS DOUBLE) * (1 + 0.01 * ((vec_id + i - 1) % 7 - 3)))
+         |  FROM embeddings)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+         |  true AS recall_ge_095, true AS no_false_pairs
+         |FROM pl a JOIN pl b ON a.vec_id < b.vec_id
+         |WHERE round(${sqlDot("a.embedding", "b.embedding")} /
+         |  (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}), 6) >= 0.99""".stripMargin,
+    "q_span_dedup" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |            FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(generate_series(1, len(toks) - 7),
+        |                i -> array_to_string(toks[i:i+7], ' ')) END) AS span
+        |       FROM tk),
+        |pd AS (SELECT span, doc_id, count(*) AS n_in_doc FROM sh GROUP BY span, doc_id),
+        |ag AS (SELECT span, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_in_doc) AS BIGINT) AS n_occurrences,
+        |         min(doc_id) AS first_doc
+        |       FROM pd GROUP BY span)
+        |SELECT span, n_docs, n_occurrences, first_doc FROM ag
+        |WHERE n_docs > 1 ORDER BY span""".stripMargin,
+    // the exact heavy-hitter set is plain SQL; in_sketch = true is the
+    // Misra-Gries merge guarantee (undercount ≤ n/(k+1) < n/k), which holds
+    // for ANY partitioning of the input — the partition-invariance spec in
+    // SketchesSpec exercises the same claim adversarially.
+    "q_heavy_hitters" ->
+      """WITH tk AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |            FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM tk
+        |      WHERE tok <> '' GROUP BY tok),
+        |t AS (SELECT sum(n_exact) AS n FROM c)
+        |SELECT tok AS token, n_exact, true AS in_sketch FROM c, t
+        |WHERE n_exact * 50 > t.n ORDER BY n_exact DESC, token""".stripMargin,
+    "q_decontaminate_bloom" ->
+      """SELECT doc_id FROM documents
+        |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
+        |ORDER BY doc_id""".stripMargin,
     // ---- pinned-VALUES oracles for the LSH near-dup family: xxhash64
     // signatures have no DuckDB equivalent, but the outputs are fully
     // deterministic (seeded hashes, fixed corpus, unique-id window order).

@@ -498,6 +498,85 @@ object Dedup {
         col("group_size"), (col("vertex") === col("component")).as("is_keeper"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication", 2023):
+    * route every vector to its `probes` nearest k-means centroids, generate
+    * candidate pairs only WITHIN a centroid bucket, verify by exact cosine.
+    * The cluster router replaces [[embeddingNearDup]]'s hyperplane bands as
+    * the candidate generator — data-adaptive buckets (centroids fit the
+    * corpus geometry), the published recipe for semantic dedup of web-scale
+    * embedding corpora.
+    *
+    * Scale shape, in order:
+    *  1. identical-vector groups collapse to a leader + chain pairs first
+    *     (same window contract as [[embeddingNearDup]] — the 10⁴⁺-copy
+    *     boilerplate group must never reach the quadratic within-bucket
+    *     stage);
+    *  2. bucket assignment is a PURE EXPRESSION over each row — the k
+    *     centroids ride the plan as literals (k×dim driver state, the same
+    *     bounded state every distributed k-means carries), so routing costs
+    *     zero shuffle;
+    *  3. candidate pairs come from an id-only self-join keyed by bucket;
+    *     within-bucket population is ~n/k per bucket, and multi-probe
+    *     duplicates collapse with `distinct` before vectors are joined back
+    *     for the exact-cosine verify.
+    *
+    * @return (id_a, id_b, cos_sim) with id_a < id_b, cos_sim ≥ threshold —
+    *         as with the other near-dup ops, a transitive-closure-equivalent
+    *         subset: identical-vector groups contribute chain pairs,
+    *         cross-group pairs leader-to-leader. Recall of the bucket router
+    *         is empirical (boundary pairs can straddle buckets; SemDeDup's
+    *         documented tradeoff), enforced ≥ calibrated floors by
+    *         SemanticDedupSpec and the q_semantic_dedup invariant oracle.
+    */
+  def semanticNearDup(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "vec",
+      nCentroids: Int = 16,
+      probes: Int = 2,
+      threshold: Double = 0.9): DataFrame = {
+    // 1. identical-vector chain contract (leaders carry their group)
+    val wk = Window.partitionBy(col("v")).orderBy(col("id"))
+    val ranked = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("prev", lag(col("id"), 1).over(wk))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chain = ranked.filter(col("prev").isNotNull)
+      .select(col("prev").as("id_a"), col("id").as("id_b"))
+    val leaders = ranked.filter(col("prev").isNull).select(col("id"), col("v"))
+
+    // 2. seeded spherical k-means fit; routing as a zero-shuffle expression
+    val cents = Similarity.kmeansCentroids(
+      leaders.select(col("id").as("cid"), col("v").as("cv")), nCentroids)
+    val distTo = cents.zipWithIndex.map { case (cv, i) =>
+      val c = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(cv.map(lit)): _*)
+      struct(graft.functions.Distances.cosineDistance(col("v"), c).as("d"),
+        lit(i).as("c"))
+    }
+    val topBuckets = slice(array_sort(array(distTo: _*)), 1, probes)
+    val bucketed = leaders
+      .select(col("id"), explode(topBuckets).as("b"))
+      .select(col("id"), col("b.c").as("bucket"))
+
+    // 3. id-only within-bucket candidates, exact-cosine verify
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .unionAll(chain) // disjoint by construction: non-leaders are never bucketed
+    val verified = candidates
+      .join(emb.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
+      .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
+      .withColumn("cos_sim",
+        round(graft.functions.Distances.cosineSimilarity(col("va"), col("vb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+    val (out, _) = org.apache.spark.sql.GraftShim.materialize(verified)
+    ranked.unpersist(blocking = false)
+    out
+  }
+
   /** Deterministic pseudo-random unit hyperplanes (xorshift-seeded). */
   def randomHyperplanes(n: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     var s = seed

@@ -492,6 +492,42 @@ object TextOps {
         phoneRegex, "<PHONE>")).as("redacted_md5"))
   }
 
+  /** Span-level exact duplicate detection (the substring-dedup family of
+    * Lee et al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22): every `n`-token window that occurs in MORE THAN ONE document,
+    * with its document count, total occurrence count, and first carrier.
+    * Unlike the document-level near-dup ops ([[Dedup.minhashNearDup]] etc.)
+    * this finds boilerplate SPANS — license headers, navigation chrome,
+    * quoted passages — shared between otherwise-distinct documents.
+    *
+    * Shape: one codegen shingle pass over the corpus scan (the same
+    * [[graft.expr.TextExpressions.wordShingleStrings]] kernel as
+    * decontamination — docs shorter than `n` tokens contribute their whole
+    * text as a single span), then an explicit TWO-LEVEL aggregation:
+    * (span, doc) partial counts first, span totals second. Both levels
+    * hash-aggregate with map-side combine — deliberately NOT
+    * `countDistinct`, which Catalyst plans as an Expand + a second full
+    * shuffle of raw occurrence rows. No joins, no all-pairs: a span
+    * repeated 10⁹ times in one document partial-aggregates to one row per
+    * map task before the first shuffle, so the plan survives boilerplate
+    * skew at 100 TB.
+    *
+    * @return (span, n_docs, n_occurrences, first_doc) for spans with
+    *         n_docs > 1.
+    */
+  def duplicateSpans(docs: DataFrame, n: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val perDoc = docs.select(col(idCol).as("doc_id"),
+        explode(graft.expr.TextExpressions.wordShingleStrings(col(textCol), n)).as("span"))
+      .groupBy(col("span"), col("doc_id"))
+      .agg(count(lit(1)).as("n_in_doc"))
+    perDoc.groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_in_doc")).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+  }
+
   /** Full per-document text-stats frame over a `documents`-shaped table. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

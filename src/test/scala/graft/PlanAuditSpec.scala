@@ -44,12 +44,17 @@ class PlanAuditSpec extends SparkTestBase {
     "q_core_distance_window" -> "bounded demo slice crossJoin (pairwise distances over <=200 points)",
     "q_corpus_mix" -> "single-row corpus-totals frame joined to every cell",
     "q_distance_pairs" -> "bounded demo slice crossJoin (pairwise distance showcase)",
+    "q_heavy_hitters" -> "single-row token-total frame joined into the exact counts",
     "q_knn_bruteforce" -> "broadcast query set: fixed handful of probe vectors",
     "q_knn_ivf" -> "k x dim centroid frame + probe set, both k-bounded; plus the broadcast fixed query set of the in-query brute-force recall baseline",
     "q_mix_temperature" -> "single-row normalizer z joined to per-source counts",
     "q_mutual_reachability" -> "bounded demo slice: pairwise mutual-reachability showcase",
     "q_quality_buckets" -> "single-row percentile-boundaries frame",
     "q_range_join" -> "bucket-boundary dim table: fixed bucket count",
+    "q_semantic_dedup" -> ("in-query brute-force TRUTH baseline (verification harness, " +
+      "not the operator): broadcast side is the gate-SF planted corpus, bounded by the " +
+      "gate's scale like the DuckDB oracle that mirrors it; the router under test " +
+      "generates candidates from k-means buckets with no BNLJ"),
     "q_seq_pack" -> "single-row packing-summary totals join",
     "q_tfidf_top_terms" -> "single-row corpus-size frame joined into the IDF term table",
     "q_unigram_logprob" -> "single-row corpus-token-total frame joined into the vocab model")

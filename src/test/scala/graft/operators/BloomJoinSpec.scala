@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Bloom-prefiltered joins must be EXACTLY the plain semi/anti joins —
+  * the filter only prunes (one-sided error), the confirm join removes the
+  * false-positive sliver. */
+class BloomJoinSpec extends graft.SparkTestBase {
+
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    .select(col("doc_id"), md5(col("text")).as("content_hash"))
+
+  test("bloomAntiJoin equals plain left_anti on the real corpus") {
+    val keys = docs.filter(col("doc_id") % 7 === 0).select(col("content_hash"))
+    val got = BloomJoin.bloomAntiJoin(docs, keys, "content_hash", expectedKeys = 1000L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val want = docs.join(keys.distinct(), Seq("content_hash"), "left_anti")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === want.toSeq)
+    assert(want.nonEmpty && want.length < docs.count())
+  }
+
+  test("bloomSemiJoin equals plain left_semi on the real corpus") {
+    val keys = docs.filter(col("doc_id") % 5 === 0).select(col("content_hash"))
+    val got = BloomJoin.bloomSemiJoin(docs, keys, "content_hash", expectedKeys = 1000L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val want = docs.join(keys.distinct(), Seq("content_hash"), "left_semi")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === want.toSeq)
+    assert(want.nonEmpty)
+  }
+
+  test("probe has no false negatives even at high fpp") {
+    import spark.implicits._
+    // tiny filter (64 expected, 20% fpp) over 5000 keys: lots of false
+    // positives by construction, but every true member must still pass
+    val keys = (0L until 5000L by 13L).toDF("k")
+    val bf = BloomJoin.buildFilter(keys, "k", expectedKeys = 64L, fpp = 0.2)
+    val big = (0L until 5000L).toDF("k")
+    val passed = big.filter(BloomJoin.mightContain(bf, col("k")))
+      .collect().map(_.getLong(0)).toSet
+    val members = (0L until 5000L by 13L).toSet
+    assert((members -- passed).isEmpty, "bloom filter dropped a true member")
+    assert(passed.size < 5000, "probe should prune at least something")
+  }
+}
