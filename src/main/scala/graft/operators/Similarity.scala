@@ -224,6 +224,78 @@ object Similarity {
       .select(col("qid"), col("rn").as("rank"), col("cid"), col("cos_sim"))
   }
 
+  /** Exact all-pairs cosine ≥ threshold — the brute-force BASELINE the
+    * approximate near-dup routers calibrate against (recall invariants in
+    * q_semantic_dedup and the dedup specs).
+    *
+    * Broadcast-kernel shape: the L2-normalized corpus matrix is collected
+    * once (O(n·d) driver/broadcast state — the declared harness bound,
+    * tagged like the exact-mode HDBSCAN collects) and each partition scans
+    * its rows against the matrix in a primitive flat-array loop. A
+    * crossJoin+filter computes the same thing, but BNLJ pays per-pair row
+    * machinery (UnsafeArray access, join-condition eval) that dwarfs the
+    * 64-flop dot — the kernel form is ~10× faster at gate scales. NOT the
+    * 100 TB path: that is the routed operators this baseline verifies.
+    *
+    * @return (id_a, id_b, cos_sim) with id_a < id_b, cos_sim rounded to
+    *         6 dp and ≥ threshold.
+    */
+  def cosinePairsAbove(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "vec",
+      threshold: Double = 0.9): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nrm = Distances.norm(col(vecCol))
+    val unit = emb.select(col(idCol).cast("long").as("id"),
+      when(nrm > 0, transform(col(vecCol), x => x / nrm))
+        .otherwise(col(vecCol)).as("uv"))
+    val ds = unit.as[(Long, Array[Double])]
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    val all = try {
+      sc.setJobDescription(graft.hdbscan.Hdbscan.DriverCollectTag)
+      ds.collect()
+    } finally sc.setJobDescription(prev)
+    val n = all.length
+    val dim = if (n == 0) 0 else all(0)._2.length
+    val idArr = new Array[Long](n)
+    val flat = new Array[Double](n * dim)
+    var i = 0
+    while (i < n) {
+      idArr(i) = all(i)._1
+      System.arraycopy(all(i)._2, 0, flat, i * dim, dim)
+      i += 1
+    }
+    val bc = sc.broadcast((idArr, flat, dim))
+    // spread the O(n²/p) row-vs-matrix scans over the full cluster: the
+    // input is typically a couple of parquet splits, which would pin the
+    // quadratic stage to as many cores
+    ds.repartition(sc.defaultParallelism).mapPartitions { it =>
+      val (ids, m, d) = bc.value
+      val nn = ids.length
+      it.flatMap { case (ida, va) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var j = 0
+        while (j < nn) {
+          val idb = ids(j)
+          if (ida < idb) {
+            var s = 0.0
+            var p = 0
+            val off = j * d
+            while (p < d) { s += va(p) * m(off + p); p += 1 }
+            val r = java.math.BigDecimal.valueOf(s)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (r >= threshold) out += ((ida, idb, r))
+          }
+          j += 1
+        }
+        out
+      }
+    }.toDF("id_a", "id_b", "cos_sim")
+  }
+
   /** IVF top-k convenience: build (or reuse `precomputed` centroids) then
     * search in one call. */
   def ivfTopK(

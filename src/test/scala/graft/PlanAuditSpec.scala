@@ -51,10 +51,6 @@ class PlanAuditSpec extends SparkTestBase {
     "q_mutual_reachability" -> "bounded demo slice: pairwise mutual-reachability showcase",
     "q_quality_buckets" -> "single-row percentile-boundaries frame",
     "q_range_join" -> "bucket-boundary dim table: fixed bucket count",
-    "q_semantic_dedup" -> ("in-query brute-force TRUTH baseline (verification harness, " +
-      "not the operator): broadcast side is the gate-SF planted corpus, bounded by the " +
-      "gate's scale like the DuckDB oracle that mirrors it; the router under test " +
-      "generates candidates from k-means buckets with no BNLJ"),
     "q_seq_pack" -> "single-row packing-summary totals join",
     "q_tfidf_top_terms" -> "single-row corpus-size frame joined into the IDF term table",
     "q_unigram_logprob" -> "single-row corpus-token-total frame joined into the vocab model")
