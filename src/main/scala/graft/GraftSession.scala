@@ -49,4 +49,24 @@ object GraftSession {
 
   def local(appName: String = "graft", cpus: Int = 32): SparkSession =
     localBuilder(appName, cpus).getOrCreate()
+
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n`,
+    * restoring the previous value after.
+    *
+    * Primary use: sizing the STATE-SHARD count of streaming queries
+    * started inside `body` (state partitioning is fixed to the shuffle
+    * partition count at a checkpoint's first batch). A stateful
+    * micro-batch pays a fixed per-shard state-store open/commit/file cost
+    * per batch, so when each shard would hold only a few thousand rows the
+    * shard count IS the latency: the sf0.1 attribution replay measures
+    * 5.6 s at 32 shards vs 2.1 s at 8 for identical results. On a real
+    * cluster the session default (sized to executors × cores) applies —
+    * pick `n` to give each shard meaningful state, exactly like sizing
+    * shuffle partitions for batch. */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
 }

@@ -994,25 +994,40 @@ object SparkEntry {
     // ---- sessionization (batch window + stateful streaming) ----
     "q_sessionize" -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
     "q_stream_sessionize" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamingOps.sessionizeStream(s, d)),
+      GraftSession.withShufflePartitions(s, 8)(
+        graft.streaming.StreamingOps.sessionizeStream(s, d))),
     // ---- streaming ----
+    // All stream replays start under 8 state shards (GraftSession
+    // .withShufflePartitions): at gate scale each of 32 shards would hold
+    // only a few thousand state rows, and the fixed per-shard store
+    // open/commit cost per micro-batch dominates (measured on the
+    // attribution replay: 5.6 s @ 32 → 2.1 s @ 8). Results are
+    // shard-count-independent; a production session sizes this to its
+    // executor count instead.
     "q_stream_events_hourly" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamingOps.eventsHourlyStream(s, d)),
+      GraftSession.withShufflePartitions(s, 8)(
+        graft.streaming.StreamingOps.eventsHourlyStream(s, d))),
     "q_stream_dedup" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamingOps.dedupStream(s, d)),
+      GraftSession.withShufflePartitions(s, 8)(
+        graft.streaming.StreamingOps.dedupStream(s, d))),
     "q_stream_enrich" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamingOps.enrichStream(s, d)),
+      GraftSession.withShufflePartitions(s, 8)(
+        graft.streaming.StreamingOps.enrichStream(s, d))),
     "q_stream_runmax" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamingOps.runningMaxStream(s, d)),
+      GraftSession.withShufflePartitions(s, 8)(
+        graft.streaming.StreamingOps.runningMaxStream(s, d))),
     "q_stream_attribution" -> ((s: SparkSession, d: String) =>
       // watermarked stream-stream join: views ⋈ purchases within 6h per user
-      graft.streaming.StreamingOps.attributionStream(s, d)),
+      GraftSession.withShufflePartitions(s, 8)(
+        graft.streaming.StreamingOps.attributionStream(s, d))),
     "q_stream_attribution_outer" -> ((s: SparkSession, d: String) =>
       // watermark-forced null emission: views that never converted
-      graft.streaming.StreamingOps.attributionOuterStream(s, d)),
+      GraftSession.withShufflePartitions(s, 8)(
+        graft.streaming.StreamingOps.attributionOuterStream(s, d))),
     "q_stream_session_window" -> ((s: SparkSession, d: String) =>
       // native session_window aggregation (declarative sessionizer)
-      graft.streaming.StreamingOps.sessionWindowStream(s, d))
+      GraftSession.withShufflePartitions(s, 8)(
+        graft.streaming.StreamingOps.sessionWindowStream(s, d)))
   )
 
   // ---------- DuckDB oracle SQL ----------
