@@ -847,6 +847,18 @@ object SparkEntry {
       s.read.parquet(s"$d/lineitem.parquet", s"$d/lineitem.parquet")
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))),
+    "q_zorder_layout" -> ((s: SparkSession, d: String) => {
+      // write-layout clustering: the Morton interleave that Z-orders a
+      // table so columnar min/max stats prune on EITHER of two columns.
+      // The interleave itself is exact SQL (bit arithmetic), so the oracle
+      // replays it bit-for-bit; the range-partition + local-sort layout it
+      // drives is asserted in LayoutSpec (disjoint z-ranges, 2-D locality).
+      val li = Relational.table(s, d, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.zValue2(
+            col("l_partkey") % 4096, col("l_suppkey") % 4096, bits = 12).as("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
     "q_sample_stratified" -> ((s: SparkSession, d: String) => {
       // P1: stratified Bernoulli sample, deterministic by HASHING the row
       // key rather than drawing per-partition seeded randoms. sampleBy's
@@ -1635,6 +1647,15 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS cnt
         |FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_zorder_layout" -> {
+      // the identical Morton interleave as pure bit arithmetic
+      val terms = (0 until 12).flatMap { i =>
+        Seq(s"((((l_partkey % 4096) >> $i) & 1) << ${2 * i})",
+          s"((((l_suppkey % 4096) >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" | ")
+      s"""SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS zval
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     "q_token_count" ->
       """SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0
         |  ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens

@@ -516,9 +516,29 @@ object TextOps {
     *         n_docs > 1.
     */
   def duplicateSpans(docs: DataFrame, n: Int = 8,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    duplicateSpansBy(docs, n, textCol, idCol, identity)
+
+  /** Production flavor of [[duplicateSpans]] for the 100 TB shuffle: the
+    * aggregation keys on `xxhash64(span)` (8 bytes) instead of the span
+    * text (~n×word bytes), cutting first-shuffle volume ~6×; the span
+    * text itself never leaves the map side. Collision risk is the
+    * standard 64-bit birthday bound (~d²/2⁶⁵ for d distinct spans —
+    * ~3e-7 at a billion spans); SpanDedupSpec proves hash- and
+    * string-keyed variants agree on the gate corpus.
+    *
+    * @return (span_hash, n_docs, n_occurrences, first_doc), n_docs > 1. */
+  def duplicateSpanHashes(docs: DataFrame, n: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    duplicateSpansBy(docs, n, textCol, idCol, xxhash64(_))
+      .withColumnRenamed("span", "span_hash")
+
+  private def duplicateSpansBy(docs: DataFrame, n: Int, textCol: String,
+      idCol: String, key: Column => Column): DataFrame = {
     val perDoc = docs.select(col(idCol).as("doc_id"),
-        explode(graft.expr.TextExpressions.wordShingleStrings(col(textCol), n)).as("span"))
+        explode(graft.expr.TextExpressions.wordShingleStrings(col(textCol), n))
+          .as("span_raw"))
+      .select(col("doc_id"), key(col("span_raw")).as("span"))
       .groupBy(col("span"), col("doc_id"))
       .agg(count(lit(1)).as("n_in_doc"))
     perDoc.groupBy(col("span"))

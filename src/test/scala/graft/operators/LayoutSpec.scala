@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends graft.SparkTestBase {
+
+  private def mortonRef(a: Long, b: Long, bits: Int): Long = {
+    var z = 0L
+    for (i <- 0 until bits) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+    }
+    z
+  }
+
+  test("zValue2 matches the reference interleave on exhaustive small inputs") {
+    import spark.implicits._
+    val rows = for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong)
+    val got = rows.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zValue2(col("a"), col("b"), 5).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    rows.foreach { case (a, b) =>
+      assert(got((a, b)) === mortonRef(a, b, 5), s"($a,$b)")
+    }
+    // interleave is a bijection on the 10-bit square
+    assert(got.values.toSet.size === rows.size)
+  }
+
+  test("zorderBy yields disjoint, ordered z-ranges and 2-D locality") {
+    val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
+      .select(col("l_partkey") % 4096 as "a", col("l_suppkey") % 4096 as "b")
+    val laid = Layout.zorderBy(li, col("a"), col("b"), bits = 12, numPartitions = 16)
+    val stats = laid
+      .select(spark_partition_id().as("pid"), col("a"), col("b"),
+        Layout.zValue2(col("a"), col("b"), 12).as("z"))
+      .groupBy(col("pid"))
+      .agg(min(col("z")).as("zmin"), max(col("z")).as("zmax"),
+        (max(col("a")) - min(col("a"))).as("aRange"),
+        (max(col("b")) - min(col("b"))).as("bRange"),
+        count(lit(1)).as("n"))
+      .orderBy(col("zmin")).collect()
+    assert(stats.length > 4)
+    // disjoint ordered z-ranges: each partition's zmin exceeds the previous zmax
+    stats.sliding(2).foreach { case Array(p, q) =>
+      assert(q.getLong(1) > p.getLong(2),
+        s"z-ranges overlap: ${p.getLong(2)} vs ${q.getLong(1)}")
+    case _ => ()
+    }
+    // 2-D locality: partitions cover rectangles, so the AVERAGE per-partition
+    // span of each dimension is well below the global 4096 span (a plain
+    // a-sort would give bRange ≈ 4095 everywhere)
+    val aAvg = stats.map(_.getLong(3)).sum.toDouble / stats.length
+    val bAvg = stats.map(_.getLong(4)).sum.toDouble / stats.length
+    assert(aAvg < 3000, s"no a-locality: avg range $aAvg")
+    assert(bAvg < 3000, s"no b-locality: avg range $bAvg")
+  }
+}

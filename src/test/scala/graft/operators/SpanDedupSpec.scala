@@ -29,6 +29,15 @@ class SpanDedupSpec extends graft.SparkTestBase {
     assert(out === Map("tiny doc" -> ((2L, 2L, 1L))))
   }
 
+  test("hash-keyed production variant agrees with the string-keyed oracle form") {
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val byString = TextOps.duplicateSpans(docs, n = 8)
+      .select(xxhash64(col("span")).as("span_hash"), col("n_docs"),
+        col("n_occurrences"), col("first_doc")).collect().toSet
+    val byHash = TextOps.duplicateSpanHashes(docs, n = 8).collect().toSet
+    assert(byHash === byString && byHash.nonEmpty)
+  }
+
   test("parallelism-independent") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, s"shared prefix span here plus tail ${i % 9}")).toDF("doc_id", "text")
