@@ -30,6 +30,22 @@ object Layout {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** N-column Morton interleave: bit i of column j lands at position
+    * i·m + j (m = number of columns). `zValue2` is the m=2 special case
+    * (kept separate — its layout matches the classic 2-D literature and
+    * the q_zorder_layout oracle). Total bits m·bits must stay below 63. */
+  def zValueN(cols: Seq[Column], bits: Int = 16): Column = {
+    val m = cols.length
+    require(m >= 2, s"need at least 2 columns, got $m")
+    require(bits >= 1 && m * bits <= 63, s"$m columns × $bits bits exceeds a long")
+    val longs = cols.map(_.cast("long"))
+    (for {
+      i <- 0 until bits
+      (c, j) <- longs.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * m + j))
+      .reduce(_.bitwiseOR(_))
+  }
+
   /** Cluster `df` for writing: range-partition on the Z-value of (a, b) and
     * sort within partitions, so each output file holds one compact Z-range —
     * tight min/max on both dimensions. One shuffle (range exchange over a

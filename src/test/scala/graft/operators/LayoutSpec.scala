@@ -26,6 +26,23 @@ class LayoutSpec extends graft.SparkTestBase {
     assert(got.values.toSet.size === rows.size)
   }
 
+  test("zValueN generalizes zValue2 and interleaves 3 columns bijectively") {
+    import spark.implicits._
+    val rows = for (a <- 0 until 16; b <- 0 until 16) yield (a.toLong, b.toLong)
+    val same = rows.toDF("a", "b")
+      .select((Layout.zValueN(Seq(col("a"), col("b")), 4) ===
+        Layout.zValue2(col("a"), col("b"), 4)).as("eq"))
+      .agg(min(col("eq"))).head().getBoolean(0)
+    assert(same, "zValueN(m=2) must equal zValue2")
+    val triples = for (a <- 0 until 8; b <- 0 until 8; c <- 0 until 8)
+      yield (a.toLong, b.toLong, c.toLong)
+    val zs = triples.toDF("a", "b", "c")
+      .select(Layout.zValueN(Seq(col("a"), col("b"), col("c")), 3).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs.toSet.size === triples.size, "3-column interleave must be a bijection")
+    assert(zs.forall(z => z >= 0 && z < 512))
+  }
+
   test("zorderBy yields disjoint, ordered z-ranges and 2-D locality") {
     val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
       .select(col("l_partkey") % 4096 as "a", col("l_suppkey") % 4096 as "b")
