@@ -397,6 +397,48 @@ object SparkEntry {
         .filter(col("tok") =!= "")
       graft.operators.Sketches.heavyHitters(toks, k = 50)
     }),
+    "q_quality_classifier" -> ((s: SparkSession, d: String) => {
+      // model-based quality filtering (the GPT-3/LLaMA classifier stage):
+      // plant two deterministic spam modes on doc_id % 11 (repeated sales
+      // phrase / digit runs), featurize every doc with the one-pass text
+      // kernels, fit on the doc_id % 5 != 4 slice — a ONE-PASS closed-form
+      // ridge probe polished by 3 logistic GD aggregates — and score the
+      // held-out 20%. Training is deterministic (no sampling/init
+      // randomness), so the oracle pins exact train/holdout counts plus
+      // SF-independent quality booleans: holdout accuracy ≥ 0.9 and
+      // planted-spam recall ≥ 0.9 (measured 1.0/1.0 at every SF,
+      // continuously enforced by ClassifierSpec).
+      import graft.operators.Classifier
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 22 === 0,
+            concat(lit(""), expr("repeat('buy now best cheap deal ', 15)")))
+          .when(col("doc_id") % 11 === 0,
+            expr("repeat('0 1 2 3 4 5 6 7 8 9 ', 10)"))
+          .otherwise(col("text")).as("text"),
+        (col("doc_id") % 11 === 0).cast("int").as("y"))
+      val st = graft.expr.TextExpressions.textStats(col("text"))
+      val sig = graft.expr.TextExpressions.repetitionSignals(col("text"), 3)
+      val feats = planted.select(col("doc_id"), col("y"), array(
+          st.getField("alpha_ratio"), st.getField("digit_ratio"),
+          st.getField("stopword_ratio"),
+          least(st.getField("mean_tok_len") / 10.0, lit(1.0)),
+          element_at(sig, 2), element_at(sig, 3), element_at(sig, 4),
+          lit(1.0)).as("x"))
+      val train = feats.filter(col("doc_id") % 5 =!= 4)
+      val holdout = feats.filter(col("doc_id") % 5 === 4)
+      val w = Classifier.logisticRefine(train,
+        Classifier.ridgeProbe(train, lambda = 1e-3), iters = 3)
+      val scored = holdout.select(col("y"),
+        (Classifier.score(col("x"), w) >= 0.5).cast("int").as("pred"))
+      val agg = scored.agg(count(lit(1)).as("n_holdout"),
+        avg((col("pred") === col("y")).cast("double")).as("acc"),
+        sum(col("y")).as("n_spam"),
+        sum(when(col("y") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("n_spam_hit"))
+      train.agg(count(lit(1)).as("n_train")).crossJoin(agg)
+        .select(col("n_train"), col("n_holdout"),
+          (col("acc") >= 0.9).as("acc_ge_090"),
+          (col("n_spam_hit") >= col("n_spam") * 0.9).as("spam_recall_ge_090"))
+    }),
     "q_decontaminate_bloom" -> ((s: SparkSession, d: String) => {
       // decontamination keep-side at benchmark-set scale: content digests of
       // a held-out eval slice (doc_id % 7 == 0) become a bloom filter built
@@ -2104,6 +2146,15 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
         |ORDER BY doc_id""".stripMargin,
+    // invariant oracle (q_knn_ivf pattern): split sizes are exact SQL; the
+    // quality booleans are SF-independent claims on the deterministic
+    // trained classifier (measured accuracy/recall 1.0 at every SF,
+    // re-enforced per-SF by ClassifierSpec).
+    "q_quality_classifier" ->
+      """SELECT CAST(sum(CASE WHEN doc_id % 5 <> 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout,
+        |  true AS acc_ge_090, true AS spam_recall_ge_090
+        |FROM documents""".stripMargin,
     // ---- pinned-VALUES oracles for the LSH near-dup family: xxhash64
     // signatures have no DuckDB equivalent, but the outputs are fully
     // deterministic (seeded hashes, fixed corpus, unique-id window order).

@@ -50,6 +50,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_mix_temperature" -> "single-row normalizer z joined to per-source counts",
     "q_mutual_reachability" -> "bounded demo slice: pairwise mutual-reachability showcase",
     "q_quality_buckets" -> "single-row percentile-boundaries frame",
+    "q_quality_classifier" -> "single-row train-count frame joined to the single-row holdout summary",
     "q_range_join" -> "bucket-boundary dim table: fixed bucket count",
     "q_seq_pack" -> "single-row packing-summary totals join",
     "q_tfidf_top_terms" -> "single-row corpus-size frame joined into the IDF term table",
