@@ -397,6 +397,12 @@ object SparkEntry {
         .filter(col("tok") =!= "")
       graft.operators.Sketches.heavyHitters(toks, k = 50)
     }),
+    "q_chunking" -> ((s: SparkSession, d: String) =>
+      // context-window chunking (RAG/long-doc prep): 64-token chunks,
+      // 16-token overlap — a zero-shuffle sequence+slice explode, fully
+      // SQL-expressible so the oracle replays chunk boundaries exactly
+      graft.operators.TextOps.chunkTokens(docs(s, d), chunkSize = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))),
     "q_quality_classifier" -> ((s: SparkSession, d: String) => {
       // model-based quality filtering (the GPT-3/LLaMA classifier stage):
       // plant two deterministic spam modes on doc_id % 11 (repeated sales
@@ -2146,6 +2152,17 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
         |ORDER BY doc_id""".stripMargin,
+    "q_chunking" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |st AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 48)) AS s
+        |       FROM tk)
+        |SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id,
+        |  CAST(len(toks[s + 1 : s + 64]) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text
+        |FROM st WHERE s = 0 OR s + 16 < len(toks)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     // invariant oracle (q_knn_ivf pattern): split sizes are exact SQL; the
     // quality booleans are SF-independent claims on the deterministic
     // trained classifier (measured accuracy/recall 1.0 at every SF,

@@ -548,6 +548,36 @@ object TextOps {
       .filter(col("n_docs") > 1)
   }
 
+  /** Fixed-size token chunking with overlap — the context-window prep
+    * stage (RAG indexing, long-doc training samples): chunk c covers
+    * tokens [c·(size−overlap), c·(size−overlap)+size). Pure map — one
+    * `sequence`+`transform` expression per row, explode, no shuffle at
+    * all; chunk counts are ⌈(n−overlap)/(size−overlap)⌉ per doc, so
+    * output volume is input volume × (1 + overlap fraction). Empty-token
+    * filtering matches [[tokenCount]]'s convention (docs with no tokens
+    * yield no chunks).
+    *
+    * @return (doc_id, chunk_id, n_chunk_tokens, chunk_text) — the last
+    *         chunk may be short; a chunk never starts past the last token.
+    */
+  def chunkTokens(docs: DataFrame, chunkSize: Int = 64, overlap: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, s"need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val toks = filter(tokens(col(textCol)), t => t =!= "")
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(when(size(col("toks")) > 0,
+            sequence(lit(0), size(col("toks")) - 1, lit(step)))
+          .otherwise(array())).as("start"))
+      .filter(col("start") === 0 || col("start") + overlap < size(col("toks")))
+      .select(col("doc_id"), (col("start") / step).cast("long").as("chunk_id"),
+        slice(col("toks"), col("start") + 1, lit(chunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
   /** Full per-document text-stats frame over a `documents`-shaped table. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
