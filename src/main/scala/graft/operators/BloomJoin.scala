@@ -34,7 +34,9 @@ object BloomJoin {
 
   /** Build a bloom filter over `keys.keyCol` as one distributed aggregate
     * (partial filters OR-merge map-side; driver state is the filter bytes,
-    * never the keys). */
+    * never the keys). Returns null when `keys` is empty — the aggregate
+    * has no rows to fold, and the join entry points treat null as the
+    * empty set rather than probing it. */
   def buildFilter(keys: DataFrame, keyCol: String,
       expectedKeys: Long, fpp: Double = 0.01): Array[Byte] = {
     val numBits = org.apache.spark.util.sketch.BloomFilter
@@ -56,6 +58,7 @@ object BloomJoin {
   def bloomSemiJoin(big: DataFrame, keys: DataFrame, keyCol: String,
       expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
     val bf = buildFilter(keys, keyCol, expectedKeys, fpp)
+    if (bf == null) return big.limit(0) // empty key set: nothing matches
     big.filter(mightContain(bf, col(keyCol)))
       .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
   }
@@ -67,6 +70,7 @@ object BloomJoin {
   def bloomAntiJoin(big: DataFrame, keys: DataFrame, keyCol: String,
       expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
     val bf = buildFilter(keys, keyCol, expectedKeys, fpp)
+    if (bf == null) return big // empty key set: everything is clean
     val probe = mightContain(bf, col(keyCol))
     val clean = big.filter(!probe)
     val survivors = big.filter(probe)

@@ -519,7 +519,11 @@ object Dedup {
     *  3. candidate pairs come from an id-only self-join keyed by bucket;
     *     within-bucket population is ~n/k per bucket, and multi-probe
     *     duplicates collapse with `distinct` before vectors are joined back
-    *     for the exact-cosine verify.
+    *     for the exact-cosine verify. Candidate volume is ~n²·probes²/k,
+    *     so `nCentroids` must SCALE with the corpus (k ≈ n/targetBucket —
+    *     SemDeDup's production runs use 10⁵ clusters for 10⁹ embeddings);
+    *     centroid state stays k×dim, fit by the sampled or fully
+    *     distributed Lloyd fitter either way.
     *
     * @return (id_a, id_b, cos_sim) with id_a < id_b, cos_sim ≥ threshold —
     *         as with the other near-dup ops, a transitive-closure-equivalent

@@ -30,6 +30,14 @@ class BloomJoinSpec extends graft.SparkTestBase {
     assert(want.nonEmpty)
   }
 
+  test("empty key set: anti keeps everything, semi keeps nothing") {
+    import spark.implicits._
+    val big = (0L until 100L).toDF("k")
+    val none = big.filter(col("k") < 0)
+    assert(BloomJoin.bloomAntiJoin(big, none, "k", expectedKeys = 10L).count() === 100L)
+    assert(BloomJoin.bloomSemiJoin(big, none, "k", expectedKeys = 10L).count() === 0L)
+  }
+
   test("probe has no false negatives even at high fpp") {
     import spark.implicits._
     // tiny filter (64 expected, 20% fpp) over 5000 keys: lots of false
