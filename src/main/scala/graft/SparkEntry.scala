@@ -397,6 +397,42 @@ object SparkEntry {
         .filter(col("tok") =!= "")
       graft.operators.Sketches.heavyHitters(toks, k = 50)
     }),
+    "q_image_neardup" -> ((s: SparkSession, d: String) => {
+      // perceptual image dedup through the REAL pixel path: deterministic
+      // group-patterned 32×32 PNGs (4 ids per group share an 8×8 cell
+      // pattern; per-pixel ±1 noise differs per id) are encoded and decoded
+      // through PngCodec on the executors, aHash64'd, and fed to the same
+      // pigeonhole banding + chain engine as SimHash text dedup
+      // (Dedup.signatureNearDup). Noise never crosses a cell-mean margin
+      // (worst-case bound 1536 brightness units), so the hash is a pure
+      // function of the group pattern and the DuckDB oracle reproduces the
+      // chain + leader-pair output from the pattern formula alone — the
+      // row hash-matches only if encode → decode → cell-average → band →
+      // verify is exact end to end. Cells 0/1 pin the mean strictly
+      // between the two base levels; cells 62/63 stay dark (DuckDB's
+      // 1<<63 overflows). Bounded slice like the other media kernels.
+      import s.implicits._
+      val sigs = docs(s, d).select(col("doc_id")).filter(col("doc_id") < 300)
+        .as[Long].map { id =>
+          val g = id / 4
+          val px = Array.tabulate(32 * 32 * 3) { p =>
+            val pix = p / 3
+            val k = (pix / 32 / 4) * 8 + (pix % 32 / 4)
+            val bit = if (k == 1) 1L
+              else if (k == 0 || k >= 62) 0L
+              else ((g * 2654435761L + k * 40503L) >> 7) & 1L
+            val base = if (bit == 1L) 200 else 40
+            (base + ((id * 7 + p) % 3 - 1)).toInt.toByte
+          }
+          val png = graft.operators.PngCodec.encode(32, 32, px,
+            row => ((id + row) % 5).toInt)
+          val (w, h, dec) = graft.operators.PngCodec.decode(png)
+            .getOrElse(sys.error(s"PNG decode failed for $id"))
+          (id, graft.operators.Multimodal.aHash64(w, h, dec))
+        }.toDF("id", "sig")
+      Dedup.signatureNearDup(sigs, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_chunking" -> ((s: SparkSession, d: String) =>
       // context-window chunking (RAG/long-doc prep): 64-token chunks,
       // 16-token overlap — a zero-shuffle sequence+slice explode, fully
@@ -2152,6 +2188,28 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
         |ORDER BY doc_id""".stripMargin,
+    // the aHash is a pure function of the group pattern (noise margins
+    // proven in the queries entry), so the oracle rebuilds each image's
+    // signature from the bit formula and replays signatureNearDup's
+    // chain + leader-pair semantics in SQL.
+    "q_image_neardup" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id // 4 AS g FROM documents WHERE doc_id < 300),
+        |ks AS (SELECT unnest(generate_series(0, 63)) AS k),
+        |bits AS (SELECT id, k,
+        |    CASE WHEN k = 1 THEN 1 WHEN k = 0 OR k >= 62 THEN 0
+        |         ELSE CAST(((g * 2654435761 + k * 40503) >> 7) & 1 AS BIGINT) END AS bit
+        |  FROM ids, ks),
+        |sigs AS (SELECT id, CAST(sum(1::BIGINT << k) AS BIGINT) AS sig
+        |         FROM bits WHERE bit = 1 GROUP BY id),
+        |ranked AS (SELECT id, sig, lag(id) OVER (PARTITION BY sig ORDER BY id) AS prev FROM sigs),
+        |chain AS (SELECT prev AS id_a, id AS id_b, 0 AS hamming FROM ranked WHERE prev IS NOT NULL),
+        |leaders AS (SELECT id, sig FROM ranked WHERE prev IS NULL),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.sig, b.sig)) AS hamming
+        |          FROM leaders a JOIN leaders b ON a.id < b.id
+        |          WHERE bit_count(xor(a.sig, b.sig)) <= 3)
+        |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM
+        |  (SELECT * FROM chain UNION ALL SELECT * FROM pairs)
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_chunking" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks

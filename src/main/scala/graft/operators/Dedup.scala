@@ -189,14 +189,23 @@ object Dedup {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      maxHamming: Int = 3): DataFrame = {
-    val chunks = maxHamming + 1
-    val bitsPer = 64 / chunks
+      maxHamming: Int = 3): DataFrame =
     // no exchange barrier needed: the codegen simhash participates in
     // whole-stage subexpression elimination, so the chunk expressions
     // share one evaluation (round 1's interpreted fold was re-inlined
     // per chunk by CollapseProject and needed a barrier shuffle)
-    val withSig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    signatureNearDup(
+      docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")), maxHamming)
+
+  /** Hamming near-dup over ANY precomputed 64-bit signature frame
+    * `(id, sig)` — the pigeonhole banding + identical-signature chain
+    * engine behind [[simhashNearDup]], exposed so other signature
+    * producers (perceptual image hashes, rolled feature hashes) reuse the
+    * same scale contract. Semantics and return shape are exactly
+    * [[simhashNearDup]]'s. */
+  def signatureNearDup(withSig: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
     val wk = Window.partitionBy(col("sig")).orderBy(col("id"))
     // persisted: chain + banding both consume it — without the cache the
     // corpus scan, the simhash kernel, and the window shuffle run twice

@@ -34,6 +34,41 @@ final case class MediaFeatures(
   */
 object Multimodal {
 
+  /** 64-bit average-hash (aHash) of decoded RGB pixels: brightness summed
+    * per cell of an 8×8 grid; bit k set iff cell k is brighter than the
+    * image mean. The compare is exact integer cross-multiplication
+    * (cellSum·totalCount > totalSum·cellCount — no float thresholds), so
+    * the hash is bit-deterministic for a given pixel array. Perceptual:
+    * pixel-level noise that shifts no cell across the mean leaves the hash
+    * unchanged, so re-encoded/lightly-corrupted copies collide — feed the
+    * (id, hash) frame to [[Dedup.signatureNearDup]] for image dedup with
+    * the same pigeonhole banding + chain contract as SimHash text dedup. */
+  def aHash64(width: Int, height: Int, rgb: Array[Byte]): Long = {
+    require(rgb.length == width * height * 3, "expect packed RGB")
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var p = 0
+    val n = width * height
+    var total = 0L
+    while (p < n) {
+      val r = p / width
+      val c = p % width
+      val k = (r * 8 / height) * 8 + (c * 8 / width)
+      val bright = (rgb(3 * p) & 0xff) + (rgb(3 * p + 1) & 0xff) + (rgb(3 * p + 2) & 0xff)
+      cellSum(k) += bright
+      cellCnt(k) += 1
+      total += bright
+      p += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (cellCnt(k) > 0 && cellSum(k) * n > total * cellCnt(k)) sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
+
   /** Magic-byte dimension parsing for the public image container formats.
     * Returns (format, width, height, headerLen) where headerLen is the
     * number of prefix bytes the parser consumed — the byte-stat features
