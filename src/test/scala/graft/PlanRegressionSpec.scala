@@ -79,6 +79,33 @@ class PlanRegressionSpec extends SparkTestBase {
       s"expected the codegen sorted-merge verify kernel in the plan:\n$p")
   }
 
+  test("q_span_dedup: two map-side-combining agg levels, no countDistinct Expand") {
+    val p = formatted("q_span_dedup")
+    // the explicit (span, doc) → span two-level shape: partial counts below
+    // each exchange, and NO Expand operator (countDistinct's planning,
+    // which would re-shuffle raw occurrence rows)
+    assert(p.contains("partial_count"), s"expected map-side partial counts:\n$p")
+    assert(!p.contains("Expand"), s"countDistinct Expand crept back in:\n$p")
+    val rs = readSchemaLines(p)
+    assert(rs.nonEmpty && rs.forall(l => l.contains("doc_id") && l.contains("text") &&
+      !l.contains("source")),
+      s"documents scan must read only (doc_id, text):\n${rs.mkString("\n")}")
+  }
+
+  test("q_decontaminate_bloom: codegen bloom probe on the scan side, anti-join only for candidates") {
+    val p = formatted("q_decontaminate_bloom")
+    assert(p.contains("might_contain"),
+      s"expected the BloomFilterMightContain probe in the plan:\n$p")
+    // the provably-clean branch (NOT might_contain) must not feed any join:
+    // exactly one anti-join in the plan TREE, for the candidate sliver
+    // (simple mode prints each operator once; formatted repeats it in the
+    // per-operator detail section)
+    val tree = SparkEntry.queries("q_decontaminate_bloom")(spark, sf())
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    val antiJoins = tree.linesIterator.count(l => l.contains("LeftAnti"))
+    assert(antiJoins == 1, s"expected exactly one anti-join (candidates only):\n$tree")
+  }
+
   test("q_dedup_clusters: star contraction converges in O(log n) rounds on the production slice") {
     import org.apache.spark.sql.functions._
     // same edge set as the query (ngram-jaccard >= 0.5 over the bounded
