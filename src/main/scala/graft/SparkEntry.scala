@@ -358,7 +358,11 @@ object SparkEntry {
         transform(col("vec"), (x, i) =>
           x * (lit(1.0) + lit(0.01) * ((col("vec_id") + i) % 7 - 3))).as("vec"))
       val planted = e.unionAll(jittered)
-      val found = Dedup.semanticNearDup(planted, threshold = 0.99)
+      // k sized to the corpus per the operator's k ∝ n/targetBucket rule
+      // (candidates ~ n²·probes²/k): 32 centroids keep gate-SF buckets
+      // ~60-wide; recall stays 1.0 at every SF (ProfK measurement,
+      // enforced by SemanticDedupSpec at the same k)
+      val found = Dedup.semanticNearDup(planted, nCentroids = 32, threshold = 0.99)
         .select(col("id_a"), col("id_b"))
       // truth baseline via the broadcast-matrix kernel (Similarity
       // .cosinePairsAbove): O(n·d) tagged harness state, primitive-loop

@@ -33,6 +33,7 @@ object Sketches {
 
   final class MisraGries(k: Int)
       extends Aggregator[String, MgState, Map[String, Long]] {
+    require(k > 0, s"need at least one counter, got k=$k")
 
     override def zero: MgState = MgState(Map.empty, 0L)
 

@@ -20,7 +20,8 @@ class SemanticDedupSpec extends graft.SparkTestBase {
     for (d <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val pl = planted(sf(d))
       val n = graft.queries.Relational.embeddings(spark, sf(d)).count()
-      val found = Dedup.semanticNearDup(pl, threshold = 0.99)
+      // same nCentroids as q_semantic_dedup — this spec backs its oracle claim
+      val found = Dedup.semanticNearDup(pl, nCentroids = 32, threshold = 0.99)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       // true pair set = exactly the planted (i, i+100000) pairs: jitter cos
       // ≈ 0.9995, natural pairs ≤ 0.52 (measured over all SF corpora)
