@@ -401,6 +401,26 @@ object SparkEntry {
         .filter(col("tok") =!= "")
       graft.operators.Sketches.heavyHitters(toks, k = 50)
     }),
+    "q_html_extract" -> ((s: SparkSession, d: String) => {
+      // web-corpus extraction stage: wrap every 4th document in a
+      // deterministic HTML shell (head with style+script, headline,
+      // paragraph, comment, entities) and strip it back to text with the
+      // codegen regexp chain. The oracle rebuilds the identical shell and
+      // replays the identical patterns (no backreferences — portable
+      // across Java regex and RE2), so length + digest hash-match exactly.
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("<html><head><style>p{color:red}</style>"),
+            lit("<script>var x=1;</script></head><body><h1>Doc "),
+            col("doc_id"), lit("</h1><p>"), col("text"),
+            lit(" &amp; more &lt;tags&gt;</p><!-- hidden --></body></html>")))
+          .otherwise(col("text")).as("html"))
+      planted.select(col("doc_id"),
+          graft.operators.TextOps.extractHtml(col("html")).as("extracted"))
+        .select(col("doc_id"), length(col("extracted")).cast("long").as("n_chars"),
+          md5(col("extracted")).as("extracted_md5"))
+        .orderBy(col("doc_id"))
+    }),
     "q_image_neardup" -> ((s: SparkSession, d: String) => {
       // perceptual image dedup through the REAL pixel path: deterministic
       // group-patterned 32×32 PNGs (4 ids per group share an 8×8 cell
@@ -2192,6 +2212,26 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
         |ORDER BY doc_id""".stripMargin,
+    "q_html_extract" ->
+      """WITH planted AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN
+        |    '<html><head><style>p{color:red}</style><script>var x=1;</script></head><body><h1>Doc '
+        |    || doc_id || '</h1><p>' || text || ' &amp; more &lt;tags&gt;</p><!-- hidden --></body></html>'
+        |  ELSE text END AS html FROM documents),
+        |x AS (SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |    '(?s)<[^>]+>', ' ', 'g'),
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS extracted FROM planted)
+        |SELECT doc_id, CAST(len(extracted) AS BIGINT) AS n_chars,
+        |  md5(extracted) AS extracted_md5
+        |FROM x ORDER BY doc_id""".stripMargin,
     // the aHash is a pure function of the group pattern (noise margins
     // proven in the queries entry), so the oracle rebuilds each image's
     // signature from the bit formula and replays signatureNearDup's

@@ -548,6 +548,27 @@ object TextOps {
       .filter(col("n_docs") > 1)
   }
 
+  /** HTML → text extraction — the first stage of a web-corpus pipeline
+    * (raw crawl HTML must become text before any quality/dedup stage sees
+    * it). Regex-level: drop script/style blocks and comments, strip tags,
+    * decode the five predefined entities, collapse whitespace. This is the
+    * tag-stripping extractor (CCNet-class), NOT a DOM parser — pathological
+    * markup (unclosed script tags, CDATA, conditional comments) degrades to
+    * over- or under-stripping rather than erroring; a boilerplate pass
+    * ([[boilerplateRemove]]) downstream is the recommended companion.
+    * Pure codegen `regexp_replace` chain, zero shuffle; the patterns avoid
+    * backreferences so RE2-based oracles replay them byte-for-byte. */
+  def extractHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&") // &amp; LAST: "&amp;lt;" means "&lt;" literally
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Fixed-size token chunking with overlap — the context-window prep
     * stage (RAG indexing, long-doc training samples): chunk c covers
     * tokens [c·(size−overlap), c·(size−overlap)+size). Pure map — one
