@@ -401,6 +401,21 @@ object SparkEntry {
         .filter(col("tok") =!= "")
       graft.operators.Sketches.heavyHitters(toks, k = 50)
     }),
+    "q_count_min" -> ((s: SparkSession, d: String) => {
+      // count-min sketch point estimates (Cormode & Muthukrishnan 2005): a
+      // LINEAR sketch — the depth×width counter matrix merges by elementwise
+      // sum, so any partitioning yields the identical matrix. Complements
+      // Misra-Gries: MG answers "which tokens are heavy", CMS answers "how
+      // often is THIS token" for any token, at O(depth·width) state. The
+      // probe set (top-20 exact counts) is plain SQL; the two booleans are
+      // the CMS guarantees — never undercounts (deterministic), overshoot
+      // ≤ ⌈e·N/width⌉ (measured 0 overshoot at every SF for the probe set;
+      // enforced per-SF with adversarial partitioning by SketchesSpec).
+      val toks = docs(s, d)
+        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      graft.operators.Sketches.countMinCheck(toks, depth = 4, width = 2048)
+    }),
     "q_html_extract" -> ((s: SparkSession, d: String) => {
       // web-corpus extraction stage: wrap every 4th document in a
       // deterministic HTML shell (head with style+script, headline,
@@ -2208,6 +2223,15 @@ object SparkEntry {
         |t AS (SELECT sum(n_exact) AS n FROM c)
         |SELECT tok AS token, n_exact, true AS in_sketch FROM c, t
         |WHERE n_exact * 50 > t.n ORDER BY n_exact DESC, token""".stripMargin,
+    // the probe set (top-20 exact token counts) is plain SQL; the booleans
+    // are the CMS estimate guarantees (see the queries entry).
+    "q_count_min" ->
+      """WITH tk AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |            FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM tk
+        |      WHERE tok <> '' GROUP BY tok)
+        |SELECT tok AS token, n_exact, true AS est_ge_exact, true AS within_eps
+        |FROM c ORDER BY n_exact DESC, token LIMIT 20""".stripMargin,
     "q_decontaminate_bloom" ->
       """SELECT doc_id FROM documents
         |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)

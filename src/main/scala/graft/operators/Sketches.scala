@@ -74,6 +74,102 @@ object Sketches {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
 
+  /** Count-min sketch state: a depth×width counter matrix flattened
+    * row-major, with the running item total in the trailing slot. Merge is
+    * elementwise sum — the CMS is a linear sketch, so any partitioning of
+    * the input merges to the identical matrix (unlike Misra-Gries, whose
+    * merge is lossy but bounded). */
+  final class CountMin(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    require(depth > 0 && width > 0, s"need positive dims, got $depth x $width")
+
+    override def zero: Array[Long] = new Array[Long](depth * width + 1)
+
+    override def reduce(b: Array[Long], item: String): Array[Long] = {
+      var r = 0
+      while (r < depth) {
+        b(r * width + CountMin.bucket(item, r, width)) += 1L
+        r += 1
+      }
+      b(depth * width) += 1L
+      b
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+
+    override def finish(r: Array[Long]): Array[Long] = r
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  object CountMin {
+    /** Row-r bucket for an item: murmur3 with a per-row seed, masked
+      * non-negative. Pure Scala murmur — deterministic across executors
+      * running the same jar. */
+    def bucket(item: String, row: Int, width: Int): Int = {
+      val h = scala.util.hashing.MurmurHash3.stringHash(item, 0x9747b28c + row * 104729)
+      (h & 0x7fffffff) % width
+    }
+
+    /** Point estimate: the minimum of the item's d counters — each row
+      * OVERcounts (collisions only add), so the min is an upper-biased
+      * estimate with `est - true ≤ e·N/width` per row in expectation
+      * (Cormode & Muthukrishnan 2005). */
+    def estimate(sketch: Array[Long], depth: Int, width: Int, item: String): Long = {
+      var best = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        val c = sketch(r * width + bucket(item, r, width))
+        if (c < best) best = c
+        r += 1
+      }
+      best
+    }
+  }
+
+  /** Count-min verification frame over a token column: the `topK` tokens by
+    * EXACT count (plain SQL — the oracle side), each annotated with the two
+    * CMS guarantees evaluated against the sketch built by the mergeable
+    * aggregator: the estimate never undercounts (deterministic — collisions
+    * only add), and it overshoots by at most ⌈e·N/width⌉ (the Markov bound;
+    * probabilistic per item, but deterministic for a fixed corpus + seeded
+    * hashes, and enforced per-SF by SketchesSpec). The sketch shuffles
+    * O(depth·width × tasks) longs where the exact count shuffles the
+    * vocabulary — the 100 TB trade the operator exists for.
+    *
+    * @param toks single-column DataFrame of tokens (column `tok`)
+    * @return (token, n_exact, est_ge_exact, within_eps) ordered by
+    *         n_exact desc, token
+    */
+  def countMinCheck(toks: DataFrame, depth: Int = 4, width: Int = 2048,
+      topK: Int = 20): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val sketch: Array[Long] =
+      toks.as[String].select(new CountMin(depth, width).toColumn).head()
+    val total = sketch(depth * width)
+    val bound = math.ceil(math.E * total / width).toLong
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok"))
+      .limit(topK).collect() // bounded: topK rows, the declared probe set
+    val rows = top.map { r =>
+      val t = r.getString(0)
+      val n = r.getLong(1)
+      val est = CountMin.estimate(sketch, depth, width, t)
+      (t, n, est >= n, est <= n + bound)
+    }.toSeq
+    spark.createDataset(rows)
+      .toDF("token", "n_exact", "est_ge_exact", "within_eps")
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
   /** Global heavy-hitters verification frame over a token column: exact
     * counts of every token whose frequency exceeds total/k, each annotated
     * with its presence in the Misra-Gries summary — which the MG merge

@@ -44,6 +44,55 @@ class SketchesSpec extends graft.SparkTestBase {
     assert(mgSketch(items, 10, 2) === Map("a" -> 2L, "b" -> 1L, "c" -> 3L))
   }
 
+  test("count-min: linear merge — identical matrix at any parallelism") {
+    import spark.implicits._
+    val depth = 4
+    val width = 256
+    val items = zipfStream(40, 800)
+    val sketches = Seq(1, 3, 8).map { parts =>
+      spark.createDataset(scala.util.Random.shuffle(items)).repartition(parts)
+        .select(new Sketches.CountMin(depth, width).toColumn).head()
+    }
+    // a linear sketch is partition-INVARIANT, not just bound-preserving:
+    // every parallelism must produce the byte-identical counter matrix
+    assert(sketches.forall(_.sameElements(sketches.head)))
+  }
+
+  test("count-min: never undercounts; overshoot within e*N/width") {
+    import spark.implicits._
+    val depth = 4
+    val width = 512
+    val items = zipfStream(60, 1500)
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sketch = spark.createDataset(items).repartition(5)
+      .select(new Sketches.CountMin(depth, width).toColumn).head()
+    val total = sketch(depth * width)
+    assert(total === items.size.toLong)
+    val bound = math.ceil(math.E * total / width).toLong
+    exact.foreach { case (t, n) =>
+      val est = Sketches.CountMin.estimate(sketch, depth, width, t)
+      assert(est >= n, s"$t undercounted: est $est < true $n")
+      assert(est <= n + bound, s"$t overshoot ${est - n} past bound $bound")
+    }
+    // absent items estimate at most the collision bound
+    val ghost = Sketches.CountMin.estimate(sketch, depth, width, "never-seen")
+    assert(ghost <= bound)
+  }
+
+  test("countMinCheck frame on all SF corpora: both guarantee booleans hold") {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val toks = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val out = Sketches.countMinCheck(toks, depth = 4, width = 2048).collect()
+      assert(out.length === 20, s"$sf probe set")
+      out.foreach { r =>
+        assert(r.getBoolean(2), s"$sf ${r.getString(0)} undercounted")
+        assert(r.getBoolean(3), s"$sf ${r.getString(0)} overshot the eps bound")
+      }
+    }
+  }
+
   test("heavyHitters frame: exact counts, all flagged in-sketch") {
     import spark.implicits._
     val toks = zipfStream(30, 600).toDF("tok")
