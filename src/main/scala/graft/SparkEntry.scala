@@ -1012,6 +1012,16 @@ object SparkEntry {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_weighted_sample" -> ((s: SparkSession, d: String) =>
+      // A-ES weighted sampling (Efraimidis-Spirakis): top-100 docs by
+      // ln(u)/n_chars with u = md5-derived deterministic uniform — longer
+      // docs proportionally likelier. Because u is engine-portable md5
+      // arithmetic (not rand()), the SELECTED SET is on the hash gate: the
+      // oracle replays the identical key formula in DuckDB.
+      graft.operators.Sampling.weightedSample(
+          docs(s, d), idCol = "doc_id", weightCol = "n_chars", k = 100)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
     // ---- multimodal plumbing ----
     "q_multimodal_features" -> ((s: SparkSession, d: String) =>
       Multimodal.extractFeatures(Multimodal.synthesizeBlobs(docs(s, d)))
@@ -2421,6 +2431,17 @@ object SparkEntry {
         |FROM sm GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
     // the exact-size contract: ceil(f_k * n_k) per stratum, recomputed by
     // DuckDB from the base table — valid at every SF
+    // replays the A-ES key exactly: the md5-derived uniform is bit-identical
+    // in both engines; ln() ulp noise at the selection boundary is ruled out
+    // by SamplingSpec's boundary-gap assertion.
+    "q_weighted_sample" ->
+      """WITH keyed AS (SELECT doc_id, n_chars,
+        |    ln((('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 13))::UBIGINT::DOUBLE)
+        |       / 4503599627370496.0) / n_chars AS aes_key
+        |  FROM documents WHERE n_chars > 0),
+        |sel AS (SELECT doc_id, n_chars FROM keyed
+        |        ORDER BY aes_key DESC, doc_id LIMIT 100)
+        |SELECT doc_id, n_chars FROM sel ORDER BY doc_id""".stripMargin,
     "q_sample_exact" ->
       """SELECT l_returnflag,
         |  CAST(ceil(count(*) * CASE l_returnflag WHEN 'A' THEN 0.1
