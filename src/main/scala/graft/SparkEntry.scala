@@ -667,6 +667,29 @@ object SparkEntry {
       recall.agg(count(lit(1)).as("n_queries"),
         (avg(col("recall")) >= 0.7).as("recall_ge_070"))
     }),
+    "q_knn_pq" -> ((s: SparkSession, d: String) => {
+      // product quantization (Jégou et al., TPAMI 2011), the third ANN
+      // tier: vectors compress 16× to m=16 codes, the full-corpus pass
+      // reads codes only (ADC against broadcast per-query LUTs — a
+      // codegen HOF chain), and exact cosine reranks just the 100-row
+      // shortlist. Same oracle shape as q_knn_ivf: approximate results
+      // aren't SQL, their QUALITY is — mean recall@10 vs in-engine brute
+      // force on the fixed query set. Calibration at shortlist=100:
+      // 0.965 / 0.965 / 0.850 at sf0.001/0.01/0.1 (KnnRecallSpec, which
+      // enforces the 0.75 floor per-SF continuously).
+      val e = Relational.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("vec").as("qv"))
+      val c = e.select(col("vec_id").as("cid"), col("vec").as("cv"))
+      val pq = Similarity.pqTopK(q, c, shortlist = 100).select(col("qid"), col("cid"))
+      val bf = Similarity.bruteForceTopK(q, c, 10).select(col("qid"), col("cid"))
+      val hits = bf.join(pq, Seq("qid", "cid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      val recall = bf.groupBy(col("qid")).agg(count(lit(1)).as("n"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), (coalesce(col("hits"), lit(0L)) / col("n")).as("recall"))
+      recall.agg(count(lit(1)).as("n_queries"),
+        (avg(col("recall")) >= 0.75).as("recall_ge_075"))
+    }),
     "q_asof_join" -> ((s: SparkSession, d: String) => {
       // temporal lookup: each error event matched to the SAME user's most
       // recent click at-or-before it — union+window as-of join (one
@@ -1953,6 +1976,11 @@ object SparkEntry {
     // SF-independent and immune to float jitter in the seeded centroid fit.
     "q_knn_ivf" ->
       "SELECT CAST(20 AS BIGINT) AS n_queries, true AS recall_ge_070",
+    // same invariant shape for the PQ tier: the deterministic trained
+    // quantizer + fixed query set give a single SF-independent boolean
+    // (per-SF floor enforced by KnnRecallSpec at 0.10+ margin).
+    "q_knn_pq" ->
+      "SELECT CAST(20 AS BIGINT) AS n_queries, true AS recall_ge_075",
     "q_langid" ->
       s"""WITH tk AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents),
          |c AS (SELECT doc_id, lang, $sqlLangCounts FROM tk),

@@ -296,6 +296,203 @@ object Similarity {
     }.toDF("id_a", "id_b", "cos_sim")
   }
 
+  /** Trained product-quantization codebooks (Jégou, Douze & Schmid, TPAMI
+    * 2011): the unit-normalized vector space is split into `m` contiguous
+    * subspaces of `dsub` dims, each quantized independently by a `ks`-word
+    * codebook. A vector compresses to m small codes — 256 B of floats →
+    * 16 B at (m=16, ks=16) — and distances against a query are read from a
+    * per-query lookup table instead of touching floats. State is
+    * m × ks × dsub doubles: driver/broadcast-bounded like the IVF
+    * centroids. */
+  final case class PqModel(m: Int, ks: Int, dsub: Int,
+      codebooks: Array[Array[Array[Double]]]) {
+    require(codebooks.length == m && codebooks.forall(_.length <= ks))
+  }
+
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    var n = 0.0
+    var j = 0
+    while (j < v.length) { n += v(j) * v(j); j += 1 }
+    val inv = if (n > 0) 1.0 / math.sqrt(n) else 0.0
+    val out = new Array[Double](v.length)
+    j = 0
+    while (j < v.length) { out(j) = v(j) * inv; j += 1 }
+    out
+  }
+
+  /** Per-subspace Lloyd on a deterministic hash-ordered driver sample (the
+    * [[kmeansCentroids]] bound: O(sampleSize × dim) driver state — the
+    * sample, not the corpus). Vectors are L2-normalized first so the
+    * additive L2² ADC ranks by cosine, the metric every searcher here
+    * uses (for unit u, q: |u−q|² = 2 − 2·cos). */
+  def trainPq(corpus: DataFrame /* (cid, cv) */ , m: Int = 16, ks: Int = 16,
+      sampleSize: Int = 2000, iters: Int = 8, seed: Long = 42L): PqModel = {
+    import corpus.sparkSession.implicits._
+    val sample = corpus
+      .orderBy(xxhash64(col("cid"), lit(seed))).limit(sampleSize)
+      .select(col("cv")).as[Array[Double]].collect()
+      .map(l2normalize)
+    require(sample.nonEmpty, "PQ training needs a non-empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      val k = math.min(ks, sub.length)
+      // seed words spread by hash order (the sample already is)
+      val cents = Array.tabulate(k)(i => sub(i * sub.length / k).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k, dsub)(0.0)
+        val counts = new Array[Long](k)
+        var i = 0
+        while (i < sub.length) {
+          val v = sub(i)
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var dd = 0.0
+            var j = 0
+            while (j < dsub) { val t = v(j) - cents(c)(j); dd += t * t; j += 1 }
+            if (dd < bestD) { bestD = dd; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < dsub) { sums(best)(j) += v(j); j += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        var c = 0
+        while (c < k) {
+          if (counts(c) > 0) {
+            var j = 0
+            while (j < dsub) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+          }
+          c += 1
+        }
+        it += 1
+      }
+      cents
+    }
+    PqModel(m, ks, dsub, codebooks)
+  }
+
+  /** Encode the corpus to PQ codes: one broadcast-kernel pass (normalize,
+    * per-subspace argmin word) emitting (cid, codes array<int>). At scale
+    * this frame IS the index — 16 ints per row regardless of dim — and is
+    * what persists to parquet. */
+  def pqEncode(corpus: DataFrame /* (cid, cv) */ , model: PqModel): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    corpus.select(col("cid"), col("cv")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val mdl = bc.value
+        it.map { case (cid, raw) =>
+          val v = l2normalize(raw)
+          val codes = new Array[Int](mdl.m)
+          var s = 0
+          while (s < mdl.m) {
+            val cb = mdl.codebooks(s)
+            val off = s * mdl.dsub
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < cb.length) {
+              var dd = 0.0
+              var j = 0
+              while (j < mdl.dsub) { val t = v(off + j) - cb(c)(j); dd += t * t; j += 1 }
+              if (dd < bestD) { bestD = dd; best = c }
+              c += 1
+            }
+            codes(s) = best
+            s += 1
+          }
+          (cid, codes)
+        }
+      }.toDF("cid", "codes")
+  }
+
+  /** PQ search with exact rerank: ADC (asymmetric distance computation)
+    * scores every code row against each query's m×ks lookup table — a pure
+    * codegen HOF chain over the broadcast LUTs, no floats from the corpus
+    * touched — takes the `shortlist` best per query, then reranks ONLY the
+    * shortlist with exact cosine against the raw vectors. The 100 TB
+    * shape: the full-corpus pass reads 16 ints/row; the float vectors are
+    * fetched for shortlist × queries rows via a join that AQE plans as
+    * broadcast. Recall = P(true top-k ⊆ ADC shortlist), calibrated on the
+    * gate corpora by KnnRecallSpec. */
+  def pqSearch(
+      queries: DataFrame,   // (qid, qv)
+      encoded: DataFrame,   // (cid, codes) from pqEncode
+      corpus: DataFrame,    // (cid, cv) for the rerank
+      model: PqModel,
+      shortlist: Int = 100,
+      k: Int = 10): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    // per-query LUT: flattened m×ks of |q_sub − word|² (small side: one
+    // array of m·ks doubles per query)
+    val luts = queries.select(col("qid"), col("qv")).as[(Long, Array[Double])]
+      .map { case (qid, raw) =>
+        val mdl = bc.value
+        val q = l2normalize(raw)
+        val lut = new Array[Double](mdl.m * mdl.ks)
+        var s = 0
+        while (s < mdl.m) {
+          val cb = mdl.codebooks(s)
+          val off = s * mdl.dsub
+          var c = 0
+          while (c < cb.length) {
+            var dd = 0.0
+            var j = 0
+            while (j < mdl.dsub) { val t = q(off + j) - cb(c)(j); dd += t * t; j += 1 }
+            lut(s * mdl.ks + c) = dd
+            c += 1
+          }
+          s += 1
+        }
+        (qid, lut)
+      }.toDF("qid", "lut")
+    // ADC: adc = Σ_s lut[s·ks + codes[s]] — aggregate over the code array,
+    // element_at into the query's LUT; whole-stage-codegen'd, corpus side
+    // never deserializes a float vector
+    val ks = model.ks
+    val adc = encoded.crossJoin(broadcast(luts))
+      .select(col("qid"), col("cid"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
+            (c, s) => element_at(col("lut"), (s * ks + c + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x).as("adc"))
+      .filter(col("qid") =!= col("cid"))
+    val wShort = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
+    val short = adc.withColumn("rn", row_number().over(wShort))
+      .filter(col("rn") <= shortlist)
+      .select(col("qid"), col("cid"))
+    // exact rerank on the shortlist only
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))
+    short.join(corpus, Seq("cid"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        round(Distances.cosineSimilarity(col("qv"), col("cv")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn").as("rank"), col("cid"), col("cos_sim"))
+  }
+
+  /** PQ top-k convenience: train, encode, search in one call. */
+  def pqTopK(
+      queries: DataFrame,   // (qid, qv)
+      corpus: DataFrame,    // (cid, cv)
+      m: Int = 16, ks: Int = 16,
+      shortlist: Int = 100,
+      k: Int = 10): DataFrame = {
+    val model = trainPq(corpus, m, ks)
+    pqSearch(queries, pqEncode(corpus, model), corpus, model, shortlist, k)
+  }
+
   /** IVF top-k convenience: build (or reuse `precomputed` centroids) then
     * search in one call. */
   def ivfTopK(

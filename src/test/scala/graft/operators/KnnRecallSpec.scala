@@ -28,4 +28,45 @@ class KnnRecallSpec extends graft.SparkTestBase {
       assert(r >= 0.7, f"$d: recall $r%.4f below the oracle claim 0.7")
     }
   }
+
+  private def pqRecall(dir: String, shortlist: Int): Double = {
+    val e = graft.queries.Relational.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("vec").as("qv"))
+    val c = e.select(col("vec_id").as("cid"), col("vec").as("cv"))
+    val pq = Similarity.pqTopK(q, c, shortlist = shortlist).select(col("qid"), col("cid"))
+    val bf = Similarity.bruteForceTopK(q, c, 10).select(col("qid"), col("cid"))
+    val hits = bf.join(pq, Seq("qid", "cid")).count().toDouble
+    hits / bf.count()
+  }
+
+  test("PQ encode: codes are parallelism-invariant, in-range, 16x smaller") {
+    import spark.implicits._
+    val e = graft.queries.Relational.embeddings(spark, sf("sf0.01"))
+      .select(col("vec_id").as("cid"), col("vec").as("cv"))
+    val model = Similarity.trainPq(e, m = 16, ks = 16)
+    assert(model.dsub === 4)
+    val a = Similarity.pqEncode(e, model)
+      .as[(Long, Array[Int])].collect().sortBy(_._1)
+    val b = Similarity.pqEncode(e.repartition(11), model)
+      .as[(Long, Array[Int])].collect().sortBy(_._1)
+    assert(a.length === b.length)
+    a.zip(b).foreach { case ((ida, ca), (idb, cb)) =>
+      assert(ida === idb && ca.sameElements(cb))
+    }
+    a.foreach { case (_, codes) =>
+      assert(codes.length === 16)
+      assert(codes.forall(c => c >= 0 && c < 16)) // 16 codes of 4 bits: 8 B vs 256 B of floats
+    }
+  }
+
+  test("PQ+rerank mean recall@10 >= 0.75 at shortlist 100 on every SF corpus") {
+    // calibration (this suite, this session): shortlist=100 measures
+    // 0.965 / 0.965 / 0.850 at sf0.001/0.01/0.1 — the 0.75 floor keeps a
+    // 0.10 margin at the worst corpus, the q_knn_ivf convention
+    for (d <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val r = pqRecall(sf(d), shortlist = 100)
+      info(f"$d: mean recall@10 = $r%.4f")
+      assert(r >= 0.75, f"$d: recall $r%.4f below the oracle claim 0.75")
+    }
+  }
 }
