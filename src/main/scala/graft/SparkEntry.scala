@@ -1035,6 +1035,11 @@ object SparkEntry {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_collocations" -> ((s: SparkSession, d: String) =>
+      // PMI collocations: membership is the integer c2 >= 5 filter (no
+      // float boundary), PMI rounds to 6 dp — fully SQL-replayable.
+      graft.operators.TextOps.collocations(docs(s, d), minCount = 5L)
+        .orderBy(col("w1"), col("w2"))),
     "q_weighted_sample" -> ((s: SparkSession, d: String) =>
       // A-ES weighted sampling (Efraimidis-Spirakis): top-100 docs by
       // ln(u)/n_chars with u = md5-derived deterministic uniform — longer
@@ -2459,6 +2464,26 @@ object SparkEntry {
         |FROM sm GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
     // the exact-size contract: ceil(f_k * n_k) per stratum, recomputed by
     // DuckDB from the base table — valid at every SF
+    "q_collocations" ->
+      """WITH tk AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |ex AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |       FROM tk WHERE len(toks) >= 2),
+        |bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM ex
+        |       WHERE len(toks[i]) > 0 AND len(toks[i + 1]) > 0),
+        |u AS (SELECT t.tok, count(*) AS cu FROM
+        |        (SELECT unnest(toks) AS tok FROM tk) t
+        |      WHERE len(t.tok) > 0 GROUP BY t.tok),
+        |nu AS (SELECT sum(cu) AS nu FROM u),
+        |nb AS (SELECT count(*) AS nb FROM bg),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg
+        |       GROUP BY w1, w2 HAVING count(*) >= 5)
+        |SELECT c2.w1, c2.w2, c2.c2,
+        |  round(ln(CAST(c2.c2 AS DOUBLE) * nu.nu * nu.nu
+        |        / (nb.nb * u1.cu * u2.cu)), 6) AS pmi
+        |FROM c2 JOIN u u1 ON c2.w1 = u1.tok
+        |        JOIN u u2 ON c2.w2 = u2.tok, nu, nb
+        |ORDER BY w1, w2""".stripMargin,
     // replays the A-ES key exactly: the md5-derived uniform is bit-identical
     // in both engines; ln() ulp noise at the selection boundary is ruled out
     // by SamplingSpec's boundary-gap assertion.

@@ -358,6 +358,47 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("logprob"))
   }
 
+  /** PMI collocation extraction — the corpus-statistics operator behind
+    * phrase mining and tokenizer-vocabulary seeding: adjacent token pairs
+    * scored by pointwise mutual information,
+    * ln(p(w1,w2) / (p(w1)·p(w2))) with pair probability over the bigram
+    * total and word probabilities over the unigram total. High-PMI pairs
+    * ("new york") co-occur far above chance; frequent-but-independent
+    * pairs ("of the") score near zero.
+    *
+    * Oracle safety: output MEMBERSHIP is decided only by the integer
+    * `minCount` filter — never by a float threshold or top-k over PMI —
+    * so the row set is engine-exact; the PMI value itself rounds to 6 dp
+    * (the ln() convention every logprob oracle here already survives).
+    *
+    * Scale shape: bigram formation is the same pure zip-with-tail map as
+    * [[bigramLogProb]]; everything after the two map-side-combinable
+    * counts is vocab-shaped, never corpus-shaped. The unigram join
+    * carries no broadcast hint — vocabulary tables at web scale are
+    * shuffle-join material and AQE decides. */
+  def collocations(docs: DataFrame, textCol: String = "text",
+      minCount: Long = 5L): DataFrame = {
+    val t = tokens(col(textCol))
+    val bg = docs
+      .select(explode(arrays_zip(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))).as("p"))
+      .select(col("p.0").as("w1"), col("p.1").as("w2"))
+      .where(length(col("w1")) > 0 && length(col("w2")) > 0)
+    val toks = docs.select(explode(t).as("tok")).where(length(col("tok")) > 0)
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val uniTotal = uni.agg(sum(col("cu")).as("nu"))
+    val pair = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .where(col("c2") >= minCount)
+    val pairTotal = bg.agg(count(lit(1)).as("nb"))
+    pair
+      .join(uni.select(col("tok").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .crossJoin(broadcast(pairTotal)) // single row
+      .crossJoin(broadcast(uniTotal))  // single row
+      .select(col("w1"), col("w2"), col("c2"),
+        round(log(col("c2").cast("double") * col("nu") * col("nu") /
+          (col("nb") * col("cu1") * col("cu2"))), 6).as("pmi"))
+  }
+
   /** Temperature-scaled corpus-mix weights — the multilingual-LM sampling
     * rule (p_s ∝ n_s^tau; tau < 1 flattens the mix toward uniform,
     * upweighting low-resource sources). Emits per-source token counts, the

@@ -142,6 +142,25 @@ class TextKernelsSpec extends SparkTestBase {
     assert(got == Map(1L -> 7L, 2L -> 0L, 3L -> 3L, 4L -> 2L, 5L -> 2L), s"$got")
   }
 
+  test("collocations: PMI matches the hand formula; minCount gates membership") {
+    import spark.implicits._
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "new york is big")) ++
+      (11 to 15).map(i => (i.toLong, "the cat the dog"))).toDF("doc_id", "text")
+    val got = TextOps.collocations(docs, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // Nu=60 tokens, Nb=45 bigrams; (new,york): c2=10, cu=10/10 →
+    // ln(10·60²/(45·10·10)) = ln 8
+    assert(got.keySet === Set(("new", "york"), ("york", "is"), ("is", "big"),
+      ("the", "cat"), ("cat", "the"), ("the", "dog")))
+    assert(got(("new", "york")) === ((10L,
+      BigDecimal(math.log(8.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // raising minCount drops the 5-count pairs
+    val strict = TextOps.collocations(docs, minCount = 6L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(strict === Set(("new", "york"), ("york", "is"), ("is", "big")))
+  }
+
   test("fingerprint equality tracks normalized-text equality on duplicates") {
     import spark.implicits._
     val docs = Seq(
