@@ -1035,6 +1035,16 @@ object SparkEntry {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_bpe_train" -> ((s: SparkSession, d: String) =>
+      // BPE vocabulary induction: 20 merges learned from the corpus. The
+      // corpus is scanned once (word counts); training iterates on the
+      // vocab-shaped frame with one pair-count aggregation + one-row
+      // argmax collect per merge. Deterministic (lexicographic
+      // tie-break), so the merge list pins as a VALUES oracle at sf0.01
+      // like the LSH family; BpeTrainSpec proves the textbook sequence
+      // and parallelism invariance.
+      graft.operators.BpeTrain.train(docs(s, d), nMerges = 20)
+        .orderBy(col("merge_rank"))),
     "q_collocations" -> ((s: SparkSession, d: String) =>
       // PMI collocations: membership is the integer c2 >= 5 filter (no
       // float boundary), PMI rounds to 6 dp — fully SQL-replayable.
@@ -2464,6 +2474,35 @@ object SparkEntry {
         |FROM sm GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
     // the exact-size contract: ceil(f_k * n_k) per stratum, recomputed by
     // DuckDB from the base table — valid at every SF
+    // deterministic merge list (lexicographic tie-break) pinned from the
+    // engine at sf0.01, the driver's gate SF — the LSH-pin convention;
+    // BpeTrainSpec proves the algorithm on the textbook example and
+    // parallelism invariance on a real corpus slice.
+    "q_bpe_train" ->
+      """SELECT CAST(merge_rank AS INTEGER) AS merge_rank, "left", "right",
+        |  new_token, CAST(freq AS BIGINT) AS freq FROM (VALUES
+        |(1, 'e', 'r', 'er', 4568),
+        |(2, 'i', 'n', 'in', 2760),
+        |(3, 'o', 'w', 'ow', 2747),
+        |(4, 'o', 'r', 'or', 2696),
+        |(5, 's', 't', 'st', 2676),
+        |(6, 'm', 'er', 'mer', 1852),
+        |(7, 'a', 't', 'at', 1845),
+        |(8, 'l', 'u', 'lu', 1831),
+        |(9, 'a', 'r', 'ar', 1758),
+        |(10, 'p', 'ar', 'par', 1758),
+        |(11, 'j', 'o', 'jo', 964),
+        |(12, 'jo', 'in', 'join', 964),
+        |(13, 'a', 's', 'as', 947),
+        |(14, 'as', 'h', 'ash', 947),
+        |(15, 'h', 'ash', 'hash', 947),
+        |(16, 'r', 'ow', 'row', 943),
+        |(17, 'at', 'c', 'atc', 937),
+        |(18, 'atc', 'h', 'atch', 937),
+        |(19, 'b', 'atch', 'batch', 937),
+        |(20, 'a', 'n', 'an', 936)
+        |) AS t(merge_rank, "left", "right", new_token, freq)
+        |ORDER BY merge_rank""".stripMargin,
     "q_collocations" ->
       """WITH tk AS (SELECT doc_id,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
