@@ -1035,6 +1035,12 @@ object SparkEntry {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_kneser_ney" -> ((s: SparkSession, d: String) =>
+      // interpolated Kneser-Ney per-doc fluency score — the smoothed step
+      // past q_bigram_logprob's MLE conditionals; every term is a ratio
+      // of integer counts, so DuckDB replays it to the same 6 dp.
+      graft.operators.TextOps.kneserNeyLogProb(docs(s, d))
+        .orderBy(col("doc_id"))),
     "q_bpe_train" -> ((s: SparkSession, d: String) =>
       // BPE vocabulary induction: 20 merges learned from the corpus. The
       // corpus is scanned once (word counts); training iterates on the
@@ -2474,6 +2480,26 @@ object SparkEntry {
         |FROM sm GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
     // the exact-size contract: ceil(f_k * n_k) per stratum, recomputed by
     // DuckDB from the base table — valid at every SF
+    "q_kneser_ney" ->
+      """WITH tk AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |ex AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |       FROM tk WHERE len(toks) >= 2),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM ex
+        |       WHERE len(toks[i]) > 0 AND len(toks[i + 1]) > 0),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |lft AS (SELECT w1, sum(c2) AS c1, count(*) AS types1 FROM c2 GROUP BY w1),
+        |cont AS (SELECT w2, count(*) AS contw2 FROM c2 GROUP BY w2),
+        |nt AS (SELECT count(*) AS ntypes FROM c2),
+        |model AS (SELECT c2.w1, c2.w2,
+        |    ln(greatest(c2.c2 - 0.75, 0.0) / lft.c1
+        |       + 0.75 * lft.types1 / lft.c1
+        |         * (CAST(cont.contw2 AS DOUBLE) / nt.ntypes)) AS lp
+        |  FROM c2 JOIN lft USING (w1) JOIN cont USING (w2), nt)
+        |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(m.lp), 6) AS kn_logprob
+        |FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
     // deterministic merge list (lexicographic tie-break) pinned from the
     // engine at sf0.01, the driver's gate SF — the LSH-pin convention;
     // BpeTrainSpec proves the algorithm on the textbook example and

@@ -358,6 +358,49 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("logprob"))
   }
 
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999) — the smoothing the MLE conditional in
+    * [[bigramLogProb]] lacks: absolute discount D on the bigram count,
+    * with the discounted mass backed off to the CONTINUATION probability
+    * (how many distinct left contexts a word follows, not how often it
+    * occurs — the "san francisco" correction: "francisco" is frequent but
+    * follows only "san", so its continuation mass is tiny).
+    *
+    *   P(w2|w1) = max(c(w1,w2)−D, 0)/c(w1) + D·T(w1)/c(w1) · Pc(w2)
+    *   Pc(w2)   = |{w1 : c(w1,w2)>0}| / |{(w1,w2) : c>0}|
+    *
+    * Scale shape: identical to [[bigramLogProb]] — zip-with-tail bigram
+    * map, then everything vocab-shaped; the three model tables (bigram
+    * counts, left-context totals + distinct-continuation counts, right
+    * continuation counts) pre-join into one (w1,w2)→lp model so the
+    * corpus-row frame joins once. Every term is a ratio of exact integer
+    * counts, so the oracle replays it to the same 6 dp. */
+  def kneserNeyLogProb(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", discount: Double = 0.75): DataFrame = {
+    val t = tokens(col(textCol))
+    val bg = docs
+      .select(col(idCol),
+        explode(arrays_zip(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))).as("p"))
+      .select(col(idCol), col("p.0").as("w1"), col("p.1").as("w2"))
+      .where(length(col("w1")) > 0 && length(col("w2")) > 0)
+    val cnt2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    // one pass over the bigram-type table yields both c(w1) and T(w1)
+    val left = cnt2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("types1"))
+    val cont = cnt2.groupBy(col("w2")).agg(count(lit(1)).as("contw2"))
+    val nTypes = cnt2.agg(count(lit(1)).as("ntypes"))
+    val model = cnt2.join(left, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(nTypes)) // single row
+      .select(col("w1"), col("w2"),
+        log(
+          greatest(col("c2") - lit(discount), lit(0.0)) / col("c1")
+            + lit(discount) * col("types1") / col("c1")
+              * (col("contw2").cast("double") / col("ntypes"))).as("lp"))
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("kn_logprob"))
+  }
+
   /** PMI collocation extraction — the corpus-statistics operator behind
     * phrase mining and tokenizer-vocabulary seeding: adjacent token pairs
     * scored by pointwise mutual information,

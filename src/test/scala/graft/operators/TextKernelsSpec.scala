@@ -161,6 +161,22 @@ class TextKernelsSpec extends SparkTestBase {
     assert(strict === Set(("new", "york"), ("york", "is"), ("is", "big")))
   }
 
+  test("kneserNeyLogProb: hand-computed on 'a b a b a c'") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val r = TextOps.kneserNeyLogProb(docs).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 5L) // 5 bigrams
+    // c2: (a,b)=2 (b,a)=2 (a,c)=1; c(a)=3 T(a)=2; c(b)=2 T(b)=1;
+    // cont: a=b=c=1; ntypes=3; D=0.75
+    val pBgivenA = (2 - 0.75) / 3 + 0.75 * 2 / 3 * (1.0 / 3)
+    val pAgivenB = (2 - 0.75) / 2 + 0.75 * 1 / 2 * (1.0 / 3)
+    val pCgivenA = (1 - 0.75) / 3 + 0.75 * 2 / 3 * (1.0 / 3)
+    val want = (2 * math.log(pBgivenA) + 2 * math.log(pAgivenB) + math.log(pCgivenA)) / 5
+    assert(r(0).getDouble(2) ===
+      BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("fingerprint equality tracks normalized-text equality on duplicates") {
     import spark.implicits._
     val docs = Seq(
