@@ -1035,6 +1035,25 @@ object SparkEntry {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_contamination_score" -> ((s: SparkSession, d: String) => {
+      // graded n-gram-overlap decontamination (the GPT-3/PaLM fraction
+      // flag): eval set = docs < 20 (the q_decontaminate convention);
+      // every doc_id % 10 == 5 gets a full eval doc APPENDED, so planted
+      // docs score ~0.4-0.5 overlap while organic docs sit near 0 — the
+      // 0.2 threshold separates them with wide margin on both sides.
+      val base = docs(s, d)
+      val evalT = base.filter(col("doc_id") < 20)
+      val donors = evalT.select(col("doc_id").as("donor_id"), col("text").as("donor_text"))
+      val corpus = base.filter(col("doc_id") >= 20)
+        .withColumn("donor_id", col("doc_id") % 20)
+        .join(broadcast(donors), Seq("donor_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 5,
+            concat(col("text"), lit(" "), col("donor_text")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.TextOps.contaminationScore(corpus, evalT, n = 8, threshold = 0.2)
+        .orderBy(col("doc_id"))
+    }),
     "q_kneser_ney" -> ((s: SparkSession, d: String) =>
       // interpolated Kneser-Ney per-doc fluency score — the smoothed step
       // past q_bigram_logprob's MLE conditionals; every term is a ratio
@@ -2480,6 +2499,34 @@ object SparkEntry {
         |FROM sm GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
     // the exact-size contract: ceil(f_k * n_k) per stratum, recomputed by
     // DuckDB from the base table — valid at every SF
+    "q_contamination_score" ->
+      """WITH don AS (SELECT doc_id AS donor_id, text AS donor_text
+        |             FROM documents WHERE doc_id < 20),
+        |corp AS (SELECT b.doc_id,
+        |    CASE WHEN b.doc_id % 10 = 5 THEN b.text || ' ' || d.donor_text
+        |         ELSE b.text END AS text
+        |  FROM documents b LEFT JOIN don d ON b.doc_id % 20 = d.donor_id
+        |  WHERE b.doc_id >= 20),
+        |tkc AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM corp),
+        |shc0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |           ELSE list_transform(generate_series(1, len(toks) - 7),
+        |                  i -> array_to_string(toks[i:i+7], ' ')) END) AS s
+        |         FROM tkc),
+        |shc AS (SELECT DISTINCT doc_id, s FROM shc0),
+        |tke AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 20),
+        |she0 AS (SELECT unnest(CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |           ELSE list_transform(generate_series(1, len(toks) - 7),
+        |                  i -> array_to_string(toks[i:i+7], ' ')) END) AS s
+        |         FROM tke),
+        |she AS (SELECT DISTINCT s FROM she0),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |          CAST(sum(CASE WHEN s IN (SELECT s FROM she) THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+        |        FROM shc GROUP BY doc_id)
+        |SELECT doc_id, n_shingles, n_overlap,
+        |  round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS overlap_frac,
+        |  CAST(n_overlap AS DOUBLE) / n_shingles > 0.2 AS contaminated
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q_kneser_ney" ->
       """WITH tk AS (SELECT doc_id,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),

@@ -188,6 +188,39 @@ object TextOps {
         (coalesce(col("n_contaminated_ngrams"), lit(0L)) === 0L).as("is_clean"))
   }
 
+  /** N-gram OVERLAP-FRACTION contamination scoring — the graded companion
+    * to [[decontaminate]]'s binary clean/dirty: the fraction of a doc's
+    * DISTINCT n-token shingles that appear anywhere in the eval set (the
+    * GPT-3 appendix-C / PaLM convention, which flags on a percentage
+    * rather than any single hit, so a stray quoted sentence doesn't nuke
+    * an otherwise-clean document).
+    *
+    * Oracle safety: the fraction is a ratio of two exact integer counts
+    * and the threshold compare uses the unrounded ratio — IEEE division
+    * of small ints is engine-identical, so `contaminated` is
+    * deterministic cross-engine.
+    *
+    * Scale shape: one shingle explode per side, distinct, one join keyed
+    * on the shingle (AQE decides the strategy — eval sets are usually
+    * broadcastable but nothing here requires it), one map-side-combinable
+    * count. Every doc yields ≥ 1 shingle (short docs collapse to one
+    * whole-doc shingle), so no re-join against the corpus is needed. */
+  def contaminationScore(corpus: DataFrame, evalDocs: DataFrame, n: Int = 8,
+      threshold: Double = 0.5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val shingles = graft.expr.TextExpressions.wordShingleStrings(col(textCol), n)
+    val evalSet = evalDocs.select(explode(shingles).as("shingle")).distinct()
+    val perDoc = corpus.select(col(idCol), explode(shingles).as("shingle")).distinct()
+    val scored = perDoc
+      .join(evalSet.withColumn("hit", lit(1)), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+    val frac = col("n_overlap").cast("double") / col("n_shingles")
+    scored.select(col(idCol), col("n_shingles"), col("n_overlap"),
+      round(frac, 6).as("overlap_frac"), (frac > threshold).as("contaminated"))
+  }
+
   /** Gopher-style repetition signals: duplicate-token fraction, top-token
     * dominance, and duplicate word-trigram fraction — boilerplate, spam and
     * degenerate generations score high on all three while natural prose

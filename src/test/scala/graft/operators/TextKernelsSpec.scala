@@ -161,6 +161,19 @@ class TextKernelsSpec extends SparkTestBase {
     assert(strict === Set(("new", "york"), ("york", "is"), ("is", "big")))
   }
 
+  test("contaminationScore: appended eval text flags; disjoint text does not") {
+    import spark.implicits._
+    val evalDocs = Seq((1L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val clean = "completely unrelated prose about spark partitions and shuffles in production here"
+    val corpus = Seq(
+      (10L, clean),
+      (11L, clean + " the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val got = TextOps.contaminationScore(corpus, evalDocs, n = 8, threshold = 0.2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(got(10L) === ((0L, false)))
+    assert(got(11L)._1 > 0L && got(11L)._2, s"planted doc must flag: ${got(11L)}")
+  }
+
   test("kneserNeyLogProb: hand-computed on 'a b a b a c'") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
