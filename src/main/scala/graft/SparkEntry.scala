@@ -1035,6 +1035,23 @@ object SparkEntry {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_normalize_text" -> ((s: SparkSession, d: String) => {
+      // crawl-text normalization: every 3rd doc gets a combining-accent
+      // sequence (e + U+0301), a BEL control char and a raw tab appended;
+      // NFC composes the accent to precomposed é, controls strip to
+      // spaces, whitespace collapses. Oracle = DuckDB nfc_normalize +
+      // the identical regexp chain, hash-matching length + digest.
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" cafe\u0301 \u0007tab\there")))
+          .otherwise(col("text")).as("text"))
+      planted
+        .select(col("doc_id"),
+          graft.operators.TextOps.normalizeText(col("text")).as("norm"))
+        .select(col("doc_id"), length(col("norm")).cast("long").as("n_chars"),
+          md5(col("norm")).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    }),
     "q_contamination_score" -> ((s: SparkSession, d: String) => {
       // graded n-gram-overlap decontamination (the GPT-3/PaLM fraction
       // flag): eval set = docs < 20 (the q_decontaminate convention);
@@ -2499,6 +2516,18 @@ object SparkEntry {
         |FROM sm GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
     // the exact-size contract: ceil(f_k * n_k) per stratum, recomputed by
     // DuckDB from the base table — valid at every SF
+    "q_normalize_text" ->
+      """WITH planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN text || ' cafe' || chr(769) || ' ' || chr(7) || 'tab' || chr(9) || 'here'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |        nfc_normalize(text), '[\x00-\x1F\x7F]', ' ', 'g'),
+        |        '\s+', ' ', 'g')) AS norm
+        |      FROM planted)
+        |SELECT doc_id, CAST(len(norm) AS BIGINT) AS n_chars, md5(norm) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q_contamination_score" ->
       """WITH don AS (SELECT doc_id AS donor_id, text AS donor_text
         |             FROM documents WHERE doc_id < 20),

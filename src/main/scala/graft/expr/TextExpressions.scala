@@ -43,6 +43,18 @@ object TextKernels {
   private def hash(s: String): Long =
     XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
 
+  /** Unicode NFC canonical composition (java.text.Normalizer — the same
+    * UAX #15 algorithm DuckDB's nfc_normalize implements, which is what
+    * lets the oracle replay it). The fast path skips allocation entirely:
+    * Normalizer.isNormalized is O(n) with no copy, and real-world text is
+    * overwhelmingly already NFC. */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** min(xxhash64(shingle)) over word `n`-shingles; a document shorter than
     * `n` tokens contributes its whole token stream as one shingle
     * (`TextOps.wordShingles` semantics). One tokenize + one O(L·n) pass. */
@@ -458,6 +470,20 @@ case class LangIdExpr(child: Expression)
 }
 
 
+/** Codegen'd `TextKernels.nfcNormalize` (Unicode NFC composition). */
+case class NfcNormalizeExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc_normalize"
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.nfcNormalize(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextKernels.nfcNormalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd single-pass `TextKernels.textStats` struct. */
 case class TextStatsExpr(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -659,6 +685,8 @@ object TextExpressions {
     GraftShim.column(MinShingleMd5Expr(GraftShim.expression(text), n))
   def langId(text: Column): Column =
     GraftShim.column(LangIdExpr(GraftShim.expression(text)))
+  def nfcNormalize(text: Column): Column =
+    GraftShim.column(NfcNormalizeExpr(GraftShim.expression(text)))
   def bpeCount(text: Column, vocab: Seq[String]): Column =
     GraftShim.column(BpeCountExpr(GraftShim.expression(text), vocab))
   def textStats(text: Column): Column =

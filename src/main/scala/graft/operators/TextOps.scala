@@ -188,6 +188,20 @@ object TextOps {
         (coalesce(col("n_contaminated_ngrams"), lit(0L)) === 0L).as("is_clean"))
   }
 
+  /** Crawl-text normalization — the step every web corpus runs before any
+    * hashing or dedup (OSCAR/CCNet convention): Unicode NFC canonical
+    * composition (so "e"+combining-acute and precomposed "é" hash alike),
+    * control characters stripped to spaces, whitespace collapsed, ends
+    * trimmed. NFC is a custom codegen expression
+    * ([[graft.expr.TextExpressions.nfcNormalize]] — same UAX #15
+    * algorithm as DuckDB's nfc_normalize, which is what the oracle
+    * replays); the rest is built-in regexp_replace, so the whole chain
+    * stays inside whole-stage codegen. Pure map, no shuffle. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      graft.expr.TextExpressions.nfcNormalize(text),
+      "[\\x00-\\x1F\\x7F]", " "), "\\s+", " "))
+
   /** N-gram OVERLAP-FRACTION contamination scoring — the graded companion
     * to [[decontaminate]]'s binary clean/dirty: the fraction of a doc's
     * DISTINCT n-token shingles that appear anywhere in the eval set (the

@@ -161,6 +161,28 @@ class TextKernelsSpec extends SparkTestBase {
     assert(strict === Set(("new", "york"), ("york", "is"), ("is", "big")))
   }
 
+  test("normalizeText: NFC composes, controls strip, whitespace collapses, idempotent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cafe\u0301 latte"),     // decomposed accent -> e-acute
+      (2L, "caf\u00e9 latte"),      // precomposed - must hash identically to 1
+      (3L, "a\u0007b\tc\r\nd"),  // BEL stripped, tab/CRLF collapse
+      (4L, "  already   clean  "),
+      (5L, "")).toDF("doc_id", "text")
+    val got = docs.select($"doc_id", TextOps.normalizeText($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "caf\u00e9 latte")
+    assert(got(1L) === got(2L))
+    assert(got(3L) === "a b c d")
+    assert(got(4L) === "already clean")
+    assert(got(5L) === "")
+    // idempotence: normalizing normalized output is a fixpoint
+    val again = docs.select($"doc_id",
+        TextOps.normalizeText(TextOps.normalizeText($"text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === got)
+  }
+
   test("contaminationScore: appended eval text flags; disjoint text does not") {
     import spark.implicits._
     val evalDocs = Seq((1L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
