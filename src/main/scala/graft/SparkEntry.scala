@@ -1035,6 +1035,24 @@ object SparkEntry {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_pagerank" -> ((s: SparkSession, d: String) => {
+      // PageRank over the customer↔supplier purchase graph (distinct
+      // pairs from orders⋈lineitem; customers even node ids, suppliers
+      // odd; both directions so no node dangles). 3 damped iterations
+      // from uniform — every term is a ratio of exact integers through
+      // +,*,/ only, so the unrolled SQL replays it to 6 dp.
+      val o = Relational.table(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      val l = Relational.table(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val pairs = o.join(l, Seq("ok"))
+        .select((col("ck") * 2).as("c"), (col("sk") * 2 + 1).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      graft.operators.PageRank.run(edges, iters = 3)
+        .orderBy(col("node"))
+    }),
     "q_normalize_text" -> ((s: SparkSession, d: String) => {
       // crawl-text normalization: every 3rd doc gets a combining-accent
       // sequence (e + U+0301), a BEL control char and a raw tab appended;
@@ -2516,6 +2534,41 @@ object SparkEntry {
         |FROM sm GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
     // the exact-size contract: ceil(f_k * n_k) per stratum, recomputed by
     // DuckDB from the base table — valid at every SF
+    // 3 damped iterations unrolled as plain CTEs; (1.0-0.85) forced
+    // through DOUBLE arithmetic so both engines compute the identical
+    // IEEE constant (DuckDB's bare 0.15 would be DECIMAL-exact and
+    // differ in the last ulp).
+    "q_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+        |               FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |p0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes, nn),
+        |m1 AS (SELECT e.dst AS node, sum(p.pr / d.outdeg) AS mass
+        |       FROM edges e JOIN p0 p ON e.src = p.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |p1 AS (SELECT p0.node,
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |           + CAST(0.85 AS DOUBLE) * coalesce(m1.mass, 0) AS pr
+        |       FROM p0 LEFT JOIN m1 USING (node), nn),
+        |m2 AS (SELECT e.dst AS node, sum(p.pr / d.outdeg) AS mass
+        |       FROM edges e JOIN p1 p ON e.src = p.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |p2 AS (SELECT p1.node,
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |           + CAST(0.85 AS DOUBLE) * coalesce(m2.mass, 0) AS pr
+        |       FROM p1 LEFT JOIN m2 USING (node), nn),
+        |m3 AS (SELECT e.dst AS node, sum(p.pr / d.outdeg) AS mass
+        |       FROM edges e JOIN p2 p ON e.src = p.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |p3 AS (SELECT p2.node,
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |           + CAST(0.85 AS DOUBLE) * coalesce(m3.mass, 0) AS pr
+        |       FROM p2 LEFT JOIN m3 USING (node), nn)
+        |SELECT node, round(pr, 6) AS pr FROM p3 ORDER BY node""".stripMargin,
     "q_normalize_text" ->
       """WITH planted AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank (Page et al. 1999) — the canonical iterative graph operator,
+  * joining the engine's graph family beside connected components and
+  * Borůvka MST. Standard damped form over a directed edge list:
+  *
+  *   pr'(v) = (1−d)/N + d · Σ_{u→v} pr(u)/outdeg(u)
+  *
+  * Callers pass a graph with no dangling nodes (every node has at least
+  * one out-edge — e.g. feed an undirected graph as both directions, as
+  * q_pagerank does); `run` requires it rather than silently leaking rank
+  * mass.
+  *
+  * Scale shape: the edge frame (with per-source out-degrees pre-joined
+  * ONCE) persists across iterations and every round is a single
+  * contribution shuffle keyed by dst + a map-side-combinable sum — the
+  * textbook Spark PageRank plan. The rank frame is node-shaped; each
+  * round eagerly localCheckpoints it, truncating lineage so plan depth
+  * stays constant no matter the iteration count (the BpeTrain lesson).
+  * Driver state: none — ranks never leave the cluster.
+  */
+object PageRank {
+
+  /** @param edges directed edge list (src: long, dst: long), each src
+    *              having ≥ 1 out-edge overall
+    * @return (node, pr) after `iters` damped iterations from uniform
+    *         1/N, pr rounded to `scale` decimals */
+  def run(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
+      scale: Int = 6): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val dangling = nodes.join(outDeg, nodes("node") === outDeg("src"), "left_anti")
+    require(dangling.isEmpty,
+      s"dangling nodes (no out-edges) leak rank mass: ${dangling.take(5).mkString(",")}")
+    // out-degrees ride the persisted edge frame: joined once, not per round
+    val contribEdges = edges.join(outDeg, Seq("src"))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint(true)
+    var pr = nodes.select(col("node"), (lit(1.0) / n).as("pr"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val mass = contribEdges
+        .join(pr, contribEdges("src") === pr("node"))
+        .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("mass"))
+      // left join from the full node set: a node with out-edges but no
+      // IN-edges still holds its teleport share, it must not vanish
+      val next = pr.select(col("node")).join(mass, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n)
+            + lit(damping) * coalesce(col("mass"), lit(0.0))).as("pr"))
+        .localCheckpoint(true) // truncate lineage: constant plan depth per round
+      pr.unpersist(blocking = false)
+      pr = next
+      it += 1
+    }
+    pr.select(col("node"), round(col("pr"), scale).as("pr"))
+  }
+}
