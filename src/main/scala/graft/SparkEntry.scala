@@ -1035,6 +1035,12 @@ object SparkEntry {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_funnel" -> ((s: SparkSession, d: String) =>
+      // view → click → purchase conversion funnel: stage anchors are
+      // strictly-after MIN times (tie-proof pure function of the event
+      // set), one user-keyed groupBy per stage — never an event-log
+      // window sort. Exact SQL replay as chained min-subqueries.
+      Relational.funnel(s, d).orderBy(col("user_id"))),
     "q_pagerank" -> ((s: SparkSession, d: String) => {
       // PageRank over the customer↔supplier purchase graph (distinct
       // pairs from orders⋈lineitem; customers even node ids, suppliers
@@ -2534,6 +2540,28 @@ object SparkEntry {
         |FROM sm GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
     // the exact-size contract: ceil(f_k * n_k) per stratum, recomputed by
     // DuckDB from the base table — valid at every SF
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |users AS (SELECT DISTINCT user_id FROM ev),
+        |s1 AS (SELECT user_id, min(ts_ms) AS step1_ms FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts_ms) AS step2_ms FROM ev e
+        |       JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts_ms > s1.step1_ms
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts_ms) AS step3_ms FROM ev e
+        |       JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts_ms > s2.step2_ms
+        |       GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN s3.step3_ms IS NOT NULL THEN 3
+        |            WHEN s2.step2_ms IS NOT NULL THEN 2
+        |            WHEN s1.step1_ms IS NOT NULL THEN 1
+        |            ELSE 0 END AS INTEGER) AS funnel_depth,
+        |  s1.step1_ms, s2.step2_ms, s3.step3_ms
+        |FROM users u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |     LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     // 3 damped iterations unrolled as plain CTEs; (1.0-0.85) forced
     // through DOUBLE arithmetic so both engines compute the identical
     // IEEE constant (DuckDB's bare 0.15 would be DECIMAL-exact and

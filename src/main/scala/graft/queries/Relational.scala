@@ -238,6 +238,49 @@ object Relational {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Ordered-sequence funnel analysis — the product-analytics staple: how
+    * deep into `steps` (strictly time-ordered, first qualifying event per
+    * stage) each user gets. Stage k's anchor is the MIN event time of
+    * step k strictly after stage k−1's anchor, so the result is a pure
+    * function of the event set (no window-order tie ambiguity — min is
+    * well-defined under any tie), which is what lets the oracle replay it
+    * as a chain of min-aggregate subqueries.
+    *
+    * Scale shape: one filtered groupBy per stage, all keyed by user_id
+    * (high-cardinality, map-side-combinable min) + user-keyed joins —
+    * stages × 1 shuffles of user-shaped frames, never event-shaped
+    * re-sorts. A window-sort formulation would shuffle and sort the full
+    * event log once per user instead.
+    *
+    * @return (user_id, funnel_depth, step1_ms, step2_ms, ... nullable) */
+  def funnel(spark: SparkSession, dir: String,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty)
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+    val users = ev.select(col("user_id")).distinct()
+    var acc = users
+    var prev: Option[String] = None
+    steps.zipWithIndex.foreach { case (step, i) =>
+      val colName = s"step${i + 1}_ms"
+      val candidates = ev.filter(col("event_type") === step)
+      val anchored = prev match {
+        case None => candidates
+        case Some(p) =>
+          candidates.join(acc.select(col("user_id"), col(p)), Seq("user_id"))
+            .filter(col("ts_ms") > col(p))
+      }
+      val firsts = anchored.groupBy(col("user_id")).agg(min(col("ts_ms")).as(colName))
+      acc = acc.join(firsts, Seq("user_id"), "left")
+      prev = Some(colName)
+    }
+    val depth = steps.indices.foldLeft(lit(0)) { (d, i) =>
+      when(col(s"step${i + 1}_ms").isNotNull, lit(i + 1)).otherwise(d)
+    }
+    acc.select(col("user_id") +: depth.as("funnel_depth") +:
+      steps.indices.map(i => col(s"step${i + 1}_ms")): _*)
+  }
+
   // ---------- vector / distance surface (embeddings table) ----------
 
   /** Embeddings with the float vector cast to ARRAY<DOUBLE>. */
