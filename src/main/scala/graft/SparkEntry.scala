@@ -1035,6 +1035,43 @@ object SparkEntry {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_key_skew" -> ((s: SparkSession, d: String) =>
+      // pre-flight shuffle-key skew profile: top keys + the straggler
+      // factor (max/avg count) and hottest-key share — all ratios of
+      // exact integer counts, row set gated by integer rank.
+      graft.operators.Diagnostics.keySkew(
+          Relational.table(s, d, "lineitem"), col("l_returnflag"), k = 10)
+        .orderBy(col("cnt").desc, col("key"))),
+    "q_table_diff" -> ((s: SparkSession, d: String) => {
+      // snapshot diff: next = base minus (id%13==0) [removed], with
+      // text||'X' on id%13==1 [changed], plus id+100000 clones of
+      // id%13==2 [added]; digests travel, not row payloads.
+      val base = docs(s, d)
+      val next = base.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 1, concat(col("text"), lit("X")))
+            .otherwise(col("text")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .unionByName(base.filter(col("doc_id") % 13 === 2)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+      graft.operators.Diagnostics.tableDiff(base, next, "doc_id")
+        .orderBy(col("key"))
+    }),
+    "q_incremental_agg" -> ((s: SparkSession, d: String) => {
+      // incremental materialized-aggregate refresh: base partials
+      // (l_orderkey%10<8) merged with the delta shard's partials — the
+      // algebraic identity means the result must equal the full
+      // recompute, which IS the oracle. l_quantity is integral doubles,
+      // so the sums are float-exact in any order.
+      val li = Relational.table(s, d, "lineitem")
+      val state = li.filter(col("l_orderkey") % 10 < 8)
+        .groupBy(col("l_returnflag").as("key"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("total"))
+      val delta = li.filter(col("l_orderkey") % 10 >= 8)
+      graft.operators.Diagnostics.mergeAggState(state, delta, "l_returnflag", "l_quantity")
+        .orderBy(col("key"))
+    }),
     "q_funnel" -> ((s: SparkSession, d: String) =>
       // view → click → purchase conversion funnel: stage anchors are
       // strictly-after MIN times (tie-proof pure function of the event
@@ -2540,6 +2577,44 @@ object SparkEntry {
         |FROM sm GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
     // the exact-size contract: ceil(f_k * n_k) per stratum, recomputed by
     // DuckDB from the base table — valid at every SF
+    "q_key_skew" ->
+      """WITH c AS (SELECT CAST(l_returnflag AS VARCHAR) AS key,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS total, max(cnt) AS max_cnt, count(*) AS n_keys FROM c)
+        |SELECT key, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share,
+        |  round(max_cnt * CAST(n_keys AS DOUBLE) / total, 6) AS straggler_factor
+        |FROM c, t ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
+    "q_table_diff" ->
+      """WITH next AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 1 THEN text || 'X' ELSE text END AS text,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 13 = 2),
+        |b AS (SELECT doc_id AS key,
+        |        md5(coalesce(lang, ' null') || coalesce(CAST(n_chars AS VARCHAR), ' null')
+        |            || coalesce(source, ' null') || coalesce(text, ' null')) AS bd
+        |      FROM documents),
+        |n AS (SELECT doc_id AS key,
+        |        md5(coalesce(lang, ' null') || coalesce(CAST(n_chars AS VARCHAR), ' null')
+        |            || coalesce(source, ' null') || coalesce(text, ' null')) AS nd
+        |      FROM next)
+        |SELECT coalesce(b.key, n.key) AS key,
+        |  CASE WHEN b.key IS NULL THEN 'added'
+        |       WHEN n.key IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM b FULL OUTER JOIN n ON b.key = n.key
+        |WHERE b.key IS NULL OR n.key IS NULL OR b.bd <> n.nd
+        |ORDER BY key""".stripMargin,
+    // the full recompute IS the oracle: the incremental merge must equal
+    // it by the algebraic-aggregate identity.
+    "q_incremental_agg" ->
+      """SELECT l_returnflag AS key, CAST(count(*) AS BIGINT) AS cnt,
+        |  sum(l_quantity) AS total
+        |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin,
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
         |users AS (SELECT DISTINCT user_id FROM ev),

@@ -50,6 +50,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_knn_pq" -> "broadcast per-query ADC LUT frame (|queries| x m*ks doubles, query-set-bounded); plus the broadcast fixed query set of the brute-force recall baseline",
     "q_collocations" -> "two SINGLE-ROW broadcast totals (bigram total, unigram total) joined onto the vocab-shaped pair table — the 1-row-frame normalizer pattern",
     "q_kneser_ney" -> "single-row broadcast bigram-type total joined onto the vocab-shaped model table — the 1-row-frame normalizer pattern",
+    "q_key_skew" -> "single-row broadcast totals frame (sum/max/count of the key histogram) — the 1-row-frame normalizer pattern",
     "q_mix_temperature" -> "single-row normalizer z joined to per-source counts",
     "q_mutual_reachability" -> "bounded demo slice: pairwise mutual-reachability showcase",
     "q_quality_buckets" -> "single-row percentile-boundaries frame",
