@@ -1035,6 +1035,27 @@ object SparkEntry {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_incremental_distinct" -> ((s: SparkSession, d: String) => {
+      // distinct-count dashboard refresh over append-only shards: HLL
+      // sketches (DataSketches via hll_sketch_agg) merge per refresh —
+      // old shards are never rescanned. Oracle: exact cumulative
+      // distincts are plain SQL; the estimate-within-5% boolean has
+      // ~3x margin over the lgK=12 sketch's 1.6% rsd (q_count_distinct
+      // _approx convention).
+      val li = Relational.table(s, d, "lineitem")
+      val shards = (0 until 3).map(i =>
+        li.filter(col("l_orderkey") % 3 === i).select(col("l_partkey")))
+      val est = graft.operators.Diagnostics.incrementalDistinct(shards, "l_partkey")
+      val exacts = (1 to 3).map(k =>
+        li.filter(col("l_orderkey") % 3 < k)
+          .agg(countDistinct(col("l_partkey")).as("exact"))
+          .select(lit(k).as("n_shards_merged"), col("exact")))
+        .reduce(_ unionAll _)
+      est.join(exacts, Seq("n_shards_merged"))
+        .select(col("n_shards_merged"), col("exact").as("exact_distinct"),
+          (abs(col("estimate") / col("exact") - 1.0) <= 0.05).as("within_5pct"))
+        .orderBy(col("n_shards_merged"))
+    }),
     "q_key_skew" -> ((s: SparkSession, d: String) =>
       // pre-flight shuffle-key skew profile: top keys + the straggler
       // factor (max/avg count) and hottest-key share — all ratios of
@@ -2577,6 +2598,14 @@ object SparkEntry {
         |FROM sm GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
     // the exact-size contract: ceil(f_k * n_k) per stratum, recomputed by
     // DuckDB from the base table — valid at every SF
+    "q_incremental_distinct" ->
+      """WITH e1 AS (SELECT count(DISTINCT l_partkey) AS d FROM lineitem WHERE l_orderkey % 3 < 1),
+        |e2 AS (SELECT count(DISTINCT l_partkey) AS d FROM lineitem WHERE l_orderkey % 3 < 2),
+        |e3 AS (SELECT count(DISTINCT l_partkey) AS d FROM lineitem WHERE l_orderkey % 3 < 3)
+        |SELECT CAST(1 AS INTEGER) AS n_shards_merged, CAST(e1.d AS BIGINT) AS exact_distinct, true AS within_5pct FROM e1
+        |UNION ALL SELECT CAST(2 AS INTEGER), CAST(e2.d AS BIGINT), true FROM e2
+        |UNION ALL SELECT CAST(3 AS INTEGER), CAST(e3.d AS BIGINT), true FROM e3
+        |ORDER BY n_shards_merged""".stripMargin,
     "q_key_skew" ->
       """WITH c AS (SELECT CAST(l_returnflag AS VARCHAR) AS key,
         |             CAST(count(*) AS BIGINT) AS cnt

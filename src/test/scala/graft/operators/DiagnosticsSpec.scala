@@ -32,6 +32,20 @@ class DiagnosticsSpec extends SparkTestBase {
       .map(_.getString(1)).toSeq === Seq("changed"))
   }
 
+  test("incrementalDistinct: merged-shard estimate == one-shot sketch; within 5%") {
+    import spark.implicits._
+    val all = (1 to 30000).map(i => s"v${i % 7321}").toDF("v")
+    val shards = (0 until 3).map(i => all.filter(pmod(xxhash64(col("v")), lit(3)) === i))
+    val steps = Diagnostics.incrementalDistinct(shards, "v").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(steps.keySet === Set(1, 2, 3))
+    // union-of-sketches must equal the sketch of the union (HLL identity)
+    val oneShot = all.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("v"))).as("e")).head().getLong(0)
+    assert(steps(3) === oneShot)
+    assert(math.abs(steps(3) / 7321.0 - 1.0) <= 0.05, s"estimate ${steps(3)}")
+  }
+
   test("mergeAggState equals the direct full aggregate at any split") {
     import spark.implicits._
     val rows = (1 to 500).map(i => (s"k${i % 7}", (i % 13).toDouble)).toDF("key", "v")
