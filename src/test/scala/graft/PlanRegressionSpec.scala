@@ -55,6 +55,42 @@ class PlanRegressionSpec extends SparkTestBase {
       s"typed Aggregator should plan as ObjectHashAggregate:\n$p")
   }
 
+  test("q_funnel: min-agg chain — no Window sort of the event log, map-side partial mins") {
+    val p = formatted("q_funnel")
+    assert(!p.contains("Window"),
+      s"funnel must be the groupBy-min chain, not an event-log window sort:\n$p")
+    assert(p.contains("partial_min"),
+      s"expected map-side partial min per stage:\n$p")
+  }
+
+  test("q_pagerank: rank frame lineage is checkpoint-truncated (constant plan depth)") {
+    val p = formatted("q_pagerank")
+    // after 3 localCheckpoint'd rounds the final plan reads the
+    // checkpointed RDD — if the full 3-round join/agg lineage ever
+    // reappears inline, the BpeTrain-class plan blowup is back
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected the checkpoint-truncated rank scan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(dst"),
+      s"iteration internals must not leak into the final plan:\n$p")
+  }
+
+  test("count-min sketch build plans as map-side-combining ObjectHashAggregate") {
+    // q_count_min's returned frame is the driver-assembled probe table
+    // (LocalTableScan); the plan property to pin is the SKETCH BUILD that
+    // runs inside it — partial CMS matrices per task, one combiner.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val toks = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "").as[String]
+    val agg = toks.select(new graft.operators.Sketches.CountMin(4, 256).toColumn)
+    val p = agg.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("ObjectHashAggregate"),
+      s"typed CMS Aggregator should plan as ObjectHashAggregate:\n$p")
+    assert(p.toLowerCase.contains("partial_countmin"),
+      s"expected map-side partial CMS aggregation:\n$p")
+  }
+
   // ---- round-5 heavy-tail pins (VERDICT r4 #6) ----
 
   test("q_ngram_jaccard: prefix-posting plan — (block, shingle) exchanges, codegen verify, no cartesian") {
