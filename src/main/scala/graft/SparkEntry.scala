@@ -1035,6 +1035,23 @@ object SparkEntry {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_json_extract" -> ((s: SparkSession, d: String) =>
+      // semi-structured surface: the events.props JSON column parsed with
+      // a TYPED from_json schema (schema declared ⇒ Catalyst prunes and
+      // the parse is a single pass — no schema inference job, the
+      // 100 TB contract for JSON columns), then plain integer aggregates
+      // per event type — an exact-integer oracle via DuckDB's JSON
+      // extraction.
+      Relational.table(s, d, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
     "q_incremental_distinct" -> ((s: SparkSession, d: String) => {
       // distinct-count dashboard refresh over append-only shards: HLL
       // sketches (DataSketches via hll_sketch_agg) merge per refresh —
@@ -2598,6 +2615,13 @@ object SparkEntry {
         |FROM sm GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
     // the exact-size contract: ceil(f_k * n_k) per stratum, recomputed by
     // DuckDB from the base table — valid at every SF
+    "q_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS n_with_k,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+        |  CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_incremental_distinct" ->
       """WITH e1 AS (SELECT count(DISTINCT l_partkey) AS d FROM lineitem WHERE l_orderkey % 3 < 1),
         |e2 AS (SELECT count(DISTINCT l_partkey) AS d FROM lineitem WHERE l_orderkey % 3 < 2),
