@@ -1035,6 +1035,12 @@ object SparkEntry {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_stream_count_min" -> ((s: SparkSession, d: String) =>
+      // the CMS built ACROSS MICRO-BATCHES (complete-mode typed
+      // aggregate) must carry the same guarantees as the batch sketch —
+      // linearity makes batching-invariance the same theorem as
+      // partition-invariance, asserted byte-identical in StreamingSpec.
+      graft.streaming.StreamingOps.countMinStream(s, d)),
     "q_json_extract" -> ((s: SparkSession, d: String) =>
       // semi-structured surface: the events.props JSON column parsed with
       // a TYPED from_json schema (schema declared ⇒ Catalyst prunes and
@@ -2615,6 +2621,12 @@ object SparkEntry {
         |FROM sm GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
     // the exact-size contract: ceil(f_k * n_k) per stratum, recomputed by
     // DuckDB from the base table — valid at every SF
+    "q_stream_count_min" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS token,
+        |             CAST(count(*) AS BIGINT) AS n_exact
+        |           FROM events GROUP BY 1)
+        |SELECT token, n_exact, true AS est_ge_exact, true AS within_eps
+        |FROM c ORDER BY n_exact DESC, token LIMIT 20""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS n_with_k,

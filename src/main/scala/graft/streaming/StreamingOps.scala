@@ -288,6 +288,49 @@ object StreamingOps {
     * batch `Relational.sessionize`, so per-user session counts are
     * checkable against the same SQL oracle.
     */
+  /** Count-min sketch OVER A STREAM — the linear-sketch property cashed in
+    * on streaming: because partial matrices merge by elementwise sum, the
+    * sketch accumulated across micro-batches (complete-mode global typed
+    * aggregate, buffer in the state store) is byte-identical to the batch
+    * sketch over the same rows — batching-invariance is the same theorem
+    * as partition-invariance. The check frame probes the top-`topK`
+    * user_ids by EXACT count (plain SQL — the oracle side) against the
+    * streamed sketch's two CMS guarantees, mirroring the batch
+    * q_count_min so the two rows can only diverge if streaming state
+    * merge is broken. */
+  def countMinStream(spark: SparkSession, dir: String, depth: Int = 4,
+      width: Int = 2048, topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val toks = graft.io.EventsReader.stream(spark, dir)
+      .select(col("user_id").cast("string").as("tok")).as[String]
+    val name = s"cms_${System.nanoTime()}"
+    val q = toks
+      .select(new graft.operators.Sketches.CountMin(depth, width).toColumn)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sketch = spark.table(name).head().getSeq[Long](0).toArray
+    spark.catalog.dropTempView(name)
+    val total = sketch(depth * width)
+    val bound = math.ceil(math.E * total / width).toLong
+    val top = graft.io.EventsReader.batch(spark, dir)
+      .select(col("user_id").cast("string").as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok"))
+      .limit(topK).collect() // bounded probe set, the countMinCheck contract
+    val rows = top.map { r =>
+      val t = r.getString(0)
+      val n = r.getLong(1)
+      val est = graft.operators.Sketches.CountMin.estimate(sketch, depth, width, t)
+      (t, n, est >= n, est <= n + bound)
+    }.toSeq
+    spark.createDataset(rows)
+      .toDF("token", "n_exact", "est_ge_exact", "within_eps")
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
   def sessionizeStream(spark: SparkSession, dir: String, gapMs: Long = 1800000L): DataFrame = {
     import spark.implicits._
     val events = graft.io.EventsReader.stream(spark, dir)

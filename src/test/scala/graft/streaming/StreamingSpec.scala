@@ -337,6 +337,38 @@ class StreamingSpec extends SparkTestBase {
       s"expected ONE merged 2-event session for user 1 and nothing for user 9; got $emitted")
   }
 
+  test("streaming CMS == batch CMS byte-for-byte (linearity across micro-batches)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val depth = 4
+    val width = 512
+    // streamed sketch over the events user_id stream
+    val toks = graft.io.EventsReader.stream(spark, sf())
+      .select(col("user_id").cast("string").as("tok")).as[String]
+    val name = s"cms_spec_${System.nanoTime()}"
+    val q = toks.select(new graft.operators.Sketches.CountMin(depth, width).toColumn)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(name).head().getSeq[Long](0).toArray
+    spark.catalog.dropTempView(name)
+    // batch sketch over the identical rows
+    val batch = graft.io.EventsReader.batch(spark, sf())
+      .select(col("user_id").cast("string").as("tok")).as[String]
+      .select(new graft.operators.Sketches.CountMin(depth, width).toColumn)
+      .head()
+    assert(streamed.sameElements(batch),
+      "linear sketch must be identical whether merged across micro-batches or partitions")
+    // and the check frame's guarantees hold on the gate corpus
+    val out = StreamingOps.countMinStream(spark, sf()).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3), s"guarantee broken for ${r.getString(0)}")
+    }
+  }
+
   test("stateful streaming sessionization matches batch session counts") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingOps.sessionizeStream(spark, sf()).collect()
