@@ -1035,6 +1035,74 @@ object SparkEntry {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_pivot" -> ((s: SparkSession, d: String) =>
+      // pivot: per-user event-type counts as columns. The pivot values
+      // are DECLARED (the five known types), so Spark plans a single
+      // map-side-combinable aggregate with conditional counts — no
+      // two-pass distinct-values job, the scale contract for pivot.
+      Relational.table(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))),
+    "q_cube" -> ((s: SparkSession, d: String) =>
+      // CUBE completes the grouping-sets family beside q_rollup_pricing:
+      // all four (returnflag × linestatus) aggregation levels in ONE
+      // Expand+aggregate pass, grouping_id disambiguating NULL-as-all
+      // from NULL-as-value.
+      Relational.table(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("gid"), col("n"), col("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
+    "q_corr_matrix" -> ((s: SparkSession, d: String) =>
+      // Pearson correlations between the lineitem measures — one
+      // map-side-combinable aggregate computes every pair (corr is
+      // algebraic: sums of x, y, xy, x², y²).
+      Relational.table(s, d, "lineitem")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price"),
+          round(corr(col("l_quantity"), col("l_discount")), 6).as("qty_discount"),
+          round(corr(col("l_extendedprice"), col("l_tax")), 6).as("price_tax"))),
+    "q_group_sample" -> ((s: SparkSession, d: String) =>
+      // balanced per-group sampling: top-5 docs per source by the A-ES
+      // md5 key (uniform within group; weight-free flavor of
+      // q_weighted_sample) — ONE window over high-cardinality groups,
+      // selection engine-portable, so the picked set is on the hash gate.
+      docs(s, d)
+        .withColumn("u", conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":17"))), 1, 13), 16, 10).cast("double"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+            .orderBy(col("u").desc, col("doc_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("source"), col("rn").cast("long").as("rn"), col("doc_id"))
+        .orderBy(col("source"), col("rn"))),
+    "q_scd2" -> ((s: SparkSession, d: String) => {
+      // slowly-changing-dimension type-2 intervals: each user's
+      // event_type timeline collapsed to validity ranges
+      // [valid_from, valid_to) with run-length merging of consecutive
+      // equal values — lag to mark change points, one cumulative window
+      // to number runs, one groupBy for the ranges. The warehouse
+      // history-table builder, exactly replayable as SQL windows.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      val wCum = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Relational.table(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_type"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1).otherwise(0))
+        .withColumn("run", sum(col("chg")).over(wCum).cast("long"))
+        .groupBy(col("user_id"), col("run"))
+        .agg(min(col("event_type")).as("event_type"), // constant per run; min is engine-neutral
+          min(col("ts_ms")).as("valid_from"), max(col("ts_ms")).as("last_seen"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("run"))
+    }),
     "q_stream_count_min" -> ((s: SparkSession, d: String) =>
       // the CMS built ACROSS MICRO-BATCHES (complete-mode typed
       // aggregate) must carry the same guarantees as the batch sketch —
@@ -2621,6 +2689,46 @@ object SparkEntry {
         |FROM sm GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
     // the exact-size contract: ceil(f_k * n_k) per stratum, recomputed by
     // DuckDB from the base table — valid at every SF
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q_corr_matrix" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+        |  round(corr(l_quantity, l_discount), 6) AS qty_discount,
+        |  round(corr(l_extendedprice, l_tax), 6) AS price_tax
+        |FROM lineitem""".stripMargin,
+    "q_group_sample" ->
+      """WITH k AS (SELECT source, doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':17'), 1, 13))::UBIGINT::DOUBLE AS u
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source ORDER BY u DESC, doc_id) AS rn
+        |      FROM k)
+        |SELECT source, CAST(rn AS BIGINT) AS rn, doc_id FROM r
+        |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+        |c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                       OR lag(event_type) OVER w <> event_type
+        |                     THEN 1 ELSE 0 END AS chg
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM c)
+        |SELECT user_id, run, min(event_type) AS event_type,
+        |  min(ts_ms) AS valid_from, max(ts_ms) AS last_seen,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM r GROUP BY user_id, run ORDER BY user_id, run""".stripMargin,
     "q_stream_count_min" ->
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS token,
         |             CAST(count(*) AS BIGINT) AS n_exact
