@@ -1035,6 +1035,27 @@ object SparkEntry {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_gap_fill" -> ((s: SparkSession, d: String) => {
+      // dense time series from sparse events: the full hourly spine per
+      // event_type (sequence+explode over the global [min,max] hour
+      // span — a pure generator, no driver loop) left-joined with the
+      // observed hourly counts, gaps zero-filled. The dashboard/ML
+      // feature prep step that turns event logs into regular series.
+      val ev = Relational.table(s, d, "events")
+        .select(col("event_type"),
+          (floor(unix_millis(col("ts")) / lit(3600000L)) * 3600000L).as("hour_ms"))
+      val span = ev.agg(min(col("hour_ms")).as("lo"), max(col("hour_ms")).as("hi"))
+      val spine = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span)) // single row
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(3600000L))).as("hour_ms"))
+      val counts = ev.groupBy(col("event_type"), col("hour_ms"))
+        .agg(count(lit(1)).as("cnt"))
+      spine.join(counts, Seq("event_type", "hour_ms"), "left")
+        .select(col("event_type"), col("hour_ms"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy(col("event_type"), col("hour_ms"))
+    }),
     "q_pivot" -> ((s: SparkSession, d: String) =>
       // pivot: per-user event-type counts as columns. The pivot values
       // are DECLARED (the five known types), so Spark plans a single
@@ -2689,6 +2710,17 @@ object SparkEntry {
         |FROM sm GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
     // the exact-size contract: ceil(f_k * n_k) per stratum, recomputed by
     // DuckDB from the base table — valid at every SF
+    "q_gap_fill" ->
+      """WITH ev AS (SELECT event_type,
+        |    (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms FROM events),
+        |span AS (SELECT min(hour_ms) AS lo, max(hour_ms) AS hi FROM ev),
+        |spine AS (SELECT t.event_type, unnest(generate_series(span.lo, span.hi, 3600000)) AS hour_ms
+        |          FROM (SELECT DISTINCT event_type FROM ev) t, span),
+        |c AS (SELECT event_type, hour_ms, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM ev GROUP BY 1, 2)
+        |SELECT s.event_type, s.hour_ms, coalesce(c.cnt, 0) AS cnt
+        |FROM spine s LEFT JOIN c USING (event_type, hour_ms)
+        |ORDER BY event_type, hour_ms""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

@@ -51,6 +51,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_collocations" -> "two SINGLE-ROW broadcast totals (bigram total, unigram total) joined onto the vocab-shaped pair table — the 1-row-frame normalizer pattern",
     "q_kneser_ney" -> "single-row broadcast bigram-type total joined onto the vocab-shaped model table — the 1-row-frame normalizer pattern",
     "q_key_skew" -> "single-row broadcast totals frame (sum/max/count of the key histogram) — the 1-row-frame normalizer pattern",
+    "q_gap_fill" -> "single-row broadcast [min,max] span frame fanned onto the distinct event types — the 1-row-frame normalizer pattern",
     "q_mix_temperature" -> "single-row normalizer z joined to per-source counts",
     "q_mutual_reachability" -> "bounded demo slice: pairwise mutual-reachability showcase",
     "q_quality_buckets" -> "single-row percentile-boundaries frame",
