@@ -30,18 +30,22 @@ object PageRank {
     *         1/N, pr rounded to `scale` decimals */
   def run(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
       scale: Int = 6): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
+    // materialize the edge list FIRST: nodes, the dangling check and the
+    // degree join all read it, and an expensive upstream plan (a big join
+    // feeding the graph) must run once, not three times
+    val edgesCk = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = edgesCk.select(col("src").as("node"))
+      .union(edgesCk.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "empty graph")
-    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val outDeg = edgesCk.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val dangling = nodes.join(outDeg, nodes("node") === outDeg("src"), "left_anti")
     require(dangling.isEmpty,
       s"dangling nodes (no out-edges) leak rank mass: ${dangling.take(5).mkString(",")}")
     // out-degrees ride the persisted edge frame: joined once, not per round
-    val contribEdges = edges.join(outDeg, Seq("src"))
+    val contribEdges = edgesCk.join(outDeg, Seq("src"))
       .select(col("src"), col("dst"), col("outdeg"))
       .localCheckpoint(true)
     var pr = nodes.select(col("node"), (lit(1.0) / n).as("pr"))
