@@ -58,6 +58,12 @@ object BpeTrain {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), split(col("w"), "").as("syms"))
       .as[(Long, Seq[String])]
+      // the iteration frame is VOCABULARY-shaped (typically 10⁴–10⁸ rows
+      // at any corpus size) and every merge round checkpoints + scans it:
+      // right-size its partition count to the data instead of paying
+      // 32-partition task overhead × rounds on a tiny frame. sized ~64k
+      // words/partition; a web-scale vocab still fans out
+      .repartition(math.max(1, (docs.sparkSession.sparkContext.defaultParallelism / 4).min(16)))
       .localCheckpoint(eager = true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 1
