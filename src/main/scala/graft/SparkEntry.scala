@@ -690,6 +690,26 @@ object SparkEntry {
       recall.agg(count(lit(1)).as("n_queries"),
         (avg(col("recall")) >= 0.75).as("recall_ge_075"))
     }),
+    "q_knn_ivfpq" -> ((s: SparkSession, d: String) => {
+      // the composed production ANN tier (FAISS IVFPQ shape): coarse
+      // bucket routing turns the ADC scan into an equi-join on
+      // centroid_id over the probed sliver only, codes 16× smaller than
+      // vectors, exact rerank last. Same recall-invariant oracle as the
+      // other approximate tiers; measured 0.795/0.820/0.730 per SF
+      // (floor 0.6 enforced by KnnRecallSpec).
+      val e = Relational.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("vec").as("qv"))
+      val c = e.select(col("vec_id").as("cid"), col("vec").as("cv"))
+      val got = Similarity.ivfPqSearch(q, c).select(col("qid"), col("cid"))
+      val bf = Similarity.bruteForceTopK(q, c, 10).select(col("qid"), col("cid"))
+      val hits = bf.join(got, Seq("qid", "cid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      val recall = bf.groupBy(col("qid")).agg(count(lit(1)).as("n"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), (coalesce(col("hits"), lit(0L)) / col("n")).as("recall"))
+      recall.agg(count(lit(1)).as("n_queries"),
+        (avg(col("recall")) >= 0.6).as("recall_ge_060"))
+    }),
     "q_asof_join" -> ((s: SparkSession, d: String) => {
       // temporal lookup: each error event matched to the SAME user's most
       // recent click at-or-before it — union+window as-of join (one
@@ -2232,6 +2252,8 @@ object SparkEntry {
     // (per-SF floor enforced by KnnRecallSpec at 0.10+ margin).
     "q_knn_pq" ->
       "SELECT CAST(20 AS BIGINT) AS n_queries, true AS recall_ge_075",
+    "q_knn_ivfpq" ->
+      "SELECT CAST(20 AS BIGINT) AS n_queries, true AS recall_ge_060",
     "q_langid" ->
       s"""WITH tk AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents),
          |c AS (SELECT doc_id, lang, $sqlLangCounts FROM tk),

@@ -493,6 +493,88 @@ object Similarity {
     pqSearch(queries, pqEncode(corpus, model), corpus, model, shortlist, k)
   }
 
+  /** IVF-PQ: the composed production tier (the FAISS IVFPQ shape). The
+    * corpus is bucketed by nearest coarse centroid (IVF) AND compressed
+    * to PQ codes; a query probes its `nProbe` nearest buckets and ADC-
+    * scores ONLY the codes in those buckets — the scan becomes an
+    * EQUI-JOIN on centroid_id instead of flat PQ's broadcast crossJoin
+    * over every code row, so per-query work drops by the probe fraction.
+    * Exact cosine reranks the shortlist as usual.
+    *
+    * At 100 TB this is the index layout that persists: parquet
+    * partitioned by centroid_id carrying (cid, codes) — 16 ints/row —
+    * with the float vectors in a separate side table touched only for
+    * shortlist × queries rows. */
+  def ivfPqSearch(
+      queries: DataFrame,   // (qid, qv)
+      corpus: DataFrame,    // (cid, cv)
+      nCentroids: Int = 16,
+      nProbe: Int = 8,
+      m: Int = 16, ks: Int = 16,
+      shortlist: Int = 100,
+      k: Int = 10): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val ivf = buildIvfIndex(corpus, nCentroids)
+    val model = trainPq(corpus, m, ks)
+    // bucketed code index: (centroid_id, cid, codes) — the persisted frame
+    val codes = pqEncode(corpus, model)
+    val bucketed = ivf.assigned.select(col("centroid_id"), col("cid")).join(codes, Seq("cid"))
+    // per-query probes (bounded window: query side small by contract)
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("d"), col("centroid_id"))
+    val probes = queries.crossJoin(broadcast(ivf.centroids))
+      .select(col("qid"), col("centroid_id"),
+        Distances.cosineDistance(col("qv"), col("centroid")).as("d"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
+      .select(col("qid"), col("centroid_id"))
+    // LUTs ride the probe rows (|queries| × nProbe × m·ks doubles)
+    val bc = spark.sparkContext.broadcast(model)
+    val luts = queries.select(col("qid"), col("qv")).as[(Long, Array[Double])]
+      .map { case (qid, raw) =>
+        val mdl = bc.value
+        val q = l2normalize(raw)
+        val lut = new Array[Double](mdl.m * mdl.ks)
+        var s = 0
+        while (s < mdl.m) {
+          val cb = mdl.codebooks(s)
+          val off = s * mdl.dsub
+          var c = 0
+          while (c < cb.length) {
+            var dd = 0.0
+            var j = 0
+            while (j < mdl.dsub) { val t = q(off + j) - cb(c)(j); dd += t * t; j += 1 }
+            lut(s * mdl.ks + c) = dd
+            c += 1
+          }
+          s += 1
+        }
+        (qid, lut)
+      }.toDF("qid", "lut")
+    val ksz = model.ks
+    // ADC over probed buckets only: equi-join on centroid_id routes each
+    // query to its bucket sliver; the HOF chain is the same codegen ADC
+    val adc = probes.join(luts, Seq("qid"))
+      .join(bucketed, Seq("centroid_id"))
+      .select(col("qid"), col("cid"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(model.m - 1)),
+            (c, s) => element_at(col("lut"), (s * ksz + c + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x).as("adc"))
+      .filter(col("qid") =!= col("cid"))
+    val wShort = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
+    val short = adc.withColumn("rn", row_number().over(wShort))
+      .filter(col("rn") <= shortlist)
+      .select(col("qid"), col("cid"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))
+    short.join(corpus, Seq("cid"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        round(Distances.cosineSimilarity(col("qv"), col("cv")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn").as("rank"), col("cid"), col("cos_sim"))
+  }
+
   /** IVF top-k convenience: build (or reuse `precomputed` centroids) then
     * search in one call. */
   def ivfTopK(

@@ -48,6 +48,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_knn_bruteforce" -> "broadcast query set: fixed handful of probe vectors",
     "q_knn_ivf" -> "k x dim centroid frame + probe set, both k-bounded; plus the broadcast fixed query set of the in-query brute-force recall baseline",
     "q_knn_pq" -> "broadcast per-query ADC LUT frame (|queries| x m*ks doubles, query-set-bounded); plus the broadcast fixed query set of the brute-force recall baseline",
+    "q_knn_ivfpq" -> "broadcast centroid frame (k x dim) for probe routing + broadcast fixed query set; the ADC scan itself is an equi-join on centroid_id, not a BNLJ",
     "q_collocations" -> "two SINGLE-ROW broadcast totals (bigram total, unigram total) joined onto the vocab-shaped pair table — the 1-row-frame normalizer pattern",
     "q_kneser_ney" -> "single-row broadcast bigram-type total joined onto the vocab-shaped model table — the 1-row-frame normalizer pattern",
     "q_key_skew" -> "single-row broadcast totals frame (sum/max/count of the key histogram) — the 1-row-frame normalizer pattern",

@@ -59,6 +59,24 @@ class KnnRecallSpec extends graft.SparkTestBase {
     }
   }
 
+  private def ivfPqRecall(dir: String): Double = {
+    val e = graft.queries.Relational.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("vec").as("qv"))
+    val c = e.select(col("vec_id").as("cid"), col("vec").as("cv"))
+    val got = Similarity.ivfPqSearch(q, c).select(col("qid"), col("cid"))
+    val bf = Similarity.bruteForceTopK(q, c, 10).select(col("qid"), col("cid"))
+    val hits = bf.join(got, Seq("qid", "cid")).count().toDouble
+    hits / bf.count()
+  }
+
+  test("IVF-PQ composed recall@10 on every SF corpus (calibration + floor)") {
+    for (d <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val r = ivfPqRecall(sf(d))
+      info(f"$d: mean recall@10 = $r%.4f")
+      assert(r >= 0.6, f"$d: recall $r%.4f below the composed-tier floor 0.6")
+    }
+  }
+
   test("PQ+rerank mean recall@10 >= 0.75 at shortlist 100 on every SF corpus") {
     // calibration (this suite, this session): shortlist=100 measures
     // 0.965 / 0.965 / 0.850 at sf0.001/0.01/0.1 — the 0.75 floor keeps a
