@@ -1144,6 +1144,11 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"), col("run"))
     }),
+    "q_stream_funnel" -> ((s: SparkSession, d: String) =>
+      // stateful streaming funnel: two numbers of state per user; over
+      // event-time-ordered arrival the greedy fold equals the batch
+      // min-chain, so the oracle is q_funnel's depth column verbatim.
+      graft.streaming.StreamingOps.funnelStream(s, d)),
     "q_stream_count_min" -> ((s: SparkSession, d: String) =>
       // the CMS built ACROSS MICRO-BATCHES (complete-mode typed
       // aggregate) must carry the same guarantees as the batch sketch —
@@ -2783,6 +2788,21 @@ object SparkEntry {
         |  min(ts_ms) AS valid_from, max(ts_ms) AS last_seen,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM r GROUP BY user_id, run ORDER BY user_id, run""".stripMargin,
+    "q_stream_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |users AS (SELECT DISTINCT user_id FROM ev),
+        |s1 AS (SELECT user_id, min(ts_ms) AS t FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts_ms) AS t FROM ev e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts_ms > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts_ms) AS t FROM ev e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts_ms > s2.t GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN s3.t IS NOT NULL THEN 3 WHEN s2.t IS NOT NULL THEN 2
+        |            WHEN s1.t IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS funnel_depth
+        |FROM users u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |     LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q_stream_count_min" ->
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS token,
         |             CAST(count(*) AS BIGINT) AS n_exact

@@ -282,6 +282,61 @@ object StreamingOps {
   /** Per-user session state carried across micro-batches. */
   final case class SessionState(lastTsMs: Long, sessions: Long)
 
+  final case class FunnelState(depth: Int, anchorTs: Long)
+
+  /** Streaming funnel progression — the stateful twin of
+    * [[graft.queries.Relational.funnel]]: per-user state is (stage depth,
+    * anchor ts); each batch folds its events in (ts, event_id) order and
+    * advances the stage whenever the next step's event lands strictly
+    * after the current anchor. Over event-time-ordered arrival the greedy
+    * fold is EXACTLY the batch min-chain (scanning time order, the first
+    * qualifying event IS the min — the same ordered-arrival contract
+    * [[runningMaxChanges]] documents), which the spec asserts by
+    * comparing final depths against the batch operator.
+    *
+    * State per user: two numbers — arrival-rate-independent, the
+    * cheapest possible funnel state. */
+  def funnelStream(spark: SparkSession, dir: String,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    import spark.implicits._
+    val ev = graft.io.EventsReader.stream(spark, dir)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    val advanced = ev.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, (Long, Int)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[FunnelState]) =>
+          val sorted = it.toArray.sortBy(e => (e._3, e._2))
+          var (depth, anchor) = state.getOption
+            .map(s => (s.depth, s.anchorTs)).getOrElse((0, Long.MinValue))
+          sorted.foreach { case (_, _, ts, ty) =>
+            if (depth < steps.length && ty == steps(depth) &&
+              (depth == 0 || ts > anchor)) {
+              depth += 1
+              anchor = ts
+            }
+          }
+          state.update(FunnelState(depth, anchor))
+          Iterator.single((uid, depth))
+      }
+    val name = s"funnel_${System.nanoTime()}"
+    val q = advanced.toDF("user_id", "funnel_depth").writeStream
+      .format("memory").queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // update-mode sink: keep each user's LAST depth (monotone, so max)
+    val (out, _) = org.apache.spark.sql.GraftShim.materialize(
+      spark.table(name)
+        .groupBy(col("user_id"))
+        .agg(max(col("funnel_depth")).cast("int").as("funnel_depth")))
+    spark.catalog.dropTempView(name)
+    out.orderBy(col("user_id"))
+  }
+
   /** Stateful streaming sessionization: custom per-key state via
     * `mapGroupsWithState` (the engine's KeyValueGroupedDataset state
     * surface; no analogue in the reference). Gap rule identical to the

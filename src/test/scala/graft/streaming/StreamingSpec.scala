@@ -369,6 +369,17 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming funnel matches batch funnel depths on the gate corpus") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingOps.funnelStream(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val batch = Relational.funnel(spark, sf())
+      .select(col("user_id"), col("funnel_depth"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stateful streaming sessionization matches batch session counts") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingOps.sessionizeStream(spark, sf()).collect()
