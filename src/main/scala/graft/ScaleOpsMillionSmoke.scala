@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale smoke for the round-8 operator families: PageRank on a 1M-edge
+  * graph, count-min over a 10M-token stream, and A-ES weighted sampling
+  * over 10M rows — the same env-gated pattern as the other Million
+  * smokes, asserting the invariants that must survive scale (rank-mass
+  * conservation and hub dominance; sketch guarantees at a vocabulary the
+  * gate corpus never reaches; deterministic selection at TakeOrdered
+  * scale).
+  */
+object ScaleOpsMillionSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = GraftSession.localBuilder("graft-scaleops-million", 32)
+      .config("spark.driver.maxResultSize", "4g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, n)
+    spark.stop()
+  }
+
+  /** Body shared by [[main]] and the opt-in SmokeSuite. */
+  def run(spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    // ---- PageRank: n random edges over n/5 nodes + a planted hub ----
+    val nNodes = math.max(n / 5, 100L)
+    var t0 = System.nanoTime()
+    val raw = spark.range(n).select(
+      pmod(xxhash64(col("id"), lit(1L)), lit(nNodes)).as("src"),
+      pmod(xxhash64(col("id"), lit(2L)), lit(nNodes)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // planted hub: the first 10k ids also point at node 0
+    val hub = spark.range(1L, 10001L)
+      .select(pmod(xxhash64(col("id"), lit(3L)), lit(nNodes - 1) ).+(1L).as("src"),
+        lit(0L).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val pairs = raw.unionAll(hub)
+    val edges = pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val pr = graft.operators.PageRank.run(edges, iters = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRanked = pr.count()
+    val prSecs = (System.nanoTime() - t0) / 1e9
+    val mass = pr.agg(sum(col("pr"))).head().getDouble(0)
+    val hubPr = pr.filter(col("node") === 0L).head().getDouble(1)
+    val medianPr = pr.stat.approxQuantile("pr", Array(0.5), 0.01)(0)
+    println(f"[smoke] pagerank: $nRanked nodes ranked in $prSecs%.1f s; " +
+      f"mass=$mass%.6f hub=$hubPr%.2e median=$medianPr%.2e")
+    // mass is conserved exactly pre-rounding (no dangling nodes); the
+    // visible drift is the 6 dp output rounding × nNodes (≤ 5e-7 each)
+    assert(math.abs(mass - 1.0) < 5e-3, s"rank mass leaked: $mass")
+    assert(hubPr > 20 * medianPr, s"planted hub not dominant: $hubPr vs median $medianPr")
+    pr.unpersist(blocking = false)
+
+    // ---- count-min over 10×n zipf-ish tokens, 100k-word vocabulary ----
+    t0 = System.nanoTime()
+    import spark.implicits._
+    val vocab = 100000L
+    // rank r appears ∝ 1/(r+1): r = floor(vocab / (1 + uniform(0, vocab)))
+    val toks = spark.range(n * 10).select(
+      concat(lit("w"), floor(lit(vocab.toDouble) /
+        (pmod(xxhash64(col("id")), lit(vocab)).cast("double") + 1.0)).cast("long"))
+        .as("tok"))
+    val depth = 4
+    val width = 8192
+    val sketch = toks.as[String]
+      .select(new graft.operators.Sketches.CountMin(depth, width).toColumn).head()
+    val cmsSecs = (System.nanoTime() - t0) / 1e9
+    val total = sketch(depth * width)
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(20).collect()
+    val bound = math.ceil(math.E * total / width).toLong
+    top.foreach { r =>
+      val est = graft.operators.Sketches.CountMin.estimate(sketch, depth, width, r.getString(0))
+      assert(est >= r.getLong(1), s"${r.getString(0)} undercounted")
+      assert(est <= r.getLong(1) + bound, s"${r.getString(0)} overshot: $est vs ${r.getLong(1)}")
+    }
+    println(f"[smoke] count-min: ${n * 10} tokens sketched in $cmsSecs%.1f s; " +
+      f"total=$total top-20 within ceil(eN/w)=$bound")
+
+    // ---- A-ES weighted sample over 10×n rows ----
+    t0 = System.nanoTime()
+    val rows = spark.range(n * 10).select(col("id"),
+      (pmod(xxhash64(col("id"), lit(9L)), lit(1000L)) + 1L).as("w"))
+    val sel1 = graft.operators.Sampling.weightedSample(rows, "id", "w", k = 1000)
+      .select(col("id")).as[Long].collect().sorted
+    val wsSecs = (System.nanoTime() - t0) / 1e9
+    val sel2 = graft.operators.Sampling.weightedSample(rows.repartition(97), "id", "w", k = 1000)
+      .select(col("id")).as[Long].collect().sorted
+    assert(sel1.sameElements(sel2), "weighted selection must not depend on partitioning")
+    // weight bias: mean weight of the sample well above the population mean (~500)
+    val meanW = rows.join(sel1.toSeq.toDF("id"), Seq("id"))
+      .agg(avg(col("w"))).head().getDouble(0)
+    assert(meanW > 600, s"weight bias too weak: mean sampled w = $meanW")
+    println(f"[smoke] weighted-sample: top-1000 of ${n * 10} rows in $wsSecs%.1f s; " +
+      f"mean sampled weight $meanW%.0f (population ~500)")
+  }
+}

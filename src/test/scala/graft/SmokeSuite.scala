@@ -56,5 +56,9 @@ class SmokeSuite extends AnyFunSuite with BeforeAndAfterAll {
     StreamingMillionSmoke.run(_, 1000000L)
   }
 
+  smoke("ScaleOpsMillionSmoke: 1M-edge PageRank, 10M-token CMS, 10M-row weighted sample") {
+    ScaleOpsMillionSmoke.run(_, 1000000L)
+  }
+
   override def afterAll(): Unit = if (enabled) spark.stop()
 }
