@@ -1254,6 +1254,141 @@ object SparkEntry {
       graft.operators.PageRank.run(edges, iters = 3)
         .orderBy(col("node"))
     }),
+    "q_label_propagation" -> ((s: SparkSession, d: String) => {
+      // synchronous label propagation (2 rounds, min-label tie-break) over
+      // the same bidirected customer↔supplier purchase graph as
+      // q_pagerank — community detection beside its centrality. Every
+      // round is a (dst,label) count shuffle + one argmax aggregation
+      // over integer counts, so the unrolled SQL replays it exactly.
+      val o = Relational.table(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      val l = Relational.table(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val pairs = o.join(l, Seq("ok"))
+        .select((col("ck") * 2).as("c"), (col("sk") * 2 + 1).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      graft.operators.GraphOps.labelPropagation(edges, iters = 2)
+        .orderBy(col("node"))
+    }),
+    "q_triangle_count" -> ((s: SparkSession, d: String) => {
+      // per-node triangle counts of the mutual-kNN semantic similarity
+      // graph (k=10 over a bounded 200-vector slice — at corpus scale the
+      // kNN edges come from the IVF tier instead of brute force; the
+      // triangle closure itself is fully distributed). Triangles measure
+      // local clustering of the embedding space — the curation signal
+      // behind clustering-coefficient dedup diagnostics. The purchase
+      // graph is bipartite (no triangles) and its projections are
+      // degenerately dense, so the similarity graph is the honest host.
+      val sub = Relational.embeddings(s, d).filter(col("vec_id") < 200)
+      val top = Similarity.bruteForceTopK(
+          sub.select(col("vec_id").as("qid"), col("vec").as("qv")),
+          sub.select(col("vec_id").as("cid"), col("vec").as("cv")),
+          k = 10)
+        .select(col("qid").as("a"), col("cid").as("b"))
+      val mutual = top
+        .join(top.select(col("b").as("a"), col("a").as("b")),
+          Seq("a", "b"), "left_semi")
+        .filter(col("a") < col("b"))
+      graft.operators.GraphOps.triangleCount(
+          mutual.select(col("a").as("src"), col("b").as("dst")))
+        .orderBy(col("node"))
+    }),
+    "q_anomaly_zscore" -> ((s: SparkSession, d: String) => {
+      // time-series anomaly flags: each event type's gap-filled hourly
+      // count z-scored against its own trailing 24 observed hours. The
+      // window statistics are EXPLICIT integer sums (count/sum/sum-of-
+      // squares frames), not built-in stddev, so both engines run the
+      // identical exact-integer → IEEE expression tree and the rounded
+      // z-scores hash-match. Windows are per-event-type — parallel across
+      // series, the monitoring shape that scales with series count.
+      val ev = Relational.table(s, d, "events")
+        .select(col("event_type"),
+          (floor(unix_millis(col("ts")) / lit(3600000L)) * 3600000L).as("hour_ms"))
+      val span = ev.agg(min(col("hour_ms")).as("lo"), max(col("hour_ms")).as("hi"))
+      val spine = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(3600000L))).as("hour_ms"))
+      val counts = ev.groupBy(col("event_type"), col("hour_ms"))
+        .agg(count(lit(1)).as("cnt"))
+      val hourly = spine.join(counts, Seq("event_type", "hour_ms"), "left")
+        .select(col("event_type"), col("hour_ms"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("hour_ms"))
+        .rowsBetween(-24, -1)
+      val stats = hourly
+        .withColumn("n", count(col("cnt")).over(w))
+        .withColumn("s", sum(col("cnt")).over(w))
+        .withColumn("ss", sum(col("cnt") * col("cnt")).over(w))
+      val varExpr = (col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)
+      val z = when(col("n") >= lit(12L) && varExpr > 0,
+        (col("cnt") - col("s") / col("n")) / sqrt(varExpr))
+      stats.select(col("event_type"), col("hour_ms"), col("cnt"),
+          round(z, 6).as("z"),
+          coalesce(abs(z) > 3.0, lit(false)).as("is_anomaly"))
+        .orderBy(col("event_type"), col("hour_ms"))
+    }),
+    "q_ema" -> ((s: SparkSession, d: String) => {
+      // truncated exponential moving average (α = 1/2, depth 8) of each
+      // user's event values in time order — the leakage-free smoothed
+      // feature beside q_rolling_avg's flat window. α = 1/2 makes every
+      // weight an exact binary fraction and the lag chain is written in
+      // the same left-to-right order in both engines, so the doubles are
+      // bit-identical before rounding. One partitioned window, no shuffle
+      // beyond the user_id hash.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val terms = (0 until 8).map { k =>
+        val x = if (k == 0) col("value") else lag(col("value"), k).over(w)
+        (coalesce(x, lit(0.0)) * lit(math.pow(0.5, k)),
+          when(x.isNotNull, lit(math.pow(0.5, k))).otherwise(lit(0.0)))
+      }
+      val num = terms.map(_._1).reduce(_ + _)
+      val den = terms.map(_._2).reduce(_ + _)
+      Relational.table(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("ema", round(num / den, 6))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 6).as("value"), col("ema"))
+        .orderBy(col("event_id"))
+    }),
+    "q_unpivot" -> ((s: SparkSession, d: String) => {
+      // melt — the inverse of q_pivot: the wide per-user count matrix
+      // back to long (user_id, event_type, cnt) form. Dataset.unpivot
+      // plans ONE Expand over the wide frame (no per-column union
+      // rescans), the scale contract for melt.
+      val wide = Relational.table(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.unpivot(
+          Array(col("user_id")),
+          Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+          "event_type", "cnt")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+    "q_ntile" -> ((s: SparkSession, d: String) => {
+      // equal-frequency spend deciles WITHIN each market segment: one
+      // aggregation for per-customer spend, one broadcast dim join, one
+      // per-segment ntile window — parallel across segments, never a
+      // global single-partition sort.
+      val spend = Relational.table(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+      val cust = Relational.table(s, d, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("spend").desc, col("o_custkey"))
+      spend.join(broadcast(cust), Seq("o_custkey"))
+        .select(col("c_mktsegment"), col("o_custkey").as("custkey"),
+          col("spend"), ntile(10).over(w).as("decile"))
+        .orderBy(col("c_mktsegment"), col("decile"), col("custkey"))
+    }),
     "q_normalize_text" -> ((s: SparkSession, d: String) => {
       // crawl-text normalization: every 3rd doc gets a combining-accent
       // sequence (e + U+0301), a BEL control char and a raw tab appended;
@@ -2919,6 +3054,119 @@ object SparkEntry {
         |           + CAST(0.85 AS DOUBLE) * coalesce(m3.mass, 0) AS pr
         |       FROM p2 LEFT JOIN m3 USING (node), nn)
         |SELECT node, round(pr, 6) AS pr FROM p3 ORDER BY node""".stripMargin,
+    // 2 synchronous LPA rounds unrolled: per-round neighbor-label counts,
+    // the (cnt DESC, label ASC) winner, nodes without in-edges keeping
+    // their label — every step integer-exact
+    "q_label_propagation" ->
+      """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+        |               FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+        |c1 AS (SELECT e.dst AS node, p.label, count(*) AS cnt
+        |       FROM edges e JOIN l0 p ON e.src = p.node GROUP BY 1, 2),
+        |w1 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER
+        |           (PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c1)
+        |       WHERE rn = 1),
+        |l1 AS (SELECT p.node, coalesce(w.label, p.label) AS label
+        |       FROM l0 p LEFT JOIN w1 w ON p.node = w.node),
+        |c2 AS (SELECT e.dst AS node, p.label, count(*) AS cnt
+        |       FROM edges e JOIN l1 p ON e.src = p.node GROUP BY 1, 2),
+        |w2 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER
+        |           (PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c2)
+        |       WHERE rn = 1),
+        |l2 AS (SELECT p.node, coalesce(w.label, p.label) AS label
+        |       FROM l1 p LEFT JOIN w2 w ON p.node = w.node)
+        |SELECT node, label FROM l2 ORDER BY node""".stripMargin,
+    // mutual-kNN graph (k=10, rounded-cosine ranking with cid tie-break —
+    // the q_knn_bruteforce formula) then id-ordered triangle closure;
+    // per-node triangle counts are orientation-invariant, so this replays
+    // the engine's degree-ordered plan exactly
+    "q_triangle_count" ->
+      s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+         |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |        round(${sqlDot("q.embedding", "c.embedding")} /
+         |          (${sqlNorm("q.embedding")} * ${sqlNorm("c.embedding")}), 6) AS cos_sim
+         |      FROM sub q JOIN sub c ON q.vec_id <> c.vec_id),
+         |top AS (SELECT qid AS a, cid AS b FROM (
+         |          SELECT qid, cid, row_number() OVER
+         |            (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn FROM p)
+         |        WHERE rn <= 10),
+         |mut AS (SELECT t.a, t.b FROM top t
+         |        WHERE t.a < t.b
+         |          AND EXISTS (SELECT 1 FROM top r WHERE r.a = t.b AND r.b = t.a)),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |            SELECT a AS node FROM mut UNION ALL SELECT b FROM mut)),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM mut e1 JOIN mut e2 ON e2.a = e1.b
+         |             JOIN mut e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |         SELECT x AS node FROM tri
+         |         UNION ALL SELECT y FROM tri
+         |         UNION ALL SELECT z FROM tri) GROUP BY node)
+         |SELECT n.node, coalesce(pn.n_tri, CAST(0 AS BIGINT)) AS n_tri
+         |FROM nodes n LEFT JOIN pn USING (node) ORDER BY node""".stripMargin,
+    // trailing-24h z-scores over the gap-filled hourly series; the window
+    // stats are explicit integer sums so the IEEE chain
+    // (cnt − s/n)/sqrt((ss − s·s/n)/(n−1)) is engine-identical
+    "q_anomaly_zscore" ->
+      """WITH ev AS (SELECT event_type,
+        |    (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms FROM events),
+        |span AS (SELECT min(hour_ms) AS lo, max(hour_ms) AS hi FROM ev),
+        |spine AS (SELECT t.event_type, unnest(generate_series(span.lo, span.hi, 3600000)) AS hour_ms
+        |          FROM (SELECT DISTINCT event_type FROM ev) t, span),
+        |c AS (SELECT event_type, hour_ms, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM ev GROUP BY 1, 2),
+        |h AS (SELECT s.event_type, s.hour_ms, coalesce(c.cnt, 0) AS cnt
+        |      FROM spine s LEFT JOIN c USING (event_type, hour_ms)),
+        |st AS (SELECT event_type, hour_ms, cnt,
+        |         count(cnt) OVER w AS n,
+        |         CAST(sum(cnt) OVER w AS DOUBLE) AS s,
+        |         CAST(sum(cnt * cnt) OVER w AS DOUBLE) AS ss
+        |       FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_ms
+        |         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |zz AS (SELECT event_type, hour_ms, cnt,
+        |         CASE WHEN n >= 12 AND (ss - s * s / n) / (n - 1) > 0
+        |              THEN (cnt - s / n) / sqrt((ss - s * s / n) / (n - 1)) END AS z
+        |       FROM st)
+        |SELECT event_type, hour_ms, cnt, round(z, 6) AS z,
+        |  coalesce(abs(z) > CAST(3.0 AS DOUBLE), false) AS is_anomaly
+        |FROM zz ORDER BY event_type, hour_ms""".stripMargin,
+    // α=1/2 truncated EMA: binary-exact weights, lag chain summed in the
+    // identical left-to-right order → bit-identical doubles pre-round
+    "q_ema" -> {
+      val num = (0 until 8).map { k =>
+        val x = if (k == 0) "value" else s"lag(value, $k) OVER w"
+        s"coalesce($x, CAST(0 AS DOUBLE)) * CAST(${math.pow(0.5, k)} AS DOUBLE)"
+      }.mkString(" + ")
+      val den = (0 until 8).map { k =>
+        val x = if (k == 0) "value" else s"lag(value, $k) OVER w"
+        s"(CASE WHEN $x IS NOT NULL THEN CAST(${math.pow(0.5, k)} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
+      }.mkString(" + ")
+      s"""SELECT event_id, user_id, round(value, 6) AS value,
+         |  round(($num) / ($den), 6) AS ema
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY event_id""".stripMargin
+    },
+    "q_unpivot" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |t AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type),
+        |c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM events GROUP BY 1, 2)
+        |SELECT u.user_id, t.event_type, coalesce(c.cnt, CAST(0 AS BIGINT)) AS cnt
+        |FROM u CROSS JOIN t LEFT JOIN c USING (user_id, event_type)
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_ntile" ->
+      """WITH spend AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+        |               FROM orders GROUP BY o_custkey)
+        |SELECT c.c_mktsegment, s.o_custkey AS custkey, s.spend,
+        |  CAST(ntile(10) OVER (PARTITION BY c.c_mktsegment
+        |    ORDER BY s.spend DESC, s.o_custkey) AS INT) AS decile
+        |FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+        |ORDER BY c_mktsegment, decile, custkey""".stripMargin,
     "q_normalize_text" ->
       """WITH planted AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting and label propagation — the local-structure and
+  * community-detection members of the graph family, beside PageRank,
+  * connected components and Borůvka MST.
+  *
+  * Both are expressed as joins + aggregations over edge frames so Catalyst
+  * picks the physical join (shuffled hash at scale) and every aggregation
+  * is map-side combinable; no driver state beyond a rank-frame checkpoint
+  * per LPA round.
+  */
+object GraphOps {
+
+  /** Per-node triangle counts of an undirected graph.
+    *
+    * Input edges may be directed, duplicated, or contain self-loops; they
+    * are canonicalized to the distinct undirected a<b form first.
+    *
+    * Scale shape: the classic degree-ordered orientation (a.k.a.
+    * compact-forward). Each undirected edge is oriented from the
+    * lower-(degree, id) endpoint to the higher one, so a node's oriented
+    * out-degree is bounded by O(sqrt(|E|)) on any graph — the wedge
+    * self-join (the quadratic step) is quadratic in the ORIENTED degree,
+    * never in the raw degree of a hub. Each triangle {a,b,c} with rank
+    * a<b<c is generated exactly once, as the wedge (b,c) hanging off a,
+    * then confirmed by one semi-join against the oriented edge set. The
+    * per-node counts are a graph property, independent of the internal
+    * orientation, which is what lets an id-ordered SQL oracle replay them.
+    *
+    * @return (node, n_tri) over ALL nodes of the graph, zeros included
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // degrees + orientation + closure all read it
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): lo → hi, hi's rank key kept for wedge ordering
+    val da = deg.select(col("node").as("a"), col("deg").as("dega"))
+    val db = deg.select(col("node").as("b"), col("deg").as("degb"))
+    val oriented = canon.join(da, Seq("a")).join(db, Seq("b"))
+      .select(
+        when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+          struct(col("a").as("lo"), col("b").as("hi"),
+            col("degb").as("deghi")))
+          .otherwise(struct(col("b").as("lo"), col("a").as("hi"),
+            col("dega").as("deghi"))).as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"), col("e.deghi").as("deghi"))
+      .localCheckpoint(true) // wedge join reads it twice + closure probe
+    // wedges off the lowest-ranked corner: unordered pair {v,w} generated
+    // once by ranking the two hi endpoints
+    val e1 = oriented.select(col("lo"), col("hi").as("v"), col("deghi").as("dv"))
+    val e2 = oriented.select(col("lo"), col("hi").as("w"), col("deghi").as("dw"))
+    val wedges = e1.join(e2, Seq("lo"))
+      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+      .select(col("lo").as("u"), col("v"), col("w"))
+    // close the wedge: (v,w) must be an edge; it is oriented v→w because
+    // (dv,v) < (dw,w) is the same total order the orientation used
+    val closing = oriented.select(col("lo").as("v"), col("hi").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w"), "left_semi")
+    val perNode = tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.select(col("node"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — `iters` full
+    * rounds from the identity labeling. Each round every node adopts the
+    * most frequent label among its in-neighbors, ties broken by the
+    * SMALLEST label, so the result is a pure function of the graph — what
+    * lets an unrolled SQL oracle replay it. Nodes with no in-edges keep
+    * their current label.
+    *
+    * Scale shape: one contribution shuffle keyed by (dst, label) + a
+    * map-side-combinable count + one argmax aggregation per round — the
+    * PageRank plan with a mode instead of a sum. The label frame is
+    * node-shaped and eagerly checkpointed per round (constant plan depth).
+    *
+    * @param edges directed edge list (src, dst); pass both directions for
+    *              an undirected graph
+    * @return (node, label)
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val counts = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      // argmax by (cnt desc, label asc) in ONE aggregation: max of
+      // (cnt, -label) picks the highest count, then the smallest label
+      val winner = counts
+        .groupBy(col("dst").as("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("new_label"))
+      val next = labels.join(winner, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint(true)
+      labels.unpersist(blocking = false)
+      labels = next
+      it += 1
+    }
+    labels
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class GraphOpsSpec extends SparkTestBase {
+
+  test("triangleCount: hand-checked graphs — K4, a pendant edge, a triangle-free star") {
+    import spark.implicits._
+    // K4 + pendant edge 4-5: every K4 node sits in C(3,2)=3 triangles,
+    // the pendant endpoints gain none
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val got = GraphOps.triangleCount((k4 :+ (4L, 5L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+    // star K1,5 is bipartite: zero triangles everywhere
+    val star = (2L to 6L).map(b => (1L, b)).toDF("src", "dst")
+    val starGot = GraphOps.triangleCount(star).collect()
+    assert(starGot.length === 6 && starGot.forall(_.getLong(1) === 0L))
+  }
+
+  test("triangleCount: canonicalization — direction, duplicates and self-loops don't change counts") {
+    import spark.implicits._
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (2L, 2L))
+      .toDF("src", "dst")
+    val a = GraphOps.triangleCount(tri).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = GraphOps.triangleCount(messy).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === Set((1L, 1L), (2L, 1L), (3L, 1L)))
+    assert(b === a)
+  }
+
+  test("triangleCount matches a brute-force closure on a pseudorandom graph, at any parallelism") {
+    import spark.implicits._
+    // deterministic sparse graph on 40 nodes
+    val raw = (0L until 200L).map { i =>
+      (i * 13 % 40, (i * i * 7 + i) % 40)
+    }
+    val canon = raw.map { case (a, b) => (a min b, a max b) }
+      .filter { case (a, b) => a != b }.distinct
+    val eset = canon.toSet
+    val nodes = canon.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val expected = nodes.map { n =>
+      val tris = (for {
+        (a, b) <- canon if a != n && b != n
+        if eset.contains((a min n) -> (a max n)) && eset.contains((b min n) -> (b max n))
+      } yield 1).size
+      n -> tris.toLong
+    }.toMap
+    for (parts <- Seq(1, 7)) {
+      val got = GraphOps.triangleCount(raw.toDF("src", "dst").repartition(parts))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
+  test("labelPropagation: two cliques joined by a bridge keep their own min labels") {
+    import spark.implicits._
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10
+    val und = (for (a <- Seq(1L, 2L, 3L); b <- Seq(1L, 2L, 3L) if a < b) yield (a, b)) ++
+      (for (a <- Seq(10L, 11L, 12L); b <- Seq(10L, 11L, 12L) if a < b) yield (a, b)) :+
+      (3L, 10L)
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique converges to ONE label (community structure), and the
+    // label the cliques settle on differs — the bridge doesn't merge them
+    assert(Set(got(1L), got(2L), got(3L)) === Set(1L))
+    assert(Set(got(10L), got(11L), got(12L)).size === 1)
+    assert(got(10L) !== 1L)
+  }
+
+  test("labelPropagation is deterministic and parallelism-invariant (tie-break = min label)") {
+    import spark.implicits._
+    val und = (0L until 30L).map(i => (i, (i * i + 1) % 30)).filter(p => p._1 != p._2)
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val runs = Seq(1, 5).map { parts =>
+      GraphOps.labelPropagation(edges.toDF("src", "dst").repartition(parts), iters = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    }
+    assert(runs(0) === runs(1))
+    // one synchronous round on the identity labeling IS the neighborhood
+    // mode with min tie-break: replay it locally as the oracle does
+    val adj = edges.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
+    var labels = (edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> n)).toMap
+    for (_ <- 1 to 2) {
+      labels = labels.map { case (n, old) =>
+        adj.get(n) match {
+          case None => n -> old
+          case Some(ns) =>
+            val counts = ns.map(labels).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+            n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+    }
+    assert(runs(0).toMap === labels)
+  }
+}
