@@ -1389,6 +1389,124 @@ object SparkEntry {
           col("spend"), ntile(10).over(w).as("decile"))
         .orderBy(col("c_mktsegment"), col("decile"), col("custkey"))
     }),
+    "q_retention_cohort" -> ((s: SparkSession, d: String) => {
+      // cohort retention: users grouped by first-active week, retention =
+      // active-user fraction at each week offset — the product-analytics
+      // staple. Every number is a ratio of distinct-user counts (integer-
+      // exact); shuffles key on user_id then (cohort, offset), both
+      // high-cardinality-safe.
+      val uw = Relational.table(s, d, "events")
+        .select(col("user_id"),
+          (floor(unix_millis(col("ts")) / lit(604800000L)) * 604800000L).as("week_ms"))
+        .distinct()
+      val first = uw.groupBy(col("user_id")).agg(min(col("week_ms")).as("cohort_ms"))
+      val active = uw.join(first, Seq("user_id"))
+        .select(col("cohort_ms"),
+          ((col("week_ms") - col("cohort_ms")) / 604800000L).cast("long").as("week_offset"))
+        .groupBy(col("cohort_ms"), col("week_offset"))
+        .agg(count(lit(1)).as("n_active")) // (user, week) already distinct
+      val sizes = first.groupBy(col("cohort_ms")).agg(count(lit(1)).as("cohort_size"))
+      active.join(sizes, Seq("cohort_ms"))
+        .select(col("cohort_ms"), col("week_offset"), col("cohort_size"),
+          col("n_active"),
+          round(col("n_active") / col("cohort_size"), 6).as("retention"))
+        .orderBy(col("cohort_ms"), col("week_offset"))
+    }),
+    "q_markov_transition" -> ((s: SparkSession, d: String) => {
+      // first-order Markov transition matrix of each user's event-type
+      // sequence — P(next | current) as exact integer-count ratios. One
+      // user-keyed window for the successor, one (from, to) count, one
+      // per-from total; the session-modeling shape.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Relational.table(s, d, "events")
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+      val c = pairs.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tw = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+      c.withColumn("p", round(col("n") / sum(col("n")).over(tw), 6))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+    "q_bm25" -> ((s: SparkSession, d: String) => {
+      // Okapi BM25 document scoring for a fixed 5-term query — the
+      // retrieval scorer beside q_tfidf_top_terms. Term frequencies are
+      // array-HOF scalars (zero shuffle), corpus stats (N, Σdl, df per
+      // term) are ONE single-row aggregate broadcast back, and the score
+      // sums the 5 term contributions in a FIXED left-to-right order so
+      // the float chain is engine-identical.
+      val terms = Seq("hash", "join", "scan", "filter", "vector")
+      val base = docs(s, d).select(col("doc_id"),
+        graft.operators.TextOps.tokens(col("text")).as("toks"))
+      val perDoc = base.select(
+        col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf$i")
+          }: _*)
+      val aggCols = count(lit(1)).cast("double").as("n") +:
+        sum(col("dl")).cast("double").as("tot") +:
+        terms.indices.map { i =>
+          sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i")
+        }
+      val g = perDoc.agg(aggCols.head, aggCols.tail: _*)
+      val k1 = lit(1.2)
+      val b = lit(0.75)
+      val scored = perDoc.crossJoin(broadcast(g))
+      val contribs = terms.indices.map { i =>
+        val tf = col(s"tf$i").cast("double")
+        val idf = log(lit(1.0) + (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+        idf * (tf * lit(2.2)) /
+          (tf + k1 * (lit(1.0) - b + b * col("dl") / (col("tot") / col("n"))))
+      }
+      scored.select(col("doc_id"), col("dl").as("n_tokens"),
+          round(contribs.reduce(_ + _), 6).as("bm25"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_fuzzy_vocab" -> ((s: SparkSession, d: String) => {
+      // blocked fuzzy vocabulary matching: the corpus vocabulary plus a
+      // planted OCR-style typo table (first-char substitution, the
+      // q_normalize_text planted-fixture pattern), candidate pairs from
+      // an EQUI-join on the (length, last-char) block key — never
+      // all-pairs — then exact levenshtein ≤ 1 inside each block. The
+      // entity-resolution shape: blocking bounds candidates, the
+      // quadratic distance only runs within blocks.
+      val vocab = docs(s, d)
+        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 4)
+        .distinct()
+      val typos = vocab.select(concat(lit("q"), substring(col("w"), 2, 1000)).as("w"))
+      val all = vocab.unionAll(typos).distinct()
+        .select(col("w"), length(col("w")).as("l"), substring(col("w"), -1, 1).as("ck"))
+      val a = all.select(col("w").as("w1"), col("l"), col("ck"))
+      val bb = all.select(col("w").as("w2"), col("l"), col("ck"))
+      a.join(bb, Seq("l", "ck"))
+        .filter(col("w1") < col("w2") &&
+          levenshtein(col("w1"), col("w2")) <= 1)
+        .select(col("w1"), col("w2"),
+          levenshtein(col("w1"), col("w2")).as("dist"))
+        .orderBy(col("w1"), col("w2"))
+    }),
+    "q_histogram" -> ((s: SparkSession, d: String) => {
+      // equi-width histogram of the event value distribution: 20 bins
+      // over the global [min, max] span (single-row broadcast), bin
+      // assignment a pure floor expression, the max clamped into the last
+      // bin. One 1-row aggregate + one 20-key count — the profiling
+      // staple.
+      val ev = Relational.table(s, d, "events").select(col("value"))
+      val span = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      ev.crossJoin(broadcast(span))
+        .select(least(floor((col("value") - col("lo")) /
+            ((col("hi") - col("lo")) / lit(20.0))), lit(19.0))
+          .cast("long").as("bin"),
+          col("lo"), col("hi"))
+        .groupBy(col("bin"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("bin"),
+          round(col("lo") + col("bin") * ((col("hi") - col("lo")) / lit(20.0)), 6).as("bin_lo"),
+          col("cnt"))
+        .orderBy(col("bin"))
+    }),
     "q_normalize_text" -> ((s: SparkSession, d: String) => {
       // crawl-text normalization: every 3rd doc gets a combining-accent
       // sequence (e + U+0301), a BEL control char and a raw tab appended;
@@ -3167,6 +3285,79 @@ object SparkEntry {
         |    ORDER BY s.spend DESC, s.o_custkey) AS INT) AS decile
         |FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
         |ORDER BY c_mktsegment, decile, custkey""".stripMargin,
+    "q_retention_cohort" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    (epoch_ms(ts) // 604800000) * 604800000 AS week_ms FROM events),
+        |f AS (SELECT user_id, min(week_ms) AS cohort_ms FROM uw GROUP BY user_id),
+        |a AS (SELECT f.cohort_ms,
+        |        (uw.week_ms - f.cohort_ms) // 604800000 AS week_offset,
+        |        CAST(count(*) AS BIGINT) AS n_active
+        |      FROM uw JOIN f USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort_ms, CAST(count(*) AS BIGINT) AS cohort_size
+        |      FROM f GROUP BY cohort_ms)
+        |SELECT a.cohort_ms, a.week_offset, s.cohort_size, a.n_active,
+        |  round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+        |FROM a JOIN s USING (cohort_ms)
+        |ORDER BY cohort_ms, week_offset""".stripMargin,
+    "q_markov_transition" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // Okapi BM25, same fixed term order and the identical float chain:
+    // idf·(tf·2.2)/(tf + 1.2·(1 − 0.75 + 0.75·dl/(tot/n))), constants
+    // forced through DOUBLE
+    "q_bm25" -> {
+      val terms = Seq("hash", "join", "scan", "filter", "vector")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
+      }.mkString(",\n        |  ")
+      val dfCols = terms.indices.map { i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+      }.mkString(",\n        |  ")
+      val contribs = terms.indices.map { i =>
+        s"""ln(CAST(1.0 AS DOUBLE) + (n - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE)))
+           | * (CAST(tf$i AS DOUBLE) * CAST(2.2 AS DOUBLE))
+           | / (CAST(tf$i AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+           |    + CAST(0.75 AS DOUBLE) * dl / (tot / n)))""".stripMargin.replaceAll("\n", "")
+      }.mkString("\n        |  + ")
+      s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        |            FROM documents),
+        |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        |  $tfCols
+        |  FROM tk),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS tot,
+        |  $dfCols
+        |  FROM d)
+        |SELECT doc_id, dl AS n_tokens,
+        |  round($contribs, 6) AS bm25
+        |FROM d, g ORDER BY doc_id""".stripMargin
+    },
+    "q_fuzzy_vocab" ->
+      """WITH v AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |           FROM documents),
+        |v4 AS (SELECT w FROM v WHERE len(w) >= 4),
+        |allw AS (SELECT DISTINCT w FROM (
+        |           SELECT w FROM v4 UNION ALL SELECT 'q' || substr(w, 2) FROM v4)),
+        |k AS (SELECT w, len(w) AS l, substr(w, -1, 1) AS ck FROM allw)
+        |SELECT a.w AS w1, b.w AS w2,
+        |  CAST(levenshtein(a.w, b.w) AS INT) AS dist
+        |FROM k a JOIN k b ON a.l = b.l AND a.ck = b.ck
+        |WHERE a.w < b.w AND levenshtein(a.w, b.w) <= 1
+        |ORDER BY w1, w2""".stripMargin,
+    "q_histogram" ->
+      """WITH span AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+        |b AS (SELECT CAST(least(floor((value - lo) / ((hi - lo) / CAST(20.0 AS DOUBLE))),
+        |        CAST(19.0 AS DOUBLE)) AS BIGINT) AS bin, lo, hi
+        |      FROM events, span)
+        |SELECT bin,
+        |  round(lo + bin * ((hi - lo) / CAST(20.0 AS DOUBLE)), 6) AS bin_lo,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM b GROUP BY bin, lo, hi ORDER BY bin""".stripMargin,
     "q_normalize_text" ->
       """WITH planted AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0

@@ -54,6 +54,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_key_skew" -> "single-row broadcast totals frame (sum/max/count of the key histogram) — the 1-row-frame normalizer pattern",
     "q_gap_fill" -> "single-row broadcast [min,max] span frame fanned onto the distinct event types — the 1-row-frame normalizer pattern",
     "q_anomaly_zscore" -> "single-row broadcast [min,max] span frame building the hourly spine — same 1-row-frame pattern as q_gap_fill",
+    "q_bm25" -> "single-row broadcast corpus-stats frame (N, Σdl, per-term df) joined onto every doc — the 1-row-frame normalizer pattern",
+    "q_histogram" -> "single-row broadcast [min,max] span frame fanned onto the value rows — the 1-row-frame normalizer pattern",
     "q_triangle_count" -> "broadcast 200-vector bounded slice building the mutual-kNN graph (at corpus scale the edges come from the IVF tier); the triangle closure itself is equi-join only",
     "q_mix_temperature" -> "single-row normalizer z joined to per-source counts",
     "q_mutual_reachability" -> "bounded demo slice: pairwise mutual-reachability showcase",
