@@ -3,12 +3,16 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Scale smoke for the round-8 operator families: PageRank on a 1M-edge
-  * graph, count-min over a 10M-token stream, and A-ES weighted sampling
-  * over 10M rows — the same env-gated pattern as the other Million
-  * smokes, asserting the invariants that must survive scale (rank-mass
-  * conservation and hub dominance; sketch guarantees at a vocabulary the
-  * gate corpus never reaches; deterministic selection at TakeOrdered
-  * scale).
+  * graph, count-min over a 10M-token stream, A-ES weighted sampling
+  * over 10M rows, triangle counting on a 1.4M-edge graph with a provably
+  * exact planted count (disjoint K3s + matching noise + a 50k-degree hub
+  * the orientation must neutralize), and 2-round label propagation over
+  * 10k disjoint 20-cliques with an exact expected labeling — the same
+  * env-gated pattern as the other Million smokes, asserting the
+  * invariants that must survive scale (rank-mass conservation and hub
+  * dominance; sketch guarantees at a vocabulary the gate corpus never
+  * reaches; deterministic selection at TakeOrdered scale; exact closure
+  * counts under skew).
   */
 object ScaleOpsMillionSmoke {
   def main(args: Array[String]): Unit = {
@@ -95,5 +99,64 @@ object ScaleOpsMillionSmoke {
     assert(meanW > 600, s"weight bias too weak: mean sampled w = $meanW")
     println(f"[smoke] weighted-sample: top-1000 of ${n * 10} rows in $wsSecs%.1f s; " +
       f"mean sampled weight $meanW%.0f (population ~500)")
+
+    // ---- triangle counting: n/10 planted K3s + n matching edges + a hub ----
+    // The construction keeps the exact count provable at any scale:
+    // disjoint K3 blocks (nodes 3i,3i+1,3i+2) contribute exactly one
+    // triangle each; the noise is a MATCHING from n fresh degree-1 nodes
+    // (no two noise edges share a fresh endpoint → no triangle can route
+    // through one); the planted hub (degree n/20) fans out to node 3i of
+    // DISTINCT K3s (no two hub-neighbors adjacent → zero new triangles,
+    // and the degree-ordered orientation gives the hub out-degree 0 — the
+    // wedge join never quadratic in the hub's raw degree).
+    t0 = System.nanoTime()
+    val nTri = math.max(n / 10, 1000L)
+    val k3 = spark.range(nTri).select(
+      explode(array(
+        struct((col("id") * 3).as("src"), (col("id") * 3 + 1).as("dst")),
+        struct((col("id") * 3 + 1).as("src"), (col("id") * 3 + 2).as("dst")),
+        struct((col("id") * 3).as("src"), (col("id") * 3 + 2).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+    val fresh = 1000000000L
+    val matching = spark.range(n).select(
+      (col("id") + fresh).as("src"), pmod(col("id"), lit(nTri * 3)).as("dst"))
+    val hubId = fresh - 1
+    val hubEdges = spark.range(math.min(nTri, n / 20)).select(
+      lit(hubId).as("src"), (col("id") * 3).as("dst"))
+    val triIn = k3.unionAll(matching).unionAll(hubEdges)
+    val tc = graft.operators.GraphOps.triangleCount(triIn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val triTotal = tc.agg(sum(col("n_tri"))).head().getLong(0)
+    val triSecs = (System.nanoTime() - t0) / 1e9
+    val k3Wrong = tc.filter(col("node") < nTri * 3 && col("n_tri") =!= 1L).count()
+    val otherWrong = tc.filter(col("node") >= nTri * 3 && col("n_tri") =!= 0L).count()
+    println(f"[smoke] triangles: ${nTri * 3 + n} edges (+hub) closed in $triSecs%.1f s; " +
+      f"sum=$triTotal (expect ${3 * nTri}) wrong-k3=$k3Wrong wrong-noise=$otherWrong")
+    assert(triTotal == 3 * nTri, s"triangle mass: $triTotal vs ${3 * nTri}")
+    assert(k3Wrong == 0L && otherWrong == 0L, "per-node triangle counts off")
+    tc.unpersist(blocking = false)
+
+    // ---- label propagation: n/100 disjoint 20-cliques, 2 sync rounds ----
+    // On a clique, round 1 sends every non-min node to the min label and
+    // the min node to the second-min; round 2 returns everyone (min node
+    // included) to the min — so 2 rounds must label EVERY node with its
+    // clique's min, exactly, at any clique count.
+    t0 = System.nanoTime()
+    val nCliq = math.max(n / 100, 100L)
+    val pairsUnd = spark.range(nCliq * 400).select(
+      (col("id") / 400).cast("long").as("c"),
+      ((col("id") / 20) % 20).cast("long").as("a"),
+      (col("id") % 20).cast("long").as("b"))
+      .filter(col("a") < col("b"))
+      .select((col("c") * 20 + col("a")).as("src"), (col("c") * 20 + col("b")).as("dst"))
+    val lpaEdges = pairsUnd.unionAll(pairsUnd.select(col("dst").as("src"), col("src").as("dst")))
+    val lpa = graft.operators.GraphOps.labelPropagation(lpaEdges, iters = 2)
+    val lpaWrong = lpa.filter(col("label") =!= (col("node") - pmod(col("node"), lit(20L)))).count()
+    val lpaN = lpa.count()
+    val lpaSecs = (System.nanoTime() - t0) / 1e9
+    println(f"[smoke] lpa: $lpaN nodes / ${nCliq * 190 * 2} directed edges, 2 rounds in " +
+      f"$lpaSecs%.1f s; off-min labels=$lpaWrong")
+    assert(lpaN == nCliq * 20, s"node count: $lpaN")
+    assert(lpaWrong == 0L, s"$lpaWrong nodes not on their clique min")
   }
 }

@@ -56,7 +56,8 @@ class SmokeSuite extends AnyFunSuite with BeforeAndAfterAll {
     StreamingMillionSmoke.run(_, 1000000L)
   }
 
-  smoke("ScaleOpsMillionSmoke: 1M-edge PageRank, 10M-token CMS, 10M-row weighted sample") {
+  smoke("ScaleOpsMillionSmoke: 1M-edge PageRank, 10M-token CMS, 10M-row weighted sample, " +
+      "1.4M-edge exact triangles, 10k-clique LPA") {
     ScaleOpsMillionSmoke.run(_, 1000000L)
   }
 
