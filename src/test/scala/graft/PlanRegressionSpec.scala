@@ -74,6 +74,26 @@ class PlanRegressionSpec extends SparkTestBase {
       s"iteration internals must not leak into the final plan:\n$p")
   }
 
+  test("q_triangle_count: equi-join wedges, LeftSemi closure, no cartesian anywhere") {
+    val p = formatted("q_triangle_count")
+    assert(p.contains("LeftSemi"),
+      s"wedge closure must be a semi-join against the oriented edge set:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"triangle closure must never plan a cartesian:\n$p")
+    // the oriented edge frame is checkpointed once and read by both the
+    // wedge join and the closure probe
+    assert(p.contains("ExistingRDD"),
+      s"expected the checkpointed oriented-edge scan:\n$p")
+  }
+
+  test("q_label_propagation: label frame lineage is checkpoint-truncated (constant plan depth)") {
+    val p = formatted("q_label_propagation")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected the checkpoint-truncated label scan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(dst"),
+      s"iteration internals must not leak into the final plan:\n$p")
+  }
+
   test("count-min sketch build plans as map-side-combining ObjectHashAggregate") {
     // q_count_min's returned frame is the driver-assembled probe table
     // (LocalTableScan); the plan property to pin is the SKETCH BUILD that
