@@ -1713,6 +1713,11 @@ object SparkEntry {
     "q_stream_runmax" -> ((s: SparkSession, d: String) =>
       GraftSession.withShufflePartitions(s, 8)(
         graft.streaming.StreamingOps.runningMaxStream(s, d))),
+    "q_stream_ema" -> ((s: SparkSession, d: String) =>
+      // stateful truncated EMA: bounded per-user ring state, identical
+      // IEEE chain to the q_ema batch window — shares its oracle verbatim
+      GraftSession.withShufflePartitions(s, 8)(
+        graft.streaming.StreamingOps.emaStream(s, d))),
     "q_stream_attribution" -> ((s: SparkSession, d: String) =>
       // watermarked stream-stream join: views ⋈ purchases within 6h per user
       GraftSession.withShufflePartitions(s, 8)(
@@ -1789,6 +1794,9 @@ object SparkEntry {
     // the kernel formulation computes the identical quantity as the window
     // formulation — one oracle serves both
     "q_core_distance_kernel" -> oracleSqlBase("q_core_distance_window"),
+    // the stateful ring-buffer stream computes the identical truncated-EMA
+    // chain as the batch lag window — the batch oracle serves both
+    "q_stream_ema" -> oracleSqlBase("q_ema"),
     // same constraint set, same labels — the CSV round-trip through
     // PointsIO.readConstraints must reproduce q_constraints_check exactly
     "q_constraints_file" -> oracleSqlBase("q_constraints_check")) ++

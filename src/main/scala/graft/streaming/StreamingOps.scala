@@ -386,6 +386,72 @@ object StreamingOps {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
+  /** Streaming truncated EMA (α = 1/2, depth `depth`) — the stateful twin
+    * of the batch q_ema window. State per user is a BOUNDED ring of the
+    * last depth−1 (ts, event_id, value) observations (two dozen numbers,
+    * horizon-free); each arriving event emits exactly one row carrying
+    * the same weighted average the batch lag-chain computes, accumulated
+    * newest-first in the identical left-to-right IEEE order — so the
+    * stream shares the batch query's DuckDB oracle verbatim. Within a
+    * batch the group's rows are sorted by (ts, event_id); across batches
+    * the file replay delivers event-time order per key (the same
+    * assumption the sessionize stream makes), and the MemoryStream spec
+    * proves the ring survives batch boundaries.
+    */
+  def emaStream(spark: SparkSession, dir: String, depth: Int = 8): DataFrame = {
+    import spark.implicits._
+    val events = graft.io.EventsReader.stream(spark, dir)
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        unix_micros(col("ts")).as("ts_us"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+    val out = emaChanges(events, depth)
+    val name = s"ema_${System.nanoTime()}"
+    val q = out.toDF("event_id", "user_id", "value", "ema").writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (res, _) = org.apache.spark.sql.GraftShim.materialize(
+      spark.table(name).select(col("event_id"), col("user_id"),
+        round(col("value"), 6).as("value"), round(col("ema"), 6).as("ema")))
+    spark.catalog.dropTempView(name)
+    res.orderBy(col("event_id"))
+  }
+
+  /** The change stream underneath [[emaStream]]: rows are
+    * (event_id, user_id, ts_us, value); emits one
+    * (event_id, user_id, value, ema) per event. Exposed so multi-batch
+    * MemoryStream tests can drive the ring buffer across real batch
+    * boundaries. */
+  def emaChanges(events: org.apache.spark.sql.Dataset[(Long, Long, Long, Double)],
+      depth: Int): org.apache.spark.sql.Dataset[(Long, Long, Double, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._2)
+      .flatMapGroupsWithState[List[(Long, Long, Double)], (Long, Long, Double, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[List[(Long, Long, Double)]]) =>
+          var ring = state.getOption.getOrElse(Nil) // ascending (ts, event_id)
+          val rows = it.toSeq.sortBy(t => (t._3, t._1)).map { case (eid, _, ts, v) =>
+            val ctx = (ring :+ ((ts, eid, v))).takeRight(depth)
+            var num = 0.0
+            var den = 0.0
+            var k = 0
+            ctx.reverseIterator.foreach { case (_, _, x) =>
+              val w = math.pow(0.5, k)
+              num += x * w
+              den += w
+              k += 1
+            }
+            ring = (ring :+ ((ts, eid, v))).takeRight(depth - 1)
+            (eid, uid, v, num / den)
+          }
+          state.update(ring)
+          rows.iterator
+      }
+  }
+
   def sessionizeStream(spark: SparkSession, dir: String, gapMs: Long = 1800000L): DataFrame = {
     import spark.implicits._
     val events = graft.io.EventsReader.stream(spark, dir)

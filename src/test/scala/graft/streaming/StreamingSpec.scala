@@ -40,6 +40,46 @@ class StreamingSpec extends SparkTestBase {
       s"got $emitted")
   }
 
+  test("streaming EMA ring survives micro-batch boundaries and equals the batch lag chain") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("streamema").toString
+    // rows: (event_id, user_id, ts_us, value); 3 files = 3 micro-batches
+    // in event-time order per user — the cross-batch window for user 1's
+    // 4th event must reach back through TWO batch boundaries
+    Seq((1L, 1L, 100L, 8.0), (2L, 1L, 200L, 4.0), (10L, 2L, 100L, 1.0))
+      .toDF("event_id", "user_id", "ts_us", "value").coalesce(1).write.parquet(s"$dir/b1")
+    Seq((3L, 1L, 300L, 2.0), (11L, 2L, 200L, 3.0))
+      .toDF("event_id", "user_id", "ts_us", "value").coalesce(1).write.parquet(s"$dir/b2")
+    Seq((4L, 1L, 400L, 6.0))
+      .toDF("event_id", "user_id", "ts_us", "value").coalesce(1).write.parquet(s"$dir/b3")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").format("parquet").load(dir)
+      .as[(Long, Long, Long, Double)]
+    val name = s"ema_test_${System.nanoTime()}"
+    val q = StreamingOps.emaChanges(stream, depth = 8)
+      .toDF("event_id", "user_id", "value", "ema")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name).select("event_id", "ema")
+      .as[(Long, Double)].collect().toMap
+    spark.catalog.dropTempView(name)
+    // hand-computed truncated EMA, newest-first weights 1, 1/2, 1/4, ...
+    def ema(xs: Double*): Double = { // xs newest first
+      val n = xs.zipWithIndex.map { case (x, k) => x * math.pow(0.5, k) }.sum
+      val d = xs.indices.map(k => math.pow(0.5, k)).sum
+      n / d
+    }
+    assert(got(1L) == 8.0 && got(10L) == 1.0)
+    assert(got(2L) == ema(4.0, 8.0))
+    assert(got(11L) == ema(3.0, 1.0), "user 2's ring must survive batch 1→2")
+    assert(got(3L) == ema(2.0, 4.0, 8.0), "user 1's ring must survive batch 1→2")
+    assert(got(4L) == ema(6.0, 2.0, 4.0, 8.0), "the window must span two batch boundaries")
+  }
+
   test("streaming dedup state spans micro-batches: repeats in batch 2 emit nothing") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
