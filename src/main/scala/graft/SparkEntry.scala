@@ -1507,6 +1507,49 @@ object SparkEntry {
           col("cnt"))
         .orderBy(col("bin"))
     }),
+    "q_survivorship" -> ((s: SparkSession, d: String) => {
+      // golden-record survivorship — the step AFTER dedup grouping: each
+      // exact-content duplicate group collapses to one survivor carrying
+      // MERGED attributes (min id as keeper, member count, sorted source
+      // union, max length). Groups are planted (every 10th doc re-emitted
+      // as a 'mirror' copy — the corpus has no natural exact dups), the
+      // q_normalize_text fixture pattern. One content-digest shuffle, all
+      // merges map-side-combinable aggregates.
+      val base = docs(s, d)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      val mirrors = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit("mirror").as("source"), col("n_chars"))
+      base.unionAll(mirrors)
+        .groupBy(md5(col("text")).as("content_md5"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_members"),
+          array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+          max(col("n_chars")).as("max_chars"))
+        .filter(col("n_members") > 1)
+        .orderBy(col("keeper_id"))
+    }),
+    "q_time_to_convert" -> ((s: SparkSession, d: String) => {
+      // funnel latency: strictly-after first-view → first-purchase deltas
+      // per user (the q_funnel anchor convention), summarized as count,
+      // mean and exact p50/p90 — the conversion-speed metric beside
+      // q_funnel's depth counts. Integer millisecond deltas, so mean and
+      // interpolated quantiles replay exactly.
+      val ev = Relational.table(s, d, "events")
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("v_ms"))
+      val deltas = ev.filter(col("event_type") === "purchase")
+        .join(v, Seq("user_id"))
+        .filter(col("ts_ms") > col("v_ms"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts_ms")).as("p_ms"), min(col("v_ms")).as("v_ms"))
+        .select((col("p_ms") - col("v_ms")).as("delta"))
+      deltas.agg(count(lit(1)).as("n_converted"),
+        round(avg(col("delta")), 6).as("avg_ms"),
+        round(element_at(percentile(col("delta"), array(lit(0.5), lit(0.9))), 1), 6).as("p50_ms"),
+        round(element_at(percentile(col("delta"), array(lit(0.5), lit(0.9))), 2), 6).as("p90_ms"))
+    }),
     "q_normalize_text" -> ((s: SparkSession, d: String) => {
       // crawl-text normalization: every 3rd doc gets a combining-accent
       // sequence (e + U+0301), a BEL control char and a raw tab appended;
@@ -3366,6 +3409,32 @@ object SparkEntry {
         |  round(lo + bin * ((hi - lo) / CAST(20.0 AS DOUBLE)), 6) AS bin_lo,
         |  CAST(count(*) AS BIGINT) AS cnt
         |FROM b GROUP BY bin, lo, hi ORDER BY bin""".stripMargin,
+    "q_survivorship" ->
+      """WITH m AS (SELECT doc_id + 1000000 AS doc_id, text, 'mirror' AS source, n_chars
+        |           FROM documents WHERE doc_id % 10 = 0),
+        |a AS (SELECT doc_id, text, source, n_chars FROM documents
+        |      UNION ALL SELECT doc_id, text, source, n_chars FROM m),
+        |g AS (SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
+        |        CAST(count(*) AS BIGINT) AS n_members,
+        |        string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+        |        max(n_chars) AS max_chars
+        |      FROM a GROUP BY 1)
+        |SELECT content_md5, keeper_id, n_members, sources, max_chars
+        |FROM g WHERE n_members > 1 ORDER BY keeper_id""".stripMargin,
+    "q_time_to_convert" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |v AS (SELECT user_id, min(ts_ms) AS v_ms FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |pp AS (SELECT e.user_id, min(e.ts_ms) AS p_ms, min(v.v_ms) AS v_ms
+        |       FROM ev e JOIN v USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts_ms > v.v_ms
+        |       GROUP BY e.user_id),
+        |d AS (SELECT p_ms - v_ms AS delta FROM pp)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  round(avg(delta), 6) AS avg_ms,
+        |  round(quantile_cont(delta, 0.5), 6) AS p50_ms,
+        |  round(quantile_cont(delta, 0.9), 6) AS p90_ms
+        |FROM d""".stripMargin,
     "q_normalize_text" ->
       """WITH planted AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0
