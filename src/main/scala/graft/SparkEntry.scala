@@ -1467,22 +1467,33 @@ object SparkEntry {
       // blocked fuzzy vocabulary matching: the corpus vocabulary plus a
       // planted OCR-style typo table (first-char substitution, the
       // q_normalize_text planted-fixture pattern), candidate pairs from
-      // an EQUI-join on the (length, last-char) block key — never
-      // all-pairs — then exact levenshtein ≤ 1 inside each block. The
-      // entity-resolution shape: blocking bounds candidates, the
-      // quadratic distance only runs within blocks.
+      // EQUI-joins on TWO block keys — prefix-2 and suffix-2, each with
+      // |len diff| <= 1 — never all-pairs — then exact levenshtein <= 1
+      // inside each block. The two blocks are COMPLETE for edit distance 1
+      // on words of length >= 4 (ADVICE r8): a substitution/insertion/
+      // deletion at position >= 2 leaves the 2-char prefix intact, one at
+      // position <= 1 leaves the 2-char suffix intact, so every
+      // distance-1 pair shares at least one key. The entity-resolution
+      // shape: blocking bounds candidates, the quadratic distance only
+      // runs within blocks.
       val vocab = docs(s, d)
         .select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
         .filter(length(col("w")) >= 4)
         .distinct()
       val typos = vocab.select(concat(lit("q"), substring(col("w"), 2, 1000)).as("w"))
       val all = vocab.unionAll(typos).distinct()
-        .select(col("w"), length(col("w")).as("l"), substring(col("w"), -1, 1).as("ck"))
-      val a = all.select(col("w").as("w1"), col("l"), col("ck"))
-      val bb = all.select(col("w").as("w2"), col("l"), col("ck"))
-      a.join(bb, Seq("l", "ck"))
-        .filter(col("w1") < col("w2") &&
-          levenshtein(col("w1"), col("w2")) <= 1)
+        .select(col("w"), length(col("w")).as("l"),
+          substring(col("w"), 1, 2).as("p2"), substring(col("w"), -2, 2).as("s2"))
+      def block(key: String) = {
+        val a = all.select(col("w").as("w1"), col("l").as("l1"), col(key))
+        val bb = all.select(col("w").as("w2"), col("l").as("l2"), col(key))
+        a.join(bb, Seq(key))
+          .filter(col("w1") < col("w2") &&
+            abs(col("l1") - col("l2")) <= 1 &&
+            levenshtein(col("w1"), col("w2")) <= 1)
+          .select(col("w1"), col("w2"))
+      }
+      block("p2").unionAll(block("s2")).distinct()
         .select(col("w1"), col("w2"),
           levenshtein(col("w1"), col("w2")).as("dist"))
         .orderBy(col("w1"), col("w2"))
@@ -1496,9 +1507,14 @@ object SparkEntry {
       val ev = Relational.table(s, d, "events").select(col("value"))
       val span = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
       ev.crossJoin(broadcast(span))
-        .select(least(floor((col("value") - col("lo")) /
+        // degenerate-span guard (ADVICE r8): when every value is equal the
+        // bin width is 0 and the division is 0/0 — Spark's floor-to-long
+        // turns the NaN into 0 while DuckDB's least(NaN, 19) keeps 19, so
+        // pin the constant-input case to bin 0 in BOTH engines explicitly.
+        .select(when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("value") - col("lo")) /
             ((col("hi") - col("lo")) / lit(20.0))), lit(19.0))
-          .cast("long").as("bin"),
+          .cast("long")).as("bin"),
           col("lo"), col("hi"))
         .groupBy(col("bin"), col("lo"), col("hi"))
         .agg(count(lit(1)).as("cnt"))
@@ -3231,7 +3247,8 @@ object SparkEntry {
         |               FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
         |edges AS (SELECT c AS src, s AS dst FROM pairs
         |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
-        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+        |l0 AS (SELECT DISTINCT node, node AS label FROM (
+        |         SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
         |c1 AS (SELECT e.dst AS node, p.label, count(*) AS cnt
         |       FROM edges e JOIN l0 p ON e.src = p.node GROUP BY 1, 2),
         |w1 AS (SELECT node, label FROM (
@@ -3388,22 +3405,28 @@ object SparkEntry {
         |  round($contribs, 6) AS bm25
         |FROM d, g ORDER BY doc_id""".stripMargin
     },
+    // two complete blocks (prefix-2 / suffix-2, |len diff| <= 1) replayed,
+    // pair set deduped across blocks — mirrors the engine exactly
     "q_fuzzy_vocab" ->
       """WITH v AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
         |           FROM documents),
         |v4 AS (SELECT w FROM v WHERE len(w) >= 4),
         |allw AS (SELECT DISTINCT w FROM (
         |           SELECT w FROM v4 UNION ALL SELECT 'q' || substr(w, 2) FROM v4)),
-        |k AS (SELECT w, len(w) AS l, substr(w, -1, 1) AS ck FROM allw)
-        |SELECT a.w AS w1, b.w AS w2,
-        |  CAST(levenshtein(a.w, b.w) AS INT) AS dist
-        |FROM k a JOIN k b ON a.l = b.l AND a.ck = b.ck
-        |WHERE a.w < b.w AND levenshtein(a.w, b.w) <= 1
-        |ORDER BY w1, w2""".stripMargin,
+        |k AS (SELECT w, len(w) AS l, substr(w, 1, 2) AS p2, substr(w, -2, 2) AS s2 FROM allw),
+        |pairs AS (
+        |  SELECT a.w AS w1, b.w AS w2 FROM k a JOIN k b ON a.p2 = b.p2
+        |  WHERE a.w < b.w AND abs(a.l - b.l) <= 1 AND levenshtein(a.w, b.w) <= 1
+        |  UNION
+        |  SELECT a.w AS w1, b.w AS w2 FROM k a JOIN k b ON a.s2 = b.s2
+        |  WHERE a.w < b.w AND abs(a.l - b.l) <= 1 AND levenshtein(a.w, b.w) <= 1)
+        |SELECT w1, w2, CAST(levenshtein(w1, w2) AS INT) AS dist
+        |FROM pairs ORDER BY w1, w2""".stripMargin,
     "q_histogram" ->
       """WITH span AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
-        |b AS (SELECT CAST(least(floor((value - lo) / ((hi - lo) / CAST(20.0 AS DOUBLE))),
-        |        CAST(19.0 AS DOUBLE)) AS BIGINT) AS bin, lo, hi
+        |b AS (SELECT CASE WHEN hi = lo THEN 0
+        |        ELSE CAST(least(floor((value - lo) / ((hi - lo) / CAST(20.0 AS DOUBLE))),
+        |          CAST(19.0 AS DOUBLE)) AS BIGINT) END AS bin, lo, hi
         |      FROM events, span)
         |SELECT bin,
         |  round(lo + bin * ((hi - lo) / CAST(20.0 AS DOUBLE)), 6) AS bin_lo,

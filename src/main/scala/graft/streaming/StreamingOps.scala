@@ -434,6 +434,17 @@ object StreamingOps {
         case (uid, it, state: GroupState[List[(Long, Long, Double)]]) =>
           var ring = state.getOption.getOrElse(Nil) // ascending (ts, event_id)
           val rows = it.toSeq.sortBy(t => (t._3, t._1)).map { case (eid, _, ts, v) =>
+            // Cross-batch disorder fails loudly (ADVICE r8): the ring's EMA
+            // weights assume event-time order across micro-batches; a late
+            // event would silently corrupt them, so reject it the way the
+            // PageRank reader rejects dangling nodes instead of letting
+            // only the oracle gate catch the drift.
+            ring.lastOption.foreach { case (lastTs, lastEid, _) =>
+              require(ts > lastTs || (ts == lastTs && eid >= lastEid),
+                s"emaChanges: out-of-order event for user $uid — " +
+                  s"(ts=$ts, event_id=$eid) arrived after (ts=$lastTs, event_id=$lastEid); " +
+                  "the EMA ring requires non-decreasing (ts, event_id) across micro-batches")
+            }
             val ctx = (ring :+ ((ts, eid, v))).takeRight(depth)
             var num = 0.0
             var den = 0.0

@@ -80,6 +80,38 @@ class StreamingSpec extends SparkTestBase {
     assert(got(4L) == ema(6.0, 2.0, 4.0, 8.0), "the window must span two batch boundaries")
   }
 
+  test("streaming EMA rejects cross-batch event-time disorder loudly") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("streamemaooo").toString
+    // batch 2 delivers a LATE event for user 1 (ts 150 < batch 1's 200):
+    // the ring's weights would silently skew, so the operator must throw
+    // (ADVICE r8) instead of letting only the oracle gate catch it.
+    Seq((1L, 1L, 100L, 8.0), (2L, 1L, 200L, 4.0))
+      .toDF("event_id", "user_id", "ts_us", "value").coalesce(1).write.parquet(s"$dir/b1")
+    Seq((3L, 1L, 150L, 2.0))
+      .toDF("event_id", "user_id", "ts_us", "value").coalesce(1).write.parquet(s"$dir/b2")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").format("parquet").load(dir)
+      .as[(Long, Long, Long, Double)]
+    val name = s"ema_ooo_test_${System.nanoTime()}"
+    val q = StreamingOps.emaChanges(stream, depth = 8)
+      .toDF("event_id", "user_id", "value", "ema")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    spark.catalog.dropTempView(name)
+    def rootChain(t: Throwable): List[Throwable] =
+      t :: Option(t.getCause).map(rootChain).getOrElse(Nil)
+    assert(rootChain(err).exists(c =>
+      String.valueOf(c.getMessage).contains("out-of-order event")),
+      s"expected the loud out-of-order failure, got: ${err.getMessage}")
+  }
+
   test("streaming dedup state spans micro-batches: repeats in batch 2 emit nothing") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
