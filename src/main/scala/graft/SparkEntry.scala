@@ -1025,6 +1025,34 @@ object SparkEntry {
             col("l_partkey") % 4096, col("l_suppkey") % 4096, bits = 12).as("zval"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "q_compaction" -> ((s: SparkSession, d: String) => {
+      // lakehouse small-file compaction (the other half of the write-
+      // layout story beside q_zorder_layout): a deliberately fragmented
+      // 64-file copy of lineitem is rewritten into ~6 target-size files
+      // by bin-packing whole files into scan splits — ZERO shuffle
+      // (LayoutSpec pins the plan), one pass, no repartition() exchange.
+      // The oracle checks the run's invariants: file count went down,
+      // no output file overshot the target band, and the rewritten data
+      // re-reads to the exact source row count and quantity checksum.
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      Relational.table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .repartition(64).write.mode("overwrite").parquet(s"$tmp/in")
+      // floor at the 64k open cost so tiny SF corpora still pack multiple
+      // files per bin instead of one-bin-per-file
+      val target = math.max(256L * 1024L,
+        graft.operators.Layout.dataFiles(s, s"$tmp/in").map(_._2).sum / 6)
+      val rep = graft.operators.Layout.compact(s, s"$tmp/in", s"$tmp/out", target)
+      val check = s.read.parquet(s"$tmp/out")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sq")).head
+      Seq((rep.files_before, rep.files_after < rep.files_before,
+          rep.max_file_bytes_after <= 2 * target,
+          rep.rows_before == rep.rows_after,
+          check.getLong(0), check.getDouble(1)))
+        .toDF("files_before", "fewer_files", "no_oversize", "rows_preserved",
+          "n_rows", "sum_qty")
+    }),
     "q_sample_stratified" -> ((s: SparkSession, d: String) => {
       // P1: stratified Bernoulli sample, deterministic by HASHING the row
       // key rather than drawing per-partition seeded randoms. sampleBy's
@@ -1143,6 +1171,35 @@ object SparkEntry {
           min(col("ts_ms")).as("valid_from"), max(col("ts_ms")).as("last_seen"),
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"), col("run"))
+    }),
+    "q_merge_upsert" -> ((s: SparkSession, d: String) => {
+      // MERGE/CDC upsert (the warehouse staple q_scd2 implies but
+      // doesn't cover): a keyed insert/update/delete delta applied to
+      // the customer snapshot in one key-partitioned pass — latest-wins
+      // per key (two competing updates, the newer lands), deletes drop
+      // the key, inserts append new keys. The delta side reuses ONE
+      // exchange for the latest-wins window and the full-outer join
+      // (MergeSpec pins it); the oracle replays the merge as a plain
+      // full-outer-join in DuckDB.
+      val cust = Relational.table(s, d, "customer")
+      val snap = cust.select(col("c_custkey").as("k"), col("c_name").as("name"),
+        round(col("c_acctbal"), 2).as("bal"), col("c_nationkey").as("nat"))
+      def deltaRow(filterMod: Long, filterEq: Long, prefix: String, bump: Double,
+          op: String, seq: Long) =
+        cust.filter(col("c_custkey") % filterMod === filterEq)
+          .select(col("c_custkey").as("k"),
+            concat(lit(prefix), col("c_name")).as("name"),
+            round(col("c_acctbal") + bump, 2).as("bal"),
+            col("c_nationkey").as("nat"), lit(op).as("op"), lit(seq).as("seq"))
+      val upd1 = deltaRow(5, 0, "upd1:", 50.0, "U", 1L) // superseded by upd2
+      val upd2 = deltaRow(5, 0, "upd:", 100.0, "U", 2L)
+      val del = deltaRow(7, 3, "", 0.0, "D", 3L) // beats upd2 where keys overlap
+      val ins = cust.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 1000000L).as("k"),
+          concat(lit("new:"), col("c_name")).as("name"), lit(0.0).as("bal"),
+          col("c_nationkey").as("nat"), lit("I").as("op"), lit(1L).as("seq"))
+      val delta = upd1.unionAll(upd2).unionAll(del).unionAll(ins)
+      graft.operators.Merge.applyCdc(snap, delta, Seq("k")).orderBy(col("k"))
     }),
     "q_stream_funnel" -> ((s: SparkSession, d: String) =>
       // stateful streaming funnel: two numbers of state per user; over
@@ -2408,6 +2465,17 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS zval
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+    // compaction invariants: the engine-side run reports its accounting as
+    // booleans (fewer files, sizes within the target band, rows preserved)
+    // plus the rewritten data's row count and quantity checksum, which the
+    // oracle recomputes from the source table — a drifted rewrite breaks
+    // the checksum, a failed consolidation breaks the booleans
+    "q_compaction" ->
+      """SELECT CAST(64 AS BIGINT) AS files_before, true AS fewer_files,
+        |  true AS no_oversize, true AS rows_preserved,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0
         |  ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens
@@ -3108,6 +3176,34 @@ object SparkEntry {
         |  min(ts_ms) AS valid_from, max(ts_ms) AS last_seen,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM r GROUP BY user_id, run ORDER BY user_id, run""".stripMargin,
+    // the MERGE replayed as plain SQL: latest delta row per key via
+    // row_number, full-outer join against the snapshot, deletes filtered
+    "q_merge_upsert" ->
+      """WITH snap AS (SELECT c_custkey AS k, c_name AS name,
+        |                round(c_acctbal, 2) AS bal, c_nationkey AS nat FROM customer),
+        |delta AS (
+        |  SELECT c_custkey AS k, 'upd1:' || c_name AS name,
+        |    round(c_acctbal + 50.0, 2) AS bal, c_nationkey AS nat, 'U' AS op, 1 AS seq
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'upd:' || c_name, round(c_acctbal + 100.0, 2),
+        |    c_nationkey, 'U', 2 FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, round(c_acctbal, 2), c_nationkey, 'D', 3
+        |  FROM customer WHERE c_custkey % 7 = 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'new:' || c_name, 0.0, c_nationkey, 'I', 1
+        |  FROM customer WHERE c_custkey % 11 = 0),
+        |latest AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM delta) WHERE rn = 1),
+        |m AS (SELECT coalesce(d.k, s.k) AS k,
+        |        CASE WHEN d.op IS NOT NULL THEN d.name ELSE s.name END AS name,
+        |        CASE WHEN d.op IS NOT NULL THEN d.bal ELSE s.bal END AS bal,
+        |        CASE WHEN d.op IS NOT NULL THEN d.nat ELSE s.nat END AS nat, d.op
+        |      FROM snap s FULL OUTER JOIN latest d ON s.k = d.k)
+        |SELECT k, name, bal, nat FROM m
+        |WHERE op IS NULL OR op <> 'D' ORDER BY k""".stripMargin,
     "q_stream_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
         |users AS (SELECT DISTINCT user_id FROM ev),

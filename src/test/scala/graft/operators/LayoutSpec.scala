@@ -71,4 +71,55 @@ class LayoutSpec extends graft.SparkTestBase {
     assert(aAvg < 3000, s"no a-locality: avg range $aAvg")
     assert(bAvg < 3000, s"no b-locality: avg range $bAvg")
   }
+
+  test("compact: bin-packs a fragmented directory without a shuffle, rows intact") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    // 48 small files, each comfortably above the 64k open-cost so the
+    // packing is byte-driven, not open-cost-driven
+    (1L to 200000L).map(i => (i, s"row-$i-${"x" * 40}", i * 3.5)).toDF("id", "s", "v")
+      .repartition(48).write.parquet(s"$base/in")
+    val totalBytes = Layout.dataFiles(spark, s"$base/in").map(_._2).sum
+    val target = totalBytes / 6 // aim for ~6-8 bins
+    val report = Layout.compact(spark, s"$base/in", s"$base/out", target)
+    assert(report.files_before == 48)
+    assert(report.rows_before == 200000L && report.rows_after == 200000L)
+    assert(report.files_after >= 4 && report.files_after <= report.files_before / 3,
+      s"expected real consolidation into ~6-12 bins, got ${report.files_after}")
+    // re-encoded bins stay near the target (wide band: re-compression +
+    // the 64k open-cost padding shift sizes)
+    assert(report.max_file_bytes_after <= 2 * target,
+      s"oversized output file: ${report.max_file_bytes_after} vs target $target")
+    // content preserved exactly, not just counted
+    val sumBefore = spark.read.parquet(s"$base/in").agg(sum(col("id"))).head.getLong(0)
+    val sumAfter = spark.read.parquet(s"$base/out").agg(sum(col("id"))).head.getLong(0)
+    assert(sumBefore == sumAfter)
+    // the zero-shuffle contract: the rewrite plan is scan → write, no
+    // Exchange — materialized INSIDE the conf window, like compact does
+    val plan = Layout.withBinPackedSplits(spark, target) {
+      spark.read.parquet(s"$base/in").queryExecution.executedPlan.toString
+    }
+    assert(!plan.contains("Exchange"), s"compaction must not shuffle:\n$plan")
+  }
+
+  test("withBinPackedSplits drives split planning at action time and restores confs") {
+    import spark.implicits._
+    val base = s"${java.nio.file.Files.createTempDirectory("binpack")}/in"
+    (1L to 400000L).map(i => (i, s"pad-${"y" * 32}-$i")).toDF("a", "b")
+      .repartition(32).write.parquet(base)
+    val before = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    val total = Layout.dataFiles(spark, base).map(_._2).sum
+    def nParts(target: Long): Int = Layout.withBinPackedSplits(spark, target) {
+      // rdd materialization forces physical planning inside the window
+      spark.read.parquet(base).rdd.getNumPartitions
+    }
+    val coarse = nParts(total / 4)
+    val fine = nParts(total / 16)
+    assert(spark.conf.getOption("spark.sql.files.maxPartitionBytes") == before,
+      "session conf must be restored")
+    // the target genuinely drives the packing: 4 big bins vs ~16 small
+    // ones (open-cost padding adds slack, hence the bands)
+    assert(coarse >= 3 && coarse <= 8, s"expected ~4-6 coarse bins, got $coarse")
+    assert(fine > coarse, s"smaller target must yield more bins: $fine vs $coarse")
+  }
 }
