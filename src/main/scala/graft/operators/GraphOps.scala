@@ -86,9 +86,22 @@ object GraphOps {
     *
     * @param edges directed edge list (src, dst); pass both directions for
     *              an undirected graph
+    * @param stopWhenStable when true, iteration stops early once a round
+    *              changes NO label (checked with a limit-1 existence
+    *              probe, not a full count); `iters` stays the hard cap.
+    *              False = run exactly `iters` rounds (the
+    *              oracle-replayable mode).
     * @return (node, label)
     */
-  def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int = 2,
+      stopWhenStable: Boolean = false): DataFrame =
+    labelPropagationCounted(edges, iters, stopWhenStable)._1
+
+  /** [[labelPropagation]] plus the number of rounds actually executed —
+    * convergence-terminated community detection for graphs where the
+    * right round count isn't knowable up front. */
+  def labelPropagationCounted(edges: DataFrame, iters: Int = 2,
+      stopWhenStable: Boolean = false): (DataFrame, Int) = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
@@ -96,7 +109,8 @@ object GraphOps {
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
     var it = 0
-    while (it < iters) {
+    var stable = false
+    while (it < iters && !stable) {
       val counts = e.join(labels, e("src") === labels("node"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("cnt"))
@@ -110,10 +124,19 @@ object GraphOps {
         .select(col("node"),
           coalesce(col("new_label"), col("label")).as("label"))
         .localCheckpoint(true)
+      if (stopWhenStable) {
+        // any-change probe: limit(1) short-circuits the scan, so a stable
+        // round costs one node-shaped join, not a full count
+        val changed = next
+          .join(labels.select(col("node"), col("label").as("old")), Seq("node"))
+          .filter(col("label") =!= col("old"))
+          .limit(1).count()
+        stable = changed == 0L
+      }
       labels.unpersist(blocking = false)
       labels = next
       it += 1
     }
-    labels
+    (labels, it)
   }
 }

@@ -26,10 +26,22 @@ object PageRank {
 
   /** @param edges directed edge list (src: long, dst: long), each src
     *              having ≥ 1 out-edge overall
-    * @return (node, pr) after `iters` damped iterations from uniform
-    *         1/N, pr rounded to `scale` decimals */
+    * @param tol   L1 convergence threshold: when > 0, iteration stops as
+    *              soon as Σ|pr' − pr| < tol (one scalar aggregate per
+    *              round — the rank frame itself never reaches the
+    *              driver); `iters` stays the hard cap. 0 = run exactly
+    *              `iters` rounds (the oracle-replayable mode).
+    * @return (node, pr) after the damped iterations from uniform 1/N,
+    *         pr rounded to `scale` decimals */
   def run(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
-      scale: Int = 6): DataFrame = {
+      scale: Int = 6, tol: Double = 0.0): DataFrame =
+    runCounted(edges, iters, damping, scale, tol)._1
+
+  /** [[run]] plus the number of rounds actually executed — the product
+    * knob a real 100 TB graph job needs (`tol` stops on the measured L1
+    * rank delta instead of trusting a guessed round count). */
+  def runCounted(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
+      scale: Int = 6, tol: Double = 0.0): (DataFrame, Int) = {
     // materialize the edge list FIRST: nodes, the dangling check and the
     // degree join all read it, and an expensive upstream plan (a big join
     // feeding the graph) must run once, not three times
@@ -51,7 +63,8 @@ object PageRank {
     var pr = nodes.select(col("node"), (lit(1.0) / n).as("pr"))
       .localCheckpoint(true)
     var it = 0
-    while (it < iters) {
+    var converged = false
+    while (it < iters && !converged) {
       val mass = contribEdges
         .join(pr, contribEdges("src") === pr("node"))
         .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
@@ -63,10 +76,18 @@ object PageRank {
           (lit((1.0 - damping) / n)
             + lit(damping) * coalesce(col("mass"), lit(0.0))).as("pr"))
         .localCheckpoint(true) // truncate lineage: constant plan depth per round
+      if (tol > 0.0) {
+        // L1 delta as ONE scalar aggregate over the node-shaped join of
+        // consecutive rank frames — the only row the driver ever sees
+        val delta = next.join(pr.select(col("node"), col("pr").as("prev")), Seq("node"))
+          .agg(sum(abs(col("pr") - col("prev"))).as("d"))
+          .head.getDouble(0)
+        converged = delta < tol
+      }
       pr.unpersist(blocking = false)
       pr = next
       it += 1
     }
-    pr.select(col("node"), round(col("pr"), scale).as("pr"))
+    (pr.select(col("node"), round(col("pr"), scale).as("pr")), it)
   }
 }

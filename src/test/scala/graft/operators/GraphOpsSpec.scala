@@ -95,4 +95,23 @@ class GraphOpsSpec extends SparkTestBase {
     }
     assert(runs(0).toMap === labels)
   }
+
+  test("labelPropagation stopWhenStable halts once a round changes nothing") {
+    import spark.implicits._
+    // two disjoint bidirected triangles: labels settle within a few
+    // rounds, then every further round is a no-op
+    val und = (for (a <- Seq(1L, 2L, 3L); b <- Seq(1L, 2L, 3L) if a < b) yield (a, b)) ++
+      (for (a <- Seq(10L, 11L, 12L); b <- Seq(10L, 11L, 12L) if a < b) yield (a, b))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val (stable, rounds) =
+      GraphOps.labelPropagationCounted(edges, iters = 20, stopWhenStable = true)
+    assert(rounds < 20, s"expected early stop, ran all $rounds rounds")
+    val gotStable = stable.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val gotFull = GraphOps.labelPropagation(edges, iters = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(gotStable === gotFull,
+      "early-stopped labels must equal the capped fixed-iter labels")
+    // default stays exactly-iters (the oracle-replayable mode)
+    assert(GraphOps.labelPropagationCounted(edges, iters = 5)._2 == 5)
+  }
 }

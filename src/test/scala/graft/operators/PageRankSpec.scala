@@ -56,4 +56,25 @@ class PageRankSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("dangling"))
   }
+
+  test("tol stops early on a fast-converging graph, matching the full fixed-iter run") {
+    import spark.implicits._
+    // bidirected 6-node star: bipartite, so the error contracts by the
+    // damping factor per round — at d=0.5 the L1 delta crosses 1e-6
+    // around round ~20, comfortably inside the 60-round cap
+    val edges = (1L to 5L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("src", "dst")
+    val (converged, rounds) =
+      PageRank.runCounted(edges, iters = 60, damping = 0.5, scale = 8, tol = 1e-6)
+    assert(rounds < 60, s"expected early stop, ran all $rounds rounds")
+    assert(rounds > 3, s"a star is not THAT fast: $rounds")
+    val full = PageRank.run(edges, iters = 60, damping = 0.5, scale = 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    converged.collect().foreach { r =>
+      // stopping at delta<1e-6 leaves at most delta·d/(1−d) ≈ 5.7e-6
+      assert(math.abs(r.getDouble(1) - full(r.getLong(0))) < 1e-4,
+        s"node ${r.getLong(0)}: ${r.getDouble(1)} vs ${full(r.getLong(0))}")
+    }
+    // tol=0 (the default) must still run exactly the cap
+    assert(PageRank.runCounted(edges, iters = 4)._2 == 4)
+  }
 }
