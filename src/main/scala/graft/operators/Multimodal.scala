@@ -17,14 +17,17 @@ final case class MediaFeatures(
   * (logical screen descriptor) dimensions, and [[AudioHeaders.sniffWav]]
   * walks RIFF/WAVE chunks to the `fmt ` block (channels / sample rate) —
   * straight from the public container formats' magic bytes, no media
-  * library needed. Deep decode is real for the two library-free formats:
+  * library needed. Deep decode is real for the library-free paths:
   * [[PngCodec]] implements the full PNG pixel path (zlib IDAT inflate +
   * all five scanline unfilters, JDK-only; oracle-checked by
-  * q_multimodal_pixels) and [[AudioHeaders.pcmSamples16]] the 16-bit PCM
-  * sample path (oracle-checked by q_multimodal_samples). What remains
-  * stubbed is video FRAME BOUNDARIES (inherently codec-bound): blobs that
-  * match no real container fall back to [[FakeCodec]], a declared 16-byte
-  * fake container — swap that one function for a real codec. The
+  * q_multimodal_pixels), [[AudioHeaders.pcmSamples16]] the 16-bit PCM
+  * sample path (oracle-checked by q_multimodal_samples), and
+  * [[AviCodec]] the video FRAME-BOUNDARY path (RIFF `movi` chunk walk
+  * cross-checked against `idx1`; oracle-checked by q_multimodal_frames).
+  * Frame PIXEL decode stays codec-bound by nature — the chunks are
+  * opaque payload, exactly what a real demuxer hands onward. Blobs that
+  * match no real container fall back to [[FakeCodec]], a declared
+  * 16-byte fake container kept as the unknown-format fallback. The
   * Spark-side contract (schema, binary column, partition batching,
   * feature output shape) is real and tested.
   *
@@ -276,11 +279,34 @@ object Multimodal {
     }
   }
 
+  /** Deterministic variable-size frame split for the synthetic AVI blobs:
+    * frame f carries `48 + 16·((id + f) mod 3)` bytes (48/64/80, phase set
+    * by doc_id), the tail frame whatever remains. Variable ON PURPOSE —
+    * fixed-size frames would let fixed-offset arithmetic masquerade as a
+    * container walk; with these, only reading each chunk's own size header
+    * (what [[AviCodec.frames]] does) finds the boundaries. The formula is
+    * closed-form enough for the DuckDB oracle to replay (a running sum
+    * over generate_series). */
+  private[operators] def frameSlices(id: Long, payload: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var off = 0
+    var f = 0
+    while (off < payload.length) {
+      val nominal = 48 + 16 * (((id + f) % 3).toInt)
+      val len = math.min(nominal, payload.length - off)
+      out += payload.slice(off, off + len)
+      off += len
+      f += 1
+    }
+    out.result()
+  }
+
   /** Synthesize a deterministic binary media column from the documents table
-    * (stand-in for real blobs; width/height derived from doc_id). Mixes
-    * real container headers — PNG, JPEG, GIF with genuine signatures and
-    * dimension fields — with the fake container, so the pipeline exercises
-    * the real magic-byte parsers, not just the stub. */
+    * (stand-in for real blobs; width/height derived from doc_id). Every
+    * container is REAL — PNG, JPEG, GIF, WAV and RIFF/AVI with genuine
+    * signatures, dimension fields and (for AVI) per-frame movi chunks +
+    * idx1 — so the pipeline exercises the real parsers end to end; the
+    * fake container survives only as the declared unknown-blob fallback. */
   def synthesizeBlobs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -294,7 +320,7 @@ object Multimodal {
           16, payload)
         case 3 => ImageHeaders.pngWrap(w, h, payload)
         case 4 => ImageHeaders.jpegWrap(w, h, payload)
-        case r => Multimodal.FakeCodec.encode(w, h, (r % 3).toInt, payload)
+        case _ => AviCodec.wrap(w, h, frameSlices(id, payload))
       }
       (id, blob)
     }.toDF("doc_id", "blob")
@@ -337,24 +363,37 @@ object Multimodal {
                   .getOrElse(blob.drop(hdr))
                 ("wav", 0, 0, rate, ch, body)
               })
+            .orElse(AviCodec.sniff(blob).flatMap { case (w, h, _) =>
+              // real container frames, concatenated: the video analogue of
+              // WAV's data-chunk body (content bytes, no chunk framing)
+              AviCodec.payload(blob).map(body => ("video", w, h, 0, 0, body))
+            })
             .orElse(FakeCodec.decode(blob)
               .map { case (w, h, t, payload) => (typeNames(t % 3), w, h, 0, 0, payload) })
           meta.map { case (fmt, w, h, rate, ch, payload) =>
             val counts = new Array[Long](256)
-            payload.foreach(b => counts(b & 0xff) += 1)
+            var byteSum = 0L
+            payload.foreach { b => counts(b & 0xff) += 1; byteSum += (b & 0xff) }
             val n = payload.length.toDouble.max(1.0)
-            var mean = 0.0; var entropy = 0.0
+            // mean: ONE integer-sum division, so the value is the same IEEE
+            // double the SQL oracle computes (sum(v)/n) — Σ(i·cᵢ)/n summed
+            // term-by-term would drift by ulps and break the exact gate
+            val mean = byteSum.toDouble / n
+            var entropy = 0.0
             var i = 0
             while (i < 256) {
-              mean += (i * counts(i)) / n
               if (counts(i) > 0) {
                 val p = counts(i) / n
                 entropy -= p * (math.log(p) / math.log(2))
               }
               i += 1
             }
+            // floor(x·1e6 + 0.5): identical pure-double rounding in Spark
+            // and DuckDB (rint would tie-break half-even here, half-away
+            // there)
             MediaFeatures(id, fmt, w, h, rate, ch, blob.length.toLong,
-              math.rint(mean * 1e6) / 1e6, math.rint(entropy * 1e6) / 1e6)
+              math.floor(mean * 1e6 + 0.5) / 1e6,
+              math.floor(entropy * 1e6 + 0.5) / 1e6)
           }
         }
       }
@@ -394,10 +433,12 @@ object Multimodal {
                     payload.dropRight(1) else payload)
                 case _ => blob
               }
-            case None => FakeCodec.decode(blob) match {
-              case Some((_, _, t, payload)) if t % 3 != 1 => // fake image/video
-                FakeCodec.encode(targetW, targetH, t, payload)
-              case _ => blob // audio / unknown: untouched
+            case None => AviCodec.resize(blob, targetW, targetH).getOrElse {
+              FakeCodec.decode(blob) match {
+                case Some((_, _, t, payload)) if t % 3 != 1 => // fake image/video
+                  FakeCodec.encode(targetW, targetH, t, payload)
+                case _ => blob // audio / unknown: untouched
+              }
             }
           }
           (id, resized)
@@ -409,15 +450,14 @@ object Multimodal {
   final case class SampledFrame(doc_id: Long, frame_idx: Int, n_frames: Long,
       frame: Array[Byte])
 
-  /** Frame-sampling plumbing (the brief's frame-sample step): the payload
-    * of every VIDEO blob (fake container, type video — the corpus' only
-    * multi-frame media) is treated as a sequence of fixed-size
-    * pseudo-frames and every `everyK`-th frame is emitted as its own row.
-    * Real plumbing — partition-local flatMap, binary frame column, typed
-    * row shape, no shuffle; what a real codec would change is only how
-    * frame boundaries are found (the declared stub splits at fixed
-    * `frameBytes` offsets; the tail frame may be short).
-    */
+  /** Frame sampling (the brief's frame-sample step), REAL for AVI: every
+    * video blob's frames are located by WALKING the RIFF `movi` chunk
+    * headers ([[AviCodec.frames]] — each chunk carries its own size, the
+    * container's actual frame boundaries, cross-checked against `idx1`),
+    * and every `everyK`-th frame is emitted as its own row. Partition-
+    * local flatMap, binary frame column, typed row shape, no shuffle.
+    * Non-AVI fake-container videos keep the legacy fixed-`frameBytes`
+    * split as the declared unknown-codec fallback. */
   def sampleFrames(blobs: DataFrame, everyK: Int = 2,
       frameBytes: Int = 64): Dataset[SampledFrame] = {
     val spark = blobs.sparkSession
@@ -426,14 +466,22 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, blob) =>
-          FakeCodec.decode(blob) match {
-            case Some((_, _, t, payload)) if typeNames(t % 3) == "video" =>
-              val nFrames = (payload.length + frameBytes - 1) / frameBytes
-              (0 until nFrames).iterator.filter(_ % everyK == 0).map { f =>
-                SampledFrame(id, f, nFrames.toLong,
-                  payload.slice(f * frameBytes, (f + 1) * frameBytes))
+          AviCodec.frames(blob) match {
+            case Some(fs) =>
+              val nFrames = fs.length
+              fs.iterator.zipWithIndex.filter(_._2 % everyK == 0).map {
+                case ((off, len), f) =>
+                  SampledFrame(id, f, nFrames.toLong, blob.slice(off, off + len))
               }
-            case _ => Iterator.empty
+            case None => FakeCodec.decode(blob) match {
+              case Some((_, _, t, payload)) if typeNames(t % 3) == "video" =>
+                val nFrames = (payload.length + frameBytes - 1) / frameBytes
+                (0 until nFrames).iterator.filter(_ % everyK == 0).map { f =>
+                  SampledFrame(id, f, nFrames.toLong,
+                    payload.slice(f * frameBytes, (f + 1) * frameBytes))
+                }
+              case _ => Iterator.empty
+            }
           }
         }
       }

@@ -847,34 +847,42 @@ class OperatorsSpec extends SparkTestBase {
         s"resize must not alter content bytes for $id")
   }
 
-  test("multimodal: frame sampling splits video payloads at fixed offsets, every k-th") {
+  test("multimodal: frame sampling walks REAL AVI chunk boundaries, every k-th") {
     import spark.implicits._
-    // doc 2: 150-byte payload → 3 frames of 64/64/22; everyK=2 samples 0,2
+    // doc 2: 150-byte payload → AVI frames of 80/48/22 (nominal
+    // 48+16·((2+f) mod 3) = 80,48,64; tail truncated); everyK=2 samples
+    // frames 0 and 2 — sizes only a movi chunk walk can know
     val text = "x" * 150
     val docs = Seq((2L, text), (1L, "not a video"), (7L, "short")).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrames(Multimodal.synthesizeBlobs(docs),
-      everyK = 2, frameBytes = 64).collect()
+      everyK = 2).collect()
     assert(frames.forall(f => f.doc_id == 2L || f.doc_id == 7L),
       "only video blobs (id % 5 == 2) produce frames")
     val d2 = frames.filter(_.doc_id == 2L).sortBy(_.frame_idx)
     assert(d2.map(_.frame_idx).toSeq == Seq(0, 2), s"expected frames 0,2: ${d2.toSeq}")
     assert(d2.forall(_.n_frames == 3L))
-    assert(d2(0).frame.length == 64 && d2(1).frame.length == 22,
-      "tail frame must be short, not padded")
-    assert(d2(0).frame.toSeq == text.getBytes("UTF-8").slice(0, 64).toSeq,
-      "frame content must be the payload slice at the frame offset")
+    assert(d2(0).frame.length == 80 && d2(1).frame.length == 22,
+      "variable frame sizes from the container, tail short — not fixed 64s")
+    assert(d2(0).frame.toSeq == text.getBytes("UTF-8").slice(0, 80).toSeq,
+      "frame content must be the chunk data at the walked offset")
   }
 
-  test("multimodal: fake codec round-trip + feature extraction") {
+  test("multimodal: AVI video blobs round-trip through feature extraction") {
     import spark.implicits._
-    // ids ≡ 2 (mod 5) take the declared fake-container path
+    // ids ≡ 2 (mod 5) are genuine RIFF/AVI containers since round 9
     val docs = Seq((2L, "hello world"), (7L, "abc")).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(Multimodal.synthesizeBlobs(docs)).collect()
     assert(feats.length == 2)
     val f2 = feats.find(_.doc_id == 2L).get
-    assert(f2.media_type == "video") // fake path encodes t = 2
+    assert(f2.media_type == "video")
     assert(f2.width == 128 && f2.height == 128)
-    assert(f2.n_bytes == 16 + "hello world".length)
+    // AVI layout: 232 fixed + payload(11) + 1 word-align pad + 24 per frame
+    assert(f2.n_bytes == 232 + 11 + 1 + 24, s"got ${f2.n_bytes}")
     assert(f2.byte_entropy > 0)
+    // the fake container remains the declared unknown-blob fallback
+    val fake = Multimodal.FakeCodec.encode(8, 8, 2, "zz".getBytes("UTF-8"))
+    val fakeFeats = Multimodal.extractFeatures(
+      Seq((99L, fake)).toDF("doc_id", "blob")).collect()
+    assert(fakeFeats.head.media_type == "video" && fakeFeats.head.n_bytes == 18)
   }
 }
