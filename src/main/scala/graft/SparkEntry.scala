@@ -1784,6 +1784,37 @@ object SparkEntry {
         }.toDF("doc_id", "width", "height", "pix_sum", "pix_checksum")
         .orderBy(col("doc_id"))
     }),
+    "q_jpeg_pixels" -> ((s: SparkSession, d: String) => {
+      // deep JPEG decode, REAL and oracle-checked (the baseline-JPEG
+      // analogue of q_multimodal_pixels): per-doc grayscale images of
+      // flat 8×8 blocks — with the codec's quant-1 tables a flat block's
+      // only coefficient is its DC, and the DC-only IDCT is an exact
+      // power-of-two division, so the full Huffman → dequant → IDCT
+      // pipeline must reproduce the planted values BIT-EXACTLY for the
+      // formula oracle to hash-match (JpegCodecSpec cross-validates the
+      // same streams against javax.imageio). Partition-local, zero
+      // shuffle; bounded slice like the other demo kernels.
+      import s.implicits._
+      docs(s, d).select(col("doc_id")).filter(col("doc_id") < 300)
+        .as[Long].map { id =>
+          val bw = (2 + id % 3).toInt; val bh = (2 + id % 4).toInt
+          val w = 8 * bw; val h = 8 * bh
+          val px = Array.tabulate(w * h) { j =>
+            val bx = (j % w) / 8; val by = (j / w) / 8
+            ((id * 37 + bx * 7 + by * 13) % 256).toByte
+          }
+          val jpg = graft.operators.JpegCodec.encode(w, h, px)
+          val (dw, dh, dec) = graft.operators.JpegCodec.decode(jpg)
+            .getOrElse(sys.error(s"JPEG roundtrip failed for doc $id"))
+          var sum = 0L; var chk = 0L; var j = 0
+          while (j < dec.length) {
+            val v = dec(j) & 0xff
+            sum += v; chk = (chk + v.toLong * (j + 1)) % 1000000007L; j += 1
+          }
+          (id, dw, dh, sum, chk)
+        }.toDF("doc_id", "width", "height", "pix_sum", "pix_checksum")
+        .orderBy(col("doc_id"))
+    }),
     "q_multimodal_samples" -> ((s: SparkSession, d: String) => {
       // deep AUDIO decode, real and oracle-checked (the PCM analogue of
       // q_multimodal_pixels): deterministic signed 16-bit samples derived
@@ -3201,6 +3232,23 @@ object SparkEntry {
         |  CAST(sum((doc_id*7 + j*13) % 256) AS BIGINT) AS pix_sum,
         |  CAST(sum(((doc_id*7 + j*13) % 256) * (j+1)) % 1000000007 AS BIGINT) AS pix_checksum
         |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+    // deep JPEG decode: the flat-block values are exact through quant-1
+    // DC-only coding, so the oracle recomputes pixel sums/checksums from
+    // the planting formula — Huffman, dequant and IDCT must all be right
+    // for the hash to match
+    "q_jpeg_pixels" ->
+      """WITH d AS (SELECT doc_id, CAST(8 * (2 + doc_id % 3) AS INT) AS width,
+        |                  CAST(8 * (2 + doc_id % 4) AS INT) AS height
+        |           FROM documents WHERE doc_id < 300),
+        |px AS (SELECT doc_id, width, height,
+        |         unnest(generate_series(0, width*height - 1)) AS j FROM d),
+        |v AS (SELECT doc_id, width, height, j,
+        |        (doc_id*37 + ((j % width) // 8)*7 + ((j // width) // 8)*13) % 256 AS pv
+        |      FROM px)
+        |SELECT doc_id, width, height,
+        |  CAST(sum(pv) AS BIGINT) AS pix_sum,
+        |  CAST(sum(pv * (j+1)) % 1000000007 AS BIGINT) AS pix_checksum
+        |FROM v GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
     // deep PCM decode: amplitude stats recomputed from the generating
     // formula — the engine must reproduce them through a WAV pack → parse →
     // int16 decode roundtrip. Sample k of doc id = (id*31+k*17)%65536-32768.
