@@ -1172,6 +1172,31 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"), col("run"))
     }),
+    "q_condensed_tree" -> ((s: SparkSession, d: String) => {
+      // DISTRIBUTED HDBSCAN* Phase-3 (VERDICT r8 #8): the condensed tree
+      // extracted from merge events computed by block-local union-find
+      // over prefix-contracted components (driver/task state O(blockSize),
+      // never O(n)), per-point death weights by pointer doubling, FOSC
+      // flat labels. The planted two-chain + bridge MST has a closed-form
+      // answer the SQL oracle replays: ascending-weight chains make point
+      // p die at edge max(p−1, m−2) of its chain, the bridge is the one
+      // true split, labels = the two chains, zero noise. blockSize 37
+      // forces the multi-block distributed path through the gate.
+      import s.implicits._
+      val perChain = 100
+      val chain = (0 until perChain - 1).flatMap { i =>
+        Seq((i.toLong, i + 1L, 1.0 + i * 0.001),
+          (1000L + i, 1001L + i, 2.0 + i * 0.001))
+      } :+ ((0L, 1000L, 100.0))
+      val events = graft.operators.DistributedDendrogram.mergeEvents(
+        s, chain.toDF("src", "dst", "weight"), blockSize = 37)
+      val (_, labels) = graft.operators.DistributedDendrogram.condensedTree(events, 10)
+      val reps = labels.groupBy(col("label")).agg(min(col("vertex")).as("cluster_rep"))
+      labels.join(reps, "label")
+        .select(col("vertex"), col("cluster_rep"),
+          round(col("death_weight"), 6).as("death_weight"))
+        .orderBy(col("vertex"))
+    }),
     "q_merge_upsert" -> ((s: SparkSession, d: String) => {
       // MERGE/CDC upsert (the warehouse staple q_scd2 implies but
       // doesn't cover): a keyed insert/update/delete delta applied to
@@ -3316,6 +3341,19 @@ object SparkEntry {
         |  min(ts_ms) AS valid_from, max(ts_ms) AS last_seen,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM r GROUP BY user_id, run ORDER BY user_id, run""".stripMargin,
+    // the planted condensed tree in closed form: ascending-weight chains
+    // put point p's death at edge max(p−1, 8) of its chain (the first
+    // event its component reaches minClusterSize=10); the bridge true
+    // split makes the chains the two flat clusters, reps 0 and 1000
+    "q_condensed_tree" ->
+      """WITH a AS (SELECT unnest(generate_series(0, 99)) AS p),
+        |v AS (
+        |  SELECT p AS vertex, 0 AS rep, 1.0 + 0.001 * greatest(p - 1, 8) AS dw FROM a
+        |  UNION ALL
+        |  SELECT 1000 + p, 1000, 2.0 + 0.001 * greatest(p - 1, 8) FROM a)
+        |SELECT CAST(vertex AS BIGINT) AS vertex, CAST(rep AS BIGINT) AS cluster_rep,
+        |  round(dw, 6) AS death_weight
+        |FROM v ORDER BY vertex""".stripMargin,
     // the MERGE replayed as plain SQL: latest delta row per key via
     // row_number, full-outer join against the snapshot, deletes filtered
     "q_merge_upsert" ->

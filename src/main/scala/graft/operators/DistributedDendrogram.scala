@@ -1,0 +1,470 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One single-linkage merge event: at `rank` (global Kruskal order) the
+  * components represented by `rep_a`/`rep_b` (sizes `size_a`/`size_b`)
+  * merge at `weight` into a component represented by min(rep_a, rep_b).
+  * The n−1 events ARE the dendrogram, with cut sizes attached — what the
+  * condensed-tree extraction needs and what a driver union-find would
+  * otherwise have to replay over collected edges. */
+final case class MergeEvent(rank: Long, weight: Double,
+    rep_a: Long, rep_b: Long, size_a: Long, size_b: Long)
+
+/** Distributed single-linkage dendrogram extraction from an MST/forest —
+  * the scale path for HDBSCAN*'s Phase-3 hierarchy (VERDICT r8 #8: the
+  * last driver-O(n) surface of exact mode). The reference collects the
+  * whole tree and replays Kruskal on the driver
+  * (`hdbscanstar/HDBSCANStar.java` works on in-memory arrays); here the
+  * merge order is reconstructed distributively:
+  *
+  *  1. edges rank-sorted by (weight, src, dst) — ONE range sort;
+  *  2. rank blocks of `blockSize` edges processed in sequence: block k's
+  *     edges are contracted by the labels-after-block-(k−1) frame, and a
+  *     SINGLE task runs a local union-find over the ≤ blockSize
+  *     contracted edges (plus the base sizes of just the labels the block
+  *     touches), emitting the block's merge events AND its
+  *     label-relabel/size-update rows;
+  *  3. the node-shaped label frame and the component-shaped size frame
+  *     absorb each block's (small) update via one join each, lineage
+  *     truncated per round.
+  *
+  * Driver/task peak state is O(blockSize) — a declared knob, NOT O(n):
+  * at any instant no participant holds more than one block. Rounds =
+  * ceil(n / blockSize); each round is a bounded join fan. λ-ancestor
+  * resolution over the resulting event tree ([[lowestQualifyingAncestor]])
+  * is pointer-doubling — O(log n) self-joins regardless of dendrogram
+  * depth (a sorted-weight chain makes the tree O(n) deep; per-level
+  * walking would be a scale-killer).
+  */
+object DistributedDendrogram {
+
+  /** Encoder row emitted by the block task (private[operators], not
+    * private: the Dataset encoder's generated code needs JVM-public
+    * access). kind 0 = merge event, kind 1 = relabel (old label → new
+    * label), kind 2 = size update (label → size after this block). */
+  private[operators] final case class BlockOut(kind: Int, rank: Long, weight: Double,
+      a: Long, b: Long, sa: Long, sb: Long)
+
+  /** Compute all n−1 merge events of the single-linkage dendrogram of
+    * `edges` (an MST or forest: (src, dst, weight); src≠dst, acyclic).
+    * Ties broken by (weight, src, dst) — deterministic at any
+    * parallelism. Representatives are component-min node ids. */
+  def mergeEvents(spark: SparkSession, edges: DataFrame,
+      blockSize: Int = 500000): Dataset[MergeEvent] = {
+    import spark.implicits._
+    val rot = new graft.CheckpointRotator
+    // 1. global Kruskal rank: one range sort + zipWithIndex
+    val ranked = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("weight").cast("double"))
+      .orderBy(col("weight"), col("src"), col("dst"))
+      .as[(Long, Long, Double)].rdd
+      .zipWithIndex()
+      .map { case ((s, d, w), r) => (r, s, d, w) }
+      .toDF("rank", "src", "dst", "weight")
+    val rankedCk = rot.rotate(ranked)
+    val total = rankedCk.count()
+    val nBlocks = ((total + blockSize - 1) / blockSize).toInt
+
+    // node-shaped label frame and component-shaped size frame
+    var labels = rot.rotate(
+      rankedCk.select(col("src").as("vertex"))
+        .unionAll(rankedCk.select(col("dst").as("vertex")))
+        .distinct()
+        .select(col("vertex"), col("vertex").as("label")))
+    var sizes = rot.rotate(labels.select(col("label"), lit(1L).as("size")))
+
+    var events = spark.emptyDataset[MergeEvent].toDF()
+    var k = 0
+    while (k < nBlocks) {
+      val lo = k.toLong * blockSize
+      val hi = lo + blockSize
+      val block = rankedCk.filter(col("rank") >= lo && col("rank") < hi)
+      // contract by current labels (two joins), then bring in the base
+      // sizes of exactly the labels this block touches
+      val contracted = block
+        .join(labels.select(col("vertex").as("src"), col("label").as("la")), "src")
+        .join(labels.select(col("vertex").as("dst"), col("label").as("lb")), "dst")
+        .select(col("rank"), col("weight"), col("la"), col("lb"))
+      val touched = contracted.select(col("la").as("label"))
+        .unionAll(contracted.select(col("lb").as("label"))).distinct()
+      val blockSizes = sizes.join(touched, "label")
+      // single-task local union-find: edge rows (kind 0) + size rows
+      // (kind 2) funneled into ONE partition, processed in rank order
+      val inRows = contracted
+        .select(lit(0).as("kind"), col("rank"), col("weight"),
+          col("la").as("a"), col("lb").as("b"), lit(0L).as("sa"), lit(0L).as("sb"))
+        .unionAll(blockSizes
+          .select(lit(2).as("kind"), lit(0L).as("rank"), lit(0.0).as("weight"),
+            col("label").as("a"), lit(0L).as("b"), col("size").as("sa"), lit(0L).as("sb")))
+        .as[BlockOut]
+      val out = inRows.repartition(1).mapPartitions { it =>
+        val rows = it.toArray
+        val baseSize = scala.collection.mutable.HashMap.empty[Long, Long]
+        rows.iterator.filter(_.kind == 2).foreach(r => baseSize(r.a) = r.sa)
+        // union-find over base labels, rep = min id, size tracked
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        val compSize = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        val evs = Array.newBuilder[BlockOut]
+        rows.filter(_.kind == 0).sortBy(_.rank).foreach { e =>
+          val ra = find(e.a); val rb = find(e.b)
+          require(ra != rb, s"cycle in MST input at rank ${e.rank}")
+          val sa = compSize.getOrElse(ra, baseSize(ra))
+          val sb = compSize.getOrElse(rb, baseSize(rb))
+          // event reps are the MERGE-TIME component reps (min ids)
+          val (repA, repB) = (ra, rb)
+          val rep = math.min(ra, rb)
+          val other = math.max(ra, rb)
+          parent(other) = rep
+          compSize(rep) = sa + sb
+          compSize.remove(other)
+          evs += BlockOut(0, e.rank, e.weight, repA, repB, sa, sb)
+        }
+        // relabel rows for EVERY touched label (identity included, so the
+        // size frame's anti-join sweeps all stale rows), then one size row
+        // per surviving representative
+        val upd = Array.newBuilder[BlockOut]
+        baseSize.keysIterator.foreach { l =>
+          upd += BlockOut(1, 0L, 0.0, l, find(l), 0L, 0L)
+        }
+        baseSize.keysIterator.map(find).toSet.foreach { (r: Long) =>
+          upd += BlockOut(2, 0L, 0.0, r, 0L, compSize.getOrElse(r, baseSize(r)), 0L)
+        }
+        (evs.result() ++ upd.result()).iterator
+      }.persist()
+      out.count() // materialize once; three filters below read the cache
+
+      events = events.unionAll(out.filter(_.kind == 0)
+        .map(e => MergeEvent(e.rank, e.weight, e.a, e.b, e.sa, e.sb)).toDF())
+      val relabel = out.filter(_.kind == 1).map(r => (r.a, r.b)).toDF("label", "newLabel")
+      val newSizes = out.filter(_.kind == 2).map(r => (r.a, r.sa)).toDF("label", "size")
+        .dropDuplicates("label")
+      // absorb: vertices keep their label unless the block relabeled it
+      labels = rot.rotate(
+        labels.join(relabel, Seq("label"), "left")
+          .select(col("vertex"), coalesce(col("newLabel"), col("label")).as("label")))
+      sizes = rot.rotate(
+        sizes.join(relabel.select(col("label")), Seq("label"), "left_anti")
+          .unionAll(newSizes))
+      out.unpersist(blocking = false)
+      k += 1
+    }
+    val result = events.as[MergeEvent]
+    val cached = result.localCheckpoint(true).as[MergeEvent]
+    rot.close()
+    cached
+  }
+
+  /** Parent linkage of the event tree, distilled from the merge events
+    * alone: for every entity (leaf vertex or event) the event it next
+    * participates in, plus WHICH side rep carried it in. One window over
+    * (rep, rank)-interleaved occurrence rows — representatives are
+    * component minima, so a component's occurrences form a chain per rep
+    * and `lag(1)` reads each side's child entity directly.
+    *
+    * Output columns: child_kind (0 leaf / 1 event), child_id (vertex id /
+    * event rank), parent_rank, side_rep. Roots (final components) emit no
+    * row. */
+  def parentEdges(events: Dataset[MergeEvent]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.toDF()
+    // occurrence rows: kindOrd 0 = side (state BEFORE the event), 1 =
+    // merged/leaf (state FROM the event on). At equal rank a side sorts
+    // before the merged row, so lag(1) for a side row is always the
+    // nearest earlier merged-or-leaf occurrence of the same rep.
+    val sides = ev.select(col("rep_a").as("rep"), col("rank"), lit(0).as("kindOrd"),
+        lit(1).as("entity_kind"), col("rank").as("entity_id"))
+      .unionAll(ev.select(col("rep_b").as("rep"), col("rank"), lit(0).as("kindOrd"),
+        lit(1).as("entity_kind"), col("rank").as("entity_id")))
+    val mergeds = ev.select(least(col("rep_a"), col("rep_b")).as("rep"), col("rank"),
+      lit(1).as("kindOrd"), lit(1).as("entity_kind"), col("rank").as("entity_id"))
+    val leaves = ev.select(col("rep_a").as("rep"))
+      .unionAll(ev.select(col("rep_b").as("rep"))).distinct()
+      .select(col("rep"), lit(-1L).as("rank"), lit(1).as("kindOrd"),
+        lit(0).as("entity_kind"), col("rep").as("entity_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rep")).orderBy(col("rank"), col("kindOrd"))
+    sides.unionAll(mergeds).unionAll(leaves)
+      .select(col("rep"), col("rank"), col("kindOrd"),
+        lag(col("entity_kind"), 1).over(w).as("child_kind"),
+        lag(col("entity_id"), 1).over(w).as("child_id"),
+        lag(col("kindOrd"), 1).over(w).as("child_kindOrd"))
+      .filter(col("kindOrd") === 0) // side rows carry the linkage
+      .select(col("child_kind"), col("child_id"),
+        col("rank").as("parent_rank"), col("rep").as("side_rep"))
+  }
+
+  /** For every event, the nearest ancestor-or-self satisfying `qualifies`
+    * — resolved by POINTER DOUBLING (O(log n) self-joins), never by
+    * walking parents level by level: a sorted-weight chain makes the
+    * event tree O(n) deep and a per-level walk a scale-killer. Events
+    * with no qualifying ancestor resolve to null (sub-threshold roots).
+    *
+    * `qualifies` is a boolean Column over the MergeEvent columns.
+    * Returns (rank, target_rank nullable, target_side nullable — the
+    * side_rep through which the chain ENTERED the target event; null
+    * when the target is the event itself). */
+  def nearestQualifyingAncestor(events: Dataset[MergeEvent],
+      qualifies: org.apache.spark.sql.Column): DataFrame = {
+    val spark = events.sparkSession
+    val rot = new graft.CheckpointRotator
+    val parents = parentEdges(events)
+      .filter(col("child_kind") === 1)
+      .select(col("child_id").as("rank"), col("parent_rank"), col("side_rep"))
+    val base = events.toDF().select(col("rank"), qualifies.as("q"))
+    // state: resolved targets carry (target_rank, target_side); unresolved
+    // rows carry a cursor (ptr) to the next ancestor to examine, plus the
+    // side through which the chain enters that ancestor
+    var state = rot.rotate(base
+      .join(parents, Seq("rank"), "left")
+      .select(col("rank"), col("q"),
+        when(col("q"), col("rank")).as("target_rank"),
+        lit(null).cast("long").as("target_side"),
+        when(col("q"), lit(null).cast("long")).otherwise(col("parent_rank")).as("ptr"),
+        when(col("q"), lit(null).cast("long")).otherwise(col("side_rep")).as("ptr_side")))
+    var remaining = state.filter(col("target_rank").isNull && col("ptr").isNotNull).count()
+    var iter = 0
+    while (remaining > 0 && iter < 64) {
+      // examine ptr: if it qualifies (or already resolved), adopt; else
+      // jump to ptr's ptr — classic doubling, each round at least halves
+      // the unresolved chain length
+      val ptrState = state.select(col("rank").as("ptr"),
+        col("q").as("p_q"), col("target_rank").as("p_target"),
+        col("target_side").as("p_target_side"),
+        col("ptr").as("p_ptr"), col("ptr_side").as("p_ptr_side"))
+      state = rot.rotate(state.join(ptrState, Seq("ptr"), "left")
+        .select(col("rank"), col("q"),
+          when(col("target_rank").isNotNull, col("target_rank"))
+            .when(col("ptr").isNotNull && col("p_q"), col("ptr"))
+            .when(col("ptr").isNotNull, col("p_target")).as("target_rank"),
+          when(col("target_rank").isNotNull, col("target_side"))
+            .when(col("ptr").isNotNull && col("p_q"), col("ptr_side"))
+            .when(col("ptr").isNotNull && col("p_target").isNotNull,
+              col("p_target_side")).as("target_side"),
+          when(col("target_rank").isNotNull || col("p_q"),
+            lit(null).cast("long")).otherwise(col("p_ptr")).as("ptr"),
+          when(col("target_rank").isNotNull || col("p_q"),
+            lit(null).cast("long")).otherwise(col("p_ptr_side")).as("ptr_side")))
+      remaining = state.filter(col("target_rank").isNull && col("ptr").isNotNull).count()
+      iter += 1
+    }
+    require(remaining == 0, s"ancestor resolution did not converge in $iter rounds")
+    val out = state.select(col("rank"), col("target_rank"), col("target_side"))
+      .localCheckpoint(true)
+    rot.close()
+    out
+  }
+
+  /** Per-point death resolution: the event at which each vertex's
+    * component FIRST reaches size ≥ `minClusterSize` (ascending) — in the
+    * descending HDBSCAN* view, the weight at which the point falls out of
+    * its cluster. Output: (vertex, death_rank, death_weight, anchor_rank,
+    * anchor_side) where the anchor names the condensed cluster the point
+    * died in: the nearest TRUE SPLIT (both sides ≥ m) at-or-above the
+    * death event, and the side of that split the point sits under (null
+    * anchor = the root cluster). Vertices whose final component stays
+    * below m resolve to null death (global noise). */
+  def pointDeaths(events: Dataset[MergeEvent], minClusterSize: Long): DataFrame = {
+    val spark = events.sparkSession
+    require(minClusterSize >= 2, "minClusterSize must be >= 2")
+    val qualifies = (col("size_a") + col("size_b")) >= minClusterSize
+    val trueSplit = qualifies &&
+      least(col("size_a"), col("size_b")) >= minClusterSize
+    val ev = events.toDF()
+    // death event per leaf: parent if it qualifies, else its nearest
+    // qualifying ancestor
+    val leafParents = parentEdges(events)
+      .filter(col("child_kind") === 0)
+      .select(col("child_id").as("vertex"), col("parent_rank"))
+    val qual = nearestQualifyingAncestor(events, qualifies)
+      .select(col("rank").as("parent_rank"), col("target_rank").as("death_rank"))
+    // anchor (condensed-cluster id) per qualifying event: nearest true
+    // split at-or-above it + entry side
+    val anchors = nearestQualifyingAncestor(events, trueSplit)
+      .select(col("rank").as("death_rank"), col("target_rank").as("anchor_rank"),
+        col("target_side").as("anchor_side"))
+    leafParents
+      .join(qual, Seq("parent_rank"), "left")
+      .join(ev.select(col("rank").as("death_rank"), col("weight").as("death_weight")),
+        Seq("death_rank"), "left")
+      .join(anchors, Seq("death_rank"), "left")
+      .select(col("vertex"), col("death_rank"), col("death_weight"),
+        col("anchor_rank"), col("anchor_side"))
+  }
+
+  /** One node of the condensed tree. cluster_id 0 = the root cluster;
+    * parent_id −1 marks the root. birth_weight = the true split that
+    * created the cluster (NaN for the root = born at λ=0);
+    * child_split_rank = the true split that ends it (−1 for leaf
+    * clusters). Stability is the standard Campello sum in λ = 1/w. */
+  final case class CondensedNode(cluster_id: Long, parent_id: Long,
+      birth_rank: Long, birth_weight: Double, anchor_side: Long,
+      size_at_birth: Long, child_split_rank: Long, n_deaths: Long,
+      stability: Double, selected: Boolean)
+
+  /** Distributed condensed-tree extraction + FOSC flat labels — the full
+    * HDBSCAN* Phase-3 with driver state bounded by the number of TRUE
+    * SPLITS (≤ n/minClusterSize), never O(n): events stay distributed,
+    * per-cluster death aggregates come back as one row per cluster, and
+    * the point-label assignment is a broadcast map join. Edge weights
+    * must be > 0 (mutual-reachability distances are).
+    *
+    * @return (condensed nodes incl. stabilities + FOSC selection,
+    *         labels frame (vertex, label, death_weight) — label is the
+    *         selected cluster_id or −1 for noise)
+    */
+  def condensedTree(events: Dataset[MergeEvent], minClusterSize: Long,
+      allowSingleCluster: Boolean = false): (Seq[CondensedNode], DataFrame) = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val qualifies = (col("size_a") + col("size_b")) >= minClusterSize
+    val trueSplitC = qualifies &&
+      least(col("size_a"), col("size_b")) >= minClusterSize
+    val ev = events.toDF().persist()
+    val deaths = pointDeaths(events, minClusterSize).persist()
+    deaths.count()
+
+    // bounded collects: ≤ n/m true splits, ≤ 2·(that)+1 cluster aggregates
+    val splits = ev.filter(trueSplitC)
+      .select(col("rank"), col("weight"), col("rep_a"), col("rep_b"),
+        col("size_a"), col("size_b"))
+      .collect()
+    // cluster-parent of each true split: enter via its own parent edge;
+    // if that parent is itself a true split the cluster is (parent, edge
+    // side), else the parent's strict-ancestor anchor
+    val anchorsAtSelf = nearestQualifyingAncestor(events, trueSplitC)
+    val tsParentRows = parentEdges(events)
+      .filter(col("child_kind") === 1)
+      .join(ev.filter(trueSplitC).select(col("rank").as("child_id")), Seq("child_id"))
+      .join(anchorsAtSelf.select(col("rank").as("parent_rank"),
+        col("target_rank"), col("target_side")), Seq("parent_rank"), "left")
+      .select(col("child_id").as("rank"), col("parent_rank"), col("side_rep"),
+        col("target_rank"), col("target_side"))
+      .collect()
+    val deathAgg = deaths.filter(col("death_rank").isNotNull)
+      .groupBy(col("anchor_rank"), col("anchor_side"))
+      .agg(count(lit(1)).as("n"), sum(lit(1.0) / col("death_weight")).as("sum_lambda"))
+      .collect()
+
+    // ---- driver tree over bounded rows ----
+    // cluster key: (anchor_rank, side) with (-1,-1) = root
+    val RootKey = (-1L, -1L)
+    def splitKeyA(s: org.apache.spark.sql.Row) = (s.getLong(0), s.getLong(2))
+    def splitKeyB(s: org.apache.spark.sql.Row) = (s.getLong(0), s.getLong(3))
+    val ids = scala.collection.mutable.LinkedHashMap[(Long, Long), Long](RootKey -> 0L)
+    splits.sortBy(_.getLong(0)).foreach { s =>
+      ids(splitKeyA(s)) = ids.size.toLong
+      ids(splitKeyB(s)) = ids.size.toLong
+    }
+    // parent cluster of each true split (the cluster the split ENDS)
+    val clusterOfSplit: Map[Long, (Long, Long)] = tsParentRows.map { r =>
+      val rank = r.getLong(0)
+      val key =
+        if (r.isNullAt(3)) RootKey // no true split above → root cluster
+        else if (r.getLong(3) == r.getLong(1)) (r.getLong(1), r.getLong(2))
+        else (r.getLong(3), r.getLong(4))
+      rank -> key
+    }.toMap
+    // root splits (events tree roots that are true splits) end the root
+    val splitMeta = splits.map { s =>
+      s.getLong(0) -> (s.getDouble(1), s.getLong(4) + s.getLong(5))
+    }.toMap
+    val endedBy: Map[(Long, Long), Long] = // cluster key -> its child split
+      splitMeta.keys.map(r => clusterOfSplit.getOrElse(r, RootKey) -> r).toMap
+    val deathByKey = deathAgg.map { r =>
+      val key = if (r.isNullAt(0)) RootKey else (r.getLong(0), r.getLong(1))
+      key -> (r.getLong(2), r.getDouble(3))
+    }.toMap
+
+    val splitByRank = splits.map(s => s.getLong(0) -> s).toMap
+    val nodes = ids.map { case (key, id) =>
+      val (birthRank, birthW, sideSize, parentId) =
+        if (key == RootKey) (-1L, Double.NaN, -1L, -1L)
+        else {
+          val s = splitByRank(key._1)
+          val size = if (s.getLong(2) == key._2) s.getLong(4) else s.getLong(5)
+          val pk = clusterOfSplit.getOrElse(key._1, RootKey)
+          (key._1, s.getDouble(1), size, ids(pk))
+        }
+      val (nD, sumLam) = deathByKey.getOrElse(key, (0L, 0.0))
+      val childSplit = endedBy.getOrElse(key, -1L)
+      val lamBirth = if (key == RootKey) 0.0 else 1.0 / birthW
+      val survivorTerm = if (childSplit < 0) 0.0 else {
+        val (wChild, sizeChild) = splitMeta(childSplit)
+        sizeChild * (1.0 / wChild - lamBirth)
+      }
+      val stability = (sumLam - nD * lamBirth) + survivorTerm
+      id -> CondensedNode(id, parentId, birthRank, birthW,
+        if (key == RootKey) -1L else key._2, sideSize, childSplit, nD,
+        stability, selected = false)
+    }.toMap
+
+    // ---- FOSC bottom-up selection ----
+    val children: Map[Long, Seq[Long]] = nodes.values
+      .filter(_.parent_id >= 0).toSeq.groupBy(_.parent_id)
+      .map { case (p, cs) => p -> cs.map(_.cluster_id) }
+    val propagated = scala.collection.mutable.HashMap.empty[Long, Double]
+    val selected = scala.collection.mutable.HashSet.empty[Long]
+    def visit(id: Long): Double = {
+      val cs = children.getOrElse(id, Nil)
+      val childSum = cs.map(visit).sum
+      val own = nodes(id).stability
+      // the root is only selectable under allowSingleCluster — otherwise a
+      // split-free tree yields ALL NOISE, the standard HDBSCAN* convention
+      if ((id != 0L || allowSingleCluster) && own >= childSum) {
+        // select this node; deselect descendants
+        def clear(x: Long): Unit = children.getOrElse(x, Nil).foreach { c =>
+          selected -= c; clear(c)
+        }
+        clear(id)
+        selected += id
+        propagated(id) = own
+        own
+      } else {
+        propagated(id) = math.max(own, childSum)
+        math.max(own, childSum)
+      }
+    }
+    visit(0L)
+    val finalNodes = ids.values.toSeq.sorted
+      .map(id => nodes(id).copy(selected = selected.contains(id)))
+
+    // ---- flat labels: nearest selected ancestor-or-self of each point's
+    // anchor cluster; none → noise ----
+    val labelOfKey = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    ids.foreach { case (key, id) =>
+      var cur = id
+      var lab = -1L
+      while (cur >= 0 && lab < 0) {
+        if (selected.contains(cur)) lab = cur
+        else cur = nodes(cur).parent_id
+      }
+      labelOfKey(key) = lab
+    }
+    val labelMap = labelOfKey.toSeq.map { case ((ar, as), lab) => (ar, as, lab) }
+      .toDF("anchor_rank_k", "anchor_side_k", "label_k")
+    val labels = deaths
+      .withColumn("ar", coalesce(col("anchor_rank"), lit(-1L)))
+      .withColumn("as", coalesce(col("anchor_side"), lit(-1L)))
+      .join(broadcast(labelMap),
+        col("ar") === col("anchor_rank_k") && col("as") === col("anchor_side_k"),
+        "left")
+      .select(col("vertex"),
+        when(col("death_rank").isNull, lit(-1L))
+          .otherwise(coalesce(col("label_k"), lit(-1L))).as("label"),
+        col("death_weight"))
+    val out = labels.localCheckpoint(true)
+    deaths.unpersist(blocking = false)
+    ev.unpersist(blocking = false)
+    (finalNodes, out)
+  }
+}

@@ -1,0 +1,319 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class DistributedDendrogramSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  /** Driver replay: Kruskal union-find over (weight, src, dst)-sorted
+    * edges, reps = component min — the ground truth the distributed block
+    * pipeline must reproduce event for event. */
+  private def replay(edges: Seq[(Long, Long, Double)]): Seq[MergeEvent] = {
+    val sorted = edges.sortBy(e => (e._3, e._1, e._2))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val size = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      r
+    }
+    sorted.zipWithIndex.map { case ((s, d, w), rank) =>
+      val ra = find(s); val rb = find(d)
+      val sa = size.getOrElse(ra, 1L); val sb = size.getOrElse(rb, 1L)
+      val rep = math.min(ra, rb)
+      parent(math.max(ra, rb)) = rep
+      size(rep) = sa + sb
+      MergeEvent(rank.toLong, w, ra, rb, sa, sb)
+    }
+  }
+
+  /** Random spanning tree over n nodes with some duplicate weights. */
+  private def randomTree(n: Int, seed: Long): Seq[(Long, Long, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    (1 until n).map { i =>
+      val j = rnd.nextInt(i)
+      // coarse weights force ties; (src,dst) tie-break must decide
+      (j.toLong, i.toLong, (rnd.nextInt(20) + 1).toDouble)
+    }
+  }
+
+  private def check(edges: Seq[(Long, Long, Double)], blockSize: Int): Unit = {
+    import spark.implicits._
+    val got = DistributedDendrogram
+      .mergeEvents(spark, edges.toDF("src", "dst", "weight"), blockSize)
+      .collect().sortBy(_.rank).toSeq
+    val want = replay(edges)
+    assert(got.size == want.size, s"event count: ${got.size} vs ${want.size}")
+    got.zip(want).foreach { case (g, e) =>
+      // side order within one event is union-find-internal; compare as sets
+      val gs = Set((g.rep_a, g.size_a), (g.rep_b, g.size_b))
+      val es = Set((e.rep_a, e.size_a), (e.rep_b, e.size_b))
+      assert(g.rank == e.rank && g.weight == e.weight && gs == es,
+        s"event ${e.rank}: got $g want $e")
+    }
+  }
+
+  test("merge events equal the driver Kruskal replay on random trees, any block size") {
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val edges = randomTree(120, seed)
+      check(edges, blockSize = 1000000) // single block
+      check(edges, blockSize = 13)      // many blocks: cross-block state must carry
+    }
+  }
+
+  test("a sorted-weight chain (worst-case dendrogram depth) crosses blocks correctly") {
+    // path 0-1-2-...-n with strictly increasing weights: every merge grows
+    // ONE component — maximal cross-block dependence
+    val n = 90
+    val chain = (0 until n).map(i => (i.toLong, (i + 1).toLong, (i + 1).toDouble))
+    check(chain, blockSize = 7)
+    // sizes must be the running prefix: event k merges size (k+1) with 1
+    import spark.implicits._
+    val evs = DistributedDendrogram
+      .mergeEvents(spark, chain.toDF("src", "dst", "weight"), 7)
+      .collect().sortBy(_.rank)
+    evs.zipWithIndex.foreach { case (e, k) =>
+      assert(Set(e.size_a, e.size_b) == Set(k + 1L, 1L) ||
+        (k == 0 && e.size_a == 1L && e.size_b == 1L), s"event $k: $e")
+    }
+  }
+
+  /** Driver replay of pointDeaths: simulate Kruskal keeping explicit
+    * member lists; record each vertex's first ≥m event, then walk the
+    * event tree upward for the nearest true split + entry side. */
+  private def replayDeaths(edges: Seq[(Long, Long, Double)], m: Long)
+      : Map[Long, (Option[Long], Option[(Option[Long], Option[Long])])] = {
+    val events = replay(edges)
+    // rebuild membership trajectories
+    val comp = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.Set[Long]]
+    def members(r: Long): scala.collection.mutable.Set[Long] =
+      comp.getOrElseUpdate(r, scala.collection.mutable.Set(r))
+    val death = scala.collection.mutable.HashMap.empty[Long, Long] // vertex -> event rank
+    val parentOf = scala.collection.mutable.HashMap.empty[Long, (Long, Long)] // event -> (parent event, entry side rep)
+    val lastEventOfRep = scala.collection.mutable.HashMap.empty[Long, Long]
+    events.foreach { e =>
+      val a = members(e.rep_a); val b = members(e.rep_b)
+      lastEventOfRep.get(e.rep_a).foreach(pe => parentOf(pe) = (e.rank, e.rep_a))
+      lastEventOfRep.get(e.rep_b).foreach(pe => parentOf(pe) = (e.rank, e.rep_b))
+      val merged = a ++ b
+      val rep = math.min(e.rep_a, e.rep_b)
+      comp(rep) = merged
+      if (rep != e.rep_a) comp.remove(e.rep_a)
+      if (rep != e.rep_b) comp.remove(e.rep_b)
+      lastEventOfRep -= e.rep_a; lastEventOfRep -= e.rep_b
+      lastEventOfRep(rep) = e.rank
+      if (merged.size >= m)
+        merged.foreach(v => if (!death.contains(v)) death(v) = e.rank)
+    }
+    def qualifies(r: Long) = { val e = events(r.toInt); e.size_a + e.size_b >= m }
+    def trueSplit(r: Long) = { val e = events(r.toInt)
+      qualifies(r) && math.min(e.size_a, e.size_b) >= m }
+    def anchor(r: Long): (Option[Long], Option[Long]) = {
+      var cur = r
+      while (true) {
+        parentOf.get(cur) match {
+          case None => return (None, None)
+          case Some((p, side)) =>
+            if (trueSplit(p)) return (Some(p), Some(side))
+            cur = p
+        }
+      }
+      (None, None)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    verts.map { v =>
+      death.get(v) match {
+        case None => v -> (None, None)
+        case Some(d) => v -> (Some(d), Some(anchor(d)))
+      }
+    }.toMap
+  }
+
+  test("pointDeaths: death events and condensed-cluster anchors match the replay") {
+    import spark.implicits._
+    for (seed <- Seq(3L, 11L); m <- Seq(2L, 5L, 20L)) {
+      val edges = randomTree(150, seed)
+      val events = DistributedDendrogram
+        .mergeEvents(spark, edges.toDF("src", "dst", "weight"), blockSize = 17)
+      val got = DistributedDendrogram.pointDeaths(events, m)
+        .collect().map { r =>
+          val v = r.getLong(r.fieldIndex("vertex"))
+          val d = if (r.isNullAt(r.fieldIndex("death_rank"))) None
+            else Some(r.getLong(r.fieldIndex("death_rank")))
+          val ar = if (r.isNullAt(r.fieldIndex("anchor_rank"))) None
+            else Some(r.getLong(r.fieldIndex("anchor_rank")))
+          val as = if (r.isNullAt(r.fieldIndex("anchor_side"))) None
+            else Some(r.getLong(r.fieldIndex("anchor_side")))
+          v -> (d, ar, as)
+        }.toMap
+      val want = replayDeaths(edges, m)
+      assert(got.keySet == want.keySet, s"seed=$seed m=$m vertex sets differ")
+      want.foreach { case (v, (d, anch)) =>
+        val (gd, gar, gas) = got(v)
+        assert(gd == d, s"seed=$seed m=$m vertex $v death: got $gd want $d")
+        anch.foreach { case (ar, as) =>
+          assert(gar == ar && gas == as,
+            s"seed=$seed m=$m vertex $v anchor: got ($gar,$gas) want ($ar,$as)")
+        }
+      }
+    }
+  }
+
+  test("pointDeaths: sub-threshold components are global noise (null death)") {
+    import spark.implicits._
+    // a 3-node tree with m=5: the whole component never reaches 5
+    val tiny = Seq((0L, 1L, 1.0), (1L, 2L, 2.0))
+    val events = DistributedDendrogram.mergeEvents(spark, tiny.toDF("src", "dst", "weight"))
+    val deaths = DistributedDendrogram.pointDeaths(events, 5L).collect()
+    assert(deaths.length == 3)
+    assert(deaths.forall(_.isNullAt(1)), "all three vertices must be noise")
+  }
+
+  /** Independent condensed-tree replay built the OPPOSITE way (recursive
+    * descending edge removal with BFS connectivity, vs the operator's
+    * ascending block union-find): clusters keyed (birth rank, side min),
+    * Campello stabilities in λ=1/w, FOSC with the same ≥ rule. */
+  private def replayCondensed(edges: Seq[(Long, Long, Double)], m: Long) = {
+    val asc = edges.sortBy(e => (e._3, e._1, e._2)).zipWithIndex
+      .map { case ((s, d, w), r) => (r.toLong, s, d, w) }
+    final case class RCluster(key: (Long, Long), birthLam: Double,
+        var stability: Double = 0.0, var parent: Option[(Long, Long)] = None,
+        var children: Seq[(Long, Long)] = Nil)
+    val clusters = scala.collection.mutable.LinkedHashMap.empty[(Long, Long), RCluster]
+    val pointCluster = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+    def comps(edgeSet: Seq[(Long, Long, Long, Double)], nodes: Set[Long]): Seq[Set[Long]] = {
+      val adj = scala.collection.mutable.HashMap.empty[Long, List[Long]]
+      edgeSet.foreach { case (_, s, d, _) =>
+        adj(s) = d :: adj.getOrElse(s, Nil); adj(d) = s :: adj.getOrElse(d, Nil)
+      }
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      nodes.toSeq.sorted.flatMap { v =>
+        if (seen(v)) None else {
+          val q = scala.collection.mutable.Queue(v)
+          val c = scala.collection.mutable.Set.empty[Long]
+          while (q.nonEmpty) {
+            val x = q.dequeue()
+            if (!seen(x)) { seen += x; c += x; adj.getOrElse(x, Nil).foreach(q.enqueue) }
+          }
+          Some(c.toSet)
+        }
+      }
+    }
+    def run(key: (Long, Long), members: Set[Long],
+        inEdges: Seq[(Long, Long, Long, Double)], birthLam: Double): Unit = {
+      val cl = RCluster(key, birthLam)
+      clusters(key) = cl
+      var cur = members
+      var curEdges = inEdges.sortBy(-_._1) // descending rank
+      var open = true
+      while (open) {
+        if (curEdges.isEmpty) { // singletons can't happen while cur ≥ m ≥ 2 unless cur size 1
+          cur.foreach(pointCluster(_) = key); open = false
+        } else {
+          val e = curEdges.head
+          val rest = curEdges.tail
+          val parts = comps(rest, cur)
+          assert(parts.size == 2, "MST edge removal must split in two")
+          val Seq(a, b) = parts
+          val lam = 1.0 / e._4
+          if (a.size >= m && b.size >= m) {
+            cl.stability += (a.size + b.size) * (lam - birthLam)
+            val ka = (e._1, a.min); val kb = (e._1, b.min)
+            cl.children = Seq(ka, kb)
+            run(ka, a, rest.filter(x => a(x._2)), lam)
+            run(kb, b, rest.filter(x => b(x._2)), lam)
+            clusters(ka).parent = Some(key); clusters(kb).parent = Some(key)
+            open = false
+          } else if (a.size >= m || b.size >= m) {
+            val (keep, shed) = if (a.size >= m) (a, b) else (b, a)
+            cl.stability += shed.size * (lam - birthLam)
+            shed.foreach(pointCluster(_) = key)
+            cur = keep
+            curEdges = rest.filter(x => keep(x._2))
+          } else { // both below m: everyone dies here
+            cl.stability += (a.size + b.size) * (lam - birthLam)
+            (a ++ b).foreach(pointCluster(_) = key)
+            open = false
+          }
+        }
+      }
+    }
+    val allNodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val rootKey = (-1L, -1L)
+    if (allNodes.size >= m) run(rootKey, allNodes, asc, 0.0)
+    // FOSC, same ≥ rule, root excluded
+    val selected = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    def visit(k: (Long, Long)): Double = {
+      val cl = clusters(k)
+      val cs = cl.children.map(visit).sum
+      if (k != rootKey && cl.stability >= cs) {
+        def clear(x: (Long, Long)): Unit =
+          clusters(x).children.foreach { c => selected -= c; clear(c) }
+        clear(k); selected += k
+        cl.stability
+      } else math.max(cl.stability, cs)
+    }
+    if (clusters.contains(rootKey)) visit(rootKey)
+    val labelsByVertex = allNodes.map { v =>
+      pointCluster.get(v) match {
+        case None => v -> None
+        case Some(k0) =>
+          var k: Option[(Long, Long)] = Some(k0)
+          while (k.isDefined && !selected(k.get)) k = clusters(k.get).parent
+          v -> k
+      }
+    }.toMap
+    (clusters.toMap.map { case (k, c) => k -> c.stability }, labelsByVertex)
+  }
+
+  test("condensedTree: stabilities and FOSC labels match the descending-removal replay") {
+    import spark.implicits._
+    for (seed <- Seq(5L, 23L); m <- Seq(2L, 6L, 15L)) {
+      val edges = randomTree(140, seed)
+      val events = DistributedDendrogram
+        .mergeEvents(spark, edges.toDF("src", "dst", "weight"), blockSize = 19)
+      val (nodes, labelsDf) = DistributedDendrogram.condensedTree(events, m)
+      val (wantStab, wantLabels) = replayCondensed(edges, m)
+      // cluster key sets agree (root keyed (-1,-1) both sides)
+      val gotKeys = nodes.map(nd =>
+        if (nd.parent_id == -1L) (-1L, -1L) else (nd.birth_rank, nd.anchor_side)).toSet
+      assert(gotKeys == wantStab.keySet, s"seed=$seed m=$m cluster keys:\n" +
+        s"got ${gotKeys.toSeq.sorted}\nwant ${wantStab.keySet.toSeq.sorted}")
+      nodes.foreach { nd =>
+        val key = if (nd.parent_id == -1L) (-1L, -1L) else (nd.birth_rank, nd.anchor_side)
+        assert(math.abs(nd.stability - wantStab(key)) < 1e-9,
+          s"seed=$seed m=$m cluster $key stability ${nd.stability} vs ${wantStab(key)}")
+      }
+      // flat labels: compare as partitions (ids are internal numbering)
+      val gotLabels = labelsDf.select("vertex", "label")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotParts = gotLabels.groupBy(_._2).map { case (l, vs) => l -> vs.keySet }
+      val wantParts = wantLabels.groupBy(_._2).map { case (l, vs) => l -> vs.keySet }
+      val gotNoise = gotParts.getOrElse(-1L, Set.empty[Long])
+      val wantNoise = wantLabels.collect { case (v, None) => v }.toSet
+      assert(gotNoise == wantNoise,
+        s"seed=$seed m=$m noise sets differ: ${gotNoise.size} vs ${wantNoise.size}")
+      val gotSets = gotParts.filterNot(_._1 == -1L).values.toSet
+      val wantSets = wantParts.collect {
+        case (Some(_), vs) => vs
+      }.toSet
+      assert(gotSets == wantSets, s"seed=$seed m=$m cluster partitions differ: " +
+        s"got ${gotSets.map(_.size).toSeq.sorted} want ${wantSets.map(_.size).toSeq.sorted}")
+    }
+  }
+
+  test("forests never merge across components; duplicate weights stay deterministic") {
+    // two disjoint trees with heavily tied weights
+    val t1 = Seq((0L, 1L, 5.0), (1L, 2L, 5.0), (2L, 3L, 5.0))
+    val t2 = Seq((10L, 11L, 5.0), (11L, 12L, 5.0))
+    check(t1 ++ t2, blockSize = 2)
+    import spark.implicits._
+    val evs = DistributedDendrogram
+      .mergeEvents(spark, (t1 ++ t2).toDF("src", "dst", "weight"), 2)
+      .collect()
+    assert(evs.length == 5)
+    // components keep their own min reps: nothing bridges 0-tree and 10-tree
+    assert(evs.forall(e => (e.rep_a < 10 && e.rep_b < 10) ||
+      (e.rep_a >= 10 && e.rep_b >= 10)))
+  }
+}
