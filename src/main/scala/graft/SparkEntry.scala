@@ -1172,6 +1172,33 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"), col("run"))
     }),
+    "q_url_canonicalize" -> ((s: SparkSession, d: String) => {
+      // URL canonicalization — the web-corpus dedup key. Synthesized URLs
+      // (doc_id formula) carry every noise class a crawler sees: case-
+      // shuffled scheme/host, www. prefix, default :443 port, utm_*
+      // tracking params, unsorted param order, #fragments. The
+      // canonicalizer (pure builtin expression tree, no UDF) must strip
+      // ALL of it; the oracle states the closed-form canonical directly,
+      // so any missed noise class breaks the hash. Docs sharing
+      // doc_id % 250 canonicalize identically → the window count is the
+      // dedup-group size a URL-keyed dedup would use.
+      val id = col("doc_id")
+      val p = id % 250
+      val url = concat(
+        when(id % 2 === 0, lit("HTTPS")).otherwise(lit("https")), lit("://"),
+        when(id % 3 === 0, lit("WWW.")).otherwise(lit("www.")),
+        lit("src"), (p % 20).cast("string"), lit(".example.com"),
+        when(id % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/doc/"), p.cast("string"),
+        lit("?utm_campaign=c"), id.cast("string"),
+        lit("&z="), (p % 7).cast("string"), lit("&a=1"),
+        lit("#s"), (id % 3).cast("string"))
+      docs(s, d).select(id,
+          graft.operators.TextOps.canonicalizeUrl(url).as("canonical_url"))
+        .withColumn("n_same", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("canonical_url"))))
+        .orderBy(id)
+    }),
     "q_condensed_tree" -> ((s: SparkSession, d: String) => {
       // DISTRIBUTED HDBSCAN* Phase-3 (VERDICT r8 #8): the condensed tree
       // extracted from merge events computed by block-local union-find
@@ -3341,6 +3368,16 @@ object SparkEntry {
         |  min(ts_ms) AS valid_from, max(ts_ms) AS last_seen,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM r GROUP BY user_id, run ORDER BY user_id, run""".stripMargin,
+    // the canonical URL in closed form — every planted noise class
+    // (case, www., :443, utm params, param order, fragment) must vanish
+    // for the hash to match; group size = docs sharing doc_id % 250
+    "q_url_canonicalize" ->
+      """SELECT doc_id,
+        |  'https://src' || CAST((doc_id % 250) % 20 AS VARCHAR) ||
+        |    '.example.com/doc/' || CAST(doc_id % 250 AS VARCHAR) ||
+        |    '?a=1&z=' || CAST((doc_id % 250) % 7 AS VARCHAR) AS canonical_url,
+        |  CAST(count(*) OVER (PARTITION BY doc_id % 250) AS BIGINT) AS n_same
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the planted condensed tree in closed form: ascending-weight chains
     // put point p's death at edge max(p−1, 8) of its chain (the first
     // event its component reaches minClusterSize=10); the bridge true

@@ -465,7 +465,12 @@ final case class Hdbscan(
           .select(col("src"), col("dst"), greatest(col("w0"), col("cs"), col("cd")).as("weight"))
         // run() drives its log-rounds internally (untagged: their per-job
         // results must stay small); only the final n-1 forest rows are a
-        // legitimate driver-O(n) collect
+        // legitimate driver-O(n) collect. Past even THAT bound, the
+        // declared scale path is operators.DistributedDendrogram: merge
+        // events + condensed tree + FOSC labels with per-participant
+        // state O(blockSize) and driver rows O(n/minClusterSize) — the
+        // kernel hierarchy here keeps the reference's full surface
+        // (GLOSH, constraints, .vis sidecar) for driver-friendly sizes
         val forestDf = graft.operators.BoruvkaMst.run(spark, localMst.unionAll(bnd))
         val forest = Hdbscan.tagged(spark) {
           forestDf.as[(Long, Long, Double)].collect()

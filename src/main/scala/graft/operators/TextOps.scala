@@ -730,6 +730,40 @@ object TextOps {
         array_join(col("chunk"), " ").as("chunk_text"))
   }
 
+  /** URL canonicalization — the web-corpus dedup key (crawls see the same
+    * page under case-shuffled hosts, default ports, tracking params and
+    * fragments). Pure builtin-function expression tree (regexp extract/
+    * replace + array HOFs, whole-stage codegen, no UDF), replayable
+    * verbatim in DuckDB:
+    *
+    *   1. drop the #fragment;
+    *   2. lowercase scheme and host; strip a leading `www.`; strip the
+    *      scheme's default port (:443 https / :80 http);
+    *   3. empty path → "/" (path case is preserved — path semantics are
+    *      server-defined);
+    *   4. drop `utm_*` / `fbclid` tracking params, SORT the survivors
+    *      (param order is transport noise), re-join.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val base = get(split(noFrag, "\\?"), lit(0))
+    val query = get(split(noFrag, "\\?"), lit(1))
+    val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(base, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = lower(regexp_extract(rest, "^([^/]*)", 1))
+    val host0 = regexp_replace(hostPort, "^www\\.", "")
+    val host = when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .otherwise(host0)
+    val path0 = regexp_replace(rest, "^[^/]*", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val kept = array_join(
+      array_sort(filter(split(coalesce(query, lit("")), "&"),
+        p => !(p.startsWith("utm_") || p.startsWith("fbclid=") || p === ""))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
   /** Full per-document text-stats frame over a `documents`-shaped table. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -741,6 +741,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(phys.contains("SortMergeJoin"), "salting must exercise a shuffle join")
   }
 
+  test("canonicalizeUrl: strips every crawl-noise class, keeps real params sorted") {
+    import spark.implicits._
+    val cases = Seq(
+      // case + www + default port + tracking + order + fragment
+      ("HTTPS://WWW.Example.COM:443/a/B?utm_source=x&b=2&a=1#frag",
+        "https://example.com/a/B?a=1&b=2"),
+      // http default port; empty path → /
+      ("http://Example.com:80?z=1", "http://example.com/?z=1"),
+      // non-default port survives; fbclid dropped; no params left → no ?
+      ("https://h.io:8443/p?fbclid=abc&utm_campaign=c", "https://h.io:8443/p"),
+      // path case preserved, no query/fragment
+      ("https://a.b/Path/Q", "https://a.b/Path/Q"))
+    val got = cases.map(_._1).toDF("u")
+      .select(TextOps.canonicalizeUrl(col("u"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, want) =>
+      assert(g == want, s"got $g want $want")
+    }
+  }
+
   test("text ops: token count, ratios, langid markers") {
     import spark.implicits._
     val docs = Seq(
