@@ -214,10 +214,11 @@ object DistributedDendrogram {
     * side_rep through which the chain ENTERED the target event; null
     * when the target is the event itself). */
   def nearestQualifyingAncestor(events: Dataset[MergeEvent],
-      qualifies: org.apache.spark.sql.Column): DataFrame = {
+      qualifies: org.apache.spark.sql.Column,
+      precomputedParents: Option[DataFrame] = None): DataFrame = {
     val spark = events.sparkSession
     val rot = new graft.CheckpointRotator
-    val parents = parentEdges(events)
+    val parents = precomputedParents.getOrElse(parentEdges(events))
       .filter(col("child_kind") === 1)
       .select(col("child_id").as("rank"), col("parent_rank"), col("side_rep"))
     val base = events.toDF().select(col("rank"), qualifies.as("q"))
@@ -273,23 +274,28 @@ object DistributedDendrogram {
     * death event, and the side of that split the point sits under (null
     * anchor = the root cluster). Vertices whose final component stays
     * below m resolve to null death (global noise). */
-  def pointDeaths(events: Dataset[MergeEvent], minClusterSize: Long): DataFrame = {
+  def pointDeaths(events: Dataset[MergeEvent], minClusterSize: Long,
+      precomputedParents: Option[DataFrame] = None): DataFrame = {
     val spark = events.sparkSession
     require(minClusterSize >= 2, "minClusterSize must be >= 2")
     val qualifies = (col("size_a") + col("size_b")) >= minClusterSize
     val trueSplit = qualifies &&
       least(col("size_a"), col("size_b")) >= minClusterSize
     val ev = events.toDF()
+    // the parent-linkage window runs ONCE; both ancestor passes and the
+    // leaf linkage read the same cached frame
+    val parents = precomputedParents
+      .getOrElse(parentEdges(events).localCheckpoint(true))
     // death event per leaf: parent if it qualifies, else its nearest
     // qualifying ancestor
-    val leafParents = parentEdges(events)
+    val leafParents = parents
       .filter(col("child_kind") === 0)
       .select(col("child_id").as("vertex"), col("parent_rank"))
-    val qual = nearestQualifyingAncestor(events, qualifies)
+    val qual = nearestQualifyingAncestor(events, qualifies, Some(parents))
       .select(col("rank").as("parent_rank"), col("target_rank").as("death_rank"))
     // anchor (condensed-cluster id) per qualifying event: nearest true
     // split at-or-above it + entry side
-    val anchors = nearestQualifyingAncestor(events, trueSplit)
+    val anchors = nearestQualifyingAncestor(events, trueSplit, Some(parents))
       .select(col("rank").as("death_rank"), col("target_rank").as("anchor_rank"),
         col("target_side").as("anchor_side"))
     leafParents
@@ -330,7 +336,8 @@ object DistributedDendrogram {
     val trueSplitC = qualifies &&
       least(col("size_a"), col("size_b")) >= minClusterSize
     val ev = events.toDF().persist()
-    val deaths = pointDeaths(events, minClusterSize).persist()
+    val parents = parentEdges(events).localCheckpoint(true)
+    val deaths = pointDeaths(events, minClusterSize, Some(parents)).persist()
     deaths.count()
 
     // bounded collects: ≤ n/m true splits, ≤ 2·(that)+1 cluster aggregates
@@ -341,8 +348,8 @@ object DistributedDendrogram {
     // cluster-parent of each true split: enter via its own parent edge;
     // if that parent is itself a true split the cluster is (parent, edge
     // side), else the parent's strict-ancestor anchor
-    val anchorsAtSelf = nearestQualifyingAncestor(events, trueSplitC)
-    val tsParentRows = parentEdges(events)
+    val anchorsAtSelf = nearestQualifyingAncestor(events, trueSplitC, Some(parents))
+    val tsParentRows = parents
       .filter(col("child_kind") === 1)
       .join(ev.filter(trueSplitC).select(col("rank").as("child_id")), Seq("child_id"))
       .join(anchorsAtSelf.select(col("rank").as("parent_rank"),
