@@ -1867,6 +1867,33 @@ object SparkEntry {
         }.toDF("doc_id", "width", "height", "pix_sum", "pix_checksum")
         .orderBy(col("doc_id"))
     }),
+    "q_gif_pixels" -> ((s: SparkSession, d: String) => {
+      // deep GIF decode, REAL and oracle-checked: per-doc gray images are
+      // LZW-compressed into complete GIF89a containers and decoded back
+      // through the full sub-block walk → variable-width LZW → palette
+      // resolution pipeline on the executors. LZW is lossless, so the
+      // round trip must be BIT-EXACT on arbitrary pixels (no flat-block
+      // restriction like JPEG) for the formula oracle to hash-match;
+      // GifCodecSpec cross-validates the same streams against
+      // javax.imageio. Partition-local, zero shuffle; bounded slice like
+      // the other demo kernels.
+      import s.implicits._
+      docs(s, d).select(col("doc_id")).filter(col("doc_id") < 300)
+        .as[Long].map { id =>
+          val w = (5 + id % 12).toInt; val h = (4 + id % 9).toInt
+          val px = Array.tabulate(w * h)(j => ((id * 11 + j * 29) % 256).toByte)
+          val gif = graft.operators.GifCodec.encode(w, h, px)
+          val (dw, dh, dec) = graft.operators.GifCodec.decode(gif)
+            .getOrElse(sys.error(s"GIF roundtrip failed for doc $id"))
+          var sum = 0L; var chk = 0L; var j = 0
+          while (j < dec.length) {
+            val v = dec(j) & 0xff
+            sum += v; chk = (chk + v.toLong * (j + 1)) % 1000000007L; j += 1
+          }
+          (id, dw, dh, sum, chk)
+        }.toDF("doc_id", "width", "height", "pix_sum", "pix_checksum")
+        .orderBy(col("doc_id"))
+    }),
     "q_multimodal_samples" -> ((s: SparkSession, d: String) => {
       // deep AUDIO decode, real and oracle-checked (the PCM analogue of
       // q_multimodal_pixels): deterministic signed 16-bit samples derived
@@ -3301,6 +3328,20 @@ object SparkEntry {
         |  CAST(sum(pv) AS BIGINT) AS pix_sum,
         |  CAST(sum(pv * (j+1)) % 1000000007 AS BIGINT) AS pix_checksum
         |FROM v GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+    // deep GIF decode: LZW is lossless, so the oracle recomputes pixel
+    // sums/checksums straight from the planting formula — sub-block
+    // framing, variable-width LZW and palette resolution must all be
+    // right for the hash to match
+    "q_gif_pixels" ->
+      """WITH d AS (SELECT doc_id, CAST(5 + doc_id % 12 AS INT) AS width,
+        |                  CAST(4 + doc_id % 9 AS INT) AS height
+        |           FROM documents WHERE doc_id < 300),
+        |px AS (SELECT doc_id, width, height,
+        |         unnest(generate_series(0, width*height - 1)) AS j FROM d)
+        |SELECT doc_id, width, height,
+        |  CAST(sum((doc_id*11 + j*29) % 256) AS BIGINT) AS pix_sum,
+        |  CAST(sum(((doc_id*11 + j*29) % 256) * (j+1)) % 1000000007 AS BIGINT) AS pix_checksum
+        |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
     // deep PCM decode: amplitude stats recomputed from the generating
     // formula — the engine must reproduce them through a WAV pack → parse →
     // int16 decode roundtrip. Sample k of doc id = (id*31+k*17)%65536-32768.
