@@ -1325,6 +1325,32 @@ object SparkEntry {
       graft.operators.Diagnostics.tableDiff(base, next, "doc_id")
         .orderBy(col("key"))
     }),
+    "q_profile" -> ((s: SparkSession, d: String) =>
+      // Deequ-style table profile: every metric for every column from ONE
+      // Aggregate over lineitem (exact distincts ride the same pass via
+      // Expand), unpivoted to long form. The oracle replays each cell as
+      // a plain SQL aggregate.
+      graft.operators.Profiler.profile(Relational.table(s, d, "lineitem"),
+        numericCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        stringCols = Seq("l_returnflag", "l_linestatus"))),
+    "q_expectations" -> ((s: SparkSession, d: String) => {
+      // dbt-test/Deequ-style rule gate: five predicate rules in one
+      // Aggregate pass plus a key-uniqueness rule in a second — and the
+      // uniqueness rule FAILS on this corpus ((l_orderkey, l_linenumber)
+      // has real duplicates), so the query demonstrates violation
+      // accounting, not just green checkmarks.
+      import graft.operators.Profiler
+      val li = Relational.table(s, d, "lineitem")
+      Profiler.expectations(li, Seq(
+        Profiler.Rule("discount_le_10pct", col("l_discount") > 0.10),
+        Profiler.Rule("price_positive", col("l_extendedprice") <= 0.0),
+        Profiler.Rule("quantity_positive", col("l_quantity") <= 0.0),
+        Profiler.Rule("returnflag_domain", !col("l_returnflag").isin("A", "N", "R")),
+        Profiler.Rule("tax_le_8pct", col("l_tax") > 0.08)))
+        .unionByName(Profiler.uniqueRule(li, "orderkey_linenumber_unique",
+          Seq("l_orderkey", "l_linenumber")))
+        .orderBy(col("rule"))
+    }),
     "q_incremental_agg" -> ((s: SparkSession, d: String) => {
       // incremental materialized-aggregate refresh: base partials
       // (l_orderkey%10<8) merged with the delta shard's partials — the
@@ -3528,6 +3554,45 @@ object SparkEntry {
         |FROM b FULL OUTER JOIN n ON b.key = n.key
         |WHERE b.key IS NULL OR n.key IS NULL OR b.bd <> n.nd
         |ORDER BY key""".stripMargin,
+    // each profile cell replayed as a plain SQL aggregate; stddev is
+    // sample stddev in both engines
+    "q_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, 'completeness' AS metric, round(CAST(count($c) AS DOUBLE)/count(*), 6) AS value FROM lineitem
+           |UNION ALL SELECT '$c', 'distinct', round(CAST(count(DISTINCT $c) AS DOUBLE), 6) FROM lineitem
+           |UNION ALL SELECT '$c', 'min', round(CAST(min($c) AS DOUBLE), 6) FROM lineitem
+           |UNION ALL SELECT '$c', 'max', round(CAST(max($c) AS DOUBLE), 6) FROM lineitem
+           |UNION ALL SELECT '$c', 'mean', round(avg($c), 6) FROM lineitem
+           |UNION ALL SELECT '$c', 'stddev', round(stddev($c), 6) FROM lineitem""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS col_name, 'completeness' AS metric, round(CAST(count($c) AS DOUBLE)/count(*), 6) AS value FROM lineitem
+           |UNION ALL SELECT '$c', 'distinct', round(CAST(count(DISTINCT $c) AS DOUBLE), 6) FROM lineitem
+           |UNION ALL SELECT '$c', 'min_length', round(CAST(min(length($c)) AS DOUBLE), 6) FROM lineitem
+           |UNION ALL SELECT '$c', 'max_length', round(CAST(max(length($c)) AS DOUBLE), 6) FROM lineitem
+           |UNION ALL SELECT '$c', 'avg_length', round(avg(length($c)), 6) FROM lineitem""".stripMargin
+      (Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(num) ++
+        Seq("l_returnflag", "l_linestatus").map(str))
+        .mkString("", "\nUNION ALL ", "\nORDER BY col_name, metric")
+    },
+    // rule compliance replayed as conditional counts; the uniqueness rule
+    // is count(*) − count(DISTINCT key) and genuinely fails
+    "q_expectations" ->
+      """WITH t AS (SELECT
+        |  CAST(sum(CASE WHEN l_discount > 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+        |  CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |  CAST(sum(CASE WHEN l_quantity <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |  CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v_flag,
+        |  CAST(sum(CASE WHEN l_tax > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS v_tax,
+        |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS v_uniq,
+        |  CAST(count(*) AS BIGINT) AS n FROM lineitem)
+        |SELECT rule, violations, total, violations = 0 AS pass FROM (
+        |  SELECT 'discount_le_10pct' AS rule, v_disc AS violations, n AS total FROM t
+        |  UNION ALL SELECT 'orderkey_linenumber_unique', v_uniq, n FROM t
+        |  UNION ALL SELECT 'price_positive', v_price, n FROM t
+        |  UNION ALL SELECT 'quantity_positive', v_qty, n FROM t
+        |  UNION ALL SELECT 'returnflag_domain', v_flag, n FROM t
+        |  UNION ALL SELECT 'tax_le_8pct', v_tax, n FROM t)
+        |ORDER BY rule""".stripMargin,
     // the full recompute IS the oracle: the incremental merge must equal
     // it by the algebraic-aggregate identity.
     "q_incremental_agg" ->

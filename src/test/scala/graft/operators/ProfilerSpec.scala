@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ProfilerSpec extends SparkTestBase {
+
+  private def sample = {
+    import spark.implicits._
+    Seq(
+      (1L, Some(2.0), "a"),
+      (2L, Some(4.0), "bb"),
+      (3L, None, "a"),
+      (4L, Some(6.0), null)
+    ).toDF("id", "x", "s")
+  }
+
+  test("profile: one-pass metrics match hand computation (nulls excluded)") {
+    val m = Profiler.profile(sample, numericCols = Seq("x"), stringCols = Seq("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("x", "completeness")) == 0.75)
+    assert(m(("x", "distinct")) == 3.0)
+    assert(m(("x", "min")) == 2.0 && m(("x", "max")) == 6.0)
+    assert(m(("x", "mean")) == 4.0)
+    assert(m(("x", "stddev")) == 2.0) // sample stddev of {2,4,6}
+    assert(m(("s", "completeness")) == 0.75)
+    assert(m(("s", "distinct")) == 2.0)
+    assert(m(("s", "min_length")) == 1.0 && m(("s", "max_length")) == 2.0)
+  }
+
+  test("profile job count is independent of column count (no per-column fan-out)") {
+    def jobsFor(numeric: Seq[String], string: Seq[String]): Int = {
+      val counted = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counted.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        Profiler.profile(sample, numeric, string).collect()
+        org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+        counted.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val one = jobsFor(Seq("x"), Nil)
+    val three = jobsFor(Seq("id", "x"), Seq("s"))
+    assert(three == one,
+      s"3-column profile ran $three jobs vs $one for 1 column — per-column fan-out")
+  }
+
+  test("expectations: violation counts, null predicates count as violations") {
+    import spark.implicits._
+    val df = Seq((1.0, "ok"), (2.0, "ok"), (-1.0, null)).toDF("v", "tag")
+    val out = Profiler.expectations(df, Seq(
+      Profiler.Rule("v_positive", col("v") <= 0.0),
+      Profiler.Rule("tag_ok", col("tag") =!= "ok") // null tag → violation
+    )).collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("v_positive") == ((1L, 3L, false)))
+    assert(out("tag_ok") == ((1L, 3L, false)))
+  }
+
+  test("uniqueRule: composite-key duplicates counted") {
+    import spark.implicits._
+    val df = Seq((1, 1), (1, 1), (1, 2), (2, 1)).toDF("a", "b")
+    val r = Profiler.uniqueRule(df, "ab_unique", Seq("a", "b")).collect()(0)
+    assert(r.getString(0) == "ab_unique")
+    assert(r.getLong(1) == 1L && r.getLong(2) == 4L && !r.getBoolean(3))
+  }
+}
