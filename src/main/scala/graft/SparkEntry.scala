@@ -1264,6 +1264,13 @@ object SparkEntry {
       // linearity makes batching-invariance the same theorem as
       // partition-invariance, asserted byte-identical in StreamingSpec.
       graft.streaming.StreamingOps.countMinStream(s, d)),
+    "q_stream_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      // the MG summary merged ACROSS MICRO-BATCHES must keep the batch
+      // sketch's membership guarantee (mergeable summaries, PODS'12):
+      // every exact-heavy token is in the streamed summary no matter how
+      // rows were batched. k=120 < |user_ids| at gate scale, so counter
+      // eviction genuinely runs before the guarantee is checked.
+      graft.streaming.StreamingOps.heavyHittersStream(s, d)),
     "q_json_extract" -> ((s: SparkSession, d: String) =>
       // semi-structured surface: the events.props JSON column parsed with
       // a TYPED from_json schema (schema declared ⇒ Catalyst prunes and
@@ -3507,6 +3514,17 @@ object SparkEntry {
         |           FROM events GROUP BY 1)
         |SELECT token, n_exact, true AS est_ge_exact, true AS within_eps
         |FROM c ORDER BY n_exact DESC, token LIMIT 20""".stripMargin,
+    // the MG membership guarantee replayed exactly: the oracle computes
+    // the true heavy set and asserts presence (in_sketch true) — the
+    // merged streaming summary can only disagree if cross-batch merge
+    // loses a heavy counter
+    "q_stream_heavy_hitters" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS token,
+        |             CAST(count(*) AS BIGINT) AS n_exact
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT sum(n_exact) AS n FROM c)
+        |SELECT token, n_exact, true AS in_sketch FROM c, t
+        |WHERE n_exact * 120 > t.n ORDER BY n_exact DESC, token""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS n_with_k,

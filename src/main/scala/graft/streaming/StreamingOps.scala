@@ -386,6 +386,44 @@ object StreamingOps {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
+  /** Misra-Gries heavy hitters OVER A STREAM — the mergeable-summary
+    * theorem (Agarwal et al. PODS'12) cashed in on streaming: the MG
+    * summary accumulated across micro-batches (complete-mode global typed
+    * aggregate, buffer in the state store) keeps the membership guarantee
+    * of the batch sketch — every token with frequency > n/k is present in
+    * the merged summary REGARDLESS of how rows were batched, the same
+    * theorem that makes it partition-invariant. Counter values are
+    * merge-order dependent (unlike the linear CMS), so the check is the
+    * guarantee itself: the exact heavy set (plain SQL — the oracle side)
+    * annotated with streamed-sketch membership, mirroring the batch
+    * q_heavy_hitters. k=120 < |keys| at gate scale, so summary eviction
+    * genuinely runs. */
+  def heavyHittersStream(spark: SparkSession, dir: String, k: Int = 120): DataFrame = {
+    import spark.implicits._
+    val toks = graft.io.EventsReader.stream(spark, dir)
+      .select(col("user_id").cast("string").as("tok")).as[String]
+    val name = s"mg_${System.nanoTime()}"
+    val q = toks
+      .select(new graft.operators.Sketches.MisraGries(k).toColumn)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sketch = spark.table(name).head().getMap[String, Long](0)
+    spark.catalog.dropTempView(name)
+    val sketchKeys = typedLit(sketch.keySet.toSeq.sorted)
+    val counts = graft.io.EventsReader.batch(spark, dir)
+      .select(col("user_id").cast("string").as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+    val total = counts.agg(sum(col("n_exact")).as("n_total"))
+    counts.crossJoin(total)
+      .filter(col("n_exact") * k > col("n_total"))
+      .select(col("tok").as("token"), col("n_exact"),
+        array_contains(sketchKeys, col("tok")).as("in_sketch"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
   /** Streaming truncated EMA (α = 1/2, depth `depth`) — the stateful twin
     * of the batch q_ema window. State per user is a BOUNDED ring of the
     * last depth−1 (ts, event_id, value) observations (two dozen numbers,

@@ -441,6 +441,27 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming Misra-Gries keeps the heavy-membership guarantee under eviction") {
+    import org.apache.spark.sql.functions._
+    // k=12 < 15 distinct user_ids at sf0.001, so counter eviction runs
+    // across micro-batch merges, and the heavy set is nonempty (max user
+    // count 86 ≥ 1000/12) — the guarantee is checked where it can fail
+    val out = StreamingOps.heavyHittersStream(spark, sf(), k = 12).collect()
+    assert(out.nonEmpty, "expected a nonempty heavy set at k=12 on sf0.001")
+    out.foreach { r =>
+      assert(r.getBoolean(2),
+        s"heavy token ${r.getString(0)} (${r.getLong(1)}) missing from merged summary")
+    }
+    // and the sketch stays bounded: at most k counters survive (reduce
+    // inserts while size < k, decrements at k; merge trims back to ≤ k)
+    val toks = graft.io.EventsReader.batch(spark, sf())
+      .select(col("user_id").cast("string").as("tok"))
+    import spark.implicits._
+    val summary = toks.as[String]
+      .select(new graft.operators.Sketches.MisraGries(12).toColumn).head()
+    assert(summary.size <= 12, s"MG summary must hold <= k counters, had ${summary.size}")
+  }
+
   test("streaming funnel matches batch funnel depths on the gate corpus") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingOps.funnelStream(spark, sf()).collect()
