@@ -546,6 +546,22 @@ object SparkEntry {
         .agg(round(avg(col("col")), 6).as("mean_val"))
         .orderBy(col("label"), col("dim"))
     }),
+    "q_embed_quantize" -> ((s: SparkSession, d: String) => {
+      // per-dimension affine int8 quantization: the 4× storage cut a
+      // vector corpus takes before indexing. Codes are integer-exact
+      // across engines (floor(x+0.5) rounding, exact double min/max), so
+      // the oracle replays the whole scheme cell-by-cell; per-row sum +
+      // position checksum pin every code without shipping n×d rows.
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      graft.operators.Similarity.int8Quantize(e)
+        .select(col("cid").as("vec_id"), size(col("codes")).as("n_dims"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+          aggregate(zip_with(col("codes"),
+              sequence(lit(1), size(col("codes"))), (c, i) => c.cast("long") * i),
+            lit(0L), (a, x) => a + x).as("code_checksum"))
+        .orderBy(col("vec_id"))
+    }),
     "q_cf_stats" -> ((s: SparkSession, d: String) => {
       // A3/A9 through the REAL typed-Aggregator path (map-side partial
       // merge, order-invariant CF(n, LS, SS) — OperatorsSpec proves the
@@ -2746,6 +2762,25 @@ object SparkEntry {
         |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
         |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // int8 quantization replayed cell-by-cell: exact double min/max per
+    // dim, floor(x+0.5) rounding — both engines must produce the
+    // identical integer code for every (vec, dim)
+    "q_embed_quantize" ->
+      """WITH s AS (SELECT CAST(i - 1 AS INT) AS dim,
+        |             min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |             max(CAST(embedding[i] AS DOUBLE)) AS mx
+        |           FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |           GROUP BY 1),
+        |q AS (SELECT vec_id, i AS pos,
+        |        CASE WHEN s.mx = s.mn THEN 0
+        |             ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - s.mn) * 255.0
+        |                              / (s.mx - s.mn) + 0.5) AS INT) END AS code
+        |      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |      JOIN s ON s.dim = i - 1)
+        |SELECT vec_id, CAST(count(*) AS INT) AS n_dims,
+        |  CAST(sum(code) AS BIGINT) AS code_sum,
+        |  CAST(sum(CAST(code AS BIGINT) * pos) AS BIGINT) AS code_checksum
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // E7/E8 recomputed from scratch: the same per-dim-sum chain as
     // q_cf_stats (on shifted mod-10 groups), then rep = LS/n, rep distance,
     // and the two-branch bubble-distance formula
