@@ -478,6 +478,13 @@ object SparkEntry {
       // SQL-expressible so the oracle replays chunk boundaries exactly
       graft.operators.TextOps.chunkTokens(docs(s, d), chunkSize = 64, overlap = 16)
         .orderBy(col("doc_id"), col("chunk_id"))),
+    "q_cdc_chunks" -> ((s: SparkSession, d: String) =>
+      // content-defined chunking (Rabin window): boundaries anchor to
+      // CONTENT, so a shifted passage re-cuts to the same chunks — the
+      // dedup-robust sibling of fixed-size q_chunking. Exact integer
+      // polynomial hash, replayed position-by-position by the oracle.
+      graft.operators.TextOps.cdcChunks(docs(s, d), window = 16, divisor = 64L)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
     "q_quality_classifier" -> ((s: SparkSession, d: String) => {
       // model-based quality filtering (the GPT-3/LLaMA classifier stage):
       // plant two deterministic spam modes on doc_id % 11 (repeated sales
@@ -3246,6 +3253,36 @@ object SparkEntry {
         |  array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text
         |FROM st WHERE s = 0 OR s + 16 < len(toks)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // content-defined chunking replayed position-by-position: the same
+    // p^j mod M literals, the same trailing-window hash at every code
+    // point, boundaries where hash % 64 = 0, chunks assembled from the
+    // boundary list (trailing chunk when text extends past the last cut)
+    "q_cdc_chunks" -> {
+      val vals = graft.operators.TextOps.cdcPowers(16).zipWithIndex
+        .map { case (v, j) => s"($j, $v)" }.mkString(", ")
+      s"""WITH pw(j, v) AS (VALUES $vals),
+         |pos AS (SELECT doc_id, text, unnest(generate_series(16, length(text))) AS ii
+         |        FROM documents WHERE length(text) >= 16),
+         |t AS (SELECT p.doc_id, p.ii,
+         |        sum((ord(substr(p.text, p.ii - pw.j, 1)) * CAST(pw.v AS BIGINT)) % 1000000007) AS s
+         |      FROM pos p, pw GROUP BY 1, 2),
+         |b AS (SELECT doc_id, ii FROM t WHERE (s % 1000000007) % 64 = 0),
+         |bb AS (SELECT doc_id, count(*) AS nb, max(ii) AS maxii FROM b GROUP BY 1),
+         |chunks AS (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY ii) - 1 AS chunk_idx,
+         |    coalesce(lag(ii) OVER (PARTITION BY doc_id ORDER BY ii), 0) AS start0, ii AS end0
+         |  FROM b
+         |  UNION ALL
+         |  SELECT d.doc_id, coalesce(bb.nb, 0), coalesce(bb.maxii, 0), length(d.text)
+         |  FROM documents d LEFT JOIN bb USING (doc_id)
+         |  WHERE length(d.text) > coalesce(bb.maxii, 0))
+         |SELECT c.doc_id, CAST(c.chunk_idx AS INT) AS chunk_idx,
+         |  CAST(c.start0 AS INT) AS chunk_start,
+         |  CAST(c.end0 - c.start0 AS INT) AS chunk_len,
+         |  substr(d.text, c.start0 + 1, c.end0 - c.start0) AS chunk_text
+         |FROM chunks c JOIN documents d USING (doc_id)
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+    },
     // invariant oracle (q_knn_ivf pattern): split sizes are exact SQL; the
     // quality booleans are SF-independent claims on the deterministic
     // trained classifier (measured accuracy/recall 1.0 at every SF,

@@ -730,6 +730,78 @@ object TextOps {
         array_join(col("chunk"), " ").as("chunk_text"))
   }
 
+  /** Content-defined chunking (Rabin-style rolling window, the LBFS/rsync
+    * boundary scheme): a chunk boundary falls AFTER code point i whenever
+    * the polynomial hash of the trailing `window` code points is ≡ 0 mod
+    * `divisor` — so boundaries are anchored to CONTENT, and inserting or
+    * deleting a prefix shifts every boundary with the text instead of
+    * re-cutting the whole document the way fixed-size [[chunkTokens]]
+    * does. That shift-resistance is what makes chunk-level dedup robust
+    * on crawl corpora where the same passage appears at different
+    * offsets.
+    *
+    * No minimum-chunk constraint, deliberately: boundaries depend only on
+    * local content, never on the previous cut, which keeps the scheme a
+    * pure per-position predicate — embarrassingly parallel per doc AND
+    * replayable as plain SQL (the stateful min/max-size variant is
+    * sequential and would close the oracle door). Expected chunk length
+    * is `divisor` code points.
+    *
+    * Hash: H(i) = Σ_{j<window} cp(i−j)·p^j mod M (p=31, M=1e9+7), exact
+    * integer arithmetic both engines can reproduce. Code-point correct
+    * off the BMP (positions count code points, slicing respects
+    * surrogate pairs). Zero shuffle: one flatMap per doc partition.
+    *
+    * @return (doc_id, chunk_idx, chunk_start, chunk_len, chunk_text); chunk_start is
+    *         the 0-based code-point offset; a doc with no boundary yields
+    *         one whole-doc chunk; empty docs yield none.
+    */
+  def cdcChunks(docs: DataFrame, window: Int = 16, divisor: Long = 64L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(window >= 2 && divisor >= 2, "need window >= 2 and divisor >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val M = CdcMod
+    val pw = cdcPowers(window)
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, textOrNull) =>
+        val t = if (textOrNull == null) "" else textOrNull
+        val cps = new scala.collection.mutable.ArrayBuffer[Int](t.length)
+        val offs = new scala.collection.mutable.ArrayBuffer[Int](t.length + 1)
+        var ci = 0
+        while (ci < t.length) {
+          val cp = t.codePointAt(ci)
+          cps += cp; offs += ci; ci += Character.charCount(cp)
+        }
+        offs += t.length
+        val n = cps.length
+        val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var ii = window // 1-based index of the window's last code point
+        while (ii <= n) {
+          var h = 0L
+          var j = 0
+          while (j < window) { h += cps(ii - 1 - j).toLong * pw(j) % M; j += 1 }
+          if (h % M % divisor == 0L) bounds += ii
+          ii += 1
+        }
+        val starts = 0 +: bounds
+        val ends = bounds :+ n
+        starts.indices.iterator
+          .filter(k => ends(k) > starts(k)) // text ending AT a boundary has no trailing chunk
+          .map(k => (id, k, starts(k), ends(k) - starts(k),
+            t.substring(offs(starts(k)), offs(ends(k)))))
+      }
+      .toDF("doc_id", "chunk_idx", "chunk_start", "chunk_len", "chunk_text")
+  }
+
+  /** CDC hash modulus — shared with the SQL replay. */
+  val CdcMod = 1000000007L
+
+  /** p^j mod M for the CDC window, j = 0 (newest code point) … w−1. */
+  def cdcPowers(window: Int): Array[Long] =
+    Array.iterate(1L, window)(x => x * 31L % CdcMod)
+
   /** URL canonicalization — the web-corpus dedup key (crawls see the same
     * page under case-shuffled hosts, default ports, tracking params and
     * fragments). Pure builtin-function expression tree (regexp extract/
