@@ -485,6 +485,22 @@ object SparkEntry {
       // polynomial hash, replayed position-by-position by the oracle.
       graft.operators.TextOps.cdcChunks(docs(s, d), window = 16, divisor = 64L)
         .orderBy(col("doc_id"), col("chunk_idx"))),
+    "q_sentences" -> ((s: SparkSession, d: String) => {
+      // sentence segmentation (sentence-level dedup/quality prep): the
+      // corpus is unpunctuated word soup, so plant terminators the way
+      // q_filter_funnel plants pathologies — non-overlapping literal
+      // rewrites both engines apply identically — then split on the
+      // RE2-safe rule and explode with positions.
+      val planted = docs(s, d).select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), " fast ", " fast. "),
+          " value ", " value! ").as("text"))
+      planted.select(col("doc_id"),
+          posexplode(graft.operators.TextOps.sentences(col("text")))
+            .as(Seq("sent_idx", "sentence")))
+        .select(col("doc_id"), col("sent_idx").cast("int").as("sent_idx"),
+          col("sentence"))
+        .orderBy(col("doc_id"), col("sent_idx"))
+    }),
     "q_quality_classifier" -> ((s: SparkSession, d: String) => {
       // model-based quality filtering (the GPT-3/LLaMA classifier stage):
       // plant two deterministic spam modes on doc_id % 11 (repeated sales
@@ -3283,6 +3299,19 @@ object SparkEntry {
          |FROM chunks c JOIN documents d USING (doc_id)
          |ORDER BY doc_id, chunk_idx""".stripMargin
     },
+    // identical planting (non-overlapping literal rewrites; DuckDB needs
+    // the 'g' flag for replace-all) and the identical RE2-safe split rule
+    "q_sentences" ->
+      """WITH planted AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(text, ' fast ', ' fast. ', 'g'),
+        |      ' value ', ' value! ', 'g') AS text FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+        |          x -> trim(x)), x -> x <> '') AS sents
+        |      FROM planted)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, sents[i] AS sentence
+        |FROM s, unnest(generate_series(1, len(sents))) AS t(i)
+        |ORDER BY doc_id, sent_idx""".stripMargin,
     // invariant oracle (q_knn_ivf pattern): split sizes are exact SQL; the
     // quality booleans are SF-independent claims on the deterministic
     // trained classifier (measured accuracy/recall 1.0 at every SF,

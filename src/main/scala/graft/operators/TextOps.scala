@@ -730,6 +730,17 @@ object TextOps {
         array_join(col("chunk"), " ").as("chunk_text"))
   }
 
+  /** Rule-based sentence segmentation: maximal runs of non-terminator
+    * characters plus their trailing `[.!?]+` punctuation, trimmed, empties
+    * dropped. The pattern is RE2-safe (no lookbehind), so the exact rule
+    * replays in any regex engine — the documented trade: abbreviation
+    * periods ("e.g.") split, which a lookbehind rule could not promise
+    * portably. Pure codegen expression (regexp_extract_all + array HOFs),
+    * zero shuffle. */
+  def sentences(text: Column): Column =
+    filter(transform(regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0)),
+      x => trim(x)), x => x =!= "")
+
   /** Content-defined chunking (Rabin-style rolling window, the LBFS/rsync
     * boundary scheme): a chunk boundary falls AFTER code point i whenever
     * the polynomial hash of the trailing `window` code points is ≡ 0 mod
