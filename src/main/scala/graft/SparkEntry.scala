@@ -1453,6 +1453,26 @@ object SparkEntry {
       graft.operators.GraphOps.labelPropagation(edges, iters = 2)
         .orderBy(col("node"))
     }),
+    "q_shortest_hops" -> ((s: SparkSession, d: String) => {
+      // multi-source BFS over the bidirected customer↔supplier purchase
+      // graph: hop distance from the c_custkey % 100 == 0 seed set.
+      // Frontier-based rounds (work ∝ edges reached, not edges×diameter),
+      // convergence-terminated; the oracle replays it as a recursive CTE.
+      val o = Relational.table(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      val l = Relational.table(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val pairs = o.join(l, Seq("ok"))
+        .select((col("ck") * 2).as("c"), (col("sk") * 2 + 1).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      val sources = Relational.table(s, d, "customer")
+        .filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      graft.operators.GraphOps.shortestHops(edges, sources)
+        .orderBy(col("node"))
+    }),
     "q_triangle_count" -> ((s: SparkSession, d: String) => {
       // per-node triangle counts of the mutual-kNN semantic similarity
       // graph (k=10 over a bounded 200-vector slice — at corpus scale the
@@ -3803,6 +3823,24 @@ object SparkEntry {
         |       FROM l1 p LEFT JOIN w2 w ON p.node = w.node)
         |SELECT node, label FROM l2 ORDER BY node""".stripMargin,
     // mutual-kNN graph (k=10, rounded-cosine ranking with cid tie-break —
+    // BFS replayed as a recursive CTE: UNION-dedup on (node, dist) pairs,
+    // min(dist) per node is the hop distance; the dist < 19 guard mirrors
+    // the engine's maxIters=20 cap
+    "q_shortest_hops" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s, c FROM pairs),
+        |src AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer
+        |        WHERE c_custkey % 100 = 0),
+        |bfs(node, dist) AS (
+        |  SELECT node, 0 FROM src
+        |  UNION
+        |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.node
+        |  WHERE b.dist < 19)
+        |SELECT node, CAST(min(dist) AS INT) AS dist FROM bfs
+        |GROUP BY node ORDER BY node""".stripMargin,
     // the q_knn_bruteforce formula) then id-ordered triangle closure;
     // per-node triangle counts are orientation-invariant, so this replays
     // the engine's degree-ordered plan exactly

@@ -139,4 +139,51 @@ object GraphOps {
     }
     (labels, it)
   }
+
+  /** Multi-source BFS shortest hop counts (unweighted SSSP) — the
+    * reachability/radius primitive beside PageRank's centrality and LPA's
+    * communities. Frontier-based: each round joins ONLY the
+    * newly-discovered frontier against the edge frame (one equi-join
+    * shuffle + one min-dedup aggregation + one anti-join against the
+    * settled set), so total work is O(edges reached) summed over all
+    * rounds — never O(edges × diameter). Unweighted level order means
+    * first discovery IS the shortest distance, so settled nodes never
+    * revisit; the anti-join is the whole correctness argument.
+    * Terminates when the frontier drains (convergence, like the
+    * tol-stopped PageRank/LPA); `maxIters` caps pathological diameters.
+    * Unreached nodes are absent from the result (no infinity sentinel).
+    *
+    * @return ((node, dist) for every reached node, rounds executed)
+    */
+  def shortestHopsCounted(edges: DataFrame, sources: DataFrame,
+      maxIters: Int = 20): (DataFrame, Int) = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    var dist = sources.select(col("node").cast("long").as("node"), lit(0).as("dist"))
+      .distinct().localCheckpoint(true)
+    var frontier = dist
+    var it = 0
+    var drained = false
+    while (it < maxIters && !drained) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node"), (col("dist") + 1).as("dist"))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) drained = true
+      else {
+        val merged = dist.unionAll(next).localCheckpoint(true)
+        if (frontier ne dist) frontier.unpersist(blocking = false)
+        dist.unpersist(blocking = false)
+        dist = merged
+        frontier = next
+      }
+      it += 1
+    }
+    (dist, it)
+  }
+
+  /** [[shortestHopsCounted]] without the round count. */
+  def shortestHops(edges: DataFrame, sources: DataFrame, maxIters: Int = 20): DataFrame =
+    shortestHopsCounted(edges, sources, maxIters)._1
 }

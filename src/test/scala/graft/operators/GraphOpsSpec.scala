@@ -114,4 +114,20 @@ class GraphOpsSpec extends SparkTestBase {
     // default stays exactly-iters (the oracle-replayable mode)
     assert(GraphOps.labelPropagationCounted(edges, iters = 5)._2 == 5)
   }
+
+  test("shortestHops: multi-source BFS distances, drained frontier, unreached absent") {
+    import spark.implicits._
+    // path 1→2→3→4 plus a disconnected pair 10↔11; sources {1, 10}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val sources = Seq(1L, 10L).toDF("node")
+    val (dist, rounds) = GraphOps.shortestHopsCounted(edges, sources, maxIters = 20)
+    val got = dist.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 10L -> 0, 11L -> 1))
+    assert(rounds < 20, s"frontier must drain before the cap, ran $rounds")
+    // two-source shadowing: a second source inside the path truncates dists
+    val got2 = GraphOps.shortestHops(edges, Seq(1L, 3L).toDF("node"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got2(4L) == 1 && got2(2L) == 1 && got2(3L) == 0)
+  }
 }
