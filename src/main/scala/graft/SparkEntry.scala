@@ -71,6 +71,42 @@ object SparkEntry {
   private def embPair(s: SparkSession, dir: String, as1: String, as2: String): DataFrame =
     Relational.embeddings(s, dir).select(col("vec_id").as(as1), col("vec").as(as2))
 
+  /** The fixed 5-term BM25 query terms shared by q_bm25 / q_hybrid_search. */
+  private val bm25Terms = Seq("hash", "join", "scan", "filter", "vector")
+
+  /** Okapi BM25 per-document scores for the fixed query: term frequencies
+    * are array-HOF scalars (zero shuffle), corpus stats (N, Σdl, df per
+    * term) are ONE single-row aggregate broadcast back, and the score sums
+    * the 5 term contributions in a FIXED left-to-right order so the float
+    * chain is engine-identical. → (doc_id, n_tokens, bm25 6dp). */
+  private def bm25Frame(s: SparkSession, d: String): DataFrame = {
+    val terms = bm25Terms
+    val base = docs(s, d).select(col("doc_id"),
+      graft.operators.TextOps.tokens(col("text")).as("toks"))
+    val perDoc = base.select(
+      col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf$i")
+        }: _*)
+    val aggCols = count(lit(1)).cast("double").as("n") +:
+      sum(col("dl")).cast("double").as("tot") +:
+      terms.indices.map { i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i")
+      }
+    val g = perDoc.agg(aggCols.head, aggCols.tail: _*)
+    val k1 = lit(1.2)
+    val b = lit(0.75)
+    val scored = perDoc.crossJoin(broadcast(g))
+    val contribs = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val idf = log(lit(1.0) + (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      idf * (tf * lit(2.2)) /
+        (tf + k1 * (lit(1.0) - b + b * col("dl") / (col("tot") / col("n"))))
+    }
+    scored.select(col("doc_id"), col("dl").as("n_tokens"),
+      round(contribs.reduce(_ + _), 6).as("bm25"))
+  }
+
   /** The reference's own shipped dataset (150 points ×4 dims — wc -l shows
     * 149 because the last line lacks a trailing newline; `源代码/main/Main.java:71-73`
     * runs it with minPts=4, minClSize=4, euclidean). Prefers the live
@@ -1630,39 +1666,41 @@ object SparkEntry {
       c.withColumn("p", round(col("n") / sum(col("n")).over(tw), 6))
         .orderBy(col("from_type"), col("to_type"))
     }),
-    "q_bm25" -> ((s: SparkSession, d: String) => {
+    "q_bm25" -> ((s: SparkSession, d: String) =>
       // Okapi BM25 document scoring for a fixed 5-term query — the
-      // retrieval scorer beside q_tfidf_top_terms. Term frequencies are
-      // array-HOF scalars (zero shuffle), corpus stats (N, Σdl, df per
-      // term) are ONE single-row aggregate broadcast back, and the score
-      // sums the 5 term contributions in a FIXED left-to-right order so
-      // the float chain is engine-identical.
-      val terms = Seq("hash", "join", "scan", "filter", "vector")
-      val base = docs(s, d).select(col("doc_id"),
-        graft.operators.TextOps.tokens(col("text")).as("toks"))
-      val perDoc = base.select(
-        col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
-          terms.zipWithIndex.map { case (t, i) =>
-            size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf$i")
-          }: _*)
-      val aggCols = count(lit(1)).cast("double").as("n") +:
-        sum(col("dl")).cast("double").as("tot") +:
-        terms.indices.map { i =>
-          sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i")
-        }
-      val g = perDoc.agg(aggCols.head, aggCols.tail: _*)
-      val k1 = lit(1.2)
-      val b = lit(0.75)
-      val scored = perDoc.crossJoin(broadcast(g))
-      val contribs = terms.indices.map { i =>
-        val tf = col(s"tf$i").cast("double")
-        val idf = log(lit(1.0) + (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
-        idf * (tf * lit(2.2)) /
-          (tf + k1 * (lit(1.0) - b + b * col("dl") / (col("tot") / col("n"))))
-      }
-      scored.select(col("doc_id"), col("dl").as("n_tokens"),
-          round(contribs.reduce(_ + _), 6).as("bm25"))
-        .orderBy(col("doc_id"))
+      // retrieval scorer beside q_tfidf_top_terms (construction shared
+      // with q_hybrid_search in bm25Frame).
+      bm25Frame(s, d).orderBy(col("doc_id"))),
+    "q_hybrid_search" -> ((s: SparkSession, d: String) => {
+      // reciprocal-rank fusion of the lexical (BM25) and semantic
+      // (cosine-to-query-vector) rankings — the hybrid-retrieval join of
+      // the BM25 and ANN families: rrf = 1/(60+r_lex) + 1/(60+r_sem)
+      // (Cormack et al. SIGIR'09 k=60), exact rational of integer ranks.
+      // Both legs rank on 6dp-ROUNDED scores with doc_id tie-break, so
+      // the rank frames are engine-identical; the global row_number
+      // windows are the bounded demo slice (at corpus scale each leg
+      // delivers per-query top-k from its own index instead).
+      val lex = bm25Frame(s, d).select(col("doc_id"), col("bm25"))
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val sem = emb.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(graft.functions.Distances.cosineSimilarity(col("v"), col("qv")), 6)
+            .as("cos_sim"))
+      val lexR = lex.withColumn("r_lex",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("bm25").desc, col("doc_id"))))
+      val semR = sem.withColumn("r_sem",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("cos_sim").desc, col("doc_id"))))
+      lexR.join(semR, Seq("doc_id"))
+        .select(col("doc_id"), col("r_lex"), col("r_sem"),
+          round(lit(1.0) / (lit(60) + col("r_lex")) +
+            lit(1.0) / (lit(60) + col("r_sem")), 6).as("rrf"))
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("rrf").desc, col("doc_id"))))
+        .filter(col("rank") <= 50)
+        .select(col("rank"), col("doc_id"), col("r_lex"), col("r_sem"), col("rrf"))
+        .orderBy(col("rank"))
     }),
     "q_fuzzy_vocab" -> ((s: SparkSession, d: String) => {
       // blocked fuzzy vocabulary matching: the corpus vocabulary plus a
@@ -2091,6 +2129,33 @@ object SparkEntry {
 
   /** DuckDB fragments shared by the text oracles. */
   private val sqlToks = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+
+  /** BM25 tk/d/g CTE bodies + score expression, shared by the q_bm25 and
+    * q_hybrid_search oracles (same fixed term order, constants forced
+    * through DOUBLE so the float chain matches the engine's). */
+  private def sqlBm25Ctes: String = {
+    val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n  ")
+    val dfCols = bm25Terms.indices.map { i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+    }.mkString(",\n  ")
+    s"""tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |            FROM documents),
+       |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |  $tfCols
+       |  FROM tk),
+       |g AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS tot,
+       |  $dfCols
+       |  FROM d)""".stripMargin
+  }
+
+  private def sqlBm25Score: String = bm25Terms.indices.map { i =>
+    s"""ln(CAST(1.0 AS DOUBLE) + (n - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE)))
+       | * (CAST(tf$i AS DOUBLE) * CAST(2.2 AS DOUBLE))
+       | / (CAST(tf$i AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+       |    + CAST(0.75 AS DOUBLE) * dl / (tot / n)))""".stripMargin.replaceAll("\n", "")
+  }.mkString("\n  + ")
   private val sqlLangCounts: String = TextOps.langMarkers.toSeq.sortBy(_._1).map {
     case (lang, markers) =>
       val lst = markers.map(m => s"'$m'").mkString("[", ",", "]")
@@ -3952,33 +4017,37 @@ object SparkEntry {
         |FROM c ORDER BY from_type, to_type""".stripMargin,
     // Okapi BM25, same fixed term order and the identical float chain:
     // idf·(tf·2.2)/(tf + 1.2·(1 − 0.75 + 0.75·dl/(tot/n))), constants
-    // forced through DOUBLE
-    "q_bm25" -> {
-      val terms = Seq("hash", "join", "scan", "filter", "vector")
-      val tfCols = terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
-      }.mkString(",\n        |  ")
-      val dfCols = terms.indices.map { i =>
-        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
-      }.mkString(",\n        |  ")
-      val contribs = terms.indices.map { i =>
-        s"""ln(CAST(1.0 AS DOUBLE) + (n - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE)))
-           | * (CAST(tf$i AS DOUBLE) * CAST(2.2 AS DOUBLE))
-           | / (CAST(tf$i AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-           |    + CAST(0.75 AS DOUBLE) * dl / (tot / n)))""".stripMargin.replaceAll("\n", "")
-      }.mkString("\n        |  + ")
-      s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-        |            FROM documents),
-        |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-        |  $tfCols
-        |  FROM tk),
-        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS tot,
-        |  $dfCols
-        |  FROM d)
+    // forced through DOUBLE (CTEs shared with the q_hybrid_search oracle)
+    "q_bm25" ->
+      s"""WITH $sqlBm25Ctes
         |SELECT doc_id, dl AS n_tokens,
-        |  round($contribs, 6) AS bm25
-        |FROM d, g ORDER BY doc_id""".stripMargin
-    },
+        |  round($sqlBm25Score, 6) AS bm25
+        |FROM d, g ORDER BY doc_id""".stripMargin,
+    // reciprocal-rank fusion replayed: both legs rank on the same
+    // 6dp-rounded scores with doc_id tie-break, rrf is an exact rational
+    // of integer ranks (1.0 forced through DOUBLE — DuckDB decimal
+    // literals would change the division)
+    "q_hybrid_search" ->
+      s"""WITH $sqlBm25Ctes,
+        |lex AS (SELECT doc_id, round($sqlBm25Score, 6) AS bm25 FROM d, g),
+        |lexr AS (SELECT doc_id, bm25,
+        |           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex FROM lex),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |sem AS (SELECT e.vec_id AS doc_id,
+        |          round(${sqlDot("e.embedding", "q.qv")} /
+        |            (${sqlNorm("e.embedding")} * ${sqlNorm("q.qv")}), 6) AS cos_sim
+        |        FROM embeddings e, q),
+        |semr AS (SELECT doc_id, cos_sim,
+        |           row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_sem FROM sem),
+        |f AS (SELECT l.doc_id, l.r_lex, s2.r_sem,
+        |        round(CAST(1.0 AS DOUBLE) / (60 + l.r_lex)
+        |            + CAST(1.0 AS DOUBLE) / (60 + s2.r_sem), 6) AS rrf
+        |      FROM lexr l JOIN semr s2 USING (doc_id)),
+        |r AS (SELECT doc_id, r_lex, r_sem, rrf,
+        |        row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk FROM f)
+        |SELECT CAST(rnk AS INT) AS rank, doc_id, CAST(r_lex AS INT) AS r_lex,
+        |  CAST(r_sem AS INT) AS r_sem, rrf
+        |FROM r WHERE rnk <= 50 ORDER BY rank""".stripMargin,
     // two complete blocks (prefix-2 / suffix-2, |len diff| <= 1) replayed,
     // pair set deduped across blocks — mirrors the engine exactly
     "q_fuzzy_vocab" ->
