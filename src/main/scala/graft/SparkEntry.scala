@@ -2024,6 +2024,35 @@ object SparkEntry {
         }.toDF("doc_id", "width", "height", "pix_sum", "pix_checksum")
         .orderBy(col("doc_id"))
     }),
+    "q_resample_pixels" -> ((s: SparkSession, d: String) => {
+      // REAL pixel resampling end-to-end (closes what was the declared
+      // resample stub): planted PNGs flow through resizeImages' decode →
+      // nearest-neighbor resample → re-encode path, and the result is
+      // decoded back and checksummed. Nearest-neighbor is exact integer
+      // index arithmetic (sx = x·sw/tw floor), so the oracle recomputes
+      // every resampled pixel from the planting formula — decode,
+      // resample indexing and re-encode must ALL be right to hash-match.
+      // Partition-local, zero shuffle; bounded slice like the others.
+      import s.implicits._
+      val blobs = docs(s, d).select(col("doc_id")).filter(col("doc_id") < 300)
+        .as[Long].map { id =>
+          val w = (4 + id % 13).toInt; val h = (3 + id % 7).toInt
+          val px = Array.tabulate(w * h * 3)(j => ((id * 7 + j * 13) % 256).toByte)
+          (id, graft.operators.PngCodec.encode(w, h, px, row => ((id + row) % 5).toInt))
+        }.toDF("doc_id", "blob")
+      Multimodal.resizeImages(blobs, 16, 12)
+        .as[(Long, Array[Byte])].map { case (id, blob) =>
+          val (dw, dh, dec) = graft.operators.PngCodec.decode(blob)
+            .getOrElse(sys.error(s"resample roundtrip failed for doc $id"))
+          var sum = 0L; var chk = 0L; var j = 0
+          while (j < dec.length) {
+            val v = dec(j) & 0xff
+            sum += v; chk = (chk + v.toLong * (j + 1)) % 1000000007L; j += 1
+          }
+          (id, dw, dh, sum, chk)
+        }.toDF("doc_id", "width", "height", "pix_sum", "pix_checksum")
+        .orderBy(col("doc_id"))
+    }),
     "q_multimodal_samples" -> ((s: SparkSession, d: String) => {
       // deep AUDIO decode, real and oracle-checked (the PCM analogue of
       // q_multimodal_pixels): deterministic signed 16-bit samples derived
@@ -3561,6 +3590,24 @@ object SparkEntry {
         |  CAST(sum((doc_id*11 + j*29) % 256) AS BIGINT) AS pix_sum,
         |  CAST(sum(((doc_id*11 + j*29) % 256) * (j+1)) % 1000000007 AS BIGINT) AS pix_checksum
         |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+    // real resample: every output pixel recomputed from the planting
+    // formula through the nearest-neighbor index map sx = x·sw/16,
+    // sy = y·sh/12 (floor division both engines)
+    "q_resample_pixels" ->
+      """WITH d AS (SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS sw,
+        |                  CAST(3 + doc_id % 7 AS INT) AS sh
+        |           FROM documents WHERE doc_id < 300),
+        |px AS (SELECT doc_id, sw, sh,
+        |         unnest(generate_series(0, 16*12*3 - 1)) AS j FROM d),
+        |v AS (SELECT doc_id, j,
+        |        (doc_id*7 + ((((j // 3) // 16) * sh // 12) * sw
+        |                     + ((j // 3) % 16) * sw // 16) * 3 * 13
+        |                  + (j % 3) * 13) % 256 AS pv
+        |      FROM px)
+        |SELECT doc_id, 16 AS width, 12 AS height,
+        |  CAST(sum(pv) AS BIGINT) AS pix_sum,
+        |  CAST(sum(pv * (j+1)) % 1000000007 AS BIGINT) AS pix_checksum
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // deep PCM decode: amplitude stats recomputed from the generating
     // formula — the engine must reproduce them through a WAV pack → parse →
     // int16 decode roundtrip. Sample k of doc id = (id*31+k*17)%65536-32768.

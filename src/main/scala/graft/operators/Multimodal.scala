@@ -399,15 +399,44 @@ object Multimodal {
       }
   }
 
-  /** Resize plumbing (the brief's resize step): partition-local pass that
-    * rewrites every VISUAL container — real PNG/JPEG/GIF headers and the
-    * fake image/video container — to the target dimensions using the same
-    * writers the synthesizer uses, so the output re-parses through
-    * [[extractFeatures]] with the new dimensions. Pixel RESAMPLING is the
-    * declared stub (the payload passes through unchanged — no media libs
-    * in this container); swapping in a real codec changes only the
-    * payload transform. Audio and undecodable blobs pass through
-    * untouched. No shuffle; schema preserved (doc_id, blob).
+  /** Nearest-neighbor pixel resample — exact integer source indexing
+    * (src x = x·sw/tw, floor division), so the resampled grid is
+    * reproducible arithmetic any engine can replay, unlike a float
+    * box/bilinear kernel. `channels` 1 (gray) or 3 (RGB). */
+  def resampleNearest(sw: Int, sh: Int, px: Array[Byte], tw: Int, th: Int,
+      channels: Int): Array[Byte] = {
+    require(px.length == sw * sh * channels, s"expect $sw x $sh x $channels pixels")
+    val out = new Array[Byte](tw * th * channels)
+    var y = 0
+    while (y < th) {
+      val sy = y * sh / th
+      var x = 0
+      while (x < tw) {
+        val sx = x * sw / tw
+        var c = 0
+        while (c < channels) {
+          out((y * tw + x) * channels + c) = px((sy * sw + sx) * channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Resize (the brief's resize step): partition-local pass that rewrites
+    * every VISUAL container to the target dimensions. For payloads the
+    * real codecs can decode, the pixels are GENUINELY resampled
+    * (nearest-neighbor [[resampleNearest]]) and re-encoded — PNG and GIF
+    * losslessly, JPEG through its baseline coder; closes what used to be
+    * the declared resample stub. Synthetic containers whose payload is
+    * not a decodable stream keep the header-rewrite behavior (dims
+    * rewritten by the real writers, payload verbatim), so the plumbing
+    * oracle stays formula-exact on the synthesized corpus while real
+    * image bytes take the real path (q_resample_pixels pins it). Audio
+    * and undecodable blobs pass through untouched. No shuffle; schema
+    * preserved (doc_id, blob).
     */
   def resizeImages(blobs: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val spark = blobs.sparkSession
@@ -418,19 +447,31 @@ object Multimodal {
         it.map { case (id, blob) =>
           val resized = ImageHeaders.sniff(blob) match {
             case Some((fmt, _, _, hdr)) =>
-              val payload = blob.drop(hdr) // stub resample: payload verbatim
+              val payload = blob.drop(hdr) // header-rewrite fallback payload
               fmt match {
-                case "png"  => ImageHeaders.pngWrap(targetW, targetH, payload)
-                case "jpeg" => ImageHeaders.jpegWrap(targetW, targetH,
-                  // jpegWrap appends its own EOI; avoid doubling it
-                  if (payload.length >= 2 &&
-                    (payload(payload.length - 2) & 0xff) == 0xff &&
-                    (payload(payload.length - 1) & 0xff) == 0xd9)
-                    payload.dropRight(2) else payload)
-                case "gif"  => ImageHeaders.gifWrap(targetW, targetH,
-                  // gifWrap appends its own trailer; avoid doubling it
-                  if (payload.nonEmpty && payload.last == 0x3b.toByte)
-                    payload.dropRight(1) else payload)
+                case "png" => PngCodec.decode(blob) match {
+                  case Some((sw, sh, rgb)) => PngCodec.encode(targetW, targetH,
+                    resampleNearest(sw, sh, rgb, targetW, targetH, 3), _ => 0)
+                  case None => ImageHeaders.pngWrap(targetW, targetH, payload)
+                }
+                case "jpeg" => JpegCodec.decode(blob) match {
+                  case Some((sw, sh, gray)) => JpegCodec.encode(targetW, targetH,
+                    resampleNearest(sw, sh, gray, targetW, targetH, 1))
+                  case None => ImageHeaders.jpegWrap(targetW, targetH,
+                    // jpegWrap appends its own EOI; avoid doubling it
+                    if (payload.length >= 2 &&
+                      (payload(payload.length - 2) & 0xff) == 0xff &&
+                      (payload(payload.length - 1) & 0xff) == 0xd9)
+                      payload.dropRight(2) else payload)
+                }
+                case "gif" => GifCodec.decode(blob) match {
+                  case Some((sw, sh, gray)) => GifCodec.encode(targetW, targetH,
+                    resampleNearest(sw, sh, gray, targetW, targetH, 1))
+                  case None => ImageHeaders.gifWrap(targetW, targetH,
+                    // gifWrap appends its own trailer; avoid doubling it
+                    if (payload.nonEmpty && payload.last == 0x3b.toByte)
+                      payload.dropRight(1) else payload)
+                }
                 case _ => blob
               }
             case None => AviCodec.resize(blob, targetW, targetH).getOrElse {

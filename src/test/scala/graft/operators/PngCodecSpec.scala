@@ -67,4 +67,31 @@ class PngCodecSpec extends AnyFunSuite {
     assert(dec.isDefined, "our decoder rejected an ImageIO-written truecolor PNG")
     assert(dec.get._3.sameElements(p), "pixels drifted through the ImageIO→our-decoder path")
   }
+
+  test("resampleNearest: identity at same dims, exact index map on downscale") {
+    val sw = 8; val sh = 6
+    val px = Array.tabulate(sw * sh * 3)(j => (j * 17 % 256).toByte)
+    assert(Multimodal.resampleNearest(sw, sh, px, sw, sh, 3).sameElements(px),
+      "same-dims resample must be the identity")
+    val out = Multimodal.resampleNearest(sw, sh, px, 4, 3, 3)
+    for (y <- 0 until 3; x <- 0 until 4; c <- 0 until 3) {
+      val sx = x * sw / 4; val sy = y * sh / 3
+      assert(out((y * 4 + x) * 3 + c) == px((sy * sw + sx) * 3 + c),
+        s"wrong source pixel at ($x,$y,$c)")
+    }
+  }
+
+  test("resizeImages takes the REAL decode→resample→re-encode path for valid PNGs") {
+    val spark0 = graft.SparkTestBase.session
+    import spark0.implicits._
+    val sw = 10; val sh = 8
+    val px = Array.tabulate(sw * sh * 3)(j => (j * 7 % 256).toByte)
+    val blob = PngCodec.encode(sw, sh, px, _ => 2)
+    val resized = Multimodal.resizeImages(Seq((1L, blob)).toDF("doc_id", "blob"), 5, 4)
+      .collect()(0).getAs[Array[Byte]]("blob")
+    val (dw, dh, dec) = PngCodec.decode(resized).get
+    assert(dw == 5 && dh == 4)
+    assert(dec.sameElements(Multimodal.resampleNearest(sw, sh, px, 5, 4, 3)),
+      "resized PNG must carry genuinely resampled pixels, not a rewritten header")
+  }
 }
