@@ -1083,6 +1083,34 @@ object SparkEntry {
         .select(col("l_returnflag"),
           (abs(col("approx") - col("exact")) <= col("exact") * 0.06).as("within_rsd"))
         .orderBy(col("l_returnflag"))),
+    "q_corpus_overlap" -> ((s: SparkSession, d: String) => {
+      // cross-corpus overlap estimation — the planning diagnostic you run
+      // BEFORE committing a 100 TB cross-corpus dedup: three one-pass
+      // mergeable HLL sketches (A, B, A∪B) give |A∩B| by inclusion-
+      // exclusion without ever joining the corpora; the exact join here
+      // exists only to state the oracle contract (exact counts + the
+      // sketch-accuracy booleans, the q_count_distinct_approx pattern).
+      val base = docs(s, d).select(col("doc_id"), md5(col("text")).as("k"))
+      val a = base.filter(col("doc_id") % 3 =!= 0).select(col("k"))
+      val b = base.filter(col("doc_id") % 2 === 0).select(col("k"))
+      val ea = a.agg(countDistinct(col("k")).as("n_a"),
+        approx_count_distinct(col("k"), 0.02).as("est_a"))
+      val eb = b.agg(countDistinct(col("k")).as("n_b"),
+        approx_count_distinct(col("k"), 0.02).as("est_b"))
+      val eu = a.unionAll(b).agg(countDistinct(col("k")).as("n_u"),
+        approx_count_distinct(col("k"), 0.02).as("est_u"))
+      ea.crossJoin(eb).crossJoin(eu)
+        .select(col("n_a"), col("n_b"),
+          (col("n_a") + col("n_b") - col("n_u")).as("n_intersect"),
+          round((col("n_a") + col("n_b") - col("n_u")).cast("double") /
+            col("n_u").cast("double"), 6).as("jaccard"),
+          (abs(col("est_a") - col("n_a")) <= col("n_a") * 0.06 &&
+            abs(col("est_b") - col("n_b")) <= col("n_b") * 0.06 &&
+            abs(col("est_u") - col("n_u")) <= col("n_u") * 0.06).as("ests_within_3rsd"),
+          (abs(col("est_a") + col("est_b") - col("est_u") -
+            (col("n_a") + col("n_b") - col("n_u"))) <=
+            (col("n_a") + col("n_b") - col("n_u")) * 0.10).as("intersect_within_10pct"))
+    }),
     "q_multipath_scan" -> ((s: SparkSession, d: String) =>
       // S5: multi-path scan = implicit UNION ALL of part-files
       s.read.parquet(s"$d/lineitem.parquet", s"$d/lineitem.parquet")
@@ -2823,6 +2851,19 @@ object SparkEntry {
       """SELECT l_returnflag, true AS within_rsd
         |FROM (SELECT DISTINCT l_returnflag FROM lineitem)
         |ORDER BY l_returnflag""".stripMargin,
+    // exact slice cardinalities and jaccard replayed in SQL; the sketch
+    // accuracy claims are SF-independent booleans (HLL++ at rsd=0.02 is
+    // near-exact at these cardinalities — sparse mode)
+    "q_corpus_overlap" ->
+      """WITH a AS (SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 3 <> 0),
+        |b AS (SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 2 = 0),
+        |u AS (SELECT count(DISTINCT k) AS n_u FROM (SELECT k FROM a UNION ALL SELECT k FROM b)),
+        |s AS (SELECT (SELECT count(*) FROM a) AS n_a, (SELECT count(*) FROM b) AS n_b, n_u FROM u)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_a + n_b - n_u AS BIGINT) AS n_intersect,
+        |  round(CAST(n_a + n_b - n_u AS DOUBLE) / n_u, 6) AS jaccard,
+        |  true AS ests_within_3rsd, true AS intersect_within_10pct
+        |FROM s""".stripMargin,
     "q_multipath_scan" ->
       """SELECT l_returnflag, count(*) AS cnt
         |FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
