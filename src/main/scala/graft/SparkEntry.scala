@@ -2139,6 +2139,13 @@ object SparkEntry {
     "q_stream_runmax" -> ((s: SparkSession, d: String) =>
       GraftSession.withShufflePartitions(s, 8)(
         graft.streaming.StreamingOps.runningMaxStream(s, d))),
+    "q_stream_runmax_tws" -> ((s: SparkSession, d: String) =>
+      // the SAME running max through Spark 4's transformWithState
+      // (StatefulProcessor + typed ValueState on RocksDB) — shares
+      // q_stream_runmax's oracle verbatim, so the legacy and
+      // replacement state APIs are pinned emission-equivalent
+      GraftSession.withShufflePartitions(s, 8)(
+        graft.streaming.StreamingOps.runningMaxStreamTws(s, d))),
     "q_stream_ema" -> ((s: SparkSession, d: String) =>
       // stateful truncated EMA: bounded per-user ring state, identical
       // IEEE chain to the q_ema batch window — shares its oracle verbatim
@@ -4410,6 +4417,9 @@ object SparkEntry {
         |FROM events JOIN bands ON value >= lo AND value < hi
         |GROUP BY band ORDER BY band""".stripMargin,
     "q_stream_runmax" ->
+      """SELECT user_id, round(max(value), 4) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_stream_runmax_tws" ->
       """SELECT user_id, round(max(value), 4) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_attribution" ->

@@ -142,6 +142,67 @@ object StreamingOps {
     out.orderBy(col("user_id"))
   }
 
+  /** [[runningMaxChanges]] through Spark 4's `transformWithState` — the
+    * arbitrary-state API that supersedes `flatMapGroupsWithState`
+    * (SPARK-46815): named typed state cells from a handle (ValueState
+    * here; List/Map/TTL/timers available), init/handleInputRows
+    * lifecycle, RocksDB state store required. Kept beside the fMGWS
+    * twin deliberately: q_stream_runmax_tws shares q_stream_runmax's
+    * oracle verbatim, so the two state APIs are pinned
+    * emission-equivalent by the gate. */
+  final class RunningMaxProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), (Long, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, ValueState}
+    @transient private var maxState: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      maxState = getHandle.getValueState[Double]("max",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Double)] = {
+      val batchMax = rows.map(_._2).max
+      if (!maxState.exists() || batchMax > maxState.get()) {
+        maxState.update(batchMax)
+        Iterator.single((key, batchMax))
+      } else Iterator.empty
+    }
+  }
+
+  /** Streaming running maximum via `transformWithState` (the Spark 4
+    * replacement API; see [[RunningMaxProcessor]]). The RocksDB state
+    * store provider — the only one transformWithState supports — is
+    * scoped to this query and restored after. */
+  def runningMaxStreamTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.io.EventsReader.stream(spark, dir)
+        .select(col("user_id").cast("long"), col("value").cast("double"))
+        .as[(Long, Double)]
+      val changes = events.groupByKey(_._1)
+        .transformWithState(new RunningMaxProcessor, TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      val name = s"runmax_tws_${System.nanoTime()}"
+      val q = changes.toDF("user_id", "run_max").writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val (out, _) = org.apache.spark.sql.GraftShim.materialize(
+        spark.table(name).groupBy(col("user_id"))
+          .agg(round(max(col("run_max")), 4).as("max_value")))
+      spark.catalog.dropTempView(name)
+      out.orderBy(col("user_id"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   /** Watermarked stream-stream inner join core: views attributed to the
     * purchases that follow them (same user) within `horizonHours`. Both
     * sides carry event-time watermarks AND the join condition bounds the

@@ -441,6 +441,19 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState running max is emission-equivalent to flatMapGroupsWithState") {
+    // the legacy and Spark-4 replacement state APIs must agree row-for-row
+    val legacy = StreamingOps.runningMaxStream(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val tws = StreamingOps.runningMaxStreamTws(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(tws.nonEmpty && tws == legacy)
+    // and the provider conf was restored (TWS forces RocksDB only while running)
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")),
+      "RocksDB provider must not leak into the session after the query")
+  }
+
   test("streaming Misra-Gries keeps the heavy-membership guarantee under eviction") {
     import org.apache.spark.sql.functions._
     // k=12 < 15 distinct user_ids at sf0.001, so counter eviction runs
