@@ -1186,6 +1186,50 @@ object SparkEntry {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_seasonal" -> ((s: SparkSession, d: String) => {
+      // seasonal load profile (the capacity-planning twin of q_gap_fill):
+      // counts per (event_type, UTC day, hour-of-day), then the
+      // hour-of-day profile across days — expected load plus the observed
+      // band. Two map-side-combining aggregations; the epoch-hour
+      // arithmetic is the q_gap_fill integer idiom both engines share.
+      val ev = Relational.table(s, d, "events")
+        .select(col("event_type"),
+          floor(unix_millis(col("ts")) / lit(3600000L)).as("h_abs"))
+      val cell = ev
+        .select(col("event_type"), (col("h_abs") % 24).cast("int").as("hod"),
+          floor(col("h_abs") / 24).cast("long").as("day"))
+        .groupBy(col("event_type"), col("day"), col("hod"))
+        .agg(count(lit(1)).as("cnt"))
+      cell.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n_days"),
+          round(avg(col("cnt")), 6).as("expected"),
+          max(col("cnt")).as("max_cnt"), min(col("cnt")).as("min_cnt"))
+        .orderBy(col("event_type"), col("hod"))
+    }),
+    "q_zipf_fit" -> ((s: SparkSession, d: String) => {
+      // token rank-frequency spectrum + Zipf slope (log-log OLS over the
+      // top-200 terms) — the tokenizer-design diagnostic: a natural
+      // corpus fits slope ≈ −1; templated/boilerplate corpora flatten.
+      // Closed-form OLS from five sums in ONE aggregate; slope/intercept
+      // rounded to 4dp to absorb summation-order ulps.
+      val counts = docs(s, d)
+        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val ranked = counts.withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("tok"))))
+        .filter(col("r") <= 200)
+      val fit = ranked
+        .select(log(col("r").cast("double")).as("x"), log(col("n").cast("double")).as("y"))
+        .agg(count(lit(1)).cast("double").as("m"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      val slope = (col("m") * col("sxy") - col("sx") * col("sy")) /
+        (col("m") * col("sxx") - col("sx") * col("sx"))
+      fit.select(col("m").cast("long").as("n_terms"),
+        round(slope, 4).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("m"), 4).as("intercept"))
+    }),
     "q_gap_fill" -> ((s: SparkSession, d: String) => {
       // dense time series from sparse events: the full hourly spine per
       // event_type (sequence+explode over the global [min,max] hour
@@ -3670,6 +3714,34 @@ object SparkEntry {
         |  CAST(sum(v*v) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM sm GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
+    // the hour-of-day profile replayed with the shared epoch-hour integer
+    // idiom; avg of integer counts is one IEEE division in both engines
+    "q_seasonal" ->
+      """WITH c AS (SELECT event_type,
+        |             CAST((epoch_ms(ts) // 3600000) % 24 AS INT) AS hod,
+        |             (epoch_ms(ts) // 3600000) // 24 AS day,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(avg(cnt), 6) AS expected,
+        |  CAST(max(cnt) AS BIGINT) AS max_cnt, CAST(min(cnt) AS BIGINT) AS min_cnt
+        |FROM c GROUP BY 1, 2 ORDER BY event_type, hod""".stripMargin,
+    // identical top-200 ranking (count desc, token tie-break) and the
+    // identical closed-form OLS; 4dp rounding absorbs summation-order ulps
+    "q_zipf_fit" ->
+      """WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |           FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |                 FROM documents)
+        |           WHERE tok <> '' GROUP BY tok),
+        |r AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS r FROM c),
+        |xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+        |       FROM r WHERE r <= 200),
+        |f AS (SELECT CAST(count(*) AS DOUBLE) AS m, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+        |SELECT CAST(m AS BIGINT) AS n_terms,
+        |  round((m * sxy - sx * sy) / (m * sxx - sx * sx), 4) AS slope,
+        |  round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 4) AS intercept
+        |FROM f""".stripMargin,
     // the exact-size contract: ceil(f_k * n_k) per stratum, recomputed by
     // DuckDB from the base table — valid at every SF
     "q_gap_fill" ->
