@@ -120,7 +120,19 @@ object Similarity {
       corpus: DataFrame,
       nCentroids: Int,
       iters: Int = 5,
-      seed: Long = 42L): Array[Array[Double]] = {
+      seed: Long = 42L,
+      tol: Double = 0.0): Array[Array[Double]] =
+    kmeansCentroidsDistributedCounted(corpus, nCentroids, iters, seed, tol)._1
+
+  /** [[kmeansCentroidsDistributed]] plus the number of Lloyd rounds
+    * actually executed — the convergence-termination contract is testable
+    * without timing assertions. */
+  def kmeansCentroidsDistributedCounted(
+      corpus: DataFrame,
+      nCentroids: Int,
+      iters: Int = 5,
+      seed: Long = 42L,
+      tol: Double = 0.0): (Array[Array[Double]], Int) = {
     import corpus.sparkSession.implicits._
     val nrm = Distances.norm(col("cv"))
     // normalize ONCE and cache: every Lloyd round scans this frame, and the
@@ -134,7 +146,14 @@ object Similarity {
         .select(col("cv")).as[Array[Double]].collect() // k×dim bounded seed state
       val k = cents.length
       var it = 0
-      while (it < iters) {
+      var moved = Double.MaxValue
+      // stop once no centroid moved more than tol (L2 on the unit sphere,
+      // computed on the driver's k×dim state — no extra job). The default
+      // tol=0 stops only at a BIT-EXACT fixpoint, where further rounds
+      // provably recompute identical assignments — so results equal the
+      // full fixed-iteration run the IVF pins were captured under, while
+      // converged corpora skip the dead rounds
+      while (it < iters && moved > tol) {
         val centsDf = cents.zipWithIndex
           .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("centroid_id", "centroid")
         val assigned = unit.crossJoin(broadcast(centsDf))
@@ -149,13 +168,17 @@ object Similarity {
           .collect() // k×dim rows — bounded centroid state, not corpus data
         val next = cents.map(_.clone())
         means.foreach(r => next(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2))
-        cents = next.map { v =>
+        val renormed = next.map { v =>
           val n = math.sqrt(v.map(x => x * x).sum)
           if (n > 0) v.map(_ / n) else v
         }
+        moved = cents.zip(renormed).map { case (a, b) =>
+          math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+        }.max
+        cents = renormed
         it += 1
       }
-      cents
+      (cents, it)
     } finally unit.unpersist(blocking = false)
   }
 

@@ -87,4 +87,29 @@ class KnnRecallSpec extends graft.SparkTestBase {
       assert(r >= 0.75, f"$d: recall $r%.4f below the oracle claim 0.75")
     }
   }
+
+  test("distributed Lloyd tol: early stop on separated blobs, fixed-iter default intact") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    // four well-separated direction clusters on the sphere: Lloyd settles
+    // in 2-3 rounds, so a 20-round budget must early-stop under tol
+    val dirs = Seq(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0),
+      Array(0, 0, 1.0, 0), Array(0, 0, 0, 1.0))
+    val corpus = (0 until 400).map { i =>
+      val d0 = dirs(i % 4)
+      (i.toLong, d0.map(_ * 10 + rng.nextGaussian() * 0.05))
+    }.toDF("cid", "cv")
+    val (tolCents, tolRounds) =
+      Similarity.kmeansCentroidsDistributedCounted(corpus, 4, iters = 20, tol = 1e-9)
+    val (fixed, fixedRounds) =
+      Similarity.kmeansCentroidsDistributedCounted(corpus, 4, iters = 20)
+    // default tol=0 stops only at the bit-exact fixpoint, where further
+    // rounds are provably no-ops — so both runs must agree exactly
+    assert(tolCents.map(_.toSeq).toSet == fixed.map(_.toSeq).toSet,
+      "tol-stopped centroids must equal the tol=0 fixpoint")
+    assert(tolRounds < 20 && fixedRounds < 20,
+      s"separated blobs must converge early (tol=$tolRounds, fixpoint=$fixedRounds rounds)")
+    assert(tolRounds <= fixedRounds,
+      "a positive tol can only stop at or before the bit-exact fixpoint")
+  }
 }
