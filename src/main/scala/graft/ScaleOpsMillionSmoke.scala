@@ -232,5 +232,69 @@ object ScaleOpsMillionSmoke {
     if (n >= 500000L)
       assert(saltedS < nakedS,
         f"salting must beat the naked shuffle on the planted hot key: $saltedS%.1f vs $nakedS%.1f")
+
+    // ---- multi-source BFS: n-node 10-ary planted tree, closed-form levels ----
+    // node v>0 has parent (v-1)/10, so dist(v) = tree depth — the level
+    // histogram is exactly 10^d for full levels and the frontier drains in
+    // ~log10(n) rounds: an exact global oracle for the convergence path.
+    t0 = System.nanoTime()
+    val treeEdges0 = spark.range(1L, n)
+      .select(floor((col("id") - 1) / 10L).cast("long"), col("id")).toDF("src", "dst")
+    val treeEdges = treeEdges0
+      .unionAll(treeEdges0.select(col("dst").as("src"), col("src").as("dst"))) // bidirect
+    val (bfsDist, bfsRounds) = graft.operators.GraphOps.shortestHopsCounted(
+      treeEdges, spark.range(1).select(lit(0L).as("node")), maxIters = 15)
+    val levels = bfsDist.groupBy(col("dist")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("dist"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val bfsSecs = (System.nanoTime() - t0) / 1e9
+    println(f"[smoke] bfs: $n-node 10-ary tree in $bfsSecs%.1f s, $bfsRounds rounds; " +
+      s"levels=${levels.take(8).mkString(",")}")
+    assert(levels.map(_._2).sum == n, "every tree node must be reached")
+    var expectStart = 0L
+    levels.foreach { case (d, cnt) =>
+      // level d spans ids [(10^d - 1)/9, (10^(d+1) - 1)/9) ∩ [0, n)
+      val lo = expectStart
+      val hi = math.min(lo * 10 + 1, n)
+      assert(cnt == hi - lo, s"level $d: got $cnt nodes, closed form says ${hi - lo}")
+      expectStart = hi
+    }
+    assert(bfsRounds <= levels.length + 1,
+      s"frontier must drain in depth+1 rounds, ran $bfsRounds for ${levels.length} levels")
+
+    // ---- CDC chunking: n/5 docs + shifted copies, boundary-alignment law ----
+    // every chunk of the original EXCEPT possibly the first must reappear
+    // verbatim in the 4-char-shifted copy (trailing-window boundaries are
+    // content-anchored), and chunks must tile each doc exactly.
+    t0 = System.nanoTime()
+    val nDocs = math.max(n / 5, 1000L)
+    val syn = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 30).map(k =>
+        substring(base64(sha2(concat(col("id").cast("string"), lit(s"-$k")), 256)), 1, 7)): _*)
+        .as("text"))
+    val shifted = syn.select((col("doc_id") + nDocs).as("doc_id"),
+      concat(lit("PFX "), col("text")).as("text"))
+    val chunks = graft.operators.TextOps.cdcChunks(syn.unionAll(shifted))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tiling = chunks.groupBy(col("doc_id"))
+      .agg(sum(col("chunk_len")).as("covered"), count(lit(1)).as("k"))
+      .join(syn.unionAll(shifted).select(col("doc_id"), length(col("text")).as("len")), Seq("doc_id"))
+      .filter(col("covered") =!= col("len")).count()
+    assert(tiling == 0L, s"$tiling docs where CDC chunks do not tile the text")
+    val origChunks = chunks.filter(col("doc_id") < nDocs)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+    val shiftChunks = chunks.filter(col("doc_id") >= nDocs)
+      .select((col("doc_id") - nDocs).as("doc_id"), col("chunk_text").as("sh_text"))
+    val unshared = origChunks.filter(col("chunk_idx") > 0)
+      .join(shiftChunks, origChunks("doc_id") === shiftChunks("doc_id") &&
+        origChunks("chunk_text") === shiftChunks("sh_text"), "left_anti")
+      .count()
+    val cdcSecs = (System.nanoTime() - t0) / 1e9
+    val totalChunks = chunks.count()
+    chunks.unpersist(blocking = false)
+    println(f"[smoke] cdc: ${2 * nDocs} docs → $totalChunks chunks in $cdcSecs%.1f s; " +
+      s"non-first chunks missing from shifted copy: $unshared")
+    assert(unshared == 0L,
+      s"$unshared non-first chunks failed the shift-alignment law — boundaries not content-anchored")
   }
 }

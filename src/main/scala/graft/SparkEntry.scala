@@ -1319,6 +1319,40 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"), col("run"))
     }),
+    "q_scd2_lookup" -> ((s: SparkSession, d: String) => {
+      // the query SCD2 exists FOR: point-in-time dimension lookup. Eight
+      // probe instants per user (span octiles); the active interval is
+      // the max valid_from ≤ t — ONE equi-join on user_id (hash join,
+      // range predicate as a post-filter, never a BNLJ) + one max_by per
+      // probe. Tie on valid_from (same-ms runs) breaks by run number.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      val wCum = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val ev = Relational.table(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_type"))
+      val dim = ev
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1).otherwise(0))
+        .withColumn("run", sum(col("chg")).over(wCum).cast("long"))
+        .groupBy(col("user_id"), col("run"))
+        .agg(min(col("event_type")).as("event_type"), min(col("ts_ms")).as("valid_from"))
+      val span = ev.agg(min(col("ts_ms")).as("lo"), max(col("ts_ms")).as("hi"))
+      val probes = ev.select(col("user_id")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("user_id"), explode(sequence(lit(1), lit(8))).as("k"),
+          col("lo"), col("hi"))
+        .select(col("user_id"), col("k").cast("int").as("k"),
+          (col("lo") + floor((col("hi") - col("lo")) * col("k") / 8).cast("long")).as("t"))
+      probes.join(dim, Seq("user_id"))
+        .filter(col("valid_from") <= col("t"))
+        .groupBy(col("user_id"), col("k"), col("t"))
+        .agg(max_by(col("event_type"), struct(col("valid_from"), col("run")))
+          .as("active_type"),
+          max(col("valid_from")).as("active_from"))
+        .orderBy(col("user_id"), col("k"))
+    }),
     "q_url_canonicalize" -> ((s: SparkSession, d: String) => {
       // URL canonicalization — the web-corpus dedup key. Synthesized URLs
       // (doc_id formula) carry every noise class a crawler sees: case-
@@ -3795,6 +3829,31 @@ object SparkEntry {
         |  min(ts_ms) AS valid_from, max(ts_ms) AS last_seen,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM r GROUP BY user_id, run ORDER BY user_id, run""".stripMargin,
+    // the same run construction, probed point-in-time: active interval =
+    // max valid_from ≤ t, tie on valid_from broken by run number
+    "q_scd2_lookup" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+        |c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                       OR lag(event_type) OVER w <> event_type
+        |                     THEN 1 ELSE 0 END AS chg
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM c),
+        |dim AS (SELECT user_id, run, min(event_type) AS event_type,
+        |          min(ts_ms) AS valid_from
+        |        FROM r GROUP BY user_id, run),
+        |span AS (SELECT min(ts_ms) AS lo, max(ts_ms) AS hi FROM e),
+        |probes AS (SELECT u.user_id, CAST(g.k AS INT) AS k,
+        |             lo + (hi - lo) * g.k // 8 AS t
+        |           FROM (SELECT DISTINCT user_id FROM e) u, span,
+        |                unnest(generate_series(1, 8)) AS g(k)),
+        |a AS (SELECT p.user_id, p.k, p.t, d.event_type, d.valid_from,
+        |        row_number() OVER (PARTITION BY p.user_id, p.k
+        |          ORDER BY d.valid_from DESC, d.run DESC) AS rn
+        |      FROM probes p JOIN dim d
+        |        ON d.user_id = p.user_id AND d.valid_from <= p.t)
+        |SELECT user_id, k, t, event_type AS active_type, valid_from AS active_from
+        |FROM a WHERE rn = 1 ORDER BY user_id, k""".stripMargin,
     // the canonical URL in closed form — every planted noise class
     // (case, www., :443, utm params, param order, fragment) must vanish
     // for the hash to match; group size = docs sharing doc_id % 250
