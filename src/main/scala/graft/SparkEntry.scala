@@ -1319,6 +1319,30 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"), col("run"))
     }),
+    "q_mad_outliers" -> ((s: SparkSession, d: String) => {
+      // robust outlier detection: median/MAD instead of mean/stddev (the
+      // z-score of q_anomaly_zscore is itself dragged by the outliers it
+      // hunts; the median absolute deviation is 50%-breakdown robust).
+      // Two exact-percentile aggregations with the per-type medians
+      // broadcast between them; deviations are 6dp-rounded before the
+      // 3·1.4826·MAD comparison so both engines cut identically.
+      val ev = Relational.table(s, d, "events")
+        .select(col("event_type"), col("value").cast("double").as("v"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(percentile(col("v"), lit(0.5)).as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("med"),
+          round(abs(col("v") - col("med")), 6).as("adev"))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(round(percentile(col("adev"), lit(0.5)), 6).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(min(col("med")), 6).as("median"),
+          min(col("mad")).as("mad"),
+          sum(when(col("adev") > round(col("mad") * 3.0 * 1.4826, 6), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
     "q_scd2_lookup" -> ((s: SparkSession, d: String) => {
       // the query SCD2 exists FOR: point-in-time dimension lookup. Eight
       // probe instants per user (span octiles); the active interval is
@@ -3829,6 +3853,23 @@ object SparkEntry {
         |  min(ts_ms) AS valid_from, max(ts_ms) AS last_seen,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM r GROUP BY user_id, run ORDER BY user_id, run""".stripMargin,
+    // robust stats replayed: interpolated medians (quantile_cont), 6dp
+    // rounding on deviations and the MAD threshold so both engines cut
+    // the identical outlier set; constants forced through DOUBLE
+    "q_mad_outliers" ->
+      """WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+        |med AS (SELECT event_type, quantile_cont(v, 0.5) AS med FROM ev GROUP BY 1),
+        |dev AS (SELECT e.event_type, m.med, round(abs(e.v - m.med), 6) AS adev
+        |        FROM ev e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(d.med), 6) AS median, min(m.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.adev > round(m.mad * CAST(3.0 AS DOUBLE)
+        |                                      * CAST(1.4826 AS DOUBLE), 6)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     // the same run construction, probed point-in-time: active interval =
     // max valid_from ≤ t, tie on valid_from broken by run number
     "q_scd2_lookup" ->
