@@ -1319,6 +1319,27 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"), col("run"))
     }),
+    "q_feature_hash" -> ((s: SparkSession, d: String) => {
+      // the hashing-trick vectorizer (Weinberger et al. ICML'09): tokens
+      // → fixed 256-bucket count vectors with NO vocabulary pass — the
+      // featurization that never needs a dictionary broadcast at 100 TB.
+      // The bucket hash is a Horner chain over token bytes in exact long
+      // arithmetic (same portability trick as the CDC boundary hash), so
+      // the oracle recomputes every bucket; output is the sparse
+      // (doc_id, bucket, cnt) form — dense materialization is the
+      // consumer's choice, not the operator's.
+      val tok = explode(graft.operators.TextOps.tokens(col("text"))).as("tok")
+      val bucket = aggregate(
+        transform(sequence(lit(1), length(col("tok"))),
+          i => ascii(col("tok").substr(i, lit(1))).cast("long")),
+        lit(0L), (acc, x) => (acc * 31L + x) % 1000000007L) % 256
+      docs(s, d).select(col("doc_id"), tok)
+        .filter(col("tok") =!= "")
+        .select(col("doc_id"), bucket.cast("int").as("bucket"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
     "q_mad_outliers" -> ((s: SparkSession, d: String) => {
       // robust outlier detection: median/MAD instead of mean/stddev (the
       // z-score of q_anomaly_zscore is itself dragged by the outliers it
@@ -3853,6 +3874,20 @@ object SparkEntry {
         |  min(ts_ms) AS valid_from, max(ts_ms) AS last_seen,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM r GROUP BY user_id, run ORDER BY user_id, run""".stripMargin,
+    // the identical Horner chain over token bytes (list_reduce seeds from
+    // the first element, so a 0 is prepended to mirror the engine's zero)
+    "q_feature_hash" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |            FROM documents),
+        |b AS (SELECT doc_id,
+        |        CAST(list_reduce(
+        |          list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(generate_series(1, len(tok)),
+        |              i -> CAST(ord(substr(tok, i, 1)) AS BIGINT))),
+        |          (acc, x) -> (acc * 31 + x) % 1000000007) % 256 AS INT) AS bucket
+        |      FROM tk WHERE tok <> '')
+        |SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
     // robust stats replayed: interpolated medians (quantile_cont), 6dp
     // rounding on deviations and the MAD threshold so both engines cut
     // the identical outlier set; constants forced through DOUBLE
