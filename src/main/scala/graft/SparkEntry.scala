@@ -1319,6 +1319,29 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"), col("run"))
     }),
+    "q_skyline" -> ((s: SparkSession, d: String) => {
+      // Pareto skyline (maximize total price AND line count per order) —
+      // the multi-criteria operator Spark lacks natively, composed
+      // scalably: one groupBy to points, one groupBy to the compressed x
+      // domain, ONE window over that (distinct-x) domain for the
+      // strict-above running max, then a broadcast join back. Never the
+      // O(n²) self-anti-join a naive dominance check plans. A point
+      // survives iff it is its x-group's best y AND beats every y at
+      // strictly greater x; equal points are mutually non-dominating.
+      val pts = Relational.table(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("x"),
+          count(lit(1)).as("y"))
+      val perX = pts.groupBy(col("x")).agg(max(col("y")).as("ymax"))
+      val wAbove = org.apache.spark.sql.expressions.Window.orderBy(col("x").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val marks = perX.withColumn("ybar", max(col("ymax")).over(wAbove))
+      pts.join(broadcast(marks), Seq("x"))
+        .filter(col("y") === col("ymax") &&
+          (col("ybar").isNull || col("y") > col("ybar")))
+        .select(col("l_orderkey"), col("x").as("total_price"), col("y").as("n_lines"))
+        .orderBy(col("total_price").desc, col("l_orderkey"))
+    }),
     "q_feature_hash" -> ((s: SparkSession, d: String) => {
       // the hashing-trick vectorizer (Weinberger et al. ICML'09): tokens
       // → fixed 256-bucket count vectors with NO vocabulary pass — the
@@ -3874,6 +3897,20 @@ object SparkEntry {
         |  min(ts_ms) AS valid_from, max(ts_ms) AS last_seen,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM r GROUP BY user_id, run ORDER BY user_id, run""".stripMargin,
+    // the identical compressed-domain construction: per-x best, strict-
+    // above running max over distinct x desc, dominance filter
+    "q_skyline" ->
+      """WITH pts AS (SELECT l_orderkey, round(sum(l_extendedprice), 2) AS x,
+        |               CAST(count(*) AS BIGINT) AS y
+        |             FROM lineitem GROUP BY 1),
+        |perx AS (SELECT x, max(y) AS ymax FROM pts GROUP BY x),
+        |m AS (SELECT x, ymax, max(ymax) OVER (ORDER BY x DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ybar
+        |      FROM perx)
+        |SELECT p.l_orderkey, p.x AS total_price, p.y AS n_lines
+        |FROM pts p JOIN m USING (x)
+        |WHERE p.y = m.ymax AND (m.ybar IS NULL OR p.y > m.ybar)
+        |ORDER BY total_price DESC, l_orderkey""".stripMargin,
     // the identical Horner chain over token bytes (list_reduce seeds from
     // the first element, so a 0 is prepended to mirror the engine's zero)
     "q_feature_hash" ->
