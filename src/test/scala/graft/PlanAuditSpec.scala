@@ -44,6 +44,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_core_distance_window" -> "bounded demo slice crossJoin (pairwise distances over <=200 points)",
     "q_corpus_mix" -> "single-row corpus-totals frame joined to every cell",
     "q_corpus_overlap" -> "three single-row sketch-aggregate frames crossJoined into one result row",
+    "q_scd2_lookup" -> "single-row global time-span frame crossJoined into the probe generator",
     "q_embed_quantize" -> "single-row packed min/max-arrays frame broadcast to the code transform",
     "q_hybrid_search" -> "single-row query-vector frame broadcast to the cosine leg (bm25 leg reuses q_bm25's single-row stats)",
     "q_distance_pairs" -> "bounded demo slice crossJoin (pairwise distance showcase)",
