@@ -1911,6 +1911,49 @@ object SparkEntry {
           levenshtein(col("w1"), col("w2")).as("dist"))
         .orderBy(col("w1"), col("w2"))
     }),
+    "q_jaro_winkler" -> ((s: SparkSession, d: String) => {
+      // graded fuzzy matching: Jaro-Winkler similarity (codegen
+      // JaroWinklerExpr, semantics pinned to DuckDB's
+      // jaro_winkler_similarity incl. the 0.7 boost threshold and
+      // integer-truncated half-transpositions) over prefix-2-blocked
+      // vocabulary pairs. Recall contract (documented, like
+      // q_fuzzy_vocab): only pairs sharing a 2-char prefix are candidates
+      // — exactly the pairs the Winkler prefix bonus is designed to
+      // boost — and hot blocks (> 2000 words) are dropped by a df-style
+      // guard before the quadratic step, the same frequency cap that
+      // keeps q_ngram_jaccard's AllPairs bounded at scale.
+      val vocab = docs(s, d)
+        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 6)
+        .distinct()
+        .select(col("w"), substring(col("w"), 1, 2).as("p2"))
+      val smallBlocks = vocab.groupBy(col("p2"))
+        .agg(count(lit(1)).as("bn")).filter(col("bn") <= 2000)
+        .select(col("p2"))
+      val blocked = vocab.join(broadcast(smallBlocks), Seq("p2"))
+      val a = blocked.select(col("p2"), col("w").as("w1"))
+      val b = blocked.select(col("p2"), col("w").as("w2"))
+      a.join(b, Seq("p2"))
+        .filter(col("w1") < col("w2"))
+        .select(col("w1"), col("w2"),
+          round(graft.expr.StringSimExpressions.jaroWinkler(col("w1"), col("w2")), 6).as("jw"))
+        .filter(col("jw") >= 0.9)
+        .orderBy(col("w1"), col("w2"))
+    }),
+    "q_char_entropy" -> ((s: SparkSession, d: String) => {
+      // character-entropy quality gate: Shannon entropy (bits, log2) of
+      // each document's code-point distribution via the one-pass codegen
+      // CharEntropyExpr — the cheap pre-model curation filter (low
+      // entropy = boilerplate/padded text, extreme high = binary noise).
+      // Zero shuffles before the per-source rollup: the scan fuses with
+      // the expression inside one WholeStageCodegen span.
+      docs(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("source"),
+          round(graft.expr.StringSimExpressions.charEntropy(col("text")), 6).as("char_entropy"))
+        .withColumn("low_entropy", col("char_entropy") < 3.0)
+        .orderBy(col("doc_id"))
+    }),
     "q_histogram" -> ((s: SparkSession, d: String) => {
       // equi-width histogram of the event value distribution: 20 bins
       // over the global [min, max] span (single-row broadcast), bin
@@ -4404,6 +4447,24 @@ object SparkEntry {
         |  WHERE a.w < b.w AND abs(a.l - b.l) <= 1 AND levenshtein(a.w, b.w) <= 1)
         |SELECT w1, w2, CAST(levenshtein(w1, w2) AS INT) AS dist
         |FROM pairs ORDER BY w1, w2""".stripMargin,
+    "q_jaro_winkler" ->
+      """WITH v AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |           FROM documents),
+        |v6 AS (SELECT w, substr(w, 1, 2) AS p2 FROM v WHERE len(w) >= 6),
+        |small AS (SELECT p2 FROM v6 GROUP BY p2 HAVING count(*) <= 2000),
+        |k AS (SELECT w, v6.p2 FROM v6 JOIN small USING (p2)),
+        |pairs AS (
+        |  SELECT a.w AS w1, b.w AS w2,
+        |         round(jaro_winkler_similarity(a.w, b.w), 6) AS jw
+        |  FROM k a JOIN k b ON a.p2 = b.p2 WHERE a.w < b.w)
+        |SELECT w1, w2, jw FROM pairs WHERE jw >= 0.9 ORDER BY w1, w2""".stripMargin,
+    "q_char_entropy" ->
+      """WITH cs AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |            FROM documents WHERE len(text) > 0),
+        |e AS (SELECT doc_id, round(entropy(c), 6) AS char_entropy FROM cs GROUP BY doc_id)
+        |SELECT d.doc_id, d.source, e.char_entropy, e.char_entropy < 3.0 AS low_entropy
+        |FROM documents d JOIN e ON d.doc_id = e.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_histogram" ->
       """WITH span AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
         |b AS (SELECT CASE WHEN hi = lo THEN 0
