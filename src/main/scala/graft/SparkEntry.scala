@@ -605,6 +605,19 @@ object SparkEntry {
         .agg(round(avg(col("col")), 6).as("mean_val"))
         .orderBy(col("label"), col("dim"))
     }),
+    "q_pca_power" -> ((s: SparkSession, d: String) => {
+      // top principal component of the embedding corpus by power
+      // iteration: ONE scan builds the (n, Σx, Σxxᵀ) moment summary via a
+      // typed Aggregator (17 KB buffer, map-side combined — at 100 TB the
+      // job is scan-bound), then EXACTLY 15 iterations of O(d²) driver
+      // arithmetic on the 64×64 covariance (metadata-bounded tagged
+      // collect). Fixed iteration count on purpose: the oracle unrolls
+      // the same 15 matrix-vector CTEs from the same 1/√64 start vector,
+      // so both engines agree regardless of the eigengap.
+      graft.operators.Pca.topComponent(s,
+        Relational.embeddings(s, d).select(col("vec")), d = 64)
+        .orderBy(col("dim"))
+    }),
     "q_embed_quantize" -> ((s: SparkSession, d: String) => {
       // per-dimension affine int8 quantization: the 4× storage cut a
       // vector corpus takes before indexing. Codes are integer-exact
@@ -3136,6 +3149,38 @@ object SparkEntry {
         |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
         |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // the full power-iteration replay: covariance from the same Σxxᵀ/n −
+    // μμᵀ formula, then 15 unrolled matrix-vector + normalize CTE rounds
+    // from the same 1/√64 start — generated programmatically so engine
+    // and oracle can never drift on the iteration count
+    "q_pca_power" -> {
+      // AS MATERIALIZED throughout: DuckDB inlines plain CTEs, and the
+      // 15-round chain would expand `cov` exponentially without it
+      val rounds = (1 to 15).map { k =>
+        s"""w$k AS MATERIALIZED (SELECT c.i AS dim, sum(c.c * p.v) AS w FROM cov c
+           |        JOIN v${k - 1} p ON p.dim = c.j GROUP BY c.i),
+           |n$k AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM w$k),
+           |v$k AS MATERIALIZED (SELECT dim, w / nrm AS v FROM w$k, n$k),""".stripMargin
+      }.mkString("\n")
+      s"""WITH x AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+         |             CAST(embedding[i] AS DOUBLE) AS v
+         |           FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+         |mu AS MATERIALIZED (SELECT dim, avg(v) AS m FROM x GROUP BY dim),
+         |cov AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j,
+         |          sum(a.v * b.v) / nn.n - ma.m * mb.m AS c
+         |        FROM x a JOIN x b ON a.vec_id = b.vec_id
+         |        JOIN mu ma ON ma.dim = a.dim JOIN mu mb ON mb.dim = b.dim, nn
+         |        GROUP BY a.dim, b.dim, ma.m, mb.m, nn.n),
+         |tr AS MATERIALIZED (SELECT sum(c) AS trace FROM cov WHERE i = j),
+         |v0 AS MATERIALIZED (SELECT dim, 1.0 / sqrt(64.0) AS v FROM mu),
+         |$rounds
+         |fin AS (SELECT 1 AS one)
+         |SELECT v15.dim, round(v15.v, 6) AS loading,
+         |  round(n15.nrm, 6) AS eigenvalue,
+         |  round(n15.nrm / tr.trace, 6) AS var_explained
+         |FROM v15, n15, tr ORDER BY v15.dim""".stripMargin
+    },
     // int8 quantization replayed cell-by-cell: exact double min/max per
     // dim, floor(x+0.5) rounding — both engines must produce the
     // identical integer code for every (vec, dim)
