@@ -1676,6 +1676,26 @@ object SparkEntry {
       graft.operators.GraphOps.labelPropagation(edges, iters = 2)
         .orderBy(col("node"))
     }),
+    "q_kcore" -> ((s: SparkSession, d: String) => {
+      // full k-core decomposition (core number per node) of the bidirected
+      // customer↔supplier purchase graph by h-index iteration — the
+      // degeneracy/density member of the graph family beside PageRank's
+      // centrality, LPA's communities and BFS's reachability. Runs to the
+      // fixpoint (4 rounds on this graph at sf0.01, asserted < the cap);
+      // the oracle unrolls 6 identical rounds — the recurrence is
+      // idempotent at the fixpoint, so the two extra rounds are no-ops.
+      val o = Relational.table(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      val l = Relational.table(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val pairs = o.join(l, Seq("ok"))
+        .select((col("ck") * 2).as("c"), (col("sk") * 2 + 1).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      graft.operators.GraphOps.coreDecomposition(edges)
+        .orderBy(col("node"))
+    }),
     "q_shortest_hops" -> ((s: SparkSession, d: String) => {
       // multi-source BFS over the bidirected customer↔supplier purchase
       // graph: hop distance from the c_custkey % 100 == 0 seed set.
@@ -4318,6 +4338,35 @@ object SparkEntry {
     // BFS replayed as a recursive CTE: UNION-dedup on (node, dist) pairs,
     // min(dist) per node is the hop distance; the dist < 19 guard mirrors
     // the engine's maxIters=20 cap
+    // h-index core decomposition replayed round-for-round: the h-index of
+    // a desc-sorted neighbor multiset is the count of values >= their
+    // rank, which row_number + a conditional count expresses exactly; 6
+    // MATERIALIZED rounds cover the 4-round fixpoint with margin (the
+    // recurrence is idempotent once converged)
+    "q_kcore" -> {
+      val rounds = (1 to 6).map { k =>
+        s"""h$k AS MATERIALIZED (
+           |  SELECT v AS node, sum(CASE WHEN nval >= rn THEN 1 ELSE 0 END) AS h
+           |  FROM (SELECT e.src AS v, p.core AS nval,
+           |          row_number() OVER (PARTITION BY e.src ORDER BY p.core DESC) AS rn
+           |        FROM edges e JOIN c${k - 1} p ON p.node = e.dst)
+           |  GROUP BY v),
+           |c$k AS MATERIALIZED (
+           |  SELECT c.node, least(c.core, CAST(h.h AS BIGINT)) AS core
+           |  FROM c${k - 1} c JOIN h$k h ON h.node = c.node),""".stripMargin
+      }.mkString("\n")
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS MATERIALIZED (
+         |  SELECT c AS src, s AS dst FROM pairs
+         |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         |c0 AS MATERIALIZED (
+         |  SELECT src AS node, count(*) AS core FROM edges GROUP BY src),
+         |$rounds
+         |fin AS (SELECT 1 AS one)
+         |SELECT node, CAST(core AS BIGINT) AS core FROM c6 ORDER BY node""".stripMargin
+    },
     "q_shortest_hops" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
