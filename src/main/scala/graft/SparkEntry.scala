@@ -1676,6 +1676,62 @@ object SparkEntry {
       graft.operators.GraphOps.labelPropagation(edges, iters = 2)
         .orderBy(col("node"))
     }),
+    "q_market_basket" -> ((s: SparkSession, d: String) => {
+      // association rules over order baskets at the brand level:
+      // support / confidence / lift for every co-ordered brand pair with
+      // pair support >= 10 — the A-priori first rung (frequent pairs) as
+      // one self-join. The quadratic step is per-basket and the item
+      // vocabulary is the 25-value brand domain, so a basket contributes
+      // <= C(25,2) pairs no matter how many lineitems it has — the
+      // blocking that keeps basket mining tractable at 100 TB (mining raw
+      // partkeys would instead need the maxDf-guarded AllPairs of the
+      // dedup family).
+      val items = Relational.table(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .join(Relational.table(s, d, "part")
+          .select(col("p_partkey").as("pk"), col("p_brand").as("b")), Seq("pk"))
+        .select(col("ok"), col("b")).distinct()
+        .localCheckpoint(true) // read three times: baskets, counts, pairs
+      val nOrders = items.select(col("ok")).distinct().count()
+      val brandCnt = items.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      val pairs = items.select(col("ok"), col("b").as("brand_a"))
+        .join(items.select(col("ok"), col("b").as("brand_b")), Seq("ok"))
+        .filter(col("brand_a") < col("brand_b"))
+        .groupBy(col("brand_a"), col("brand_b"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .filter(col("pair_cnt") >= 10)
+      pairs
+        .join(brandCnt.select(col("b").as("brand_a"), col("cnt").as("cnt_a")), Seq("brand_a"))
+        .join(brandCnt.select(col("b").as("brand_b"), col("cnt").as("cnt_b")), Seq("brand_b"))
+        .select(col("brand_a"), col("brand_b"), col("pair_cnt"),
+          round(col("pair_cnt") / lit(nOrders.toDouble), 6).as("support"),
+          round(col("pair_cnt") / col("cnt_a").cast("double"), 6).as("confidence"),
+          round(col("pair_cnt") * lit(nOrders.toDouble) /
+            (col("cnt_a") * col("cnt_b")).cast("double"), 6).as("lift"))
+        .orderBy(col("brand_a"), col("brand_b"))
+    }),
+    "q_pagerank_personalized" -> ((s: SparkSession, d: String) => {
+      // personalized PageRank: teleport mass restarts to the customer
+      // seed set (graph nodes with node % 200 == 0, i.e. custkey % 100 ==
+      // 0) instead of uniformly — proximity-to-query-set ranking, the
+      // recommendation/expansion twin of q_pagerank's global centrality.
+      // Same per-round plan as PageRank.run; the restart vector is one
+      // node-shaped frame computed once, and seeds outside the graph fail
+      // loudly instead of silently renormalizing.
+      val o = Relational.table(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      val l = Relational.table(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val pairs = o.join(l, Seq("ok"))
+        .select((col("ck") * 2).as("c"), (col("sk") * 2 + 1).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(col("node") % 200 === 0)
+      graft.operators.PageRank.runPersonalized(edges, seeds, iters = 3)
+        .orderBy(col("node"))
+    }),
     "q_kcore" -> ((s: SparkSession, d: String) => {
       // full k-core decomposition (core number per node) of the bidirected
       // customer↔supplier purchase graph by h-index iteration — the
@@ -4338,6 +4394,59 @@ object SparkEntry {
     // BFS replayed as a recursive CTE: UNION-dedup on (node, dist) pairs,
     // min(dist) per node is the hop distance; the dist < 19 guard mirrors
     // the engine's maxIters=20 cap
+    "q_market_basket" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |               FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |nn AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n FROM items),
+        |bc AS (SELECT b, count(*) AS cnt FROM items GROUP BY b),
+        |pc AS (SELECT a.b AS brand_a, x.b AS brand_b, count(*) AS pair_cnt
+        |       FROM items a JOIN items x ON a.ok = x.ok AND a.b < x.b
+        |       GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT pc.brand_a, pc.brand_b, pc.pair_cnt,
+        |  round(pc.pair_cnt / nn.n, 6) AS support,
+        |  round(pc.pair_cnt / CAST(ca.cnt AS DOUBLE), 6) AS confidence,
+        |  round(pc.pair_cnt * nn.n / CAST(ca.cnt * cb.cnt AS DOUBLE), 6) AS lift
+        |FROM pc JOIN bc ca ON ca.b = pc.brand_a
+        |        JOIN bc cb ON cb.b = pc.brand_b, nn
+        |ORDER BY pc.brand_a, pc.brand_b""".stripMargin,
+    // personalized PageRank replayed with the same 3 unrolled rounds as
+    // q_pagerank, restart vector 1/|S| on the node % 200 = 0 seed set
+    "q_pagerank_personalized" ->
+      """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+        |               FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |seeds AS (SELECT node FROM nodes WHERE node % 200 = 0),
+        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |r AS (SELECT n.node,
+        |        CASE WHEN s.node IS NULL THEN CAST(0.0 AS DOUBLE)
+        |             ELSE CAST(1.0 AS DOUBLE) / ns.k END AS r
+        |      FROM nodes n LEFT JOIN seeds s ON s.node = n.node, ns),
+        |p0 AS (SELECT node, r AS pr FROM r),
+        |m1 AS (SELECT e.dst AS node, sum(p.pr / d.outdeg) AS mass
+        |       FROM edges e JOIN p0 p ON e.src = p.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |p1 AS (SELECT r.node,
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * r.r
+        |           + CAST(0.85 AS DOUBLE) * coalesce(m1.mass, 0) AS pr
+        |       FROM r LEFT JOIN m1 USING (node)),
+        |m2 AS (SELECT e.dst AS node, sum(p.pr / d.outdeg) AS mass
+        |       FROM edges e JOIN p1 p ON e.src = p.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |p2 AS (SELECT r.node,
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * r.r
+        |           + CAST(0.85 AS DOUBLE) * coalesce(m2.mass, 0) AS pr
+        |       FROM r LEFT JOIN m2 USING (node)),
+        |m3 AS (SELECT e.dst AS node, sum(p.pr / d.outdeg) AS mass
+        |       FROM edges e JOIN p2 p ON e.src = p.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |p3 AS (SELECT r.node,
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * r.r
+        |           + CAST(0.85 AS DOUBLE) * coalesce(m3.mass, 0) AS pr
+        |       FROM r LEFT JOIN m3 USING (node))
+        |SELECT node, round(pr, 6) AS ppr FROM p3 ORDER BY node""".stripMargin,
     // h-index core decomposition replayed round-for-round: the h-index of
     // a desc-sorted neighbor multiset is the count of values >= their
     // rank, which row_number + a conditional count expresses exactly; 6
