@@ -1594,6 +1594,57 @@ object SparkEntry {
       graft.operators.Diagnostics.tableDiff(base, next, "doc_id")
         .orderBy(col("key"))
     }),
+    "q_benford" -> ((s: SparkSession, d: String) => {
+      // Benford's-law first-digit conformance of l_extendedprice — the
+      // classic fraud/synthetic-data screen a profiling pass runs on any
+      // monetary column. One scan → 9-key count, expected mass
+      // log10(1+1/d), per-digit chi-square contribution. The digit comes
+      // from string form (first char of the absolute integer part), which
+      // both engines compute identically — no float log10 in the digit
+      // path.
+      val li = Relational.table(s, d, "lineitem")
+        .select(col("l_extendedprice").as("v"))
+        .filter(col("v") >= 1)
+      val digits = li.select(
+        substring(floor(col("v")).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      val n = digits.count()
+      digits.groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+        .select(col("digit"), col("observed"),
+          round(lit(n.toDouble) * log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6)
+            .as("expected"),
+          round(pow(col("observed") - lit(n.toDouble) *
+              log(10.0, lit(1.0) + lit(1.0) / col("digit")), 2) /
+            (lit(n.toDouble) * log(10.0, lit(1.0) + lit(1.0) / col("digit"))), 6)
+            .as("chi2_term"))
+        .orderBy(col("digit"))
+    }),
+    "q_groupwise_ols" -> ((s: SparkSession, d: String) => {
+      // per-key closed-form OLS: regress event value on hour-of-day per
+      // event type — slope/intercept/R² from the five sufficient sums
+      // (n, Σx, Σy, Σxy, Σx², Σy²) in ONE map-side-combinable aggregate
+      // per key. The groupwise-ML shape: model fitting as algebra over
+      // sums, no iteration, no driver state.
+      val ev = graft.io.EventsReader.batch(s, d)
+        .select(col("event_type"),
+          hour(col("ts")).cast("double").as("x"), col("value").as("y"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("n").cast("long").as("n_obs"),
+          round(((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))), 6).as("slope"),
+          round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
+            .as("intercept"),
+          round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+        .orderBy(col("event_type"))
+    }),
     "q_profile" -> ((s: SparkSession, d: String) =>
       // Deequ-style table profile: every metric for every column from ONE
       // Aggregate over lineitem (exact distincts ride the same pass via
@@ -4263,6 +4314,30 @@ object SparkEntry {
         |ORDER BY key""".stripMargin,
     // each profile cell replayed as a plain SQL aggregate; stddev is
     // sample stddev in both engines
+    // DuckDB log() is base-10, which is exactly Benford's expected-mass
+    // formula; the digit itself comes from the string form in both engines
+    "q_benford" ->
+      """WITH v AS (SELECT l_extendedprice AS v FROM lineitem WHERE l_extendedprice >= 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+        |d AS (SELECT CAST(substr(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |      FROM v)
+        |SELECT digit, count(*) AS observed,
+        |  round(nn.n * log(1.0 + 1.0 / digit), 6) AS expected,
+        |  round(pow(count(*) - nn.n * log(1.0 + 1.0 / digit), 2)
+        |        / (nn.n * log(1.0 + 1.0 / digit)), 6) AS chi2_term
+        |FROM d, nn GROUP BY digit, nn.n ORDER BY digit""".stripMargin,
+    "q_groupwise_ols" ->
+      """WITH e AS (SELECT event_type, CAST(hour(ts) AS DOUBLE) AS x, value AS y FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |        sum(x * x) AS sxx, sum(y * y) AS syy
+        |      FROM e GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+        |  round(pow(n * sxy - sx * sy, 2)
+        |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM s ORDER BY event_type""".stripMargin,
     "q_profile" -> {
       def num(c: String) =
         s"""SELECT '$c' AS col_name, 'completeness' AS metric, round(CAST(count($c) AS DOUBLE)/count(*), 6) AS value FROM lineitem
