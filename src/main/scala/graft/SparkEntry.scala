@@ -844,6 +844,38 @@ object SparkEntry {
     // ---- text analysis ----
     "q_tfidf_top_terms" -> ((s: SparkSession, d: String) =>
       TextOps.tfidfTopTerms(docs(s, d), k = 3).orderBy(col("doc_id"), col("rank"))),
+    "q_doc_cosine_sparse" -> ((s: SparkSession, d: String) => {
+      // sparse TF-IDF cosine pairs via the inverted index — the
+      // sparse-vector twin of the dense kNN family: unit-normalized
+      // tf·ln(N/df) weights, pair dot products assembled by ONE
+      // term-keyed self-join + one map-side-combinable sum, never a
+      // doc×doc product. The df <= 100 posting-length cap is the standard
+      // inverted-index guard (a stopword-grade term with df ~ N would
+      // contribute O(N²) candidate pairs; dropping it changes cosines
+      // only marginally and is replayed by the oracle). Same shape that
+      // serves dedup candidate generation when Jaccard is too coarse.
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+      val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val nDocs = docs(s, d).count()
+      val dfr = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100)
+      val wt = tf.join(dfr, Seq("w"))
+        .select(col("doc_id"), col("w"),
+          (col("tf") * log(lit(nDocs.toDouble) / col("df"))).as("wt"))
+      val nrm = wt.groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
+      val u = wt.join(nrm, Seq("doc_id"))
+        .filter(col("nrm") > 0)
+        .select(col("doc_id"), col("w"), (col("wt") / col("nrm")).as("uw"))
+      u.select(col("w"), col("doc_id").as("doc_a"), col("uw").as("ua"))
+        .join(u.select(col("w"), col("doc_id").as("doc_b"), col("uw").as("ub")), Seq("w"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(round(sum(col("ua") * col("ub")), 6).as("cosine"))
+        .filter(col("cosine") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     "q_redact_pii" -> ((s: SparkSession, d: String) => {
       // the synthetic corpus carries no PII, so plant a deterministic
       // email+phone on every third document — both engines construct the
@@ -4960,6 +4992,24 @@ object SparkEntry {
         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS avg5
         |FROM events ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    "q_doc_cosine_sparse" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 100),
+        |wt AS (SELECT tf.doc_id, tf.w, tf.tf * ln(nn.n / dfr.df) AS wt
+        |       FROM tf JOIN dfr ON dfr.w = tf.w, nn),
+        |nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wt GROUP BY 1),
+        |u AS (SELECT wt.doc_id, wt.w, wt.wt / nrm.nrm AS uw
+        |      FROM wt JOIN nrm ON nrm.doc_id = wt.doc_id WHERE nrm.nrm > 0),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        round(sum(a.uw * b.uw), 6) AS cosine
+        |      FROM u a JOIN u b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_tfidf_top_terms" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
