@@ -59,5 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary(ext, "graft_text_stats",
       "struct(n_tokens, n_subwords, alpha_ratio, digit_ratio, mean_tok_len, stopword_ratio, quality)",
       TextStatsExpr(_))
+    binary(ext, "graft_jaro_winkler",
+      "Jaro-Winkler similarity in [0,1] (DuckDB-compatible: 0.7 boost threshold)",
+      JaroWinklerExpr(_, _))
+    unary(ext, "graft_char_entropy",
+      "Shannon entropy (bits) of the code-point distribution",
+      CharEntropyExpr(_))
   }
 }

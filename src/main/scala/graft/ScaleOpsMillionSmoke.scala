@@ -296,5 +296,62 @@ object ScaleOpsMillionSmoke {
       s"non-first chunks missing from shifted copy: $unshared")
     assert(unshared == 0L,
       s"$unshared non-first chunks failed the shift-alignment law — boundaries not content-anchored")
+
+    // ---- k-core + personalized PageRank on a planted ~1M-edge graph ----
+    // disjoint K6s (core 5), K11s (core 10) and 10-leaf stars (core 1):
+    // the decomposition histogram is EXACT and the h-index iteration must
+    // hit its fixpoint in a handful of rounds (each component's values
+    // stabilize locally — no long decay chains planted; a bare path would
+    // instead converge end-inward in O(length) rounds, which is the
+    // documented worst case the maxIters guard exists for).
+    t0 = System.nanoTime()
+    val nC6 = math.max(n / 50, 100L)
+    val nC11 = math.max(n / 100, 100L)
+    val nStar = math.max(n / 100, 100L)
+    import spark.implicits._
+    def cliquePairs(k: Int) =
+      (for (i <- 0 until k; j <- (i + 1) until k) yield (i, j)).toDF("a", "b")
+    val base11 = nC6 * 6
+    val baseStar = base11 + nC11 * 11
+    val e6 = spark.range(nC6).crossJoin(broadcast(cliquePairs(6)))
+      .select((col("id") * 6 + col("a")).as("src"), (col("id") * 6 + col("b")).as("dst"))
+    val e11 = spark.range(nC11).crossJoin(broadcast(cliquePairs(11)))
+      .select((lit(base11) + col("id") * 11 + col("a")).as("src"),
+        (lit(base11) + col("id") * 11 + col("b")).as("dst"))
+    val eStar = spark.range(nStar).crossJoin(broadcast(
+        (0 until 10).map(l => Tuple1(l + 1)).toDF("leaf")))
+      .select((lit(baseStar) + col("id") * 11).as("src"),
+        (lit(baseStar) + col("id") * 11 + col("leaf")).as("dst"))
+    val und = e6.unionAll(e11).unionAll(eStar)
+    val bidir = und.unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val (coresDf, coreRounds) =
+      graft.operators.GraphOps.coreDecompositionCounted(bidir, maxIters = 10)
+    val hist = coresDf.groupBy(col("core")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kcSecs = (System.nanoTime() - t0) / 1e9
+    val nUndirected = nC6 * 15 + nC11 * 55 + nStar * 10
+    println(f"[smoke] kcore: $nUndirected undirected edges in $kcSecs%.1f s, " +
+      s"$coreRounds rounds; hist=$hist")
+    assert(hist == Map(5L -> nC6 * 6, 10L -> nC11 * 11, 1L -> nStar * 11),
+      s"planted decomposition mismatch: $hist")
+    assert(coreRounds <= 5, s"h-index iteration took $coreRounds rounds on planted components")
+
+    // PPR from one K11's nodes: restart mass must stay inside the clique
+    // (it is a connected component), split evenly by symmetry
+    t0 = System.nanoTime()
+    val seedClique = spark.range(11).select((lit(base11) + col("id")).as("node"))
+    val ppr = graft.operators.PageRank.runPersonalized(bidir, seedClique, iters = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inClique = ppr.filter(col("node") >= base11 && col("node") < base11 + 11)
+      .agg(sum(col("ppr"))).head().getDouble(0)
+    val outMax = ppr.filter(col("node") < base11 || col("node") >= base11 + 11)
+      .agg(max(col("ppr"))).head().getDouble(0)
+    val pprSecs = (System.nanoTime() - t0) / 1e9
+    ppr.unpersist(blocking = false)
+    println(f"[smoke] ppr: seeded K11 holds $inClique%.6f of the mass in $pprSecs%.1f s; " +
+      f"max outside = $outMax%.2e")
+    assert(math.abs(inClique - 1.0) < 1e-3, s"restart mass leaked the component: $inClique")
+    assert(outMax == 0.0, s"PPR mass reached a disconnected component: $outMax")
   }
 }

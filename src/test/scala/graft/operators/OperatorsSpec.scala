@@ -655,12 +655,16 @@ class OperatorsSpec extends SparkTestBase {
       """SELECT graft_euclidean(a, b) AS e, graft_dot(a, b) AS d,
         |       graft_langid(txt) AS lang,
         |       graft_text_stats(txt).n_tokens AS nt,
-        |       graft_pearson(a, b) AS p FROM ext_probe""".stripMargin).collect()(0)
+        |       graft_pearson(a, b) AS p,
+        |       graft_jaro_winkler('martha', 'marhta') AS jw,
+        |       graft_char_entropy('abcd') AS ce FROM ext_probe""".stripMargin).collect()(0)
     assert(math.abs(row.getDouble(0) - math.sqrt(4.0 + 9.0)) < 1e-12)
     assert(math.abs(row.getDouble(1) - 13.0) < 1e-12)
     assert(row.getString(2) == "en")
     assert(row.getInt(3) == 7)
     assert(math.abs(row.getDouble(4)) < 1e-12) // perfectly correlated → distance 0
+    assert(math.abs(row.getDouble(5) - 0.9611111111111111) < 1e-12)
+    assert(math.abs(row.getDouble(6) - 2.0) < 1e-12)
     spark.catalog.dropTempView("ext_probe")
   }
 
