@@ -2507,6 +2507,42 @@ object SparkEntry {
       // replacement state APIs are pinned emission-equivalent
       GraftSession.withShufflePartitions(s, 8)(
         graft.streaming.StreamingOps.runningMaxStreamTws(s, d))),
+    "q_stream_hll" -> ((s: SparkSession, d: String) =>
+      // streaming windowed HLL distinct users: max-merged registers make
+      // the streamed estimate bit-equal to batch, pinned per hour
+      GraftSession.withShufflePartitions(s, 8)(
+        graft.streaming.StreamingOps.hllStream(s, d))),
+    "q_multitouch" -> ((s: SparkSession, d: String) => {
+      // multi-touch attribution: every purchase distributes one unit of
+      // conversion credit over the user's view/click touches in the
+      // preceding 6 h, once linearly (1/k) and once time-decayed
+      // (half-life 2 h, normalized per purchase). The user-keyed
+      // equi-join bounds candidates to one user's history (per-user event
+      // counts are the skew bound — the same per-key contract as
+      // q_sessionize); Δt is exact integer microseconds on both engines.
+      // Output: credit mass by (touch_type, hour-of-day of the touch) —
+      // "which engagement hours drive conversions".
+      val ev = graft.io.EventsReader.batch(s, d)
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          unix_micros(col("ts")).as("pus"))
+      val touch = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_type").as("touch_type"),
+          hour(col("ts")).as("touch_hod"), unix_micros(col("ts")).as("tus"))
+      val hits = purch.join(touch, Seq("user_id"))
+        .filter(col("tus") < col("pus") &&
+          col("tus") >= col("pus") - lit(6L * 3600L * 1000000L))
+        .select(col("pid"), col("touch_type"), col("touch_hod"),
+          pow(lit(0.5), (col("pus") - col("tus")).cast("double") / lit(7.2e9)).as("w"))
+      val perPurchase = hits.groupBy(col("pid"))
+        .agg(count(lit(1)).as("k"), sum(col("w")).as("sumw"))
+      hits.join(perPurchase, Seq("pid"))
+        .groupBy(col("touch_type"), col("touch_hod"))
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum(lit(1.0) / col("k")), 6).as("linear_credit"),
+          round(sum(col("w") / col("sumw")), 6).as("decay_credit"))
+        .orderBy(col("touch_type"), col("touch_hod"))
+    }),
     "q_stream_ema" -> ((s: SparkSession, d: String) =>
       // stateful truncated EMA: bounded per-user ring state, identical
       // IEEE chain to the q_ema batch window — shares its oracle verbatim
@@ -5114,6 +5150,30 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
         |  round(sum(value), 3) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // exact per-hour cardinalities replayed in SQL; the two sketch
+    // contracts (stream-vs-batch bit equality from HLL's max-merge
+    // linearity, and the 3·rsd accuracy band) are engine-side booleans
+    "q_stream_hll" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  true AS est_eq_batch, true AS within_rsd
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q_multitouch" ->
+      """WITH p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pus
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_type AS touch_type,
+        |        CAST(hour(ts) AS INT) AS touch_hod, epoch_us(ts) AS tus
+        |      FROM events WHERE event_type IN ('view', 'click')),
+        |h AS (SELECT p.pid, t.touch_type, t.touch_hod,
+        |        pow(0.5, CAST(p.pus - t.tus AS DOUBLE) / 7200000000.0) AS w
+        |      FROM p JOIN t ON p.user_id = t.user_id
+        |      WHERE t.tus < p.pus AND t.tus >= p.pus - 21600000000),
+        |pp AS (SELECT pid, count(*) AS k, sum(w) AS sumw FROM h GROUP BY pid)
+        |SELECT h.touch_type, h.touch_hod, count(*) AS n_touches,
+        |  round(sum(1.0 / pp.k), 6) AS linear_credit,
+        |  round(sum(h.w / pp.sumw), 6) AS decay_credit
+        |FROM h JOIN pp ON pp.pid = h.pid
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
          |f AS (

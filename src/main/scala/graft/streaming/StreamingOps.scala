@@ -15,6 +15,45 @@ object StreamingOps {
     * stream to completion (AvailableNow) and returns the final result —
     * semantically identical to the batch `Relational.eventsHourly`.
     */
+  /** Streaming per-hour approximate distinct users (HLL++). The register
+    * file of HyperLogLog is a MAX-merge — fully order- and
+    * batching-invariant — so the streamed windowed estimate must equal the
+    * batch estimate BIT-FOR-BIT, not just within rsd: the same
+    * linearity-of-sketch contract q_stream_count_min pins for CMS,
+    * cashed in for cardinality. Output carries the exact per-hour count
+    * (SQL-replayable), the stream≡batch equality, and the 3·rsd accuracy
+    * boolean — both engine-side booleans the oracle asserts true. */
+  def hllStream(spark: SparkSession, dir: String): DataFrame = {
+    val est = graft.io.EventsReader.stream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("est"))
+    val name = s"hll_${System.nanoTime()}"
+    val q = est.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (streamed, _) = org.apache.spark.sql.GraftShim.materialize(
+      spark.table(name).select(col("window.start").as("hour"), col("est")))
+    spark.catalog.dropTempView(name)
+    val batch = graft.io.EventsReader.batch(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("best"))
+    streamed.join(batch, Seq("hour"))
+      .select(col("hour"), col("exact_users"),
+        (col("est") === col("best")).as("est_eq_batch"),
+        // 3·rsd is a RELATIVE guarantee — at the ~13-user/hour gate
+        // cardinalities it is under one unit, so the band carries the
+        // ±2 absolute floor small-range HLL bias needs (the bit-equality
+        // column is the load-bearing contract)
+        (abs(col("est") - col("exact_users")) <=
+          greatest(col("exact_users") * 0.06, lit(2.0))).as("within_rsd"))
+      .orderBy(col("hour"))
+  }
+
   def eventsHourlyStream(spark: SparkSession, dir: String): DataFrame = {
     // schema-adaptive ts normalization + dir-glob file source: EventsReader
     val stream = graft.io.EventsReader.stream(spark, dir)
