@@ -2507,6 +2507,11 @@ object SparkEntry {
       // replacement state APIs are pinned emission-equivalent
       GraftSession.withShufflePartitions(s, 8)(
         graft.streaming.StreamingOps.runningMaxStreamTws(s, d))),
+    "q_stream_zscore" -> ((s: SparkSession, d: String) =>
+      // streaming anomaly alerts: per-type prior-moment state (n, Σx,
+      // Σx²), self-exclusive |z| > 3 after 30 warm-up observations
+      GraftSession.withShufflePartitions(s, 8)(
+        graft.streaming.StreamingOps.zscoreStream(s, d))),
     "q_stream_hll" -> ((s: SparkSession, d: String) =>
       // streaming windowed HLL distinct users: max-merged registers make
       // the streamed estimate bit-equal to batch, pinned per hour
@@ -5150,6 +5155,25 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
         |  round(sum(value), 3) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // the stateful prior-moment chain replayed as a cumulative window:
+    // identical Σx²/n − μ² variance form, self-exclusive frame (1
+    // PRECEDING), same |z| > 3 threshold on the unrounded value
+    "q_stream_zscore" ->
+      """WITH w AS (
+        |  SELECT event_type, event_id, value,
+        |    count(*) OVER win AS np,
+        |    sum(value) OVER win AS sp,
+        |    sum(value * value) OVER win AS s2p
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, event_id,
+        |    (value - sp / np) / sqrt(s2p / np - (sp / np) * (sp / np)) AS z
+        |  FROM w WHERE np >= 30 AND s2p / np - (sp / np) * (sp / np) > 0)
+        |SELECT event_type, event_id, round(z, 6) AS z
+        |FROM z WHERE abs(z) > 3.0
+        |ORDER BY event_type, event_id""".stripMargin,
     // exact per-hour cardinalities replayed in SQL; the two sketch
     // contracts (stream-vs-batch bit equality from HLL's max-merge
     // linearity, and the 3·rsd accuracy band) are engine-side booleans

@@ -601,6 +601,70 @@ object StreamingOps {
       }
   }
 
+  /** Streaming z-score anomaly flags: per event type the state is the
+    * exact prior-moment triple (n, Σx, Σx²) — a dozen bytes per key, the
+    * smallest useful anomaly state — and each arriving event is scored
+    * against the PRIOR population (self-exclusive, so an outlier can't
+    * mask itself), flagged when |z| > 3 once `minN` observations have
+    * accumulated. Variance uses the replayable Σx²/n − μ² form (NOT
+    * Welford's) so a SQL cumulative window recomputes the identical
+    * doubles; ordering contract and loud cross-batch disorder rejection
+    * are [[emaChanges]]'s. Emits anomalies only — the alert stream. */
+  def zscoreStream(spark: SparkSession, dir: String, minN: Int = 30): DataFrame = {
+    import spark.implicits._
+    val events = graft.io.EventsReader.stream(spark, dir)
+      .select(col("event_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value").cast("double"))
+      .as[(Long, String, Long, Double)]
+    val out = zscoreChanges(events, minN)
+    val name = s"zscore_${System.nanoTime()}"
+    val q = out.toDF("event_type", "event_id", "z").writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (res, _) = org.apache.spark.sql.GraftShim.materialize(
+      spark.table(name).select(col("event_type"), col("event_id"),
+        round(col("z"), 6).as("z")))
+    spark.catalog.dropTempView(name)
+    res.orderBy(col("event_type"), col("event_id"))
+  }
+
+  /** The change stream underneath [[zscoreStream]]: rows are
+    * (event_id, event_type, ts_us, value); emits (event_type, event_id,
+    * unrounded z) for anomalies only. Exposed for multi-batch
+    * MemoryStream tests. */
+  def zscoreChanges(events: org.apache.spark.sql.Dataset[(Long, String, Long, Double)],
+      minN: Int): org.apache.spark.sql.Dataset[(String, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Long, Long, Double, Double), (String, Long, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (etype, it, state: GroupState[(Long, Long, Long, Double, Double)]) =>
+          var (n, lastTs, lastEid, s, s2) =
+            state.getOption.getOrElse((0L, Long.MinValue, Long.MinValue, 0.0, 0.0))
+          val rows = it.toSeq.sortBy(t => (t._3, t._1)).flatMap { case (eid, _, ts, v) =>
+            require(ts > lastTs || (ts == lastTs && eid >= lastEid),
+              s"zscoreChanges: out-of-order event for type $etype — " +
+                s"(ts=$ts, event_id=$eid) after (ts=$lastTs, event_id=$lastEid)")
+            val emit = if (n >= minN) {
+              val mean = s / n
+              val variance = s2 / n - mean * mean
+              if (variance > 0) {
+                val z = (v - mean) / math.sqrt(variance)
+                if (math.abs(z) > 3.0) Some((etype, eid, z)) else None
+              } else None
+            } else None
+            n += 1; s += v; s2 += v * v; lastTs = ts; lastEid = eid
+            emit
+          }
+          state.update((n, lastTs, lastEid, s, s2))
+          rows.iterator
+      }
+  }
+
   def sessionizeStream(spark: SparkSession, dir: String, gapMs: Long = 1800000L): DataFrame = {
     import spark.implicits._
     val events = graft.io.EventsReader.stream(spark, dir)

@@ -496,4 +496,38 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("streaming z-score moment state survives micro-batch boundaries") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("streamz").toString
+    // minN = 3 warm-up rows in batch 1; batch 2's spike must be scored
+    // against moments accumulated ACROSS the boundary
+    Seq((1L, "a", 100L, 1.0), (2L, "a", 200L, 2.0), (3L, "a", 300L, 3.0))
+      .toDF("event_id", "event_type", "ts_us", "value")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    Seq((4L, "a", 400L, 100.0), (5L, "a", 500L, 2.0))
+      .toDF("event_id", "event_type", "ts_us", "value")
+      .coalesce(1).write.parquet(s"$dir/b2")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").format("parquet").load(dir)
+      .as[(Long, String, Long, Double)]
+    val name = s"z_test_${System.nanoTime()}"
+    val q = StreamingOps.zscoreChanges(stream, minN = 3)
+      .toDF("event_type", "event_id", "z")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name).select("event_id", "z")
+      .as[(Long, Double)].collect().toMap
+    spark.catalog.dropTempView(name)
+    // prior to event 4: n=3, mean=2, var=(1+4+9)/3-4=2/3 → z=(100-2)/sqrt(2/3)
+    val z4 = (100.0 - 2.0) / math.sqrt(14.0 / 3.0 - 4.0)
+    assert(got.keySet == Set(4L), s"only the planted spike alerts, got $got")
+    assert(math.abs(got(4L) - z4) < 1e-9)
+    // event 5 is scored against moments INCLUDING the spike (n=4), where
+    // z is small — its absence proves the state updated across batch 2
+  }
 }
