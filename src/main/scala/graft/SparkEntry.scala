@@ -844,6 +844,33 @@ object SparkEntry {
     // ---- text analysis ----
     "q_tfidf_top_terms" -> ((s: SparkSession, d: String) =>
       TextOps.tfidfTopTerms(docs(s, d), k = 3).orderBy(col("doc_id"), col("rank"))),
+    "q_substring_search" -> ((s: SparkSession, d: String) => {
+      // literal substring search through an inverted character-3-gram
+      // index: candidates are docs whose gram set contains ALL of the
+      // pattern's grams (posting-list join + count filter — the
+      // search-engine shape that avoids scanning every document's text at
+      // 100 TB), then the exact contains() verify runs on candidates
+      // only. Gram normalization (lowercase + whitespace collapse) makes
+      // the candidate set a SUPERSET of raw matches, so the verify step
+      // makes the result exactly equal to the oracle's full scan — the
+      // same candidates-then-verify contract as the dedup family.
+      val pat = "merge batch"
+      val patGrams = s.range(1)
+        .select(explode(graft.expr.TextExpressions.charShingleHashes(lit(pat), 3)).as("g"))
+        .distinct()
+      val nPat = pat.length - 2 // grams of the already-normalized pattern
+      val postings = docs(s, d)
+        .select(col("doc_id"),
+          explode(graft.expr.TextExpressions.charShingleHashes(col("text"), 3)).as("g"))
+      val cand = postings.join(broadcast(patGrams), Seq("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+        .filter(col("hits") === nPat)
+        .select(col("doc_id"))
+      cand.join(docs(s, d), Seq("doc_id"))
+        .filter(col("text").contains(pat))
+        .select(col("doc_id"), instr(col("text"), pat).as("first_pos"))
+        .orderBy(col("doc_id"))
+    }),
     "q_doc_cosine_sparse" -> ((s: SparkSession, d: String) => {
       // sparse TF-IDF cosine pairs via the inverted index — the
       // sparse-vector twin of the dense kNN family: unit-normalized
@@ -5033,6 +5060,11 @@ object SparkEntry {
         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS avg5
         |FROM events ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    // the oracle is the full scan the index path must exactly reproduce
+    "q_substring_search" ->
+      """SELECT doc_id, CAST(strpos(text, 'merge batch') AS INT) AS first_pos
+        |FROM documents WHERE contains(text, 'merge batch')
+        |ORDER BY doc_id""".stripMargin,
     "q_doc_cosine_sparse" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
