@@ -338,6 +338,12 @@ object SparkEntry {
       // this verification-bound corpus (516k true pairs at sf0.1)
       Dedup.ngramJaccardPairsPrefix(docs(s, d), "source")
         .orderBy(col("block"), col("id_a"), col("id_b"))),
+    "q_ngram_containment" -> ((s: SparkSession, d: String) =>
+      // asymmetric containment |A∩B|/min(|A|,|B|): the subset-duplication
+      // detector symmetric Jaccard misses (doc pasted inside a larger
+      // one); same inverted-index candidate bound as q_ngram_jaccard
+      Dedup.ngramContainmentPairs(docs(s, d), "source", threshold = 0.9)
+        .orderBy(col("block"), col("id_a"), col("id_b"))),
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => {
       // pairs → transitive groups → canonical keeper: the end-to-end dedup
       // a training pipeline runs. Edges = ngram-jaccard ≥ 0.5 (oracle can
@@ -1905,6 +1911,29 @@ object SparkEntry {
           mutual.select(col("a").as("src"), col("b").as("dst")))
         .orderBy(col("node"))
     }),
+    "q_link_prediction" -> ((s: SparkSession, d: String) => {
+      // common-neighbor Jaccard link prediction over the same mutual-kNN
+      // semantic graph as q_triangle_count: candidate pairs from the
+      // wedge join through shared neighbors — O(k²·n) on a kNN graph
+      // because the center degree is capped by k — scored
+      // |N∩|/|N∪| with an is_edge split (predicts missing semantic links
+      // vs explains existing ones). The bounded 200-vector slice is the
+      // same demo contract as the triangle query; at corpus scale the
+      // kNN edges come from the IVF tier.
+      val sub = Relational.embeddings(s, d).filter(col("vec_id") < 200)
+      val top = Similarity.bruteForceTopK(
+          sub.select(col("vec_id").as("qid"), col("vec").as("qv")),
+          sub.select(col("vec_id").as("cid"), col("vec").as("cv")),
+          k = 10)
+        .select(col("qid").as("a"), col("cid").as("b"))
+      val mutual = top
+        .join(top.select(col("b").as("a"), col("a").as("b")),
+          Seq("a", "b"), "left_semi")
+        .filter(col("a") < col("b"))
+      graft.operators.GraphOps.linkPredictionJaccard(
+          mutual.select(col("a").as("src"), col("b").as("dst")), threshold = 0.2)
+        .orderBy(col("a"), col("b"))
+    }),
     "q_anomaly_zscore" -> ((s: SparkSession, d: String) => {
       // time-series anomaly flags: each event type's gap-filled hourly
       // count z-scored against its own trailing 24 observed hours. The
@@ -3359,6 +3388,18 @@ object SparkEntry {
         |      ['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that'], t))) AS DOUBLE) / len(toks), 6) END AS stopword_ratio
         |FROM (SELECT *, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q_ngram_containment" ->
+      """WITH sh AS (
+        |  SELECT source AS block, doc_id AS id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(n) - 2, 1)),
+        |      i -> substr(n, i, 3))) AS s
+        |  FROM (SELECT *, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n FROM documents))
+        |SELECT block, id_a, id_b, containment FROM (
+        |  SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
+        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      least(len(a.s), len(b.s)), 6) AS containment
+        |  FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id)
+        |WHERE containment >= 0.9 ORDER BY block, id_a, id_b""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT source AS block, doc_id AS id,
@@ -4693,6 +4734,33 @@ object SparkEntry {
          |         UNION ALL SELECT z FROM tri) GROUP BY node)
          |SELECT n.node, coalesce(pn.n_tri, CAST(0 AS BIGINT)) AS n_tri
          |FROM nodes n LEFT JOIN pn USING (node) ORDER BY node""".stripMargin,
+    // same mutual-kNN preamble as q_triangle_count, then wedge-join
+    // common-neighbor counts and the Jaccard score
+    "q_link_prediction" ->
+      s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+         |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |        round(${sqlDot("q.embedding", "c.embedding")} /
+         |          (${sqlNorm("q.embedding")} * ${sqlNorm("c.embedding")}), 6) AS cos_sim
+         |      FROM sub q JOIN sub c ON q.vec_id <> c.vec_id),
+         |top AS (SELECT qid AS a, cid AS b FROM (
+         |          SELECT qid, cid, row_number() OVER
+         |            (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn FROM p)
+         |        WHERE rn <= 10),
+         |mut AS (SELECT t.a, t.b FROM top t
+         |        WHERE t.a < t.b
+         |          AND EXISTS (SELECT 1 FROM top r WHERE r.a = t.b AND r.b = t.a)),
+         |und AS (SELECT a AS ctr, b AS nbr FROM mut
+         |        UNION ALL SELECT b AS ctr, a AS nbr FROM mut),
+         |deg AS (SELECT nbr AS node, count(*) AS deg FROM und GROUP BY 1),
+         |cn AS (SELECT u.nbr AS u, v.nbr AS v, count(*) AS cn
+         |       FROM und u JOIN und v ON u.ctr = v.ctr AND u.nbr < v.nbr
+         |       GROUP BY 1, 2),
+         |j AS (SELECT cn.u AS a, cn.v AS b,
+         |        round(CAST(cn.cn AS DOUBLE) / (du.deg + dv.deg - cn.cn), 6) AS jaccard,
+         |        EXISTS (SELECT 1 FROM mut m WHERE m.a = cn.u AND m.b = cn.v) AS is_edge
+         |      FROM cn JOIN deg du ON du.node = cn.u JOIN deg dv ON dv.node = cn.v)
+         |SELECT a, b, jaccard, is_edge FROM j WHERE jaccard >= 0.2
+         |ORDER BY a, b""".stripMargin,
     // trailing-24h z-scores over the gap-filled hourly series; the window
     // stats are explicit integer sums so the IEEE chain
     // (cnt − s/n)/sqrt((ss − s·s/n)/(n−1)) is engine-identical

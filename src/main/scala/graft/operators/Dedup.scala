@@ -285,6 +285,46 @@ object Dedup {
       .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric containment near-dup: |A∩B| / min(|A|,|B|) over the same
+    * blocked inverted-index candidates as [[ngramJaccardPairs]]. Catches
+    * the subset-duplication symmetric Jaccard structurally misses — a
+    * document pasted verbatim inside a much larger one scores
+    * containment ≈ 1 while its Jaccard ≈ |A|/|B| can sit far below any
+    * dedup threshold (the boilerplate-inclusion case in Lee et al.'s
+    * dedup taxonomy). Same candidate bound (one shingle-keyed self-join,
+    * `maxDf` hot-shingle guard), same exact-verify contract. */
+  def ngramContainmentPairs(
+      docs: DataFrame,
+      blockCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      threshold: Double = 0.9,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val sh = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
+        graft.expr.TextExpressions.charShingleHashes(col(textCol), n).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+    val inv0 = sh.select(col("block"), col("id"), col("nsh"), explode(col("sh")).as("h"))
+    val inv =
+      if (maxDf == Long.MaxValue) inv0
+      else {
+        val hot = inv0.groupBy(col("block"), col("h"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+          .select(col("block"), col("h"))
+        inv0.join(hot, Seq("block", "h"), "left_anti")
+      }
+    val a = inv.select(col("block"), col("h"), col("id").as("id_a"), col("nsh").as("nsh_a"))
+    val b = inv.select(col("block"), col("h"), col("id").as("id_b"), col("nsh").as("nsh_b"))
+    a.join(b, Seq("block", "h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("block"), col("id_a"), col("id_b"), col("nsh_a"), col("nsh_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment", round(col("common").cast("double") /
+        least(col("nsh_a"), col("nsh_b")), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("block"), col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Embedding cosine near-duplicates over a multi-band LSH candidate set:
     * per band, `bitsPerBand` random-hyperplane sign bits form a bucket id;
     * candidates are pairs sharing ANY band's bucket (id-only, deduped), then

@@ -242,4 +242,41 @@ object GraphOps {
   /** [[coreDecompositionCounted]] without the round count. */
   def coreDecomposition(edges: DataFrame, maxIters: Int = 20): DataFrame =
     coreDecompositionCounted(edges, maxIters)._1
+
+  /** Common-neighbor Jaccard link prediction: for every node pair sharing
+    * at least one neighbor, J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)|, with an
+    * `is_edge` flag so callers can split "explains existing edges" from
+    * "predicts missing ones". Candidate pairs come from the wedge join
+    * (two-hop paths through a shared center), so the quadratic step is
+    * per-CENTER-degree — on a kNN graph the degree is capped by k and the
+    * whole computation is O(k²·n); on a general graph pre-drop hub
+    * centers the way triangleCount's orientation does.
+    *
+    * @param edges undirected edge list, any direction/duplication
+    * @return (a, b, jaccard, is_edge) with a < b, jaccard ≥ `threshold` */
+  def linkPredictionJaccard(edges: DataFrame, threshold: Double = 0.0): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // read by wedges (twice), degrees and the flag join
+    val und = canon.select(col("a").as("ctr"), col("b").as("nbr"))
+      .unionAll(canon.select(col("b").as("ctr"), col("a").as("nbr")))
+    val deg = und.groupBy(col("nbr").as("node")).agg(count(lit(1)).as("deg"))
+    val wedges = und.select(col("ctr"), col("nbr").as("u"))
+      .join(und.select(col("ctr"), col("nbr").as("v")), Seq("ctr"))
+      .filter(col("u") < col("v"))
+    val common = wedges.groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+    common
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .join(canon.select(col("a").as("u"), col("b").as("v"), lit(true).as("e")),
+        Seq("u", "v"), "left")
+      .select(col("u").as("a"), col("v").as("b"),
+        round(col("cn").cast("double") / (col("du") + col("dv") - col("cn")), 6)
+          .as("jaccard"),
+        coalesce(col("e"), lit(false)).as("is_edge"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

@@ -61,6 +61,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_bm25" -> "single-row broadcast corpus-stats frame (N, Σdl, per-term df) joined onto every doc — the 1-row-frame normalizer pattern",
     "q_histogram" -> "single-row broadcast [min,max] span frame fanned onto the value rows — the 1-row-frame normalizer pattern",
     "q_triangle_count" -> "broadcast 200-vector bounded slice building the mutual-kNN graph (at corpus scale the edges come from the IVF tier); the triangle closure itself is equi-join only",
+    "q_link_prediction" -> "same bounded 200-vector mutual-kNN preamble as q_triangle_count; the wedge join and Jaccard scoring are equi-join only",
     "q_mix_temperature" -> "single-row normalizer z joined to per-source counts",
     "q_mutual_reachability" -> "bounded demo slice: pairwise mutual-reachability showcase",
     "q_quality_buckets" -> "single-row percentile-boundaries frame",
