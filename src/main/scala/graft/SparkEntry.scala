@@ -2573,6 +2573,62 @@ object SparkEntry {
       // the streamed estimate bit-equal to batch, pinned per hour
       GraftSession.withShufflePartitions(s, 8)(
         graft.streaming.StreamingOps.hllStream(s, d))),
+    "q_session_paths" -> ((s: SparkSession, d: String) => {
+      // user-journey mining: sessionize (30 min gap, the q_sessionize
+      // recurrence), render each session's strictly-(ts, event_id)-ordered
+      // event-type sequence as a path string, count identical journeys
+      // corpus-wide and keep paths seen >= 5 times. One window pass + two
+      // map-side-combinable aggregations; the path assembly sorts only
+      // WITHIN a session's collected list (bounded by session length),
+      // never a global sort.
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.io.EventsReader.batch(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"))
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      val sess = ev
+        .withColumn("new_sess",
+          when(col("ts_ms") - lag(col("ts_ms"), 1).over(wOrd) > 1800000L, 1).otherwise(0))
+        .withColumn("session_idx", sum(col("new_sess"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val paths = sess.groupBy(col("user_id"), col("session_idx"))
+        .agg(concat_ws(">", transform(
+          array_sort(collect_list(struct(col("ts_ms"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .filter(col("n_sessions") >= 5)
+        .orderBy(col("n_sessions").desc, col("path"))
+    }),
+    "q_ab_test" -> ((s: SparkSession, d: String) => {
+      // experiment readout: users split into two deterministic variants
+      // (user_id parity — as replayable as the md5 split q_train_split
+      // uses), metric = purchases per user, Welch two-sample z on the
+      // variant means from the exact sufficient sums (n, Σx, Σx² per
+      // variant — one map-side-combinable aggregate), |z| > 1.96
+      // significance flag. The A/B dashboard query at any scale; on this
+      // synthetic split the truth is "not significant", which the gate
+      // then actually verifies.
+      val ev = graft.io.EventsReader.batch(s, d)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .cast("double").as("x"))
+        .withColumn("variant", (col("user_id") % 2).cast("int"))
+      val agg = perUser.agg(
+        sum(when(col("variant") === 0, 1).otherwise(0)).cast("double").as("na"),
+        sum(when(col("variant") === 1, 1).otherwise(0)).cast("double").as("nb"),
+        sum(when(col("variant") === 0, col("x")).otherwise(0.0)).as("sa"),
+        sum(when(col("variant") === 1, col("x")).otherwise(0.0)).as("sb"),
+        sum(when(col("variant") === 0, col("x") * col("x")).otherwise(0.0)).as("qa"),
+        sum(when(col("variant") === 1, col("x") * col("x")).otherwise(0.0)).as("qb"))
+      val z = (col("sb") / col("nb") - col("sa") / col("na")) /
+        sqrt((col("qa") / col("na") - (col("sa") / col("na")) * (col("sa") / col("na"))) / col("na")
+          + (col("qb") / col("nb") - (col("sb") / col("nb")) * (col("sb") / col("nb"))) / col("nb"))
+      agg.select(col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        round(col("sa") / col("na"), 6).as("mean_a"),
+        round(col("sb") / col("nb"), 6).as("mean_b"),
+        round(z, 6).as("z"),
+        (abs(z) > 1.96).as("significant"))
+    }),
     "q_multitouch" -> ((s: SparkSession, d: String) => {
       // multi-touch attribution: every purchase distributes one unit of
       // conversion credit over the user's view/click touches in the
@@ -5282,6 +5338,40 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS exact_users,
         |  true AS est_eq_batch, true AS within_rsd
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |s AS (SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER
+        |        (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+        |        THEN 1 ELSE 0 END AS new_sess FROM e),
+        |s2 AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS session_idx FROM s),
+        |p AS (SELECT user_id, session_idx,
+        |        string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS path
+        |      FROM s2 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1 HAVING count(*) >= 5
+        |ORDER BY n_sessions DESC, path""".stripMargin,
+    "q_ab_test" ->
+      """WITH pu AS (SELECT user_id,
+        |        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS x,
+        |        CAST(user_id % 2 AS INT) AS variant
+        |      FROM events GROUP BY user_id),
+        |s AS (SELECT
+        |        CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+        |        CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+        |        sum(CASE WHEN variant = 0 THEN x ELSE 0.0 END) AS sa,
+        |        sum(CASE WHEN variant = 1 THEN x ELSE 0.0 END) AS sb,
+        |        sum(CASE WHEN variant = 0 THEN x * x ELSE 0.0 END) AS qa,
+        |        sum(CASE WHEN variant = 1 THEN x * x ELSE 0.0 END) AS qb
+        |      FROM pu)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(sa / na, 6) AS mean_a, round(sb / nb, 6) AS mean_b,
+        |  round((sb / nb - sa / na) /
+        |    sqrt((qa / na - (sa / na) * (sa / na)) / na
+        |       + (qb / nb - (sb / nb) * (sb / nb)) / nb), 6) AS z,
+        |  abs((sb / nb - sa / na) /
+        |    sqrt((qa / na - (sa / na) * (sa / na)) / na
+        |       + (qb / nb - (sb / nb) * (sb / nb)) / nb)) > 1.96 AS significant
+        |FROM s""".stripMargin,
     "q_multitouch" ->
       """WITH p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pus
         |           FROM events WHERE event_type = 'purchase'),
