@@ -2573,6 +2573,60 @@ object SparkEntry {
       // the streamed estimate bit-equal to batch, pinned per hour
       GraftSession.withShufflePartitions(s, 8)(
         graft.streaming.StreamingOps.hllStream(s, d))),
+    "q_winsorize" -> ((s: SparkSession, d: String) => {
+      // robust preprocessing: clip each event type's value at its exact
+      // [P05, P95] (the same interpolated percentile q_percentiles pins
+      // against quantile_cont), then report raw vs winsorized means and
+      // the clipped-row count. The cut frame is type-shaped (broadcast);
+      // one percentile pass + one clip pass.
+      val ev = graft.io.EventsReader.batch(s, d)
+        .select(col("event_type"), col("value"))
+      val cuts = ev.groupBy(col("event_type"))
+        .agg(percentile(col("value"), array(lit(0.05), lit(0.95))).as("p"))
+        .select(col("event_type"),
+          element_at(col("p"), 1).as("lo"), element_at(col("p"), 2).as("hi"))
+      ev.join(broadcast(cuts), Seq("event_type"))
+        .select(col("event_type"), col("value"), col("lo"), col("hi"),
+          least(greatest(col("value"), col("lo")), col("hi")).as("w"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")), 6).as("mean_raw"),
+          round(avg(col("w")), 6).as("mean_winsor"),
+          sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+            .otherwise(0L)).as("n_clipped"))
+        .orderBy(col("event_type"))
+    }),
+    "q_ks_test" -> ((s: SparkSession, d: String) => {
+      // two-sample Kolmogorov-Smirnov drift test between the even- and
+      // odd-user value distributions — the training/serving
+      // distribution-drift gate. Tie-safe: counts are aggregated per
+      // DISTINCT value first, then one cumulative window over the sorted
+      // value domain gives both empirical CDFs; D = max |F_a − F_b|, and
+      // the 5% critical value 1.358·sqrt((na+nb)/(na·nb)) yields the
+      // drift flag. One global sort of the compressed (distinct-value)
+      // domain — the same compressed-domain trick as q_skyline.
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.io.EventsReader.batch(s, d)
+        .select(col("value"), (col("user_id") % 2).cast("int").as("variant"))
+      val perV = ev.groupBy(col("value"))
+        .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("cb"))
+      val w = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = perV.select(col("value"),
+        sum(col("ca")).over(w).as("cuma"), sum(col("cb")).over(w).as("cumb"))
+      val tot = cum.agg(max(col("cuma")).as("na"), max(col("cumb")).as("nb"))
+      cum.crossJoin(broadcast(tot))
+        .select((abs(col("cuma") / col("na").cast("double")
+          - col("cumb") / col("nb").cast("double"))).as("diff"),
+          col("na"), col("nb"))
+        .groupBy(col("na"), col("nb"))
+        .agg(max(col("diff")).as("d_raw"))
+        .select(col("na"), col("nb"), round(col("d_raw"), 6).as("d"),
+          (col("d_raw") > lit(1.358) *
+            sqrt((col("na") + col("nb")).cast("double") /
+              (col("na") * col("nb")).cast("double"))).as("drifted"))
+    }),
     "q_session_paths" -> ((s: SparkSession, d: String) => {
       // user-journey mining: sessionize (30 min gap, the q_sessionize
       // recurrence), render each session's strictly-(ts, event_id)-ordered
@@ -5338,6 +5392,36 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS exact_users,
         |  true AS est_eq_batch, true AS within_rsd
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q_winsorize" ->
+      """WITH c AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |             quantile_cont(value, 0.95) AS hi
+        |           FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  round(avg(e.value), 6) AS mean_raw,
+        |  round(avg(least(greatest(e.value, c.lo), c.hi)), 6) AS mean_winsor,
+        |  CAST(sum(CASE WHEN e.value < c.lo OR e.value > c.hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clipped
+        |FROM events e JOIN c USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ks_test" ->
+      """WITH ev AS (SELECT value, CAST(user_id % 2 AS INT) AS variant FROM events),
+        |pv AS (SELECT value,
+        |         sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS ca,
+        |         sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS cb
+        |       FROM ev GROUP BY 1),
+        |cum AS (SELECT value,
+        |          sum(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cuma,
+        |          sum(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cumb
+        |        FROM pv),
+        |tot AS (SELECT max(cuma) AS tna, max(cumb) AS tnb FROM cum),
+        |d AS (SELECT max(abs(cuma / CAST(tna AS DOUBLE) - cumb / CAST(tnb AS DOUBLE)))
+        |        AS d_raw, tna, tnb
+        |      FROM cum, tot GROUP BY tna, tnb)
+        |SELECT CAST(tna AS BIGINT) AS na, CAST(tnb AS BIGINT) AS nb,
+        |  round(d_raw, 6) AS d,
+        |  d_raw > 1.358 * sqrt(CAST(tna + tnb AS DOUBLE) / CAST(tna * tnb AS DOUBLE))
+        |    AS drifted
+        |FROM d""".stripMargin,
     "q_session_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
         |s AS (SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER

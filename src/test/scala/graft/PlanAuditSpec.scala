@@ -43,6 +43,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_mst_distributed" -> "150-point reference dataset pairwise edge build, broadcast side",
     "q_core_distance_window" -> "bounded demo slice crossJoin (pairwise distances over <=200 points)",
     "q_corpus_mix" -> "single-row corpus-totals frame joined to every cell",
+    "q_ks_test" -> "single-row (na, nb) totals frame crossJoined onto the compressed distinct-value CDF domain",
     "q_corpus_overlap" -> "three single-row sketch-aggregate frames crossJoined into one result row",
     "q_scd2_lookup" -> "single-row global time-span frame crossJoined into the probe generator",
     "q_embed_quantize" -> "single-row packed min/max-arrays frame broadcast to the code transform",
