@@ -2573,6 +2573,43 @@ object SparkEntry {
       // the streamed estimate bit-equal to batch, pinned per hour
       GraftSession.withShufflePartitions(s, 8)(
         graft.streaming.StreamingOps.hllStream(s, d))),
+    "q_mutual_info" -> ((s: SparkSession, d: String) => {
+      // mutual information between event type and hour-of-day (nats) —
+      // the feature-relevance score a pipeline computes before keeping a
+      // feature: one contingency aggregation, marginals derived from it,
+      // Σ p·ln(p/(px·py)) as a second map-side-combinable sum. Zero
+      // cells contribute zero (never ln 0): the join only materializes
+      // observed cells.
+      val ev = graft.io.EventsReader.batch(s, d)
+        .select(col("event_type").as("x"), hour(col("ts")).as("y"))
+      val joint = ev.groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+        .localCheckpoint(true) // marginals + MI both read it
+      val nTot = joint.agg(sum(col("nxy"))).head().getLong(0).toDouble
+      val mx = joint.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+      val my = joint.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+      joint.join(mx, Seq("x")).join(broadcast(my), Seq("y"))
+        .select(((col("nxy") / nTot) *
+          log((col("nxy") * nTot) / (col("nx") * col("ny")))).as("term"))
+        .agg(round(sum(col("term")), 6).as("mi_nats"),
+          count(lit(1)).as("n_cells"))
+    }),
+    "q_gini" -> ((s: SparkSession, d: String) => {
+      // engagement concentration: Gini coefficient of per-user event
+      // counts via the sorted-rank closed form G = (2·Σ i·x_i)/(n·Σx) −
+      // (n+1)/n over counts ascending — one user-shaped aggregation, one
+      // compressed-domain rank window (the q_skyline/q_ks_test trick),
+      // two scalar sums.
+      import org.apache.spark.sql.expressions.Window
+      val cnt = graft.io.EventsReader.batch(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      val ranked = cnt.select(col("x"),
+        row_number().over(Window.orderBy(col("x"), col("user_id"))).as("i"))
+      ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("i")).as("sxi"))
+        .select(col("n"),
+          round(lit(2.0) * col("sxi") / (col("n") * col("sx")).cast("double")
+            - (col("n") + 1).cast("double") / col("n").cast("double"), 6).as("gini"))
+    }),
     "q_winsorize" -> ((s: SparkSession, d: String) => {
       // robust preprocessing: clip each event type's value at its exact
       // [P05, P95] (the same interpolated percentile q_percentiles pins
@@ -5392,6 +5429,22 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS exact_users,
         |  true AS est_eq_batch, true AS within_rsd
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q_mutual_info" ->
+      """WITH ev AS (SELECT event_type AS x, CAST(hour(ts) AS INT) AS y FROM events),
+        |joint AS (SELECT x, y, count(*) AS nxy FROM ev GROUP BY 1, 2),
+        |nt AS (SELECT CAST(sum(nxy) AS DOUBLE) AS n FROM joint),
+        |mx AS (SELECT x, sum(nxy) AS nx FROM joint GROUP BY 1),
+        |my AS (SELECT y, sum(nxy) AS ny FROM joint GROUP BY 1)
+        |SELECT round(sum((j.nxy / nt.n) * ln((j.nxy * nt.n) / (mx.nx * my.ny))), 6)
+        |    AS mi_nats,
+        |  count(*) AS n_cells
+        |FROM joint j JOIN mx USING (x) JOIN my USING (y), nt""".stripMargin,
+    "q_gini" ->
+      """WITH c AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM c),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(x * i) AS sxi FROM r)
+        |SELECT n, round(2.0 * sxi / CAST(n * sx AS DOUBLE)
+        |  - CAST(n + 1 AS DOUBLE) / n, 6) AS gini FROM s""".stripMargin,
     "q_winsorize" ->
       """WITH c AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
         |             quantile_cont(value, 0.95) AS hi
