@@ -2767,7 +2767,112 @@ object SparkEntry {
     "q_stream_session_window" -> ((s: SparkSession, d: String) =>
       // native session_window aggregation (declarative sessionizer)
       GraftSession.withShufflePartitions(s, 8)(
-        graft.streaming.StreamingOps.sessionWindowStream(s, d)))
+        graft.streaming.StreamingOps.sessionWindowStream(s, d))),
+    "q_autocorr" -> ((s: SparkSession, d: String) => {
+      // time-series diagnostics: autocorrelation of the hourly event-count
+      // series at lags 1..6 — r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)² with
+      // every sort/window over the hour-COMPRESSED domain (the q_ks_test
+      // trick: one tiny ordered pass over distinct hours, never the raw
+      // events), mean from one broadcast 1-row aggregate, all six lags in
+      // a single window pass + a single scalar aggregate.
+      import org.apache.spark.sql.expressions.Window
+      val series = graft.io.EventsReader.batch(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val mu = series.agg(avg(col("x")).as("mu"))
+      val w = Window.orderBy(col("h"))
+      val lagged = (1 to 6).foldLeft(series)((df, k) =>
+        df.withColumn(s"l$k", lag(col("x"), k).over(w)))
+        .crossJoin(broadcast(mu))
+      val terms = lagged.agg(
+        sum((col("x") - col("mu")) * (col("x") - col("mu"))).as("den"),
+        (1 to 6).map(k => sum(when(col(s"l$k").isNotNull,
+          (col("x") - col("mu")) * (col(s"l$k") - col("mu"))).otherwise(lit(0.0)))
+          .as(s"num$k")): _*)
+      terms.select(explode(array((1 to 6).map(k =>
+          struct(lit(k).as("lag"), round(col(s"num$k") / col("den"), 6).as("r"))): _*)).as("a"))
+        .select(col("a.lag").as("lag"), col("a.r").as("r"))
+        .orderBy(col("lag"))
+    }),
+    "q_chi_square" -> ((s: SparkSession, d: String) => {
+      // chi-square test of independence, lang × source, over the document
+      // corpus — the categorical association/drift gate beside q_mutual_info.
+      // Observed cells from ONE corpus aggregation; the FULL r×c grid is
+      // rebuilt from the two tiny marginal frames (a zero-observed cell
+      // still contributes its expected mass — dropping it understates χ²),
+      // so everything after the first groupBy is broadcast-sized.
+      val joint = docs(s, d).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o")).localCheckpoint(true)
+      val ml = joint.groupBy(col("lang")).agg(sum(col("o")).as("nl"))
+      val ms = joint.groupBy(col("source")).agg(sum(col("o")).as("ns"))
+      val grid = ml.crossJoin(broadcast(ms))
+        .join(joint, Seq("lang", "source"), "left")
+        .select(coalesce(col("o"), lit(0L)).as("o"), col("nl"), col("ns"))
+      val tot = grid.agg(sum(col("o")).as("n"))
+      grid.crossJoin(broadcast(tot))
+        .select(col("o"),
+          (col("nl") * col("ns") / col("n").cast("double")).as("e"), col("n"))
+        .groupBy(col("n"))
+        .agg(round(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")), 6)
+            .as("chi2"),
+          count(lit(1)).as("n_cells"))
+        .select(col("chi2"), col("n_cells"), col("n"))
+    }),
+    "q_spearman" -> ((s: SparkSession, d: String) => {
+      // Spearman rank correlation (tie-aware) between quantity and
+      // extended price over lineitem: average ranks via the compressed-
+      // domain cumulative window (per distinct value avg rank = cumcnt −
+      // (cnt−1)/2 — the q_ks_test pattern, so the only ordered windows run
+      // over distinct-VALUE frames, never row-shaped ones), rank maps
+      // joined back (the ~50-value quantity map broadcasts), then ONE
+      // Pearson corr over the rank pairs.
+      import org.apache.spark.sql.expressions.Window
+      val li = Relational.table(s, d, "lineitem")
+        .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      def rankMap(c: String) = {
+        val w = Window.orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .select(col(c),
+            (sum(col("cnt")).over(w) - (col("cnt") - 1) / lit(2.0)).as(s"${c}_rank"))
+      }
+      li.join(broadcast(rankMap("x")), Seq("x"))
+        .join(rankMap("y"), Seq("y"))
+        .agg(round(corr(col("x_rank"), col("y_rank")), 6).as("rho"),
+          count(lit(1)).as("n"))
+    }),
+    "q_mann_whitney" -> ((s: SparkSession, d: String) => {
+      // Mann-Whitney U rank-sum test: are English docs longer than German
+      // ones? The nonparametric complement to q_ab_test's Welch z and
+      // q_ks_test's D, with the textbook tie-corrected normal
+      // approximation. All rank math on the compressed n_chars domain:
+      // per distinct length keep (total count, group-a count), ONE
+      // cumulative window gives average ranks and the Σ(t³−t) tie term,
+      // then U, z and the 5% flag fall out of one scalar aggregate.
+      import org.apache.spark.sql.expressions.Window
+      val doc = docs(s, d).filter(col("lang").isin("en", "de"))
+        .select((col("lang") === "en").cast("int").as("a"), col("n_chars").as("v"))
+      val perV = doc.groupBy(col("v"))
+        .agg(count(lit(1)).as("cnt"), sum(col("a")).as("ca"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = perV.select(col("cnt"), col("ca"),
+        (sum(col("cnt")).over(w) - (col("cnt") - 1) / lit(2.0)).as("avg_rank"),
+        (col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie3"))
+      ranked.agg(
+          sum(col("ca")).as("n1"), sum(col("cnt") - col("ca")).as("n2"),
+          sum(col("ca") * col("avg_rank")).as("r1"), sum(col("tie3")).as("ties"))
+        .select(col("n1"), col("n2"),
+          (col("r1") - col("n1") * (col("n1") + 1) / lit(2.0)).as("u1_raw"),
+          col("ties"))
+        .select(col("n1"), col("n2"), round(col("u1_raw"), 6).as("u1"),
+          round((col("u1_raw") - col("n1") * col("n2") / lit(2.0)) /
+            sqrt(col("n1") * col("n2") / lit(12.0) *
+              ((col("n1") + col("n2") + 1) -
+                col("ties") / ((col("n1") + col("n2")) * (col("n1") + col("n2") - 1))
+                  .cast("double"))), 6).as("z"))
+        .withColumn("significant", abs(col("z")) > 1.96)
+    })
   )
 
   // ---------- DuckDB oracle SQL ----------
@@ -5553,6 +5658,70 @@ object SparkEntry {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) + 1 AS session_idx
          |  FROM f)
          |SELECT user_id, max(session_idx) AS n_sessions
-         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_autocorr" ->
+      """WITH s AS (SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS DOUBLE) AS x
+        |           FROM events GROUP BY 1),
+        |m AS (SELECT avg(x) AS mu FROM s),
+        |l AS (SELECT x,
+        |        lag(x, 1) OVER (ORDER BY h) AS l1, lag(x, 2) OVER (ORDER BY h) AS l2,
+        |        lag(x, 3) OVER (ORDER BY h) AS l3, lag(x, 4) OVER (ORDER BY h) AS l4,
+        |        lag(x, 5) OVER (ORDER BY h) AS l5, lag(x, 6) OVER (ORDER BY h) AS l6
+        |      FROM s),
+        |t AS (SELECT sum((x - mu) * (x - mu)) AS den,
+        |        sum(CASE WHEN l1 IS NOT NULL THEN (x - mu) * (l1 - mu) ELSE 0 END) AS num1,
+        |        sum(CASE WHEN l2 IS NOT NULL THEN (x - mu) * (l2 - mu) ELSE 0 END) AS num2,
+        |        sum(CASE WHEN l3 IS NOT NULL THEN (x - mu) * (l3 - mu) ELSE 0 END) AS num3,
+        |        sum(CASE WHEN l4 IS NOT NULL THEN (x - mu) * (l4 - mu) ELSE 0 END) AS num4,
+        |        sum(CASE WHEN l5 IS NOT NULL THEN (x - mu) * (l5 - mu) ELSE 0 END) AS num5,
+        |        sum(CASE WHEN l6 IS NOT NULL THEN (x - mu) * (l6 - mu) ELSE 0 END) AS num6
+        |      FROM l, m)
+        |SELECT 1 AS lag, round(num1 / den, 6) AS r FROM t
+        |UNION ALL SELECT 2, round(num2 / den, 6) FROM t
+        |UNION ALL SELECT 3, round(num3 / den, 6) FROM t
+        |UNION ALL SELECT 4, round(num4 / den, 6) FROM t
+        |UNION ALL SELECT 5, round(num5 / den, 6) FROM t
+        |UNION ALL SELECT 6, round(num6 / den, 6) FROM t
+        |ORDER BY lag""".stripMargin,
+    "q_chi_square" ->
+      """WITH j AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |ml AS (SELECT lang, sum(o) AS nl FROM j GROUP BY 1),
+        |ms AS (SELECT source, sum(o) AS ns FROM j GROUP BY 1),
+        |g AS (SELECT coalesce(j.o, 0) AS o, ml.nl, ms.ns
+        |      FROM ml CROSS JOIN ms
+        |      LEFT JOIN j ON j.lang = ml.lang AND j.source = ms.source),
+        |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM g)
+        |SELECT round(sum((g.o - g.nl * g.ns / CAST(nt.n AS DOUBLE))
+        |         * (g.o - g.nl * g.ns / CAST(nt.n AS DOUBLE))
+        |         / (g.nl * g.ns / CAST(nt.n AS DOUBLE))), 6) AS chi2,
+        |  count(*) AS n_cells, max(nt.n) AS n
+        |FROM g, nt""".stripMargin,
+    "q_spearman" ->
+      """WITH li AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+        |rx AS (SELECT x, sum(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+        |         - (cnt - 1) / 2.0 AS x_rank
+        |       FROM (SELECT x, count(*) AS cnt FROM li GROUP BY 1)),
+        |ry AS (SELECT y, sum(cnt) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+        |         - (cnt - 1) / 2.0 AS y_rank
+        |       FROM (SELECT y, count(*) AS cnt FROM li GROUP BY 1))
+        |SELECT round(corr(x_rank, y_rank), 6) AS rho, count(*) AS n
+        |FROM li JOIN rx USING (x) JOIN ry USING (y)""".stripMargin,
+    "q_mann_whitney" ->
+      """WITH d0 AS (SELECT CAST(lang = 'en' AS INT) AS a, n_chars AS v
+        |            FROM documents WHERE lang IN ('en', 'de')),
+        |pv AS (SELECT v, count(*) AS cnt, sum(a) AS ca FROM d0 GROUP BY 1),
+        |r AS (SELECT cnt, ca,
+        |        sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |          - (cnt - 1) / 2.0 AS avg_rank,
+        |        cnt * cnt * cnt - cnt AS tie3
+        |      FROM pv),
+        |st AS (SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cnt - ca) AS BIGINT) AS n2,
+        |        sum(ca * avg_rank) AS r1, CAST(sum(tie3) AS BIGINT) AS ties FROM r),
+        |z AS (SELECT n1, n2, round(r1 - n1 * (n1 + 1) / 2.0, 6) AS u1,
+        |        round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) /
+        |          sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+        |            - ties / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))), 6) AS z
+        |      FROM st)
+        |SELECT n1, n2, u1, z, abs(z) > 1.96 AS significant FROM z""".stripMargin
   )
 }
