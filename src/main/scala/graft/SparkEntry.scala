@@ -2872,6 +2872,71 @@ object SparkEntry {
                 col("ties") / ((col("n1") + col("n2")) * (col("n1") + col("n2") - 1))
                   .cast("double"))), 6).as("z"))
         .withColumn("significant", abs(col("z")) > 1.96)
+    }),
+    "q_changepoint" -> ((s: SparkSession, d: String) => {
+      // CUSUM changepoint detection on the daily mean-value series: S_k =
+      // Σ_{t≤k}(x_t − x̄) over days in order, the changepoint is the day
+      // maximizing |S_k| (ties to the earliest day), and the before/after
+      // means quantify the level shift. Day-compressed domain throughout
+      // (the q_autocorr shape); the argmax is a LIMIT 1 over the tiny day
+      // frame, then one conditional aggregate splits the means.
+      import org.apache.spark.sql.expressions.Window
+      val daily = graft.io.EventsReader.batch(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(avg(col("value")).as("x"))
+      val mu = daily.agg(avg(col("x")).as("mu"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = daily.crossJoin(broadcast(mu))
+        .select(col("day"), col("x"), sum(col("x") - col("mu")).over(w).as("sk"))
+      val cp = cum.orderBy(abs(col("sk")).desc, col("day")).limit(1)
+        .select(col("day").as("change_day"), col("sk"))
+      daily.crossJoin(broadcast(cp))
+        .groupBy(col("change_day"), col("sk"))
+        .agg(round(avg(when(col("day") <= col("change_day"), col("x"))), 6)
+            .as("mean_before"),
+          round(avg(when(col("day") > col("change_day"), col("x"))), 6)
+            .as("mean_after"),
+          count(lit(1)).as("n_days"))
+        .select(col("change_day"), round(col("sk"), 6).as("s_max"),
+          col("mean_before"), col("mean_after"), col("n_days"))
+    }),
+    "q_rfm" -> ((s: SparkSession, d: String) => {
+      // RFM customer segmentation — the marketing-analytics staple:
+      // recency (days since last order vs the corpus max date), frequency
+      // (order count), monetary (lifetime spend, rounded BEFORE ranking so
+      // fp summation order can't perturb the quintile sort), each scored
+      // into quintiles by a fully-deterministic ntile (metric, custkey)
+      // order, then a CASE segment label. The windows run over the
+      // customer-shaped aggregate; at real scale the cuts would come from
+      // approx_percentile instead of a global sort — same contract.
+      import org.apache.spark.sql.expressions.Window
+      val o = Relational.table(s, d, "orders")
+        .select(col("o_custkey"), col("o_totalprice"),
+          to_date(col("o_orderdate")).as("od"))
+      val gmax = o.agg(max(col("od")).as("gd"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(col("od")).as("lastd"), count(lit(1)).as("frequency"),
+          round(sum(col("o_totalprice")), 2).as("monetary"))
+      val scored = per.crossJoin(broadcast(gmax))
+        .select(col("o_custkey"), datediff(col("gd"), col("lastd")).as("recency_days"),
+          col("frequency"), col("monetary"))
+      scored.select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary"),
+          ntile(5).over(Window.orderBy(col("recency_days").desc, col("o_custkey")))
+            .as("r_score"),
+          ntile(5).over(Window.orderBy(col("frequency"), col("o_custkey")))
+            .as("f_score"),
+          ntile(5).over(Window.orderBy(col("monetary"), col("o_custkey")))
+            .as("m_score"))
+        .withColumn("segment",
+          when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+            "champion")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "recent")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+          .when(col("r_score") <= 2 && col("m_score") <= 2, "hibernating")
+          .otherwise("core"))
+        .orderBy(col("o_custkey"))
     })
   )
 
@@ -5722,6 +5787,41 @@ object SparkEntry {
         |          sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
         |            - ties / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))), 6) AS z
         |      FROM st)
-        |SELECT n1, n2, u1, z, abs(z) > 1.96 AS significant FROM z""".stripMargin
+        |SELECT n1, n2, u1, z, abs(z) > 1.96 AS significant FROM z""".stripMargin,
+    "q_changepoint" ->
+      """WITH dd AS (SELECT date_trunc('day', ts) AS day, avg(value) AS x
+        |            FROM events GROUP BY 1),
+        |m AS (SELECT avg(x) AS mu FROM dd),
+        |c AS (SELECT day, x,
+        |        sum(x - mu) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sk
+        |      FROM dd, m),
+        |cp AS (SELECT day AS change_day, sk FROM c ORDER BY abs(sk) DESC, day LIMIT 1)
+        |SELECT cp.change_day, round(cp.sk, 6) AS s_max,
+        |  round(avg(CASE WHEN dd.day <= cp.change_day THEN dd.x END), 6) AS mean_before,
+        |  round(avg(CASE WHEN dd.day > cp.change_day THEN dd.x END), 6) AS mean_after,
+        |  count(*) AS n_days
+        |FROM dd, cp GROUP BY 1, 2""".stripMargin,
+    "q_rfm" ->
+      """WITH o AS (SELECT o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS od
+        |           FROM orders),
+        |g AS (SELECT max(od) AS gd FROM o),
+        |p AS (SELECT o_custkey, max(od) AS lastd, count(*) AS frequency,
+        |        round(sum(o_totalprice), 2) AS monetary
+        |      FROM o GROUP BY 1),
+        |sc AS (SELECT o_custkey, CAST(date_diff('day', lastd, gd) AS INT) AS recency_days,
+        |         frequency, monetary
+        |       FROM p, g),
+        |t AS (SELECT *,
+        |        CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS INT) AS r_score,
+        |        CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS INT) AS f_score,
+        |        CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS INT) AS m_score
+        |      FROM sc)
+        |SELECT o_custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        |       WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
+        |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+        |       WHEN r_score <= 2 AND m_score <= 2 THEN 'hibernating'
+        |       ELSE 'core' END AS segment
+        |FROM t ORDER BY o_custkey""".stripMargin
   )
 }
