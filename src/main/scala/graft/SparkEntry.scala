@@ -2937,6 +2937,77 @@ object SparkEntry {
           .when(col("r_score") <= 2 && col("m_score") <= 2, "hibernating")
           .otherwise("core"))
         .orderBy(col("o_custkey"))
+    }),
+    "q_item_similarity" -> ((s: SparkSession, d: String) => {
+      // item-item collaborative filtering: cosine similarity between parts
+      // from order co-membership — cos(i,j) = cooc(i,j)/√(n_i·n_j). The
+      // pair generator is a self-join on the ORDER key, so fanout is
+      // bounded by basket size (never item-domain all-pairs), a minimum
+      // support of 2 prunes noise pairs before the similarity math, and
+      // the item-frequency map is dimension-sized (broadcast twice).
+      val li = Relational.table(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val ni = li.groupBy(col("p")).agg(count(lit(1)).as("n"))
+      val pairs = li.select(col("o"), col("p").as("p1"))
+        .join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cooc"))
+        .filter(col("cooc") >= 2)
+      pairs
+        .join(broadcast(ni.select(col("p").as("p1"), col("n").as("n1"))), Seq("p1"))
+        .join(broadcast(ni.select(col("p").as("p2"), col("n").as("n2"))), Seq("p2"))
+        .select(col("p1"), col("p2"), col("cooc"),
+          round(col("cooc") / sqrt((col("n1") * col("n2")).cast("double")), 6)
+            .as("cosine"))
+        .orderBy(col("p1"), col("p2"))
+    }),
+    "q_naive_bayes" -> ((s: SparkSession, d: String) => {
+      // multinomial Naive Bayes language classifier, trained and evaluated
+      // in one plan: docs split 80/20 by id, per-(lang, token) counts with
+      // Laplace smoothing give the model (vocabulary-shaped — bounded by
+      // token-type count, not corpus size, hence broadcastable), unseen
+      // test tokens fall back to the per-lang 1/(tot+V) mass, argmax by a
+      // per-doc window with a deterministic (score desc, lang) tie-break,
+      // output the confusion matrix. The from-scratch baseline behind
+      // q_quality_classifier's regression probes.
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, d).select(col("doc_id"), col("lang"),
+        graft.operators.TextOps.tokens(col("text")).as("toks"))
+      val train = base.filter(col("doc_id") % 5 =!= 0)
+      val test = base.filter(col("doc_id") % 5 === 0)
+      val cwl = train.select(col("lang"), explode(col("toks")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("nwl"))
+        .localCheckpoint(true) // model read 2× (likelihoods + marginals)
+      val totl = cwl.groupBy(col("lang")).agg(sum(col("nwl")).as("tot"))
+      val vocabV = cwl.select(col("w")).distinct().count().toDouble
+      val prior = train.groupBy(col("lang")).agg(count(lit(1)).as("ndoc"))
+      val model = cwl.join(broadcast(totl), Seq("lang"))
+        .select(col("lang"), col("w"),
+          log((col("nwl") + 1) / (col("tot") + vocabV)).as("lp"))
+      val langs = totl.join(broadcast(prior), Seq("lang"))
+        .crossJoin(broadcast(prior.agg(sum(col("ndoc")).as("nd"))))
+        .select(col("lang"),
+          log(col("ndoc") / col("nd").cast("double")).as("logprior"),
+          log(lit(1.0) / (col("tot") + vocabV)).as("lp_unseen"))
+      val testTok = test
+        .select(col("doc_id"), col("lang").as("true_lang"), explode(col("toks")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("doc_id"), col("true_lang"), col("w")).agg(count(lit(1)).as("c"))
+      val scores = testTok.crossJoin(broadcast(langs))
+        .join(broadcast(model), Seq("lang", "w"), "left")
+        .withColumn("lp_eff", coalesce(col("lp"), col("lp_unseen")))
+        .groupBy(col("doc_id"), col("true_lang"), col("lang"), col("logprior"))
+        .agg(sum(col("c") * col("lp_eff")).as("ll"))
+        .select(col("doc_id"), col("true_lang"), col("lang"),
+          (col("logprior") + col("ll")).as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("lang"))
+      scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("true_lang"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("true_lang"), col("lang").as("pred_lang"), col("n_docs"))
+        .orderBy(col("true_lang"), col("pred_lang"))
     })
   )
 
@@ -5822,6 +5893,46 @@ object SparkEntry {
         |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
         |       WHEN r_score <= 2 AND m_score <= 2 THEN 'hibernating'
         |       ELSE 'core' END AS segment
-        |FROM t ORDER BY o_custkey""".stripMargin
+        |FROM t ORDER BY o_custkey""".stripMargin,
+    "q_item_similarity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ni AS (SELECT p, count(*) AS n FROM li GROUP BY 1),
+        |pr AS (SELECT a.p AS p1, b.p AS p2, count(*) AS cooc
+        |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |       GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pr.p1, pr.p2, pr.cooc,
+        |  round(pr.cooc / sqrt(CAST(n1.n * n2.n AS DOUBLE)), 6) AS cosine
+        |FROM pr JOIN ni n1 ON pr.p1 = n1.p JOIN ni n2 ON pr.p2 = n2.p
+        |ORDER BY p1, p2""".stripMargin,
+    "q_naive_bayes" ->
+      """WITH base AS (SELECT doc_id, lang,
+        |        unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |      FROM documents),
+        |tk AS (SELECT doc_id, lang, w FROM base WHERE len(w) > 0),
+        |cwl AS (SELECT lang, w, count(*) AS nwl FROM tk
+        |        WHERE doc_id % 5 != 0 GROUP BY 1, 2),
+        |totl AS (SELECT lang, sum(nwl) AS tot FROM cwl GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM cwl),
+        |prior AS (SELECT lang, count(*) AS ndoc FROM documents
+        |          WHERE doc_id % 5 != 0 GROUP BY 1),
+        |nd AS (SELECT CAST(sum(ndoc) AS DOUBLE) AS ndt FROM prior),
+        |model AS (SELECT c.lang, c.w, ln((c.nwl + 1) / (t.tot + vv.v)) AS lp
+        |          FROM cwl c JOIN totl t USING (lang), vv),
+        |langs AS (SELECT t.lang, ln(p.ndoc / nd.ndt) AS logprior,
+        |            ln(1.0 / (t.tot + vv.v)) AS lp_unseen
+        |          FROM totl t JOIN prior p USING (lang), vv, nd),
+        |tt AS (SELECT doc_id, lang AS true_lang, w, count(*) AS c
+        |       FROM tk WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+        |sc AS (SELECT tt.doc_id, tt.true_lang, l.lang,
+        |         l.logprior + sum(tt.c * coalesce(m.lp, l.lp_unseen)) AS score
+        |       FROM tt CROSS JOIN langs l
+        |       LEFT JOIN model m ON m.lang = l.lang AND m.w = tt.w
+        |       GROUP BY 1, 2, 3, l.logprior),
+        |pred AS (SELECT doc_id, true_lang, lang,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY score DESC, lang) AS rn
+        |         FROM sc)
+        |SELECT true_lang, lang AS pred_lang, count(*) AS n_docs
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
