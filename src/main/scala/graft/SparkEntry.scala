@@ -3008,6 +3008,111 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .select(col("true_lang"), col("lang").as("pred_lang"), col("n_docs"))
         .orderBy(col("true_lang"), col("pred_lang"))
+    }),
+    "q_interval_merge" -> ((s: SparkSession, d: String) => {
+      // gaps-and-islands interval coalescing: each event claims a 10-min
+      // activity window [ts, ts+10m); overlapping windows per user merge
+      // into islands (a new island starts when an interval's start clears
+      // the running max of all previous ends), reporting per user the
+      // island count and total covered time. The complement to
+      // q_sessionize: explicit [start,end) intervals, not gap splitting.
+      // One user-partitioned window pass + one aggregate.
+      import org.apache.spark.sql.expressions.Window
+      val iv = graft.io.EventsReader.batch(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("st"),
+          (unix_millis(col("ts")) + 600000L).as("en"))
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("st"), col("event_id"))
+      val prevEnd = max(col("en")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1))
+      val isl = iv
+        .withColumn("new_isl",
+          when(prevEnd.isNull || col("st") > prevEnd, 1).otherwise(0))
+        .withColumn("island", sum(col("new_isl"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      isl.groupBy(col("user_id"), col("island"))
+        .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("ien") - col("ist")).as("covered_ms"),
+          max(col("ien") - col("ist")).as("longest_ms"))
+        .orderBy(col("user_id"))
+    }),
+    "q_psi" -> ((s: SparkSession, d: String) => {
+      // population stability index — the ML-monitoring drift staple beside
+      // q_ks_test: decile cuts come from the REFERENCE window (events
+      // before the corpus time midpoint), both populations are binned by
+      // the same broadcast 9-cut array (an array-HOF count of cuts ≤ value
+      // — no per-row join), PSI terms (p−q)·ln(p/q) per bin. Exact
+      // interpolated percentiles (the q_winsorize contract) keep the cuts
+      // engine-portable.
+      val ev = graft.io.EventsReader.batch(s, d)
+        .select(col("value"), unix_millis(col("ts")).as("tms"))
+      val mid = ev.agg( // floor-div so the midpoint matches SQL's integer //
+        floor((min(col("tms")) + max(col("tms"))) / 2).cast("long").as("mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+        .select(col("value"), (col("tms") < col("mid")).as("is_ref"))
+      val cuts = tagged.filter(col("is_ref"))
+        .agg(percentile(col("value"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
+      val binned = tagged.crossJoin(broadcast(cuts))
+        .select(size(filter(col("cuts"), c => c <= col("value"))).as("bin"),
+          col("is_ref"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+      val tot = binned.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+      binned.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round((col("n_ref") / col("tr").cast("double")
+              - col("n_cur") / col("tc").cast("double")) *
+            log((col("n_ref") * col("tc").cast("double")) /
+              (col("n_cur") * col("tr").cast("double"))), 6).as("psi_term"))
+        .orderBy(col("bin"))
+    }),
+    "q_mom_growth" -> ((s: SparkSession, d: String) => {
+      // period-over-period reporting: monthly revenue with month-over-month
+      // and year-over-year growth from lag windows over the MONTH-compressed
+      // frame (the q_autocorr pattern — the window never sees raw orders).
+      import org.apache.spark.sql.expressions.Window
+      val m = Relational.table(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+      val w = Window.orderBy(col("month"))
+      m.withColumn("prev", lag(col("revenue"), 1).over(w))
+        .withColumn("prev_year", lag(col("revenue"), 12).over(w))
+        .select(col("month"), col("revenue"),
+          round((col("revenue") - col("prev")) / col("prev") * 100, 4)
+            .as("mom_pct"),
+          round((col("revenue") - col("prev_year")) / col("prev_year") * 100, 4)
+            .as("yoy_pct"))
+        .orderBy(col("month"))
+    }),
+    "q_weighted_median" -> ((s: SparkSession, d: String) => {
+      // revenue-weighted median quantity per return flag: per distinct
+      // (flag, quantity) the weight is the (rounded) revenue mass, ONE
+      // ordered cumulative window per flag gives the weighted CDF, and the
+      // median is the smallest quantity whose cumulative weight clears
+      // half the total — where the total is the LAST cumulative value, so
+      // every compared number comes from the same sequential summation in
+      // both engines (no unordered-reduce fp hazard). Compressed-domain
+      // throughout: ~50 distinct quantities per flag.
+      import org.apache.spark.sql.expressions.Window
+      val pv = Relational.table(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"), col("l_quantity").as("q"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("w"))
+      val wc = Window.partitionBy(col("flag")).orderBy(col("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("flag"))
+      val cum = pv.select(col("flag"), col("q"),
+        sum(col("w")).over(wc).as("cw"))
+        .withColumn("tot", max(col("cw")).over(wt))
+      cum.filter(col("cw") >= col("tot") / 2)
+        .groupBy(col("flag"))
+        .agg(min(col("q")).as("weighted_median"),
+          round(max(col("tot")), 2).as("total_weight"))
+        .orderBy(col("flag"))
     })
   )
 
@@ -5933,6 +6038,61 @@ object SparkEntry {
         |             ORDER BY score DESC, lang) AS rn
         |         FROM sc)
         |SELECT true_lang, lang AS pred_lang, count(*) AS n_docs
-        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_interval_merge" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_ms(ts) AS st,
+        |             epoch_ms(ts) + 600000 AS en
+        |           FROM events),
+        |x AS (SELECT *, max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM iv),
+        |y AS (SELECT *, CASE WHEN pe IS NULL OR st > pe THEN 1 ELSE 0 END
+        |        AS new_isl FROM x),
+        |z AS (SELECT *, sum(new_isl) OVER (PARTITION BY user_id
+        |        ORDER BY st, event_id ROWS UNBOUNDED PRECEDING) AS island FROM y),
+        |i AS (SELECT user_id, island, min(st) AS ist, max(en) AS ien
+        |      FROM z GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(ien - ist) AS BIGINT) AS covered_ms,
+        |  CAST(max(ien - ist) AS BIGINT) AS longest_ms
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_psi" ->
+      """WITH ev AS (SELECT value, epoch_ms(ts) AS tms FROM events),
+        |md AS (SELECT (min(tms) + max(tms)) // 2 AS mid FROM ev),
+        |ref AS (SELECT quantile_cont(value,
+        |          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+        |        FROM ev, md WHERE tms < mid),
+        |b AS (SELECT CAST(len(list_filter(cuts, x -> x <= value)) AS INT) AS bin,
+        |        tms < mid AS is_ref
+        |      FROM ev, md, ref),
+        |g AS (SELECT bin, sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+        |        sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_cur
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+        |        CAST(sum(n_cur) AS DOUBLE) AS tc FROM g)
+        |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+        |  round((n_ref / tr - n_cur / tc) * ln((n_ref * tc) / (n_cur * tr)), 6)
+        |    AS psi_term
+        |FROM g, t ORDER BY bin""".stripMargin,
+    "q_mom_growth" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+        |             round(sum(o_totalprice), 2) AS revenue
+        |           FROM orders GROUP BY 1)
+        |SELECT month, revenue,
+        |  round((revenue - lag(revenue, 1) OVER (ORDER BY month))
+        |    / lag(revenue, 1) OVER (ORDER BY month) * 100, 4) AS mom_pct,
+        |  round((revenue - lag(revenue, 12) OVER (ORDER BY month))
+        |    / lag(revenue, 12) OVER (ORDER BY month) * 100, 4) AS yoy_pct
+        |FROM m ORDER BY month""".stripMargin,
+    "q_weighted_median" ->
+      """WITH pv AS (SELECT l_returnflag AS flag, l_quantity AS q,
+        |              round(sum(l_extendedprice), 2) AS w
+        |            FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT flag, q,
+        |        sum(w) OVER (PARTITION BY flag ORDER BY q ROWS UNBOUNDED PRECEDING)
+        |          AS cw
+        |      FROM pv),
+        |c2 AS (SELECT flag, q, cw, max(cw) OVER (PARTITION BY flag) AS tot FROM c)
+        |SELECT flag, min(q) AS weighted_median, round(max(tot), 2) AS total_weight
+        |FROM c2 WHERE cw >= tot / 2 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
