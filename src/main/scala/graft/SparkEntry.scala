@@ -3113,6 +3113,113 @@ object SparkEntry {
         .agg(min(col("q")).as("weighted_median"),
           round(max(col("tot")), 2).as("total_weight"))
         .orderBy(col("flag"))
+    }),
+    "q_adamic_adar" -> ((s: SparkSession, d: String) => {
+      // Adamic-Adar link prediction over the q_link_prediction mutual-kNN
+      // graph: common neighbors weighted 1/ln(deg) so promiscuous hub
+      // centers count less than selective ones — the score that usually
+      // beats raw common-neighbor/Jaccard on real graphs. Same wedge-join
+      // candidate generation (degree capped by k), scored in one weighted
+      // aggregate; z-degrees are integers so the score expression is
+      // engine-identical.
+      val sub = Relational.embeddings(s, d).filter(col("vec_id") < 200)
+      val top = Similarity.bruteForceTopK(
+          sub.select(col("vec_id").as("qid"), col("vec").as("qv")),
+          sub.select(col("vec_id").as("cid"), col("vec").as("cv")),
+          k = 10)
+        .select(col("qid").as("a"), col("cid").as("b"))
+      val mutual = top
+        .join(top.select(col("b").as("a"), col("a").as("b")),
+          Seq("a", "b"), "left_semi")
+        .filter(col("a") < col("b"))
+      graft.operators.GraphOps.adamicAdar(
+          mutual.select(col("a").as("src"), col("b").as("dst")), minScore = 0.8)
+        .orderBy(col("a"), col("b"))
+    }),
+    "q_streak" -> ((s: SparkSession, d: String) => {
+      // longest consecutive-day activity streak per user — the classic
+      // gaps-and-islands trick: over DISTINCT active days, day_no minus
+      // the per-user row_number is constant within a consecutive run, so
+      // one window pass + two aggregations give streak lengths. The
+      // engagement metric every product dashboard carries.
+      import org.apache.spark.sql.expressions.Window
+      val dd = graft.io.EventsReader.batch(s, d)
+        .select(col("user_id"),
+          floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day_no"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day_no"))
+      dd.withColumn("g", col("day_no") - row_number().over(w))
+        .groupBy(col("user_id"), col("g")).agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum(col("len")).as("active_days"))
+        .orderBy(col("user_id"))
+    }),
+    "q_log_odds_terms" -> ((s: SparkSession, d: String) => {
+      // distinctive vocabulary per language — Monroe et al's z-scored
+      // log-odds with an informative Dirichlet prior (the "Fightin'
+      // Words" estimator, the statistically-grounded sibling of
+      // q_tfidf_top_terms): each (lang, term) is scored for how
+      // over-represented it is vs the REST of the corpus, the corpus
+      // unigram distribution scaled by α=1000 is the prior, top 3 per
+      // lang by z. Every input to the scalar score is an integer count,
+      // so the doubles are engine-identical and the top-k sort is safe.
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs(s, d).select(col("lang"),
+          explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+      val ysw = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("y"))
+        .localCheckpoint(true) // feeds both marginals and the score join
+      val yw = ysw.groupBy(col("w")).agg(sum(col("y")).as("yw"))
+      val ns = ysw.groupBy(col("lang")).agg(sum(col("y")).as("ns"))
+      val bigN = ysw.agg(sum(col("y")).as("nn"))
+      val alpha = 1000.0
+      val scored = ysw.join(yw, Seq("w"))
+        .join(broadcast(ns), Seq("lang"))
+        .crossJoin(broadcast(bigN))
+        .filter(col("y") >= 5)
+        .withColumn("aw", lit(alpha) * col("yw") / col("nn").cast("double"))
+        .withColumn("y2", col("yw") - col("y"))
+        .withColumn("n2", col("nn") - col("ns"))
+        .withColumn("delta",
+          log((col("y") + col("aw")) /
+            (col("ns") + lit(alpha) - col("y") - col("aw"))) -
+          log((col("y2") + col("aw")) /
+            (col("n2") + lit(alpha) - col("y2") - col("aw"))))
+        .withColumn("z", col("delta") /
+          sqrt(lit(1.0) / (col("y") + col("aw")) + lit(1.0) / (col("y2") + col("aw"))))
+      val w5 = Window.partitionBy(col("lang")).orderBy(col("z").desc, col("w"))
+      scored.withColumn("rn", row_number().over(w5)).filter(col("rn") <= 3)
+        .select(col("lang"), col("w").as("term"), col("y").as("n_uses"),
+          round(col("z"), 6).as("z"), col("rn").as("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+    "q_readability" -> ((s: SparkSession, d: String) => {
+      // Flesch reading-ease scoring of the English corpus: words from the
+      // whitespace tokenizer, sentences from [.!?]+ runs, syllables from
+      // the [aeiouy]+ vowel-group heuristic — three per-row regex counts
+      // feeding 206.835 − 1.015·(W/S) − 84.6·(Syl/W), bucketed into the
+      // standard grade bands. Pure per-row codegen'd expressions on
+      // integers: zero shuffles before the final sort.
+      docs(s, d).filter(col("lang") === "en")
+        .select(col("doc_id"),
+          expr("size(filter(split(trim(lower(text)), '\\\\s+'), x -> length(x) > 0))")
+            .as("n_words"),
+          greatest(expr("size(regexp_extract_all(text, '[.!?]+', 0))"), lit(1))
+            .as("n_sentences"),
+          expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+            .as("n_syllables"))
+        .filter(col("n_words") > 0)
+        .withColumn("flesch", round(lit(206.835)
+          - lit(1.015) * col("n_words") / col("n_sentences")
+          - lit(84.6) * col("n_syllables") / col("n_words"), 4))
+        .withColumn("band",
+          when(col("flesch") >= 70, "easy")
+          .when(col("flesch") >= 50, "standard")
+          .when(col("flesch") >= 30, "difficult")
+          .otherwise("very_difficult"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -6093,6 +6200,85 @@ object SparkEntry {
         |      FROM pv),
         |c2 AS (SELECT flag, q, cw, max(cw) OVER (PARTITION BY flag) AS tot FROM c)
         |SELECT flag, min(q) AS weighted_median, round(max(tot), 2) AS total_weight
-        |FROM c2 WHERE cw >= tot / 2 GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM c2 WHERE cw >= tot / 2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_adamic_adar" ->
+      s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+         |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |        round(${sqlDot("q.embedding", "c.embedding")} /
+         |          (${sqlNorm("q.embedding")} * ${sqlNorm("c.embedding")}), 6) AS cos_sim
+         |      FROM sub q JOIN sub c ON q.vec_id <> c.vec_id),
+         |top AS (SELECT qid AS a, cid AS b FROM (
+         |          SELECT qid, cid, row_number() OVER
+         |            (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn FROM p)
+         |        WHERE rn <= 10),
+         |mut AS (SELECT t.a, t.b FROM top t
+         |        WHERE t.a < t.b
+         |          AND EXISTS (SELECT 1 FROM top r WHERE r.a = t.b AND r.b = t.a)),
+         |und AS (SELECT a AS ctr, b AS nbr FROM mut
+         |        UNION ALL SELECT b AS ctr, a AS nbr FROM mut),
+         |deg AS (SELECT ctr, count(*) AS degc FROM und GROUP BY 1),
+         |wd AS (SELECT u.nbr AS u, v.nbr AS v, d.degc
+         |       FROM und u JOIN und v ON u.ctr = v.ctr AND u.nbr < v.nbr
+         |       JOIN deg d ON d.ctr = u.ctr),
+         |sc AS (SELECT u, v, count(*) AS cn, round(sum(1.0 / ln(degc)), 6) AS aa
+         |       FROM wd GROUP BY 1, 2)
+         |SELECT u AS a, v AS b, cn, aa,
+         |  EXISTS (SELECT 1 FROM mut m WHERE m.a = sc.u AND m.b = sc.v) AS is_edge
+         |FROM sc WHERE aa >= 0.8 ORDER BY a, b""".stripMargin,
+    "q_streak" ->
+      """WITH dd AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day_no
+        |            FROM events),
+        |g AS (SELECT user_id, day_no,
+        |        day_no - row_number() OVER (PARTITION BY user_id ORDER BY day_no) AS g
+        |      FROM dd),
+        |st AS (SELECT user_id, g, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks,
+        |  CAST(sum(len) AS BIGINT) AS active_days
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_log_odds_terms" ->
+      """WITH tk AS (SELECT lang,
+        |        unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |      FROM documents),
+        |t AS (SELECT lang, w FROM tk WHERE len(w) > 0),
+        |ysw AS (SELECT lang, w, count(*) AS y FROM t GROUP BY 1, 2),
+        |yw AS (SELECT w, sum(y) AS yw FROM ysw GROUP BY 1),
+        |ns AS (SELECT lang, sum(y) AS ns FROM ysw GROUP BY 1),
+        |nn AS (SELECT CAST(sum(y) AS DOUBLE) AS nn FROM ysw),
+        |sc AS (SELECT ysw.lang, ysw.w, ysw.y, ns.ns,
+        |         1000.0 * yw.yw / nn.nn AS aw,
+        |         yw.yw - ysw.y AS y2,
+        |         nn.nn - ns.ns AS n2
+        |       FROM ysw JOIN yw USING (w) JOIN ns USING (lang), nn
+        |       WHERE ysw.y >= 5),
+        |z AS (SELECT lang, w, y,
+        |        (ln((y + aw) / (ns + 1000.0 - y - aw))
+        |         - ln((y2 + aw) / (n2 + 1000.0 - y2 - aw)))
+        |        / sqrt(1.0 / (y + aw) + 1.0 / (y2 + aw)) AS z
+        |      FROM sc),
+        |r AS (SELECT lang, w, y, z,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY z DESC, w) AS INT)
+        |          AS rank
+        |      FROM z)
+        |SELECT lang, w AS term, y AS n_uses, round(z, 6) AS z, rank
+        |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+    "q_readability" ->
+      """WITH b AS (SELECT doc_id,
+        |        CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |          x -> len(x) > 0)) AS INT) AS n_words,
+        |        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT)
+        |          AS n_sentences,
+        |        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT)
+        |          AS n_syllables
+        |      FROM documents WHERE lang = 'en'),
+        |f AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+        |        round(206.835 - 1.015 * n_words / n_sentences
+        |          - 84.6 * n_syllables / n_words, 4) AS flesch
+        |      FROM b WHERE n_words > 0)
+        |SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+        |  CASE WHEN flesch >= 70 THEN 'easy'
+        |       WHEN flesch >= 50 THEN 'standard'
+        |       WHEN flesch >= 30 THEN 'difficult'
+        |       ELSE 'very_difficult' END AS band
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 }

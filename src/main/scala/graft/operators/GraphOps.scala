@@ -279,4 +279,84 @@ object GraphOps {
         coalesce(col("e"), lit(false)).as("is_edge"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999): `iters` mutual-reinforcement
+    * rounds over a DIRECTED edge list. Each round: authority(v) = Σ hub(u)
+    * over in-neighbors u, then hub(u) = Σ authority(v) over out-neighbors,
+    * each side max-normalized so scores stay in [0,1] without the usual
+    * L2 norm (max of a frame of exact integer-ratios is itself exact and
+    * order-invariant, which is what lets an unrolled SQL oracle replay the
+    * rounds to 6 dp — an L2 norm would square-sum doubles in engine order).
+    * Nodes missing from a side (no in-edges / no out-edges) score 0 there.
+    *
+    * Scale shape per round: two edge-keyed equi-join shuffles with
+    * map-side-combinable sums (the PageRank plan run twice), two
+    * single-row max frames broadcast back onto node-shaped frames, and a
+    * node-shaped checkpoint bounding plan depth.
+    *
+    * @param edges directed edge list (src, dst)
+    * @return (node, hub, auth), both rounded to 6 dp
+    */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+    var auth = nodes.select(col("node"), lit(0.0).as("auth"))
+    var it = 0
+    while (it < iters) {
+      val araw = e.join(hub.select(col("node").as("s"), col("hub")), e("src") === col("s"))
+        .groupBy(e("dst").as("node")).agg(sum(col("hub")).as("raw"))
+      val amax = araw.agg(max(col("raw")).as("am"))
+      auth = nodes.join(araw, Seq("node"), "left")
+        .crossJoin(broadcast(amax)) // single-row max normalizer
+        .select(col("node"),
+          coalesce(col("raw") / col("am"), lit(0.0)).as("auth"))
+        .localCheckpoint(true)
+      val hraw = e.join(auth.select(col("node").as("t"), col("auth")), e("dst") === col("t"))
+        .groupBy(e("src").as("node")).agg(sum(col("auth")).as("raw"))
+      val hmax = hraw.agg(max(col("raw")).as("hm"))
+      hub = nodes.join(hraw, Seq("node"), "left")
+        .crossJoin(broadcast(hmax)) // single-row max normalizer
+        .select(col("node"),
+          coalesce(col("raw") / col("hm"), lit(0.0)).as("hub"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), round(col("hub"), 6).as("hub"),
+        round(col("auth"), 6).as("auth"))
+  }
+
+  /** Adamic-Adar link prediction: AA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/ln(deg z) —
+    * the common-neighbor score that discounts hub centers, beside
+    * [[linkPredictionJaccard]]'s set-overlap flavor. The wedge join already
+    * carries the common neighbor as the wedge CENTER, so the score is one
+    * weighted aggregate over the same wedge frame (a center needs two
+    * neighbors to form a wedge, so deg ≥ 2 and ln(deg) > 0 by
+    * construction). Same canonical-edge / is_edge contract as Jaccard. */
+  def adamicAdar(edges: DataFrame, minScore: Double = 0.0): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // read by wedges (twice), degrees and the flag join
+    val und = canon.select(col("a").as("ctr"), col("b").as("nbr"))
+      .unionAll(canon.select(col("b").as("ctr"), col("a").as("nbr")))
+    val deg = und.groupBy(col("ctr")).agg(count(lit(1)).as("degc"))
+    val wedges = und.join(deg, Seq("ctr"))
+      .select(col("ctr"), col("nbr").as("u"), col("degc"))
+      .join(und.select(col("ctr"), col("nbr").as("v")), Seq("ctr"))
+      .filter(col("u") < col("v"))
+    wedges.groupBy(col("u"), col("v"))
+      .agg(round(sum(lit(1.0) / log(col("degc"))), 6).as("aa"),
+        count(lit(1)).as("cn"))
+      .join(canon.select(col("a").as("u"), col("b").as("v"), lit(true).as("e")),
+        Seq("u", "v"), "left")
+      .select(col("u").as("a"), col("v").as("b"), col("cn"), col("aa"),
+        coalesce(col("e"), lit(false)).as("is_edge"))
+      .filter(col("aa") >= minScore)
+  }
 }

@@ -70,7 +70,15 @@ class PlanAuditSpec extends SparkTestBase {
     "q_range_join" -> "bucket-boundary dim table: fixed bucket count",
     "q_seq_pack" -> "single-row packing-summary totals join",
     "q_tfidf_top_terms" -> "single-row corpus-size frame joined into the IDF term table",
-    "q_unigram_logprob" -> "single-row corpus-token-total frame joined into the vocab model")
+    "q_unigram_logprob" -> "single-row corpus-token-total frame joined into the vocab model",
+    "q_autocorr" -> "single-row broadcast global-mean frame joined onto the daily series — the 1-row-frame normalizer pattern",
+    "q_chi_square" -> "broadcast marginal frames bounded by |flag|x|status| cells plus the single-row grand total",
+    "q_changepoint" -> "two single-row broadcast frames (global mean, argmax changepoint) joined onto the daily series",
+    "q_rfm" -> "single-row broadcast global-max-date frame anchoring recency — the 1-row-frame normalizer pattern",
+    "q_naive_bayes" -> "single-row broadcast doc-total frame plus the |languages|-bounded prior frame joined onto test tokens",
+    "q_psi" -> "single-row broadcast midpoint/total frames plus the fixed bin-cut frame (<=10 rows)",
+    "q_adamic_adar" -> "same bounded 200-vector mutual-kNN preamble as q_triangle_count/q_link_prediction; the wedge join and AA scoring are equi-join only",
+    "q_log_odds_terms" -> "single-row broadcast corpus-token-total frame joined onto the (lang, term) counts — the 1-row-frame normalizer pattern")
 
   private object capture extends QueryExecutionListener {
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
