@@ -3220,6 +3220,138 @@ object SparkEntry {
           .when(col("flesch") >= 30, "difficult")
           .otherwise("very_difficult"))
         .orderBy(col("doc_id"))
+    }),
+    "q_auc" -> ((s: SparkSession, d: String) => {
+      // per-source ROC AUC of a ranking signal (doc length separating
+      // English from the rest) via the Mann-Whitney rank statistic with
+      // midrank tie handling — the classifier-evaluation primitive.
+      // Scale shape: ranks are NOT a full-row global sort; scores are
+      // grouped first (one map-side-combinable agg), the cumulative walk
+      // runs over the DISTINCT-score frame per source, and each tie
+      // block's average rank is closed-form. Every term is an integer or
+      // integer+k/2, so the doubles are engine-exact before rounding.
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, d).select(col("source"), col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("label"))
+      val g = base.groupBy(col("source"), col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("npos_s"))
+      val w = Window.partitionBy(col("source")).orderBy(col("score"))
+      val cum = g.withColumn("cumn", sum(col("n")).over(w))
+        .withColumn("avgr", col("cumn") - col("n") + (col("n") + 1) / lit(2.0))
+      cum.groupBy(col("source"))
+        .agg(sum(col("npos_s") * col("avgr")).as("rsum"),
+          sum(col("npos_s")).as("npos"), sum(col("n")).as("n_total"))
+        .filter(col("npos") > 0 && col("npos") < col("n_total"))
+        .select(col("source"), col("npos"),
+          (col("n_total") - col("npos")).as("nneg"),
+          round((col("rsum") - col("npos") * (col("npos") + 1) / lit(2.0)) /
+            (col("npos") * (col("n_total") - col("npos"))), 6).as("auc"))
+        .orderBy(col("source"))
+    }),
+    "q_lift" -> ((s: SparkSession, d: String) => {
+      // cumulative gains / lift table for the same ranking signal as
+      // q_auc: docs ranked by score desc (doc_id tie-break), cut into
+      // global deciles, per-decile positives vs the base rate. The
+      // global rank is assembled WITHOUT a full-row global sort: a
+      // distinct-score cumulative walk gives each tie block's offset,
+      // and a per-score row_number (partitioned window, degree-bounded)
+      // places rows inside the block — the only unpartitioned window
+      // runs over the distinct-score frame. All counts are integers.
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, d).select(col("doc_id"), col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("label"))
+      val g = base.groupBy(col("score")).agg(count(lit(1)).as("n"))
+      val cb = g.withColumn("cum_before",
+        coalesce(sum(col("n")).over(Window.orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("score"), col("cum_before"))
+      val tot = base.agg(count(lit(1)).as("nn"), sum(col("label")).as("pp"))
+      val ranked = base.join(cb, Seq("score"))
+        .withColumn("rnk", col("cum_before") + row_number().over(
+          Window.partitionBy(col("score")).orderBy(col("doc_id"))))
+      val byDec = ranked.crossJoin(broadcast(tot)) // single-row totals
+        .withColumn("decile",
+          least(floor((col("rnk") - 1) * 10 / col("nn")), lit(9L)))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("npos"),
+          max(col("nn")).as("nn"), max(col("pp")).as("pp"))
+      val wd = Window.orderBy(col("decile"))
+      byDec.withColumn("cum_n", sum(col("n")).over(wd))
+        .withColumn("cum_pos", sum(col("npos")).over(wd))
+        .select(col("decile"), col("n"), col("npos"),
+          round(col("cum_pos") / col("cum_n").cast("double") /
+            (col("pp") / col("nn").cast("double")), 6).as("cum_lift"),
+          round(col("cum_pos") / col("pp").cast("double"), 6).as("recall"))
+        .orderBy(col("decile"))
+    }),
+    "q_stickiness" -> ((s: SparkSession, d: String) => {
+      // DAU / WAU / MAU engagement ratios per active day — the product
+      // stickiness dashboard. The scalable shape for sliding-window
+      // DISTINCT users: each distinct (user, day) row is exploded to the
+      // 7 (resp. 28) window days it contributes to, then one
+      // groupBy-distinct per window size — never a per-day window over
+      // collected user sets. Edge days past the corpus end drop out via
+      // the inner join with the DAU spine.
+      val dd = graft.io.EventsReader.batch(s, d)
+        .select(col("user_id"),
+          floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+        .distinct().localCheckpoint(true) // dau + two window explodes
+      val dau = dd.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = dd.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+      val mau = dd.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 27)).as("day"))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("mau"))
+      dau.join(wau, Seq("day")).join(mau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"), col("mau"),
+          round(col("dau") / col("wau").cast("double"), 6).as("dau_wau"),
+          round(col("wau") / col("mau").cast("double"), 6).as("wau_mau"))
+        .orderBy(col("day"))
+    }),
+    "q_hits" -> ((s: SparkSession, d: String) => {
+      // HITS hubs & authorities over the DIRECTED customer→supplier
+      // purchase graph (customers hub across suppliers, suppliers gain
+      // authority from broad customers) — Kleinberg's mutual-reinforcement
+      // centrality beside q_pagerank's random walk. 2 max-normalized
+      // rounds; round-1 authorities are indegree ratios (exact integers),
+      // so the unrolled SQL replays the recursion to 6 dp.
+      val o = Relational.table(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      val l = Relational.table(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val edges = o.join(l, Seq("ok"))
+        .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.GraphOps.hits(edges, iters = 2)
+        .orderBy(col("node"))
+    }),
+    "q_forecast" -> ((s: SparkSession, d: String) => {
+      // seasonal-naive forecast backtest: predict each day's per-type
+      // event count with the count 7 days earlier (weekly seasonality)
+      // vs the naive lag-1 baseline, scored by MAPE/sMAPE per type.
+      // Forecasts come from exact day-arithmetic equi-joins (day = day+7),
+      // not row-offset lags, so calendar gaps can't silently shift the
+      // season; the evaluation set is days where both forecasts exist.
+      val daily = graft.io.EventsReader.batch(s, d)
+        .groupBy(col("event_type"),
+          floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+        .agg(count(lit(1)).as("actual"))
+        .localCheckpoint(true) // base + two forecast self-joins
+      val f7 = daily.select(col("event_type"), (col("day") + 7).as("day"),
+        col("actual").as("fc7"))
+      val f1 = daily.select(col("event_type"), (col("day") + 1).as("day"),
+        col("actual").as("fc1"))
+      daily.join(f7, Seq("event_type", "day")).join(f1, Seq("event_type", "day"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          round(avg(abs(col("actual") - col("fc7")) / col("actual")), 6)
+            .as("mape_seasonal"),
+          round(avg(abs(col("actual") - col("fc1")) / col("actual")), 6)
+            .as("mape_naive"),
+          round(avg(abs(col("actual") - col("fc7")) * lit(2.0) /
+            (col("actual") + col("fc7"))), 6).as("smape_seasonal"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -6279,6 +6411,108 @@ object SparkEntry {
         |       WHEN flesch >= 50 THEN 'standard'
         |       WHEN flesch >= 30 THEN 'difficult'
         |       ELSE 'very_difficult' END AS band
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_auc" ->
+      """WITH b AS (SELECT source, n_chars AS score,
+        |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        |           FROM documents),
+        |g AS (SELECT source, score, count(*) AS n, sum(label) AS npos_s
+        |      FROM b GROUP BY 1, 2),
+        |c AS (SELECT source, score, n, npos_s,
+        |        sum(n) OVER (PARTITION BY source ORDER BY score) AS cumn FROM g),
+        |a AS (SELECT source,
+        |        sum(npos_s * (cumn - n + (n + 1) / 2.0)) AS rsum,
+        |        sum(npos_s) AS npos, sum(n) AS n_total
+        |      FROM c GROUP BY 1)
+        |SELECT source, npos, n_total - npos AS nneg,
+        |  round((rsum - npos * (npos + 1) / 2.0) /
+        |    (npos * (n_total - npos)), 6) AS auc
+        |FROM a WHERE npos > 0 AND npos < n_total ORDER BY source""".stripMargin,
+    "q_lift" ->
+      """WITH b AS (SELECT doc_id, n_chars AS score,
+        |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        |           FROM documents),
+        |g AS (SELECT score, count(*) AS n FROM b GROUP BY 1),
+        |cb AS (SELECT score, coalesce(sum(n) OVER (ORDER BY score DESC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |       FROM g),
+        |t AS (SELECT count(*) AS nn, sum(label) AS pp FROM b),
+        |r AS (SELECT b.doc_id, b.label, cb.cum_before + row_number()
+        |        OVER (PARTITION BY b.score ORDER BY b.doc_id) AS rnk
+        |      FROM b JOIN cb ON b.score = cb.score),
+        |dc AS (SELECT least(CAST(floor((rnk - 1) * 10 / CAST(t.nn AS DOUBLE))
+        |                    AS BIGINT), 9) AS decile,
+        |         label, t.nn, t.pp FROM r, t),
+        |bd AS (SELECT decile, count(*) AS n, sum(label) AS npos,
+        |         max(nn) AS nn, max(pp) AS pp FROM dc GROUP BY 1),
+        |c AS (SELECT decile, n, npos, nn, pp,
+        |        sum(n) OVER (ORDER BY decile) AS cum_n,
+        |        sum(npos) OVER (ORDER BY decile) AS cum_pos FROM bd)
+        |SELECT decile, n, npos,
+        |  round(cum_pos / CAST(cum_n AS DOUBLE) / (pp / CAST(nn AS DOUBLE)), 6)
+        |    AS cum_lift,
+        |  round(cum_pos / CAST(pp AS DOUBLE), 6) AS recall
+        |FROM c ORDER BY decile""".stripMargin,
+    "q_stickiness" ->
+      """WITH dd AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        |            FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM dd GROUP BY 1),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM
+        |          (SELECT user_id, unnest(generate_series(day, day + 6)) AS day
+        |           FROM dd) GROUP BY 1),
+        |mau AS (SELECT day, count(DISTINCT user_id) AS mau FROM
+        |          (SELECT user_id, unnest(generate_series(day, day + 27)) AS day
+        |           FROM dd) GROUP BY 1)
+        |SELECT day, dau, wau, mau,
+        |  round(dau / CAST(wau AS DOUBLE), 6) AS dau_wau,
+        |  round(wau / CAST(mau AS DOUBLE), 6) AS wau_mau
+        |FROM dau JOIN wau USING (day) JOIN mau USING (day)
+        |ORDER BY day""".stripMargin,
+    // 2 HITS rounds unrolled: round-1 authorities are indegree/max
+    // (exact integer ratios), every later term is +,*,/ over them
+    "q_hits" ->
+      """WITH edges AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+        |                 l.l_suppkey * 2 + 1 AS dst
+        |               FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |            SELECT src AS node FROM edges
+        |            UNION ALL SELECT dst AS node FROM edges)),
+        |a1r AS (SELECT dst AS node, CAST(count(*) AS DOUBLE) AS raw
+        |        FROM edges GROUP BY 1),
+        |a1m AS (SELECT max(raw) AS am FROM a1r),
+        |a1 AS (SELECT n.node, coalesce(a1r.raw / a1m.am, 0) AS auth
+        |       FROM nodes n LEFT JOIN a1r USING (node), a1m),
+        |h1r AS (SELECT e.src AS node, sum(a.auth) AS raw
+        |        FROM edges e JOIN a1 a ON e.dst = a.node GROUP BY 1),
+        |h1m AS (SELECT max(raw) AS hm FROM h1r),
+        |h1 AS (SELECT n.node, coalesce(h1r.raw / h1m.hm, 0) AS hub
+        |       FROM nodes n LEFT JOIN h1r USING (node), h1m),
+        |a2r AS (SELECT e.dst AS node, sum(h.hub) AS raw
+        |        FROM edges e JOIN h1 h ON e.src = h.node GROUP BY 1),
+        |a2m AS (SELECT max(raw) AS am FROM a2r),
+        |a2 AS (SELECT n.node, coalesce(a2r.raw / a2m.am, 0) AS auth
+        |       FROM nodes n LEFT JOIN a2r USING (node), a2m),
+        |h2r AS (SELECT e.src AS node, sum(a.auth) AS raw
+        |        FROM edges e JOIN a2 a ON e.dst = a.node GROUP BY 1),
+        |h2m AS (SELECT max(raw) AS hm FROM h2r),
+        |h2 AS (SELECT n.node, coalesce(h2r.raw / h2m.hm, 0) AS hub
+        |       FROM nodes n LEFT JOIN h2r USING (node), h2m)
+        |SELECT h2.node, round(h2.hub, 6) AS hub, round(a2.auth, 6) AS auth
+        |FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node""".stripMargin,
+    "q_forecast" ->
+      """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |                 count(*) AS actual
+        |               FROM events GROUP BY 1, 2)
+        |SELECT d.event_type, count(*) AS n_eval,
+        |  round(avg(abs(d.actual - f7.actual) / CAST(d.actual AS DOUBLE)), 6)
+        |    AS mape_seasonal,
+        |  round(avg(abs(d.actual - f1.actual) / CAST(d.actual AS DOUBLE)), 6)
+        |    AS mape_naive,
+        |  round(avg(abs(d.actual - f7.actual) * 2.0 /
+        |    CAST(d.actual + f7.actual AS DOUBLE)), 6) AS smape_seasonal
+        |FROM daily d
+        |JOIN daily f7 ON d.event_type = f7.event_type AND d.day = f7.day + 7
+        |JOIN daily f1 ON d.event_type = f1.event_type AND d.day = f1.day + 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -115,6 +115,46 @@ class GraphOpsSpec extends SparkTestBase {
     assert(GraphOps.labelPropagationCounted(edges, iters = 5)._2 == 5)
   }
 
+  test("hits: hand-computed hubs/authorities on a 4-node DAG") {
+    import spark.implicits._
+    // 1→3, 2→3, 2→4. Round 1: auth ∝ indegree → 3=1, 4=.5;
+    // hubs: 1 gets 1.0, 2 gets 1.5 → 1=2/3, 2=1. Round 2: auth raw
+    // 3=5/3, 4=1 → 3=1, 4=.6; hub raw 1=1, 2=1.6 → 1=.625, 2=1.
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val got = GraphOps.hits(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got === Map(
+      1L -> ((0.625, 0.0)), 2L -> ((1.0, 0.0)),
+      3L -> ((0.0, 1.0)), 4L -> ((0.0, 0.6))))
+  }
+
+  test("hits matches a local replay on a pseudorandom digraph, at any parallelism") {
+    import spark.implicits._
+    val raw = (0L until 120L).map(i => ((i * 17) % 25, (i * i * 3 + 5) % 25))
+      .filter(p => p._1 != p._2).distinct
+    // local replay of the max-normalized recursion
+    val nodes = raw.flatMap(e => Seq(e._1, e._2)).distinct
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = nodes.map(_ -> 0.0).toMap
+    for (_ <- 1 to 2) {
+      val ar = raw.groupBy(_._2).map { case (n, es) => n -> es.map(e => hub(e._1)).sum }
+      val am = ar.values.max
+      auth = nodes.map(n => n -> ar.get(n).map(_ / am).getOrElse(0.0)).toMap
+      val hr = raw.groupBy(_._1).map { case (n, es) => n -> es.map(e => auth(e._2)).sum }
+      val hm = hr.values.max
+      hub = nodes.map(n => n -> hr.get(n).map(_ / hm).getOrElse(0.0)).toMap
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = GraphOps.hits(raw.toDF("src", "dst").repartition(parts), iters = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      got.foreach { case (n, h, a) =>
+        assert(math.abs(h - hub(n)) < 1e-6 && math.abs(a - auth(n)) < 1e-6,
+          s"node $n parts=$parts: got ($h,$a) want (${hub(n)},${auth(n)})")
+      }
+      assert(got.length === nodes.size)
+    }
+  }
+
   test("shortestHops: multi-source BFS distances, drained frontier, unreached absent") {
     import spark.implicits._
     // path 1→2→3→4 plus a disconnected pair 10↔11; sources {1, 10}
