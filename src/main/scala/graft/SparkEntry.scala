@@ -3352,7 +3352,108 @@ object SparkEntry {
           round(avg(abs(col("actual") - col("fc7")) * lit(2.0) /
             (col("actual") + col("fc7"))), 6).as("smape_seasonal"))
         .orderBy(col("event_type"))
-    })
+    }),
+    "q_wilson" -> ((s: SparkSession, d: String) => {
+      // Wilson-interval lower-bound ranking of per-item click rates —
+      // the "sort by confidence, not by raw rate" ranking that keeps a
+      // 1-for-1 item from outranking a 95-for-100 one. Items are the
+      // props.k key (typed from_json, no inference pass), trials are
+      // click+view events. One integer aggregation, then pure per-row
+      // closed-form math — both engines evaluate the identical
+      // expression tree over exact integer ratios.
+      val ev = Relational.table(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").cast("long").as("item"),
+          col("event_type"))
+        .filter(col("item").isNotNull)
+      val agg = ev.groupBy(col("item")).agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+        count(lit(1)).as("n"))
+      // z = 1.96: z^2 = 3.8416, z^2/2 = 1.9208, z^2/4 = 0.9604
+      val phat = col("clicks") / col("n")
+      val wilson = (phat + lit(1.9208) / col("n") -
+        lit(1.96) * sqrt((phat * (lit(1.0) - phat) +
+          lit(0.9604) / col("n")) / col("n"))) /
+        (lit(1.0) + lit(3.8416) / col("n"))
+      agg.select(col("item"), col("clicks"), col("n"),
+          round(phat, 6).as("ctr"), round(wilson, 6).as("wilson_lb"))
+        .orderBy(col("item"))
+    }),
+    "q_itemsets3" -> ((s: SparkSession, d: String) => {
+      // frequent 3-itemsets of brands per order, the A-priori step past
+      // q_market_basket's pairs. Scale shape: triples are enumerated
+      // WITHIN each order (bounded by the order's distinct-brand count,
+      // ≤ its line count — never a global cross join), and candidate
+      // triples are pre-pruned by three semi-joins against the frequent
+      // PAIR set (the A-priori property: a triple can't clear minSup
+      // unless all its pairs do — pure pruning, the naive SQL count
+      // proves result equivalence).
+      val minSup = 30
+      val items = Relational.table(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .join(broadcast(Relational.table(s, d, "part")
+          .select(col("p_partkey").as("pk"), col("p_brand").as("b"))), Seq("pk"))
+        .select(col("ok"), col("b")).distinct()
+        .localCheckpoint(true) // three self-join legs + the pair count
+      val pairs = items.select(col("ok"), col("b").as("b1"))
+        .join(items.select(col("ok"), col("b").as("b2")), Seq("ok"))
+        .filter(col("b1") < col("b2"))
+      val fp = pairs.groupBy(col("b1"), col("b2"))
+        .agg(count(lit(1)).as("sup")).filter(col("sup") >= minSup)
+        .select(col("b1"), col("b2")).localCheckpoint(true)
+      val triples = pairs
+        .join(items.select(col("ok"), col("b").as("b3")), Seq("ok"))
+        .filter(col("b2") < col("b3"))
+      val pruned = triples
+        .join(fp, Seq("b1", "b2"), "left_semi")
+        .join(fp.select(col("b1"), col("b2").as("b3")), Seq("b1", "b3"), "left_semi")
+        .join(fp.select(col("b1").as("b2"), col("b2").as("b3")), Seq("b2", "b3"), "left_semi")
+      pruned.groupBy(col("b1"), col("b2"), col("b3"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSup)
+        .orderBy(col("b1"), col("b2"), col("b3"))
+    }),
+    "q_tpch_q5" -> ((s: SparkSession, d: String) => {
+      // TPC-H Q5 (local supplier volume): revenue by nation for ASIA
+      // customers served by same-nation suppliers in one order year —
+      // the classic 6-way join. Plan shape at 100 TB: region→nation
+      // collapse to a broadcast dim; supplier joins it broadcast; the
+      // two big facts (orders⋈customer, then lineitem) shuffle on their
+      // natural keys with the date filter pushed into the orders scan;
+      // the nation-match predicate rides the supplier equi-join.
+      val rn = Relational.table(s, d, "nation")
+        .join(broadcast(Relational.table(s, d, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Relational.table(s, d, "supplier")
+        .join(broadcast(rn), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val ord = Relational.table(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val co = Relational.table(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      Relational.table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(co, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("rev")), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    "q_stream_disorder" -> ((s: SparkSession, d: String) =>
+      // streaming out-of-order accounting: per-user running-max ts state
+      // in event_id order; the watermark-sizing data-quality signal
+      GraftSession.withShufflePartitions(s, 8)(
+        graft.streaming.StreamingOps.disorderStream(s, d)))
   )
 
   // ---------- DuckDB oracle SQL ----------
@@ -6513,6 +6614,59 @@ object SparkEntry {
         |FROM daily d
         |JOIN daily f7 ON d.event_type = f7.event_type AND d.day = f7.day + 7
         |JOIN daily f1 ON d.event_type = f1.event_type AND d.day = f1.day + 1
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_wilson" ->
+      """WITH e AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+        |             event_type
+        |           FROM events WHERE event_type IN ('click', 'view')),
+        |a AS (SELECT item,
+        |        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS clicks,
+        |        count(*) AS n
+        |      FROM e WHERE item IS NOT NULL GROUP BY 1)
+        |SELECT item, clicks, n,
+        |  round(clicks / CAST(n AS DOUBLE), 6) AS ctr,
+        |  round((clicks / CAST(n AS DOUBLE) + 1.9208 / n -
+        |    1.96 * sqrt((clicks / CAST(n AS DOUBLE) *
+        |      (1.0 - clicks / CAST(n AS DOUBLE)) + 0.9604 / n) / n)) /
+        |    (1.0 + 3.8416 / n), 6) AS wilson_lb
+        |FROM a ORDER BY item""".stripMargin,
+    // naive triple count — equivalent to the engine's A-priori-pruned
+    // plan by the downward-closure property
+    "q_itemsets3" ->
+      """WITH items AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+        |               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT i1.b AS b1, i2.b AS b2, i3.b AS b3, count(*) AS support
+        |FROM items i1
+        |JOIN items i2 ON i1.ok = i2.ok AND i1.b < i2.b
+        |JOIN items i3 ON i2.ok = i3.ok AND i2.b < i3.b
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 30
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    // batch replay of the stream's per-user running-max walk in
+    // event_id order
+    "q_stream_disorder" ->
+      """WITH w AS (SELECT user_id, event_id, epoch_ms(ts) AS tms,
+        |             max(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |               ORDER BY event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS prior_max
+        |           FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN tms < prior_max THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_disordered,
+        |  round(sum(CASE WHEN tms < prior_max THEN 1 ELSE 0 END) /
+        |    CAST(count(*) AS DOUBLE), 6) AS disorder_rate
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -700,4 +700,64 @@ object StreamingOps {
     spark.catalog.dropTempView(name)
     out.orderBy(col("user_id"))
   }
+
+  /** Streaming out-of-order accounting: per user, how many events arrive
+    * (in event_id sequence order) with a timestamp BELOW the running max —
+    * the data-quality signal that sizes watermarks and flags broken
+    * producers before a late event silently drops from a windowed agg.
+    * State per user is (last event_id, max ts, n, n_disordered) — four
+    * longs. The sequence contract (event_ids strictly increase across
+    * batches per user) fails loudly, like zscoreChanges' ts contract, so
+    * source re-ordering can't silently corrupt the counts. */
+  def disorderStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = graft.io.EventsReader.stream(spark, dir)
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .as[(Long, Long, Long)]
+    val counted = disorderChanges(events)
+    val name = s"disorder_${System.nanoTime()}"
+    val q = counted.toDF("user_id", "n_events", "n_disordered").writeStream
+      .format("memory").queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // update-mode sink holds one row per key per batch; counts are
+    // cumulative so the last row per key is the max
+    val (out, _) = org.apache.spark.sql.GraftShim.materialize(
+      spark.table(name).groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("n_disordered")).as("n_disordered")))
+    spark.catalog.dropTempView(name)
+    out.select(col("user_id"), col("n_events"), col("n_disordered"),
+        round(col("n_disordered") / col("n_events").cast("double"), 6)
+          .as("disorder_rate"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The change stream underneath [[disorderStream]]: rows are
+    * (event_id, user_id, ts_ms); emits cumulative (user_id, n_events,
+    * n_disordered). Exposed for multi-batch tests. */
+  def disorderChanges(events: org.apache.spark.sql.Dataset[(Long, Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._2)
+      .mapGroupsWithState[(Long, Long, Long, Long), (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[(Long, Long, Long, Long)]) =>
+          var (lastEid, maxTs, n, nDis) =
+            state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0L, 0L))
+          it.toSeq.sortBy(_._1).foreach { case (eid, _, ts) =>
+            require(eid > lastEid,
+              s"disorderChanges: event_id sequence violated for user $uid — " +
+                s"$eid after $lastEid")
+            if (ts < maxTs) nDis += 1
+            if (ts > maxTs) maxTs = ts
+            lastEid = eid; n += 1
+          }
+          state.update((lastEid, maxTs, n, nDis))
+          (uid, n, nDis)
+      }
+  }
 }

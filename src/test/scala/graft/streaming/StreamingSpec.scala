@@ -530,4 +530,53 @@ class StreamingSpec extends SparkTestBase {
     // event 5 is scored against moments INCLUDING the spike (n=4), where
     // z is small — its absence proves the state updated across batch 2
   }
+
+  test("streaming disorder counts survive micro-batch boundaries and reject sequence violations") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("streamdis").toString
+    // user 1: ts walk 100, 300, 200 (disordered), then cross-batch 250
+    // (disordered vs max 300) and 400 (in order) — 2 disordered total,
+    // ONE of them only detectable with state carried across the boundary
+    Seq((1L, 1L, 100L), (2L, 1L, 300L), (3L, 1L, 200L), (4L, 2L, 50L))
+      .toDF("event_id", "user_id", "ts_ms")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    Seq((5L, 1L, 250L), (6L, 1L, 400L), (7L, 2L, 60L))
+      .toDF("event_id", "user_id", "ts_ms")
+      .coalesce(1).write.parquet(s"$dir/b2")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").format("parquet").load(dir)
+      .as[(Long, Long, Long)]
+    val name = s"dis_test_${System.nanoTime()}"
+    val q = StreamingOps.disorderChanges(stream)
+      .toDF("user_id", "n_events", "n_disordered")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name).groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"), max(col("n_disordered")).as("d"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    spark.catalog.dropTempView(name)
+    assert(got === Map(1L -> ((5L, 2L)), 2L -> ((2L, 0L))))
+    // a replayed / out-of-sequence event_id must fail loudly, not corrupt
+    val err = intercept[Exception] {
+      val bad = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      val q2 = StreamingOps.disorderChanges(bad.toDS())
+        .toDF("user_id", "n_events", "n_disordered")
+        .writeStream.format("memory").queryName(s"bad_$name")
+        .outputMode("update").start()
+      bad.addData((10L, 7L, 100L))
+      q2.processAllAvailable()
+      bad.addData((9L, 7L, 200L)) // event_id goes BACKWARD
+      q2.processAllAvailable()
+      q2.stop()
+    }
+    val chain = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("sequence violated"), chain)
+  }
 }
