@@ -3453,7 +3453,81 @@ object SparkEntry {
       // streaming out-of-order accounting: per-user running-max ts state
       // in event_id order; the watermark-sizing data-quality signal
       GraftSession.withShufflePartitions(s, 8)(
-        graft.streaming.StreamingOps.disorderStream(s, d)))
+        graft.streaming.StreamingOps.disorderStream(s, d))),
+    "q_target_encode" -> ((s: SparkSession, d: String) => {
+      // leave-one-out target encoding with additive smoothing (m = 10
+      // toward the global rate) — the categorical-feature transform a
+      // training pipeline runs before model fit. LOO (category sum minus
+      // the row's own label) kills the self-leakage that makes naive
+      // mean-encoding overfit. One category aggregation broadcast back
+      // plus a single-row global prior; every term derives from integer
+      // counts, so the doubles are engine-identical.
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val agg = base.groupBy(col("source"))
+        .agg(sum(col("y")).as("sy"), count(lit(1)).as("nc"))
+      val prior = base.agg(sum(col("y")).as("gy"), count(lit(1)).as("gn"))
+      base.join(broadcast(agg), Seq("source"))
+        .crossJoin(broadcast(prior)) // single-row global prior
+        .select(col("doc_id"), col("source"), col("y"),
+          round((col("sy") - col("y") + lit(10.0) * (col("gy") / col("gn"))) /
+            (col("nc") - 1 + lit(10.0)), 6).as("te"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_cohort_ltv" -> ((s: SparkSession, d: String) => {
+      // cumulative revenue per user by cohort age — the LTV curve beside
+      // q_retention_cohort's activity curve. Cohort = first-active week
+      // (any event), revenue = purchase values at each week offset,
+      // cumulated by a cohort-partitioned window (bounded by the number
+      // of weeks) and normalized by cohort size.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Relational.table(s, d, "events")
+      val weekMs = (floor(unix_millis(col("ts")) / lit(604800000L)) *
+        604800000L).as("week_ms")
+      val first = ev.select(col("user_id"), weekMs)
+        .groupBy(col("user_id")).agg(min(col("week_ms")).as("cohort_ms"))
+      val spend = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), weekMs, col("value"))
+        .join(first, Seq("user_id"))
+        .select(col("cohort_ms"),
+          ((col("week_ms") - col("cohort_ms")) / 604800000L).cast("long")
+            .as("age_weeks"),
+          col("value"))
+        .groupBy(col("cohort_ms"), col("age_weeks"))
+        .agg(sum(col("value")).as("rev"))
+      val sizes = first.groupBy(col("cohort_ms")).agg(count(lit(1)).as("n_users"))
+      val w = Window.partitionBy(col("cohort_ms")).orderBy(col("age_weeks"))
+      spend.withColumn("cum_rev", sum(col("rev")).over(w))
+        .join(sizes, Seq("cohort_ms"))
+        .select(col("cohort_ms"), col("age_weeks"), col("n_users"),
+          round(col("cum_rev"), 2).as("cum_rev"),
+          round(col("cum_rev") / col("n_users"), 6).as("ltv_per_user"))
+        .orderBy(col("cohort_ms"), col("age_weeks"))
+    }),
+    "q_tpch_q3" -> ((s: SparkSession, d: String) => {
+      // TPC-H Q3 (shipping priority): top unshipped orders by revenue
+      // for one market segment — the join + top-k companion to
+      // q_tpch_q5. Plan shape: the segment filter reduces customer to a
+      // semi-join build side, the date filters push into both fact
+      // scans, and the top-10 is a TakeOrderedAndProject (never a full
+      // sort) keyed on the ROUNDED revenue so both engines rank the
+      // same values.
+      val cust = Relational.table(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = Relational.table(s, d, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      Relational.table(s, d, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1997-01-01")))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("rev")), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    })
   )
 
   // ---------- DuckDB oracle SQL ----------
@@ -6667,6 +6741,46 @@ object SparkEntry {
         |    AS n_disordered,
         |  round(sum(CASE WHEN tms < prior_max THEN 1 ELSE 0 END) /
         |    CAST(count(*) AS DOUBLE), 6) AS disorder_rate
-        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_target_encode" ->
+      """WITH b AS (SELECT doc_id, source,
+        |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |           FROM documents),
+        |a AS (SELECT source, CAST(sum(y) AS BIGINT) AS sy, count(*) AS nc
+        |      FROM b GROUP BY 1),
+        |p AS (SELECT CAST(sum(y) AS BIGINT) AS gy, count(*) AS gn FROM b)
+        |SELECT b.doc_id, b.source, CAST(b.y AS BIGINT) AS y,
+        |  round((a.sy - b.y + 10.0 * (gy / CAST(gn AS DOUBLE))) /
+        |    (a.nc - 1 + 10.0), 6) AS te
+        |FROM b JOIN a USING (source), p ORDER BY b.doc_id""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH uw AS (SELECT user_id, epoch_ms(ts) // 604800000 * 604800000
+        |              AS week_ms, event_type, value
+        |            FROM events),
+        |first AS (SELECT user_id, min(week_ms) AS cohort_ms FROM uw GROUP BY 1),
+        |spend AS (SELECT f.cohort_ms,
+        |            (u.week_ms - f.cohort_ms) // 604800000 AS age_weeks,
+        |            sum(u.value) AS rev
+        |          FROM uw u JOIN first f USING (user_id)
+        |          WHERE u.event_type = 'purchase' GROUP BY 1, 2),
+        |sizes AS (SELECT cohort_ms, count(*) AS n_users FROM first GROUP BY 1),
+        |c AS (SELECT cohort_ms, age_weeks,
+        |        sum(rev) OVER (PARTITION BY cohort_ms ORDER BY age_weeks)
+        |          AS cum_rev
+        |      FROM spend)
+        |SELECT c.cohort_ms, c.age_weeks, s.n_users,
+        |  round(c.cum_rev, 2) AS cum_rev,
+        |  round(c.cum_rev / s.n_users, 6) AS ltv_per_user
+        |FROM c JOIN sizes s USING (cohort_ms)
+        |ORDER BY c.cohort_ms, c.age_weeks""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM customer c, orders o, lineitem l
+        |WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey
+        |  AND l.l_orderkey = o.o_orderkey
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin
   )
 }

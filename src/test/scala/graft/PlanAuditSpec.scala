@@ -80,7 +80,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_adamic_adar" -> "same bounded 200-vector mutual-kNN preamble as q_triangle_count/q_link_prediction; the wedge join and AA scoring are equi-join only",
     "q_log_odds_terms" -> "single-row broadcast corpus-token-total frame joined onto the (lang, term) counts — the 1-row-frame normalizer pattern",
     "q_lift" -> "single-row broadcast (N, P) totals frame assigning deciles — the 1-row-frame normalizer pattern",
-    "q_hits" -> "per-round single-row max-normalizer frames broadcast onto the node-shaped score frames")
+    "q_hits" -> "per-round single-row max-normalizer frames broadcast onto the node-shaped score frames",
+    "q_target_encode" -> "single-row broadcast global-prior frame joined onto every doc — the 1-row-frame normalizer pattern")
 
   private object capture extends QueryExecutionListener {
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
