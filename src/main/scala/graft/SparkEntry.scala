@@ -3527,6 +3527,81 @@ object SparkEntry {
         .agg(round(sum(col("rev")), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
+    }),
+    "q_volatility" -> ((s: SparkSession, d: String) => {
+      // daily log-return drift and volatility per event type — the
+      // financial-returns lens on activity series (annualize off-line).
+      // Returns come from exact day-arithmetic self-joins (q_forecast's
+      // calendar contract), moments from explicit Σr/Σr² sums so both
+      // engines evaluate the identical closed form.
+      val daily = graft.io.EventsReader.batch(s, d)
+        .groupBy(col("event_type"),
+          floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+        .agg(count(lit(1)).as("actual"))
+        .localCheckpoint(true) // base + lag-1 self-join
+      val prev = daily.select(col("event_type"), (col("day") + 1).as("day"),
+        col("actual").as("prev_n"))
+      daily.join(prev, Seq("event_type", "day"))
+        .select(col("event_type"),
+          log(col("actual") / col("prev_n")).as("r"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("r")).as("sr"),
+          sum(col("r") * col("r")).as("sr2"))
+        .select(col("event_type"), col("n_days"),
+          round(col("sr") / col("n_days"), 6).as("drift"),
+          round(sqrt(col("sr2") / col("n_days") -
+            (col("sr") / col("n_days")) * (col("sr") / col("n_days"))), 6)
+            .as("vol_daily"))
+        .orderBy(col("event_type"))
+    }),
+    "q_dp_release" -> ((s: SparkSession, d: String) => {
+      // differentially-private-style noisy count release: per-type counts
+      // plus Laplace(b=2) noise drawn by inverse CDF from the md5-derived
+      // uniform (q_weighted_sample's engine-portable 52-bit recipe) — the
+      // privacy-layer primitive a data clean room runs before exporting
+      // aggregates. Deterministic given the seed tag, so the oracle
+      // replays the exact noise.
+      val cnt = Relational.table(s, d, "events")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("true_n"))
+      val u = conv(substring(md5(concat(col("event_type"), lit(":dp1"))), 1, 13),
+        16, 10).cast("double") / lit(4503599627370496.0)
+      val c = u - lit(0.5)
+      val lap = lit(-2.0) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+      cnt.select(col("event_type"), col("true_n"),
+          round(lap, 4).as("noise"),
+          round(col("true_n") + lap, 4).as("released"))
+        .orderBy(col("event_type"))
+    }),
+    "q_assortativity" -> ((s: SparkSession, d: String) => {
+      // degree assortativity (Newman's r): Pearson correlation of endpoint
+      // degrees over the bidirected customer↔supplier purchase graph —
+      // the one-number summary of hub-to-hub vs hub-to-leaf wiring.
+      // Every sum is over exact integer degrees, so the closed form is
+      // engine-identical to the last bit before rounding.
+      val o = Relational.table(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      val l = Relational.table(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val pairs = o.join(l, Seq("ok"))
+        .select((col("ck") * 2).as("c"), (col("sk") * 2 + 1).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+        .localCheckpoint(true) // degree build + two degree joins
+      val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val m = edges
+        .join(deg.select(col("node").as("src"), col("deg").as("dj")), Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("deg").as("dk")), Seq("dst"))
+        .agg(count(lit(1)).as("m"),
+          sum(col("dj")).as("sj"), sum(col("dk")).as("sk"),
+          sum(col("dj") * col("dk")).as("sjk"),
+          sum(col("dj") * col("dj")).as("sj2"),
+          sum(col("dk") * col("dk")).as("sk2"))
+      m.select(col("m").as("n_edges"),
+        round((col("sjk") / col("m") - (col("sj") / col("m")) * (col("sk") / col("m"))) /
+          sqrt((col("sj2") / col("m") - (col("sj") / col("m")) * (col("sj") / col("m"))) *
+            (col("sk2") / col("m") - (col("sk") / col("m")) * (col("sk") / col("m")))), 6)
+          .as("assortativity"))
     })
   )
 
@@ -6781,6 +6856,55 @@ object SparkEntry {
         |  AND l.l_orderkey = o.o_orderkey
         |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
         |  AND l.l_shipdate > TIMESTAMP '1997-01-01'
-        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin,
+    "q_volatility" ->
+      """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |                 count(*) AS actual
+        |               FROM events GROUP BY 1, 2),
+        |r AS (SELECT d.event_type,
+        |        ln(d.actual / CAST(p.actual AS DOUBLE)) AS r
+        |      FROM daily d
+        |      JOIN daily p ON d.event_type = p.event_type AND d.day = p.day + 1),
+        |a AS (SELECT event_type, count(*) AS n_days, sum(r) AS sr,
+        |        sum(r * r) AS sr2
+        |      FROM r GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  round(sr / n_days, 6) AS drift,
+        |  round(sqrt(sr2 / n_days - (sr / n_days) * (sr / n_days)), 6) AS vol_daily
+        |FROM a ORDER BY event_type""".stripMargin,
+    "q_dp_release" ->
+      """WITH c AS (SELECT event_type, count(*) AS true_n FROM events GROUP BY 1),
+        |u AS (SELECT event_type, true_n,
+        |        (('0x' || substr(md5(event_type || ':dp1'), 1, 13))::UBIGINT::DOUBLE)
+        |          / 4503599627370496.0 - 0.5 AS cu
+        |      FROM c)
+        |SELECT event_type, true_n,
+        |  round(-2.0 * sign(cu) * ln(1.0 - 2.0 * abs(cu)), 4) AS noise,
+        |  round(true_n + -2.0 * sign(cu) * ln(1.0 - 2.0 * abs(cu)), 4) AS released
+        |FROM u ORDER BY event_type""".stripMargin,
+    "q_assortativity" ->
+      """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+        |               FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+        |j AS (SELECT d1.deg AS dj, d2.deg AS dk
+        |      FROM edges e JOIN deg d1 ON e.src = d1.node
+        |                   JOIN deg d2 ON e.dst = d2.node),
+        |a AS (SELECT count(*) AS m,
+        |        CAST(sum(dj) AS BIGINT) AS sj, CAST(sum(dk) AS BIGINT) AS sk,
+        |        CAST(sum(dj * dk) AS BIGINT) AS sjk,
+        |        CAST(sum(dj * dj) AS BIGINT) AS sj2,
+        |        CAST(sum(dk * dk) AS BIGINT) AS sk2
+        |      FROM j)
+        |SELECT m AS n_edges,
+        |  round((sjk / CAST(m AS DOUBLE) -
+        |      (sj / CAST(m AS DOUBLE)) * (sk / CAST(m AS DOUBLE))) /
+        |    sqrt((sj2 / CAST(m AS DOUBLE) -
+        |        (sj / CAST(m AS DOUBLE)) * (sj / CAST(m AS DOUBLE))) *
+        |      (sk2 / CAST(m AS DOUBLE) -
+        |        (sk / CAST(m AS DOUBLE)) * (sk / CAST(m AS DOUBLE)))), 6)
+        |    AS assortativity
+        |FROM a""".stripMargin
   )
 }
