@@ -3602,6 +3602,30 @@ object SparkEntry {
           sqrt((col("sj2") / col("m") - (col("sj") / col("m")) * (col("sj") / col("m"))) *
             (col("sk2") / col("m") - (col("sk") / col("m")) * (col("sk") / col("m")))), 6)
           .as("assortativity"))
+    }),
+    "q_sssp" -> ((s: SparkSession, d: String) => {
+      // weighted shortest paths (Bellman-Ford, frontier-relaxed) over the
+      // customer↔supplier graph weighted by interaction count, from every
+      // 100th customer — the weighted sibling of q_shortest_hops. Run at
+      // EXACTLY 4 relaxation rounds (requireConverged = false), which is
+      // the well-defined "shortest path using ≤ 4 hops" semantics the
+      // 4-round unrolled SQL replays; integer weights keep every distance
+      // exact in both engines.
+      val o = Relational.table(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      val l = Relational.table(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val wpairs = o.join(l, Seq("ok"))
+        .groupBy((col("ck") * 2).as("c"), (col("sk") * 2 + 1).as("s"))
+        .agg(count(lit(1)).as("w"))
+      val edges = wpairs.select(col("c").as("src"), col("s").as("dst"), col("w"))
+        .unionAll(wpairs.select(col("s").as("src"), col("c").as("dst"), col("w")))
+      val sources = wpairs.filter(col("c") % 200 === 0)
+        .select(col("c").as("node")).distinct()
+      graft.operators.GraphOps.weightedShortestPaths(edges, sources,
+          maxIters = 4, requireConverged = false)
+        .select(col("node"), col("dist").cast("long").as("dist"))
+        .orderBy(col("node"))
     })
   )
 
@@ -6905,6 +6929,34 @@ object SparkEntry {
         |      (sk2 / CAST(m AS DOUBLE) -
         |        (sk / CAST(m AS DOUBLE)) * (sk / CAST(m AS DOUBLE)))), 6)
         |    AS assortativity
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    // 4 Bellman-Ford relaxation rounds unrolled: each round min-merges
+    // the previous table with one edge relaxation — integer-exact
+    "q_sssp" ->
+      """WITH e0 AS (SELECT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b,
+        |              count(*) AS w
+        |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |            GROUP BY 1, 2),
+        |edges AS (SELECT a AS src, b AS dst, w FROM e0
+        |          UNION ALL SELECT b AS src, a AS dst, w FROM e0),
+        |d0 AS (SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS dist
+        |       FROM e0 WHERE a % 200 = 0),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM d0
+        |         UNION ALL SELECT e.dst, d.dist + e.w FROM d0 d
+        |           JOIN edges e ON d.node = e.src) GROUP BY 1),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM d1
+        |         UNION ALL SELECT e.dst, d.dist + e.w FROM d1 d
+        |           JOIN edges e ON d.node = e.src) GROUP BY 1),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM d2
+        |         UNION ALL SELECT e.dst, d.dist + e.w FROM d2 d
+        |           JOIN edges e ON d.node = e.src) GROUP BY 1),
+        |d4 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM d3
+        |         UNION ALL SELECT e.dst, d.dist + e.w FROM d3 d
+        |           JOIN edges e ON d.node = e.src) GROUP BY 1)
+        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY node""".stripMargin
   )
 }

@@ -280,6 +280,65 @@ object GraphOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Multi-source WEIGHTED shortest paths by synchronous Bellman-Ford
+    * relaxation — the weighted sibling of [[shortestHops]]. Each round
+    * relaxes only the frontier of nodes whose distance IMPROVED last
+    * round (delta-propagation): one frontier⋈edges equi-join, one
+    * min-combine, one compare-join against the settled table — so work
+    * per round is proportional to the improving region, and a converged
+    * subgraph costs nothing. Stops when a round improves no node
+    * (`maxIters` caps it; hitting the cap fails loudly rather than
+    * returning partial distances — a Bellman-Ford that didn't converge
+    * has no shortest-path semantics). Negative weights are rejected
+    * up front for the same reason. Pass `maxIters = k` with
+    * `requireConverged = false` to get the exact "shortest path using
+    * ≤ k hops" semantics an unrolled SQL oracle replays.
+    *
+    * @param edges (src, dst, w) directed weighted edges, w ≥ 0
+    * @return ((node, dist) for every reached node, rounds executed)
+    */
+  def weightedShortestPathsCounted(edges: DataFrame, sources: DataFrame,
+      maxIters: Int = 20, requireConverged: Boolean = true): (DataFrame, Int) = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
+      .localCheckpoint(true)
+    require(e.filter(col("w") < 0).limit(1).isEmpty,
+      "weightedShortestPaths: negative edge weight")
+    var dist = sources.select(col("node").cast("long").as("node"),
+      lit(0.0).as("dist")).distinct().localCheckpoint(true)
+    var frontier = dist
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node"), (col("dist") + col("w")).as("nd"))
+        .groupBy(col("node")).agg(min(col("nd")).as("nd"))
+      val improved = cand
+        .join(dist.select(col("node"), col("dist").as("old")), Seq("node"), "left")
+        .filter(col("old").isNull || col("nd") < col("old"))
+        .select(col("node"), col("nd").as("dist"))
+        .localCheckpoint(true)
+      if (improved.isEmpty) converged = true
+      else {
+        val merged = dist.join(improved.select(col("node")), Seq("node"), "left_anti")
+          .unionAll(improved).localCheckpoint(true)
+        if (frontier ne dist) frontier.unpersist(blocking = false)
+        dist.unpersist(blocking = false)
+        dist = merged
+        frontier = improved
+      }
+      it += 1
+    }
+    require(converged || !requireConverged,
+      s"weightedShortestPaths: no fixpoint after $maxIters rounds")
+    (dist, it)
+  }
+
+  /** [[weightedShortestPathsCounted]] without the round count. */
+  def weightedShortestPaths(edges: DataFrame, sources: DataFrame,
+      maxIters: Int = 20, requireConverged: Boolean = true): DataFrame =
+    weightedShortestPathsCounted(edges, sources, maxIters, requireConverged)._1
+
   /** HITS hubs & authorities (Kleinberg 1999): `iters` mutual-reinforcement
     * rounds over a DIRECTED edge list. Each round: authority(v) = Σ hub(u)
     * over in-neighbors u, then hub(u) = Σ authority(v) over out-neighbors,

@@ -115,6 +115,49 @@ class GraphOpsSpec extends SparkTestBase {
     assert(GraphOps.labelPropagationCounted(edges, iters = 5)._2 == 5)
   }
 
+  test("weightedShortestPaths matches local Dijkstra; hop-capped mode; negative rejection") {
+    import spark.implicits._
+    // pseudorandom positive-weighted digraph on 20 nodes
+    val raw = (0L until 80L).map(i =>
+      ((i * 13) % 20, (i * i * 7 + 3) % 20, (i % 9) + 1.0))
+      .filter(e => e._1 != e._2).distinct
+    val sources = Seq(0L, 5L)
+    // local Dijkstra over the min-weight multigraph
+    val adj = raw.groupBy(_._1).map { case (s, es) =>
+      s -> es.groupBy(_._2).map { case (d, ws) => d -> ws.map(_._3).min }.toSeq
+    }
+    val dist = scala.collection.mutable.Map(sources.map(_ -> 0.0): _*)
+    val pq = scala.collection.mutable.PriorityQueue(
+      sources.map(s => (-0.0, s)): _*)(Ordering.by(_._1))
+    while (pq.nonEmpty) {
+      val (nd, n) = pq.dequeue()
+      if (-nd <= dist(n) + 1e-12)
+        adj.getOrElse(n, Nil).foreach { case (m, w) =>
+          if (dist.get(m).forall(_ > -nd + w)) {
+            dist(m) = -nd + w; pq.enqueue((nd - w, m))
+          }
+        }
+    }
+    val (got, rounds) = GraphOps.weightedShortestPathsCounted(
+      raw.toDF("src", "dst", "w"), sources.toDF("node"), maxIters = 30)
+    val gm = got.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rounds < 30, s"expected convergence, ran $rounds")
+    assert(gm.keySet === dist.keySet)
+    gm.foreach { case (n, dv) => assert(math.abs(dv - dist(n)) < 1e-9, s"node $n") }
+    // hop-capped mode: 1 round = direct edges only
+    val one = GraphOps.weightedShortestPaths(raw.toDF("src", "dst", "w"),
+        Seq(0L).toDF("node"), maxIters = 1, requireConverged = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = adj.getOrElse(0L, Nil).toMap
+    assert(one === direct.map { case (d, w) => d -> w } + (0L -> 0.0))
+    // negative weights fail loudly
+    val err = intercept[IllegalArgumentException] {
+      GraphOps.weightedShortestPaths(
+        Seq((1L, 2L, -1.0)).toDF("src", "dst", "w"), Seq(1L).toDF("node"))
+    }
+    assert(err.getMessage.contains("negative edge weight"))
+  }
+
   test("hits: hand-computed hubs/authorities on a 4-node DAG") {
     import spark.implicits._
     // 1→3, 2→3, 2→4. Round 1: auth ∝ indegree → 3=1, 4=.5;
