@@ -353,5 +353,33 @@ object ScaleOpsMillionSmoke {
       f"max outside = $outMax%.2e")
     assert(math.abs(inClique - 1.0) < 1e-3, s"restart mass leaked the component: $inClique")
     assert(outMax == 0.0, s"PPR mass reached a disconnected component: $outMax")
+
+    // ---- weighted SSSP: n-node 10-ary tree, uniform weight 7, planted
+    // decoy shortcuts the relaxation must OVERWRITE ----
+    // Every 1000th node gets a direct 0→v edge costing 7·depth(v)+5: it
+    // arrives in round 1 (cheap-looking), then the true tree path must
+    // improve it — exercising the improvement anti-join + frontier
+    // re-expansion at scale, with the exact closed form dist(v) = 7·depth(v).
+    t0 = System.nanoTime()
+    val starts = Iterator.iterate(0L)(_ * 10 + 1).takeWhile(_ < n).toSeq
+    val depthExpr = starts.tail.foldLeft(lit(0L)) { (acc, s) =>
+      when(col("id") >= s, acc + 1L).otherwise(acc)
+    }
+    val down = spark.range(1L, n)
+      .select(floor((col("id") - 1) / 10L).cast("long").as("src"),
+        col("id").as("dst"), lit(7.0).as("w"))
+    val decoys = spark.range(1L, n).filter(col("id") % 1000 === 0)
+      .select(lit(0L).as("src"), col("id").as("dst"),
+        (depthExpr * 7.0 + 5.0).as("w"))
+    val (ssspDist, ssspRounds) = graft.operators.GraphOps.weightedShortestPathsCounted(
+      down.unionAll(decoys), spark.range(1).select(lit(0L).as("node")), maxIters = 15)
+    val badRows = ssspDist.select(col("node").as("id"), col("dist"))
+      .filter(col("dist") =!= depthExpr * 7.0).limit(1).count()
+    val nReached = ssspDist.count()
+    val ssspSecs = (System.nanoTime() - t0) / 1e9
+    println(f"[smoke] sssp: $n-node weighted tree + ${n / 1000} decoy shortcuts in " +
+      f"$ssspSecs%.1f s, $ssspRounds rounds; reached=$nReached")
+    assert(nReached == n, s"every node must be reached: $nReached of $n")
+    assert(badRows == 0L, "a decoy shortcut survived — improvement overwrite failed")
   }
 }

@@ -6690,13 +6690,15 @@ object SparkEntry {
       """WITH b AS (SELECT source, n_chars AS score,
         |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
         |           FROM documents),
-        |g AS (SELECT source, score, count(*) AS n, sum(label) AS npos_s
+        |g AS (SELECT source, score, count(*) AS n,
+        |        CAST(sum(label) AS BIGINT) AS npos_s
         |      FROM b GROUP BY 1, 2),
         |c AS (SELECT source, score, n, npos_s,
         |        sum(n) OVER (PARTITION BY source ORDER BY score) AS cumn FROM g),
         |a AS (SELECT source,
         |        sum(npos_s * (cumn - n + (n + 1) / 2.0)) AS rsum,
-        |        sum(npos_s) AS npos, sum(n) AS n_total
+        |        CAST(sum(npos_s) AS BIGINT) AS npos,
+        |        CAST(sum(n) AS BIGINT) AS n_total
         |      FROM c GROUP BY 1)
         |SELECT source, npos, n_total - npos AS nneg,
         |  round((rsum - npos * (npos + 1) / 2.0) /
@@ -6717,7 +6719,8 @@ object SparkEntry {
         |dc AS (SELECT least(CAST(floor((rnk - 1) * 10 / CAST(t.nn AS DOUBLE))
         |                    AS BIGINT), 9) AS decile,
         |         label, t.nn, t.pp FROM r, t),
-        |bd AS (SELECT decile, count(*) AS n, sum(label) AS npos,
+        |bd AS (SELECT decile, count(*) AS n,
+        |         CAST(sum(label) AS BIGINT) AS npos,
         |         max(nn) AS nn, max(pp) AS pp FROM dc GROUP BY 1),
         |c AS (SELECT decile, n, npos, nn, pp,
         |        sum(n) OVER (ORDER BY decile) AS cum_n,

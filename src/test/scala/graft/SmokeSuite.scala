@@ -57,7 +57,8 @@ class SmokeSuite extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   smoke("ScaleOpsMillionSmoke: 1M-edge PageRank, 10M-token CMS, 10M-row weighted sample, " +
-      "1.4M-edge exact triangles, 10k-clique LPA") {
+      "1.4M-edge exact triangles, 10k-clique LPA, skew join, 1M-node BFS + weighted SSSP, " +
+      "400k-doc CDC, kcore, PPR") {
     ScaleOpsMillionSmoke.run(_, 1000000L)
   }
 
