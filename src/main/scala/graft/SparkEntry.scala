@@ -341,7 +341,10 @@ object SparkEntry {
     "q_ngram_containment" -> ((s: SparkSession, d: String) =>
       // asymmetric containment |A∩B|/min(|A|,|B|): the subset-duplication
       // detector symmetric Jaccard misses (doc pasted inside a larger
-      // one); same inverted-index candidate bound as q_ngram_jaccard
+      // one). Candidates are min-side canonical prefixes probing the FULL
+      // inverted index (containment has no size-ratio bound, so
+      // prefix⋈prefix would miss subset dups), verified by the exact
+      // sorted-merge kernel — 10x the naive posting self-join at sf0.1
       Dedup.ngramContainmentPairs(docs(s, d), "source", threshold = 0.9)
         .orderBy(col("block"), col("id_a"), col("id_b"))),
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => {
@@ -3626,6 +3629,74 @@ object SparkEntry {
           maxIters = 4, requireConverged = false)
         .select(col("node"), col("dist").cast("long").as("dist"))
         .orderBy(col("node"))
+    }),
+    "q_churn" -> ((s: SparkSession, d: String) => {
+      // period-over-period churn: of the users active in 28-day period p,
+      // the fraction absent in p+1 — the counterpart of q_retention_cohort
+      // (cohort-anchored) for rolling health dashboards. One distinct
+      // user-period frame, one self-join shifted by -1 period, integer
+      // ratios; the final (unclosable) period is excluded via the
+      // single-row max-period frame.
+      val um = graft.io.EventsReader.batch(s, d)
+        .select(col("user_id"),
+          floor(unix_millis(col("ts")) / lit(2419200000L)).cast("long").as("period"))
+        .distinct().localCheckpoint(true) // base + shifted self-join + max
+      val nextAct = um.select(col("user_id"), (col("period") - 1).as("period"),
+        lit(1L).as("r"))
+      val maxp = um.agg(max(col("period")).as("maxp"))
+      um.join(nextAct, Seq("user_id", "period"), "left")
+        .crossJoin(broadcast(maxp)) // single-row last-period guard
+        .filter(col("period") < col("maxp"))
+        .groupBy(col("period"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(coalesce(col("r"), lit(0L))).as("n_retained"))
+        .select(col("period"), col("n_users"), col("n_retained"),
+          round(lit(1.0) - col("n_retained") / col("n_users").cast("double"), 6)
+            .as("churn_rate"))
+        .orderBy(col("period"))
+    }),
+    "q_power_curve" -> ((s: SparkSession, d: String) => {
+      // the L28 power-user curve: how many users were active on exactly
+      // k of the corpus's last 28 days — the engagement-depth histogram
+      // behind "power user" definitions. Distinct user-days, the trailing
+      // window anchored on the single-row max-day frame, two integer
+      // aggregations.
+      val dd = graft.io.EventsReader.batch(s, d)
+        .select(col("user_id"),
+          floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+        .distinct().localCheckpoint(true) // max + the windowed count
+      val maxd = dd.agg(max(col("day")).as("maxd"))
+      dd.crossJoin(broadcast(maxd)) // single-row window anchor
+        .filter(col("day") > col("maxd") - 28)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("active_days"))
+        .groupBy(col("active_days")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("active_days"))
+    }),
+    "q_watermark_sizing" -> ((s: SparkSession, d: String) => {
+      // watermark sizing readout: for candidate delays W ∈ {1h, 6h, 24h},
+      // how many events arrive (in event_id order) with ts below the
+      // per-user running max minus W — i.e. would be DROPPED by a
+      // watermark of W. The batch companion to q_stream_disorder that
+      // turns its raw disorder counts into the actual operational choice.
+      // One user-partitioned running-max window, a 3-way threshold
+      // explode, one aggregation.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      graft.io.EventsReader.batch(s, d)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"))
+        .withColumn("prior_max", max(col("tms")).over(w))
+        .select(col("tms"), col("prior_max"),
+          explode(array(lit(3600000L), lit(21600000L), lit(86400000L))).as("w_ms"))
+        .groupBy(col("w_ms"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("tms") < col("prior_max") - col("w_ms"), 1L)
+            .otherwise(0L)).as("n_dropped"))
+        .select((col("w_ms") / 3600000L).cast("long").as("w_hours"),
+          col("n_events"), col("n_dropped"),
+          round(col("n_dropped") / col("n_events").cast("double"), 6)
+            .as("drop_rate"))
+        .orderBy(col("w_hours"))
     })
   )
 
@@ -6960,6 +7031,45 @@ object SparkEntry {
         |         SELECT node, dist FROM d3
         |         UNION ALL SELECT e.dst, d.dist + e.w FROM d3 d
         |           JOIN edges e ON d.node = e.src) GROUP BY 1)
-        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY node""".stripMargin
+        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY node""".stripMargin,
+    "q_churn" ->
+      """WITH um AS (SELECT DISTINCT user_id,
+        |              epoch_ms(ts) // 2419200000 AS period
+        |            FROM events),
+        |nxt AS (SELECT user_id, period - 1 AS period, 1 AS r FROM um),
+        |mx AS (SELECT max(period) AS maxp FROM um),
+        |j AS (SELECT um.period, nxt.r FROM um
+        |      LEFT JOIN nxt USING (user_id, period), mx
+        |      WHERE um.period < mx.maxp)
+        |SELECT period, count(*) AS n_users,
+        |  CAST(sum(coalesce(r, 0)) AS BIGINT) AS n_retained,
+        |  round(1.0 - sum(coalesce(r, 0)) / CAST(count(*) AS DOUBLE), 6)
+        |    AS churn_rate
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_power_curve" ->
+      """WITH dd AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        |            FROM events),
+        |mx AS (SELECT max(day) AS maxd FROM dd),
+        |pu AS (SELECT user_id, count(*) AS active_days
+        |       FROM dd, mx WHERE day > maxd - 28 GROUP BY 1)
+        |SELECT active_days, count(*) AS n_users
+        |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_watermark_sizing" ->
+      """WITH w AS (SELECT user_id, event_id, epoch_ms(ts) AS tms,
+        |             max(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |               ORDER BY event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS prior_max
+        |           FROM events),
+        |x AS (SELECT tms, prior_max,
+        |        unnest([3600000, 21600000, 86400000]) AS w_ms
+        |      FROM w)
+        |SELECT CAST(w_ms // 3600000 AS BIGINT) AS w_hours,
+        |  count(*) AS n_events,
+        |  CAST(sum(CASE WHEN tms < prior_max - w_ms THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  round(sum(CASE WHEN tms < prior_max - w_ms THEN 1 ELSE 0 END) /
+        |    CAST(count(*) AS DOUBLE), 6) AS drop_rate
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

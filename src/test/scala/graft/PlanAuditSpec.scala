@@ -81,7 +81,9 @@ class PlanAuditSpec extends SparkTestBase {
     "q_log_odds_terms" -> "single-row broadcast corpus-token-total frame joined onto the (lang, term) counts — the 1-row-frame normalizer pattern",
     "q_lift" -> "single-row broadcast (N, P) totals frame assigning deciles — the 1-row-frame normalizer pattern",
     "q_hits" -> "per-round single-row max-normalizer frames broadcast onto the node-shaped score frames",
-    "q_target_encode" -> "single-row broadcast global-prior frame joined onto every doc — the 1-row-frame normalizer pattern")
+    "q_target_encode" -> "single-row broadcast global-prior frame joined onto every doc — the 1-row-frame normalizer pattern",
+    "q_churn" -> "single-row broadcast max-period frame excluding the unclosable last period — the 1-row-frame normalizer pattern",
+    "q_power_curve" -> "single-row broadcast max-day frame anchoring the trailing 28-day window — the 1-row-frame normalizer pattern")
 
   private object capture extends QueryExecutionListener {
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()

@@ -198,6 +198,42 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("prefix-probed ngram containment equals the all-pairs baseline; finds subset dups") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def brute(df: org.apache.spark.sql.DataFrame, t: Double): Seq[String] = {
+      val sh = df.select(col("source").as("block"), col("doc_id").as("id"),
+        graft.expr.TextExpressions.charShingleHashes(col("text"), 3).as("sh"))
+      sh.alias("a").join(sh.alias("b"),
+          col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+        .select(col("a.block").as("block"), col("a.id").as("id_a"),
+          col("b.id").as("id_b"),
+          round(graft.expr.TextExpressions.sortedIntersectCount(
+            sort_array(col("a.sh")), sort_array(col("b.sh"))).cast("double") /
+            least(size(col("a.sh")), size(col("b.sh"))), 6).as("containment"))
+        .filter(col("containment") >= t)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    for (t <- Seq(0.7, 0.9)) {
+      val pref = Dedup.ngramContainmentPairs(docs, "source", threshold = t)
+        .collect().map(_.toString).sorted.toSeq
+      val base = brute(docs, t)
+      assert(pref == base, s"t=$t: prefix-probed output differs")
+      assert(base.nonEmpty, s"t=$t: vacuous comparison")
+    }
+    // the case Jaccard's prefix⋈prefix would MISS: a small doc pasted
+    // inside a 40x larger one (no size-ratio bound in containment) — the
+    // prefix⋈full-index probe must still surface it at containment 1.0
+    import spark.implicits._
+    val small = "the quick brown fox jumps over the lazy dog"
+    val big = (Seq.tabulate(40)(i => s"filler sentence number $i with words") :+ small)
+      .mkString(" ")
+    val planted = Seq((1L, small, "s"), (2L, big, "s")).toDF("doc_id", "text", "source")
+    val got = Dedup.ngramContainmentPairs(planted, "source", threshold = 0.99)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)), s"subset dup missed: ${got.toSeq}")
+  }
+
   test("prefix-filtered ngram jaccard equals baseline on seeded random edge cases") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
