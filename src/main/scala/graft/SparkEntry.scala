@@ -3697,7 +3697,65 @@ object SparkEntry {
           round(col("n_dropped") / col("n_events").cast("double"), 6)
             .as("drop_rate"))
         .orderBy(col("w_hours"))
-    })
+    }),
+    "q_modularity" -> ((s: SparkSession, d: String) => {
+      // Newman modularity of the 2-round LPA communities on the purchase
+      // graph — the quality score that turns q_label_propagation from
+      // "produces labels" into "produces GOOD labels". Q = Σ_c (e_c/2m −
+      // (deg_c/2m)²) over directed-double counts; every input is an
+      // integer, the community Σ is one map-side-combinable aggregate.
+      val o = Relational.table(s, d, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      val l = Relational.table(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val pairs = o.join(l, Seq("ok"))
+        .select((col("ck") * 2).as("c"), (col("sk") * 2 + 1).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+        .localCheckpoint(true) // LPA + degree + intra-edge counting
+      val labels = graft.operators.GraphOps.labelPropagation(edges, iters = 2)
+        .localCheckpoint(true) // joined twice (src and dst side)
+      val m2 = edges.count().toDouble // directed-double edge count = 2m
+      val lsrc = labels.select(col("node").as("src"), col("label").as("lsrc"))
+      val ldst = labels.select(col("node").as("dst"), col("label").as("ldst"))
+      val ec = edges.join(lsrc, Seq("src")).join(ldst, Seq("dst"))
+        .filter(col("lsrc") === col("ldst"))
+        .groupBy(col("lsrc").as("label")).agg(count(lit(1)).as("ec"))
+      val degc = edges.join(lsrc, Seq("src"))
+        .groupBy(col("lsrc").as("label")).agg(count(lit(1)).as("degc"))
+      degc.join(ec, Seq("label"), "left")
+        .select((coalesce(col("ec"), lit(0L)) / lit(m2) -
+          (col("degc") / lit(m2)) * (col("degc") / lit(m2))).as("q"))
+        .agg(count(lit(1)).as("n_communities"),
+          round(sum(col("q")), 6).as("modularity"))
+    }),
+    "q_mix_kl" -> ((s: SparkSession, d: String) => {
+      // per-source language-mix drift: KL(source mix ‖ corpus mix) in nats
+      // — the one-number "how unlike the corpus is this source" monitor
+      // beside q_corpus_mix's raw shares. Observed (source, lang) cells
+      // only (p>0 ⇒ q>0 by construction), every ratio from integer counts.
+      val cnt = docs(s, d).groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // cell + three marginal reads
+      val ns = cnt.groupBy(col("source")).agg(sum(col("n")).as("ns"))
+      val nl = cnt.groupBy(col("lang")).agg(sum(col("n")).as("nl"))
+      val nn = cnt.agg(sum(col("n")).as("nn"))
+      cnt.join(broadcast(ns), Seq("source"))
+        .join(broadcast(nl), Seq("lang"))
+        .crossJoin(broadcast(nn)) // single-row corpus total
+        .select(col("source"), col("ns"),
+          ((col("n") / col("ns")) *
+            log((col("n") / col("ns")) / (col("nl") / col("nn")))).as("term"))
+        .groupBy(col("source"))
+        .agg(max(col("ns")).as("n_docs"), round(sum(col("term")), 6).as("kl_nats"))
+        .orderBy(col("source"))
+    }),
+    "q_stream_sliding" -> ((s: SparkSession, d: String) =>
+      // overlapping 2h/1h sliding windows — each event in exactly two
+      // window rows; the oracle replays both window starts per event
+      GraftSession.withShufflePartitions(s, 8)(
+        graft.streaming.StreamingOps.slidingHourlyStream(s, d)))
   )
 
   // ---------- DuckDB oracle SQL ----------
@@ -7070,6 +7128,64 @@ object SparkEntry {
         |    AS BIGINT) AS n_dropped,
         |  round(sum(CASE WHEN tms < prior_max - w_ms THEN 1 ELSE 0 END) /
         |    CAST(count(*) AS DOUBLE), 6) AS drop_rate
-        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the 2 LPA rounds of q_label_propagation replayed verbatim, then
+    // Newman's Q from integer intra-edge and degree sums
+    "q_modularity" ->
+      """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+        |               FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |l0 AS (SELECT DISTINCT node, node AS label FROM (
+        |         SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
+        |c1 AS (SELECT e.dst AS node, p.label, count(*) AS cnt
+        |       FROM edges e JOIN l0 p ON e.src = p.node GROUP BY 1, 2),
+        |w1 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER
+        |           (PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c1)
+        |       WHERE rn = 1),
+        |l1 AS (SELECT p.node, coalesce(w.label, p.label) AS label
+        |       FROM l0 p LEFT JOIN w1 w ON p.node = w.node),
+        |c2 AS (SELECT e.dst AS node, p.label, count(*) AS cnt
+        |       FROM edges e JOIN l1 p ON e.src = p.node GROUP BY 1, 2),
+        |w2 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER
+        |           (PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM c2)
+        |       WHERE rn = 1),
+        |l2 AS (SELECT p.node, coalesce(w.label, p.label) AS label
+        |       FROM l1 p LEFT JOIN w2 w ON p.node = w.node),
+        |mm AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM edges),
+        |ec AS (SELECT p.label, count(*) AS ec FROM edges e
+        |       JOIN l2 p ON e.src = p.node JOIN l2 q2 ON e.dst = q2.node
+        |       WHERE p.label = q2.label GROUP BY 1),
+        |dc AS (SELECT p.label, count(*) AS degc
+        |       FROM edges e JOIN l2 p ON e.src = p.node GROUP BY 1),
+        |t AS (SELECT dc.label,
+        |        coalesce(ec.ec, 0) / mm.m2 -
+        |          (dc.degc / mm.m2) * (dc.degc / mm.m2) AS q
+        |      FROM dc LEFT JOIN ec USING (label), mm)
+        |SELECT count(*) AS n_communities, round(sum(q), 6) AS modularity
+        |FROM t""".stripMargin,
+    "q_mix_kl" ->
+      """WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM c GROUP BY 1),
+        |nl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM c GROUP BY 1),
+        |nn AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+        |t AS (SELECT c.source, ns.ns,
+        |        (c.n / CAST(ns.ns AS DOUBLE)) *
+        |          ln((c.n / CAST(ns.ns AS DOUBLE)) /
+        |             (nl.nl / CAST(nn.nn AS DOUBLE))) AS term
+        |      FROM c JOIN ns USING (source) JOIN nl USING (lang), nn)
+        |SELECT source, max(ns) AS n_docs, round(sum(term), 6) AS kl_nats
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // each event contributes to the two hour-aligned 2h windows
+    // covering it — the sliding-window replay
+    "q_stream_sliding" ->
+      """WITH x AS (SELECT event_type,
+        |             unnest([epoch_ms(ts) // 3600000 * 3600000 - 3600000,
+        |                     epoch_ms(ts) // 3600000 * 3600000]) AS win_start_ms
+        |           FROM events)
+        |SELECT win_start_ms, event_type, count(*) AS cnt
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

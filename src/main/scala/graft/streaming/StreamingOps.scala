@@ -78,6 +78,31 @@ object StreamingOps {
     out.orderBy(col("hour"), col("event_type"))
   }
 
+  /** Sliding-window streaming aggregation: 2-hour windows advancing every
+    * hour, so each event lands in exactly TWO window rows — the
+    * overlapping-window shape [[eventsHourlyStream]]'s tumbling windows
+    * don't exercise (state per key is windows×types-bounded; the batch
+    * oracle replays the two window starts per event arithmetically). */
+  def slidingHourlyStream(spark: SparkSession, dir: String): DataFrame = {
+    val stream = graft.io.EventsReader.stream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val name = s"events_sliding_${System.nanoTime()}"
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (out, _) = org.apache.spark.sql.GraftShim.materialize(
+      spark.table(name)
+        .select(unix_millis(col("window.start")).as("win_start_ms"),
+          col("event_type"), col("cnt")))
+    spark.catalog.dropTempView(name)
+    out.orderBy(col("win_start_ms"), col("event_type"))
+  }
+
   /** Streaming exact dedup: `dropDuplicates` on the content digest keeps a
     * state-store hash set across micro-batches, so each distinct content is
     * emitted exactly once no matter how often (or in which batch) it
