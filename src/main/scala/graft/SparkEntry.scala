@@ -3755,7 +3755,46 @@ object SparkEntry {
       // overlapping 2h/1h sliding windows — each event in exactly two
       // window rows; the oracle replays both window starts per event
       GraftSession.withShufflePartitions(s, 8)(
-        graft.streaming.StreamingOps.slidingHourlyStream(s, d)))
+        graft.streaming.StreamingOps.slidingHourlyStream(s, d))),
+    "q_new_users" -> ((s: SparkSession, d: String) => {
+      // new vs returning users per day — the acquisition/engagement split
+      // on every product dashboard. One distinct user-day frame, one
+      // first-day aggregation joined back, integer ratios.
+      val ud = graft.io.EventsReader.batch(s, d)
+        .select(col("user_id"),
+          floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+        .distinct().localCheckpoint(true) // first-day agg + the join back
+      val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("fday"))
+      ud.join(first, Seq("user_id"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("day") === col("fday"), 1L).otherwise(0L)).as("n_new"))
+        .select(col("day"), col("n_users"), col("n_new"),
+          (col("n_users") - col("n_new")).as("n_returning"),
+          round((col("n_users") - col("n_new")) / col("n_users").cast("double"), 6)
+            .as("returning_share"))
+        .orderBy(col("day"))
+    }),
+    "q_audience_overlap" -> ((s: SparkSession, d: String) => {
+      // audience-overlap matrix: Jaccard of the distinct-user audiences of
+      // every event-type pair — "do my clickers also purchase". The
+      // within-user pair join is bounded by the 5-value type domain
+      // (degree ≤ |types| per user, the q_itemsets3 boundedness argument).
+      val ut = graft.io.EventsReader.batch(s, d)
+        .select(col("event_type").as("t"), col("user_id")).distinct()
+        .localCheckpoint(true) // sizes + both pair-join legs
+      val sizes = ut.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      ut.select(col("user_id"), col("t").as("ta"))
+        .join(ut.select(col("user_id"), col("t").as("tb")), Seq("user_id"))
+        .filter(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("common"))
+        .join(broadcast(sizes.select(col("t").as("ta"), col("n").as("na"))), Seq("ta"))
+        .join(broadcast(sizes.select(col("t").as("tb"), col("n").as("nb"))), Seq("tb"))
+        .select(col("ta"), col("tb"), col("na"), col("nb"), col("common"),
+          round(col("common") / (col("na") + col("nb") - col("common"))
+            .cast("double"), 6).as("jaccard"))
+        .orderBy(col("ta"), col("tb"))
+    })
   )
 
   // ---------- DuckDB oracle SQL ----------
@@ -7186,6 +7225,28 @@ object SparkEntry {
         |                     epoch_ms(ts) // 3600000 * 3600000]) AS win_start_ms
         |           FROM events)
         |SELECT win_start_ms, event_type, count(*) AS cnt
-        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_new_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        |            FROM events),
+        |f AS (SELECT user_id, min(day) AS fday FROM ud GROUP BY 1),
+        |j AS (SELECT ud.day, CASE WHEN ud.day = f.fday THEN 1 ELSE 0 END AS is_new
+        |      FROM ud JOIN f USING (user_id))
+        |SELECT day, count(*) AS n_users,
+        |  CAST(sum(is_new) AS BIGINT) AS n_new,
+        |  CAST(count(*) - sum(is_new) AS BIGINT) AS n_returning,
+        |  round((count(*) - sum(is_new)) / CAST(count(*) AS DOUBLE), 6)
+        |    AS returning_share
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+        |sz AS (SELECT t, count(*) AS n FROM ut GROUP BY 1),
+        |p AS (SELECT a.t AS ta, b.t AS tb, count(*) AS common
+        |      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.t < b.t
+        |      GROUP BY 1, 2)
+        |SELECT p.ta, p.tb, sa.n AS na, sb.n AS nb, p.common,
+        |  round(p.common / CAST(sa.n + sb.n - p.common AS DOUBLE), 6) AS jaccard
+        |FROM p JOIN sz sa ON sa.t = p.ta JOIN sz sb ON sb.t = p.tb
+        |ORDER BY p.ta, p.tb""".stripMargin
   )
 }
