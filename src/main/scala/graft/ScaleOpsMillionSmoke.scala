@@ -381,5 +381,28 @@ object ScaleOpsMillionSmoke {
       f"$ssspSecs%.1f s, $ssspRounds rounds; reached=$nReached")
     assert(nReached == n, s"every node must be reached: $nReached of $n")
     assert(badRows == 0L, "a decoy shortcut survived — improvement overwrite failed")
+
+    // ---- sliding-window DISTINCT users (stickiness shape) at scale ----
+    // 700k users, each active on exactly the 4 days ≡ −u (mod 7) of a
+    // 28-day span → every 7-day window holds exactly one active day per
+    // user, so WAU(d) = ALL users for every full window d ∈ [6, 27] and
+    // DAU(d) = n/7 — an exact global oracle for the explode-to-window +
+    // groupBy-distinct plan (2.8M user-days → 19.6M WAU contributions →
+    // one distinct aggregation; never a per-day user-set window).
+    t0 = System.nanoTime()
+    val nu = 700000L
+    val active = spark.range(0, nu)
+      .select(col("id").as("u"), explode(expr("sequence(0L, 27L)")).as("day"))
+      .filter((col("u") + col("day")) % 7 === 0)
+    val dauBad = active.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      .filter(col("dau") =!= nu / 7).count()
+    val wau = active.select(col("u"), explode(expr("sequence(day, day + 6)")).as("wd"))
+      .groupBy(col("wd")).agg(countDistinct(col("u")).as("wau"))
+    val wauBad = wau.filter(col("wd").between(6, 27) && col("wau") =!= nu).count()
+    val stickSecs = (System.nanoTime() - t0) / 1e9
+    println(f"[smoke] stickiness: ${nu * 4} user-days → 7-day sliding distinct in " +
+      f"$stickSecs%.1f s; dau-off=$dauBad wau-off=$wauBad")
+    assert(dauBad == 0L, "a planted day missed its exact DAU")
+    assert(wauBad == 0L, "a full 7-day window missed the exact all-users WAU")
   }
 }

@@ -3794,6 +3794,29 @@ object SparkEntry {
           round(col("common") / (col("na") + col("nb") - col("common"))
             .cast("double"), 6).as("jaccard"))
         .orderBy(col("ta"), col("tb"))
+    }),
+    "q_pareto" -> ((s: SparkSession, d: String) => {
+      // the Pareto/80-20 readout beside q_gini's coefficient: how many of
+      // the heaviest purchasers cover 80% of purchase volume. One per-user
+      // count, one global desc cumulative walk over the USER-shaped frame
+      // (the same accepted shape as q_gini's sorted-rank closed form; at
+      // true scale the walk runs over the distinct-spend domain instead),
+      // all-integer until the final ratios.
+      import org.apache.spark.sql.expressions.Window
+      val per = graft.io.EventsReader.batch(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("spend"))
+      val w = Window.orderBy(col("spend").desc, col("user_id"))
+      val cum = per.withColumn("cum", sum(col("spend")).over(w))
+        .withColumn("rk", row_number().over(w))
+      val tot = per.agg(sum(col("spend")).as("tot"), count(lit(1)).as("n_users"))
+      cum.crossJoin(broadcast(tot)) // single-row totals
+        .filter(col("cum") >= lit(0.8) * col("tot"))
+        .agg(min(col("rk")).as("k_users"), max(col("n_users")).as("n_users"),
+          max(col("tot")).as("total_purchases"))
+        .select(col("k_users"), col("n_users"), col("total_purchases"),
+          round(col("k_users") / col("n_users").cast("double"), 6)
+            .as("user_share_for_80pct"))
     })
   )
 
@@ -7247,6 +7270,20 @@ object SparkEntry {
         |SELECT p.ta, p.tb, sa.n AS na, sb.n AS nb, p.common,
         |  round(p.common / CAST(sa.n + sb.n - p.common AS DOUBLE), 6) AS jaccard
         |FROM p JOIN sz sa ON sa.t = p.ta JOIN sz sb ON sb.t = p.tb
-        |ORDER BY p.ta, p.tb""".stripMargin
+        |ORDER BY p.ta, p.tb""".stripMargin,
+    "q_pareto" ->
+      """WITH per AS (SELECT user_id, count(*) AS spend FROM events
+        |             WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS (SELECT spend,
+        |        sum(spend) OVER (ORDER BY spend DESC, user_id) AS cum,
+        |        row_number() OVER (ORDER BY spend DESC, user_id) AS rk
+        |      FROM per),
+        |t AS (SELECT CAST(sum(spend) AS BIGINT) AS tot,
+        |        count(*) AS n_users FROM per)
+        |SELECT min(rk) AS k_users, max(n_users) AS n_users,
+        |  max(tot) AS total_purchases,
+        |  round(min(rk) / CAST(max(n_users) AS DOUBLE), 6)
+        |    AS user_share_for_80pct
+        |FROM c, t WHERE cum >= 0.8 * tot""".stripMargin
   )
 }
