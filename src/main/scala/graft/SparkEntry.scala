@@ -3817,6 +3817,32 @@ object SparkEntry {
         .select(col("k_users"), col("n_users"), col("total_purchases"),
           round(col("k_users") / col("n_users").cast("double"), 6)
             .as("user_share_for_80pct"))
+    }),
+    "q_corrupt_records" -> ((s: SparkSession, d: String) => {
+      // bad-record accounting: every 7th props payload is corrupted by
+      // formula (LEADING brace → invalid JSON; a trailing brace would NOT
+      // do — Spark's Jackson accepts trailing garbage after a complete
+      // value while DuckDB's json_valid rejects it, probed on this build),
+      // parsed with the TYPED from_json (PERMISSIVE null on failure, the
+      // 100 TB contract — a FAILFAST pipeline dies on row one), and the
+      // per-type damage report (row counts, parse-failure counts, the
+      // still-computable aggregate over surviving rows) is what an
+      // ingestion pipeline alerts on.
+      val ev = Relational.table(s, d, "events")
+        .select(col("event_type"), col("event_id"),
+          when(col("event_id") % 7 === 3, concat(lit("{"), col("props")))
+            .otherwise(col("props")).as("p2"))
+        .select(col("event_type"),
+          from_json(col("p2"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(coalesce(col("k"), lit(0))).as("sum_valid_k"))
+        .select(col("event_type"), col("n"), col("n_bad"), col("sum_valid_k"),
+          round(col("n_bad") / col("n").cast("double"), 6).as("bad_rate"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -7284,6 +7310,22 @@ object SparkEntry {
         |  max(tot) AS total_purchases,
         |  round(min(rk) / CAST(max(n_users) AS DOUBLE), 6)
         |    AS user_share_for_80pct
-        |FROM c, t WHERE cum >= 0.8 * tot""".stripMargin
+        |FROM c, t WHERE cum >= 0.8 * tot""".stripMargin,
+    "q_corrupt_records" ->
+      """WITH e AS (SELECT event_type,
+        |             CASE WHEN event_id % 7 = 3 THEN '{' || props
+        |                  ELSE props END AS p2
+        |           FROM events),
+        |k AS (SELECT event_type,
+        |        CASE WHEN json_valid(p2)
+        |             THEN CAST(json_extract(p2, '$.k') AS INTEGER)
+        |             ELSE NULL END AS k
+        |      FROM e)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |  CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_valid_k,
+        |  round(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) /
+        |    CAST(count(*) AS DOUBLE), 6) AS bad_rate
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
