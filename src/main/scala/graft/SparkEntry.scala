@@ -3843,6 +3843,68 @@ object SparkEntry {
         .select(col("event_type"), col("n"), col("n_bad"), col("sum_valid_k"),
           round(col("n_bad") / col("n").cast("double"), 6).as("bad_rate"))
         .orderBy(col("event_type"))
+    }),
+    "q_bootstrap_ci" -> ((s: SparkSession, d: String) => {
+      // distribution-free confidence interval on mean purchase value by
+      // DETERMINISTIC Poisson bootstrap: 20 replicates, each row's weight
+      // drawn Poisson(1) by inverse CDF from the md5 52-bit uniform keyed
+      // (event_id, replicate) — the resampling scheme that runs in ONE
+      // pass at any scale (no per-replicate shuffles of the data, just a
+      // 20× explode + one aggregation) and, being hash-driven, replays
+      // exactly in SQL. CI = the 2nd/19th order statistics of the 20
+      // replicate means (~5%/95%).
+      import org.apache.spark.sql.expressions.Window
+      val base = graft.io.EventsReader.batch(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("value"))
+        .select(col("event_id"), col("value"),
+          explode(sequence(lit(0), lit(19))).as("b"))
+      val u = conv(substring(md5(concat(col("event_id").cast("string"),
+          lit(":"), col("b").cast("string"))), 1, 13), 16, 10)
+        .cast("double") / lit(4503599627370496.0)
+      // Poisson(1) inverse CDF cut points: cumulative e^{-1}·Σ 1/k!
+      val w = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238462, 3L)
+        .when(u < 0.9963401531726563, 4L)
+        .when(u < 0.9994058151824183, 5L)
+        .otherwise(6L)
+      val means = base.select(col("b"), col("value"), w.as("w"))
+        .groupBy(col("b"))
+        .agg((sum(col("w") * col("value")) / sum(col("w"))).as("m"))
+      val ranked = means.withColumn("rk",
+        row_number().over(Window.orderBy(col("m")))) // 20-row frame
+      ranked.agg(count(lit(1)).as("n_replicates"),
+          round(avg(col("m")), 6).as("boot_mean"),
+          round(min(when(col("rk") === 2, col("m"))), 6).as("ci_lo"),
+          round(min(when(col("rk") === 19, col("m"))), 6).as("ci_hi"))
+    }),
+    "q_anova" -> ((s: SparkSession, d: String) => {
+      // one-way ANOVA of event value across types — the k-sample mean
+      // comparison beside q_ab_test's two-sample Welch z: F from the
+      // between/within sum-of-squares decomposition, all from one
+      // per-group (n, Σx, Σx²) aggregation plus single-row grand totals.
+      val g = graft.io.EventsReader.batch(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sx"),
+          sum(col("value") * col("value")).as("sx2"))
+        .localCheckpoint(true) // grand totals + the SS aggregation
+      val tot = g.agg(sum(col("n")).as("nn"), sum(col("sx")).as("gx"),
+        count(lit(1)).as("k"))
+      g.crossJoin(broadcast(tot)) // single-row grand totals
+        .select(col("n"), col("sx"), col("sx2"), col("nn"), col("gx"), col("k"),
+          ((col("sx") / col("n") - col("gx") / col("nn")) *
+            (col("sx") / col("n") - col("gx") / col("nn")) * col("n")).as("ssb_t"),
+          (col("sx2") - col("sx") * col("sx") / col("n")).as("ssw_t"))
+        .agg(max(col("k")).as("k_groups"), max(col("nn")).as("n_total"),
+          sum(col("ssb_t")).as("ssb"), sum(col("ssw_t")).as("ssw"),
+          max(col("k") - 1).as("df1"), max(col("nn") - col("k")).as("df2"))
+        .select(col("k_groups"), col("n_total"),
+          round(col("ssb"), 4).as("ss_between"),
+          round(col("ssw"), 4).as("ss_within"),
+          round((col("ssb") / col("df1")) / (col("ssw") / col("df2")), 6)
+            .as("f_stat"))
     })
   )
 
@@ -7326,6 +7388,46 @@ object SparkEntry {
         |  CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_valid_k,
         |  round(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) /
         |    CAST(count(*) AS DOUBLE), 6) AS bad_rate
-        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bootstrap_ci" ->
+      """WITH x AS (SELECT event_id, value,
+        |             unnest(generate_series(0, 19)) AS b
+        |           FROM events WHERE event_type = 'purchase'),
+        |uw AS (SELECT b, value,
+        |         (('0x' || substr(md5(event_id::VARCHAR || ':' || b::VARCHAR),
+        |            1, 13))::UBIGINT::DOUBLE) / 4503599627370496.0 AS u
+        |       FROM x),
+        |ww AS (SELECT b, value,
+        |         CASE WHEN u < 0.36787944117144233 THEN 0
+        |              WHEN u < 0.7357588823428847 THEN 1
+        |              WHEN u < 0.9196986029286058 THEN 2
+        |              WHEN u < 0.9810118431238462 THEN 3
+        |              WHEN u < 0.9963401531726563 THEN 4
+        |              WHEN u < 0.9994058151824183 THEN 5
+        |              ELSE 6 END AS w
+        |       FROM uw),
+        |m AS (SELECT b, sum(w * value) / sum(w) AS m FROM ww GROUP BY 1),
+        |r AS (SELECT m, row_number() OVER (ORDER BY m) AS rk FROM m)
+        |SELECT count(*) AS n_replicates, round(avg(m), 6) AS boot_mean,
+        |  round(min(CASE WHEN rk = 2 THEN m END), 6) AS ci_lo,
+        |  round(min(CASE WHEN rk = 19 THEN m END), 6) AS ci_hi
+        |FROM r""".stripMargin,
+    "q_anova" ->
+      """WITH g AS (SELECT event_type, count(*) AS n, sum(value) AS sx,
+        |             sum(value * value) AS sx2
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(sx) AS gx,
+        |        count(*) AS k FROM g),
+        |s AS (SELECT g.n, t.nn, t.k,
+        |        (g.sx / g.n - t.gx / t.nn) * (g.sx / g.n - t.gx / t.nn) * g.n
+        |          AS ssb_t,
+        |        g.sx2 - g.sx * g.sx / g.n AS ssw_t
+        |      FROM g, t)
+        |SELECT max(k) AS k_groups, max(nn) AS n_total,
+        |  round(sum(ssb_t), 4) AS ss_between,
+        |  round(sum(ssw_t), 4) AS ss_within,
+        |  round((sum(ssb_t) / max(k - 1)) / (sum(ssw_t) / max(nn - k)), 6)
+        |    AS f_stat
+        |FROM s""".stripMargin
   )
 }

@@ -85,7 +85,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_churn" -> "single-row broadcast max-period frame excluding the unclosable last period — the 1-row-frame normalizer pattern",
     "q_power_curve" -> "single-row broadcast max-day frame anchoring the trailing 28-day window — the 1-row-frame normalizer pattern",
     "q_mix_kl" -> "single-row broadcast corpus-total frame joined onto the (source, lang) cells — the 1-row-frame normalizer pattern",
-    "q_pareto" -> "single-row broadcast (total, n_users) frame gating the cumulative walk — the 1-row-frame normalizer pattern")
+    "q_pareto" -> "single-row broadcast (total, n_users) frame gating the cumulative walk — the 1-row-frame normalizer pattern",
+    "q_anova" -> "single-row broadcast grand-totals frame joined onto the |types|-bounded group moments — the 1-row-frame normalizer pattern")
 
   private object capture extends QueryExecutionListener {
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
