@@ -3905,6 +3905,28 @@ object SparkEntry {
           round(col("ssw"), 4).as("ss_within"),
           round((col("ssb") / col("df1")) / (col("ssw") / col("df2")), 6)
             .as("f_stat"))
+    }),
+    "q_window_suite" -> ((s: SparkSession, d: String) => {
+      // the remaining ANSI window-function basket in one query — lag,
+      // lead, first_value, nth_value, cume_dist, percent_rank, ntile —
+      // over per-type daily counts (unique (type, day) order keys, so
+      // every function is deterministic and both engines share the ANSI
+      // default frame RANGE UNBOUNDED PRECEDING..CURRENT ROW).
+      import org.apache.spark.sql.expressions.Window
+      val daily = graft.io.EventsReader.batch(s, d)
+        .groupBy(col("event_type"),
+          floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily.select(col("event_type"), col("day"), col("cnt"),
+          lag(col("cnt"), 1).over(w).as("prev_cnt"),
+          lead(col("cnt"), 1).over(w).as("next_cnt"),
+          first(col("cnt")).over(w).as("first_cnt"),
+          nth_value(col("cnt"), 2).over(w).as("second_cnt"),
+          round(cume_dist().over(w), 6).as("cume"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
@@ -7428,6 +7450,21 @@ object SparkEntry {
         |  round(sum(ssw_t), 4) AS ss_within,
         |  round((sum(ssb_t) / max(k - 1)) / (sum(ssw_t) / max(nn - k)), 6)
         |    AS f_stat
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    "q_window_suite" ->
+      """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |                 count(*) AS cnt
+        |               FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, cnt,
+        |  lag(cnt, 1) OVER w AS prev_cnt,
+        |  lead(cnt, 1) OVER w AS next_cnt,
+        |  first_value(cnt) OVER w AS first_cnt,
+        |  nth_value(cnt, 2) OVER w AS second_cnt,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  ntile(4) OVER w AS quartile
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |ORDER BY event_type, day""".stripMargin
   )
 }
