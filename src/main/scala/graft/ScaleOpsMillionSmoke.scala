@@ -159,6 +159,18 @@ object ScaleOpsMillionSmoke {
     assert(lpaN == nCliq * 20, s"node count: $lpaN")
     assert(lpaWrong == 0L, s"$lpaWrong nodes not on their clique min")
 
+    // modularity of that labeling has the exact closed form 1 − 1/nCliq
+    // (all edges intra, every community holding 1/nCliq of the degree mass)
+    t0 = System.nanoTime()
+    val modRow = graft.operators.GraphOps.modularity(lpaEdges, lpa).head()
+    val modSecs = (System.nanoTime() - t0) / 1e9
+    val wantQ = 1.0 - 1.0 / nCliq
+    println(f"[smoke] modularity: ${modRow.getLong(0)} communities, " +
+      f"Q=${modRow.getDouble(1)}%.6f (closed form $wantQ%.6f) in $modSecs%.1f s")
+    assert(modRow.getLong(0) == nCliq, s"community count: ${modRow.getLong(0)}")
+    assert(math.abs(modRow.getDouble(1) - wantQ) < 1e-4,
+      s"modularity off the clique closed form: ${modRow.getDouble(1)} vs $wantQ")
+
     // ---- skew join, MEASURED: salted vs AQE-split vs naked shuffle ----
     // §9's skew strategy claims get wall-clock numbers here instead of
     // plan pins alone: a 4n-row fact with ONE key holding 60% of the rows

@@ -3713,22 +3713,9 @@ object SparkEntry {
         .distinct()
       val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
         .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-        .localCheckpoint(true) // LPA + degree + intra-edge counting
+        .localCheckpoint(true) // LPA + the modularity joins
       val labels = graft.operators.GraphOps.labelPropagation(edges, iters = 2)
-        .localCheckpoint(true) // joined twice (src and dst side)
-      val m2 = edges.count().toDouble // directed-double edge count = 2m
-      val lsrc = labels.select(col("node").as("src"), col("label").as("lsrc"))
-      val ldst = labels.select(col("node").as("dst"), col("label").as("ldst"))
-      val ec = edges.join(lsrc, Seq("src")).join(ldst, Seq("dst"))
-        .filter(col("lsrc") === col("ldst"))
-        .groupBy(col("lsrc").as("label")).agg(count(lit(1)).as("ec"))
-      val degc = edges.join(lsrc, Seq("src"))
-        .groupBy(col("lsrc").as("label")).agg(count(lit(1)).as("degc"))
-      degc.join(ec, Seq("label"), "left")
-        .select((coalesce(col("ec"), lit(0L)) / lit(m2) -
-          (col("degc") / lit(m2)) * (col("degc") / lit(m2))).as("q"))
-        .agg(count(lit(1)).as("n_communities"),
-          round(sum(col("q")), 6).as("modularity"))
+      graft.operators.GraphOps.modularity(edges, labels)
     }),
     "q_mix_kl" -> ((s: SparkSession, d: String) => {
       // per-source language-mix drift: KL(source mix ‖ corpus mix) in nats

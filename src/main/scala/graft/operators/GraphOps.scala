@@ -243,6 +243,35 @@ object GraphOps {
   def coreDecomposition(edges: DataFrame, maxIters: Int = 20): DataFrame =
     coreDecompositionCounted(edges, maxIters)._1
 
+  /** Newman modularity of a labeling over a DIRECTED edge list (pass both
+    * directions for an undirected graph): Q = Σ_c (e_c/2m − (deg_c/2m)²)
+    * with e_c the intra-community directed edge count and deg_c the
+    * community's directed degree mass. One labels-onto-edges join pair +
+    * two map-side-combinable aggregations; every input is an integer, so
+    * a SQL oracle replays the closed form. On `nCliq` disjoint k-cliques
+    * labeled per-clique, Q = 1 − 1/nCliq exactly — the 1M smoke's oracle.
+    *
+    * @param labels (node, label) — every edge endpoint must be labeled
+    * @return single row (n_communities, modularity rounded to 6 dp)
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val l = labels.select(col("node"), col("label")).localCheckpoint(true)
+    val m2 = e.count().toDouble
+    val lsrc = l.select(col("node").as("src"), col("label").as("lsrc"))
+    val ldst = l.select(col("node").as("dst"), col("label").as("ldst"))
+    val ec = e.join(lsrc, Seq("src")).join(ldst, Seq("dst"))
+      .filter(col("lsrc") === col("ldst"))
+      .groupBy(col("lsrc").as("label")).agg(count(lit(1)).as("ec"))
+    val degc = e.join(lsrc, Seq("src"))
+      .groupBy(col("lsrc").as("label")).agg(count(lit(1)).as("degc"))
+    degc.join(ec, Seq("label"), "left")
+      .select((coalesce(col("ec"), lit(0L)) / lit(m2) -
+        (col("degc") / lit(m2)) * (col("degc") / lit(m2))).as("q"))
+      .agg(count(lit(1)).as("n_communities"),
+        round(sum(col("q")), 6).as("modularity"))
+  }
+
   /** Common-neighbor Jaccard link prediction: for every node pair sharing
     * at least one neighbor, J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)|, with an
     * `is_edge` flag so callers can split "explains existing edges" from
