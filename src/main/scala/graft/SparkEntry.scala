@@ -3914,6 +3914,39 @@ object SparkEntry {
           round(percent_rank().over(w), 6).as("pct_rank"),
           ntile(4).over(w).as("quartile"))
         .orderBy(col("event_type"), col("day"))
+    }),
+    "q_dup_coverage" -> ((s: SparkSession, d: String) => {
+      // span-duplication POLLUTION per source: the fraction of each
+      // source's tokens sitting inside an 8-token span shared with
+      // another document — the "how much boilerplate does this source
+      // carry" KPI that turns q_span_dedup's span list into a
+      // source-level decision. Positions ride the posexplode; covered
+      // token ranges merge via one distinct (the intervals are
+      // fixed-width, so explode+distinct IS the interval union); the
+      // duplicated-span set gates occurrences by a semi-join.
+      val tk = docs(s, d).select(col("doc_id"), col("source"),
+        graft.expr.TextExpressions.wordShingleStrings(col("text"), 8).as("shs"),
+        size(split(trim(lower(col("text"))), "\\s+")).as("ntok"))
+        .localCheckpoint(true) // spans + totals both read it
+      val sp = tk.select(col("doc_id"), col("source"), col("ntok"),
+        posexplode(col("shs")).as(Seq("p0", "span")))
+      val pd = sp.select(col("span"), col("doc_id")).distinct()
+      val dup = pd.groupBy(col("span")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") > 1).select(col("span"))
+      val cov = sp.join(dup, Seq("span"), "left_semi")
+        .select(col("doc_id"), col("source"),
+          explode(sequence(col("p0") + 1,
+            least(col("p0") + 8, col("ntok")))).as("t"))
+        .distinct()
+      val cs = cov.groupBy(col("source")).agg(count(lit(1)).as("covered"))
+      tk.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"))
+        .join(cs, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+          round(coalesce(col("covered"), lit(0L)) /
+            col("total_tokens").cast("double"), 6).as("dup_coverage"))
+        .orderBy(col("source"))
     })
   )
 
@@ -7452,6 +7485,35 @@ object SparkEntry {
         |  ntile(4) OVER w AS quartile
         |FROM daily
         |WINDOW w AS (PARTITION BY event_type ORDER BY day)
-        |ORDER BY event_type, day""".stripMargin
+        |ORDER BY event_type, day""".stripMargin,
+    // q_span_dedup's span recipe with positions kept, then interval
+    // union by explode+distinct and per-source ratios
+    "q_dup_coverage" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |              regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |            FROM documents),
+        |sh AS (SELECT doc_id, source, len(toks) AS ntok, toks,
+        |         unnest(CASE WHEN len(toks) < 8 THEN [CAST(1 AS BIGINT)]
+        |                ELSE generate_series(1, len(toks) - 7) END) AS p
+        |       FROM tk),
+        |sp AS (SELECT doc_id, source, ntok, p,
+        |         CASE WHEN ntok < 8 THEN array_to_string(toks, ' ')
+        |              ELSE array_to_string(toks[p:p+7], ' ') END AS span
+        |       FROM sh),
+        |pd AS (SELECT DISTINCT span, doc_id FROM sp),
+        |dup AS (SELECT span FROM pd GROUP BY span HAVING count(*) > 1),
+        |cov0 AS (SELECT s.doc_id, s.source,
+        |           unnest(generate_series(s.p, least(s.p + 7, s.ntok))) AS t
+        |         FROM sp s JOIN dup d USING (span)),
+        |cov AS (SELECT DISTINCT doc_id, source, t FROM cov0),
+        |cs AS (SELECT source, count(*) AS covered FROM cov GROUP BY 1),
+        |ts AS (SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+        |       FROM tk GROUP BY 1)
+        |SELECT ts.source, ts.n_docs, ts.total_tokens,
+        |  CAST(coalesce(cs.covered, 0) AS BIGINT) AS covered_tokens,
+        |  round(coalesce(cs.covered, 0) / CAST(ts.total_tokens AS DOUBLE), 6)
+        |    AS dup_coverage
+        |FROM ts LEFT JOIN cs USING (source) ORDER BY ts.source""".stripMargin
   )
 }
