@@ -172,7 +172,10 @@ object SparkEntry {
       Relational.table(s, d, "events")
         .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
         .groupBy(col("band"))
-        .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 6).as("avg_value"))
+        .agg(count(lit(1)).as("cnt"),
+          // exact cents fold (2-dp values): order-invariant mean
+          round(sum(round(col("value") * 100).cast("long"))
+            / lit(100.0) / count(lit(1)), 6).as("avg_value"))
         .orderBy(col("band"))
     }),
     "q_distinct_renumber" -> Relational.distinctRenumber _,
@@ -608,10 +611,13 @@ object SparkEntry {
       // the array-aggregation shape (posexplode → groupBy(key, pos) → avg)
       // that scales: the shuffle key is (group, dim), so wide vectors and
       // hot groups spread over dim partitions instead of concentrating
+      // each float coordinate quantizes to exact NANO-unit BIGINTs before
+      // the mean — order-invariant on both engines (q_volatility recipe)
       val e = s.read.parquet(s"$d/embeddings.parquet")
         .select(col("label"), posexplode(col("embedding").cast("array<double>")))
       e.groupBy(col("label"), col("pos").as("dim"))
-        .agg(round(avg(col("col")), 6).as("mean_val"))
+        .agg(round(sum(round(col("col") * lit(1000000000.0)).cast("long"))
+          / lit(1000000000.0) / count(lit(1)), 6).as("mean_val"))
         .orderBy(col("label"), col("dim"))
     }),
     "q_pca_power" -> ((s: SparkSession, d: String) => {
@@ -896,19 +902,28 @@ object SparkEntry {
       val nDocs = docs(s, d).count()
       val dfr = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= 100)
+      // determinism: weights quantize to MICRO-units (exact BIGINTs, the
+      // 1e6 scale cancels in the normalization), the squared-norm sums
+      // in DECIMAL(38,0), and each pair's dot-product terms round to
+      // PICO-units before the fold — every sum order-invariant on both
+      // engines (the q_volatility recipe)
       val wt = tf.join(dfr, Seq("w"))
         .select(col("doc_id"), col("w"),
-          (col("tf") * log(lit(nDocs.toDouble) / col("df"))).as("wt"))
+          round((col("tf") * log(lit(nDocs.toDouble) / col("df")))
+            * lit(1000000.0)).cast("long").as("wtm"))
       val nrm = wt.groupBy(col("doc_id"))
-        .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
+        .agg(sqrt(sum((col("wtm") * col("wtm")).cast("decimal(38,0)"))
+          .cast("double")).as("nrm"))
       val u = wt.join(nrm, Seq("doc_id"))
         .filter(col("nrm") > 0)
-        .select(col("doc_id"), col("w"), (col("wt") / col("nrm")).as("uw"))
+        .select(col("doc_id"), col("w"),
+          (col("wtm").cast("double") / col("nrm")).as("uw"))
       u.select(col("w"), col("doc_id").as("doc_a"), col("uw").as("ua"))
         .join(u.select(col("w"), col("doc_id").as("doc_b"), col("uw").as("ub")), Seq("w"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
-        .agg(round(sum(col("ua") * col("ub")), 6).as("cosine"))
+        .agg(round(sum(round((col("ua") * col("ub")) * lit(1000000000000.0))
+          .cast("long")) / lit(1000000000000.0), 6).as("cosine"))
         .filter(col("cosine") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -1355,14 +1370,37 @@ object SparkEntry {
         .select(col("l_returnflag"), col("l_linestatus"),
           col("gid"), col("n"), col("sum_qty"))
         .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
-    "q_corr_matrix" -> ((s: SparkSession, d: String) =>
+    "q_corr_matrix" -> ((s: SparkSession, d: String) => {
       // Pearson correlations between the lineitem measures — one
-      // map-side-combinable aggregate computes every pair (corr is
-      // algebraic: sums of x, y, xy, x², y²).
-      Relational.table(s, d, "lineitem")
-        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price"),
-          round(corr(col("l_quantity"), col("l_discount")), 6).as("qty_discount"),
-          round(corr(col("l_extendedprice"), col("l_tax")), 6).as("price_tax"))),
+      // map-side-combinable aggregate computes every pair. corr() merges
+      // streaming double moments in partition order (the q_volatility
+      // hazard class), so the algebraic sums accumulate as EXACT integer
+      // cents in DECIMAL(38,0) instead and the closed form is evaluated
+      // once in double — identical on both engines, any order, any SF.
+      val d38 = "decimal(38,0)"
+      def c100(c: String) = round(col(c) * 100).cast("long")
+      val li = Relational.table(s, d, "lineitem").select(
+        c100("l_quantity").as("q"), c100("l_extendedprice").as("p"),
+        c100("l_discount").as("dd"), c100("l_tax").as("t"))
+      def s2(a: String, b: String, n: String) =
+        sum(col(a).cast(d38) * col(b).cast(d38)).as(n)
+      val agg = li.agg(count(lit(1)).as("n"),
+        sum(col("q").cast(d38)).as("sq"), sum(col("p").cast(d38)).as("sp"),
+        sum(col("dd").cast(d38)).as("sd"), sum(col("t").cast(d38)).as("st"),
+        s2("q", "q", "sqq"), s2("p", "p", "spp"), s2("dd", "dd", "sdd"),
+        s2("t", "t", "stt"), s2("q", "p", "sqp"), s2("q", "dd", "sqd"),
+        s2("p", "t", "spt"))
+      def rho(sxy: String, sx: String, sy: String, sxx: String, syy: String) = {
+        def D(c: String) = col(c).cast("double")
+        val n = D("n")
+        round((n * D(sxy) - D(sx) * D(sy)) /
+          (sqrt(n * D(sxx) - D(sx) * D(sx)) *
+            sqrt(n * D(syy) - D(sy) * D(sy))), 6)
+      }
+      agg.select(rho("sqp", "sq", "sp", "sqq", "spp").as("qty_price"),
+        rho("sqd", "sq", "sd", "sqq", "sdd").as("qty_discount"),
+        rho("spt", "sp", "st", "spp", "stt").as("price_tax"))
+    }),
     "q_group_sample" -> ((s: SparkSession, d: String) =>
       // balanced per-group sampling: top-5 docs per source by the A-ES
       // md5 key (uniform within group; weight-free flavor of
@@ -1693,15 +1731,20 @@ object SparkEntry {
       // (n, Σx, Σy, Σxy, Σx², Σy²) in ONE map-side-combinable aggregate
       // per key. The groupwise-ML shape: model fitting as algebra over
       // sums, no iteration, no driver state.
+      // x is an exact small integer and y quantizes losslessly to CENTS,
+      // so all five sufficient sums fold as exact integers (order-
+      // invariant on both engines — the q_volatility recipe); the single
+      // closed-form division happens once in double
       val ev = graft.io.EventsReader.batch(s, d)
-        .select(col("event_type"),
-          hour(col("ts")).cast("double").as("x"), col("value").as("y"))
+        .select(col("event_type"), hour(col("ts")).cast("long").as("xi"),
+          round(col("value") * 100).cast("long").as("yc"))
       ev.groupBy(col("event_type"))
         .agg(count(lit(1)).cast("double").as("n"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
+          sum(col("xi")).cast("double").as("sx"),
+          (sum(col("yc")) / lit(100.0)).as("sy"),
+          (sum(col("xi") * col("yc")) / lit(100.0)).as("sxy"),
+          sum(col("xi") * col("xi")).cast("double").as("sxx"),
+          (sum(col("yc") * col("yc")) / lit(10000.0)).as("syy"))
         .select(col("event_type"), col("n").cast("long").as("n_obs"),
           round(((col("n") * col("sxy") - col("sx") * col("sy")) /
             (col("n") * col("sxx") - col("sx") * col("sx"))), 6).as("slope"),
@@ -2345,8 +2388,13 @@ object SparkEntry {
         .groupBy(col("media_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("n_bytes")).as("total_bytes"),
-          round(avg(col("byte_mean")), 4).as("avg_byte_mean"),
-          round(avg(col("byte_entropy")), 4).as("avg_entropy"))
+          // per-doc features round to 1e-8 units (exact BIGINTs) before
+          // the mean: order-invariant on both engines, and wide enough
+          // that a per-doc libm ulp can't reach the 4-dp output round
+          round(sum(round(col("byte_mean") * lit(100000000.0)).cast("long"))
+            / lit(100000000.0) / count(lit(1)), 4).as("avg_byte_mean"),
+          round(sum(round(col("byte_entropy") * lit(100000000.0)).cast("long"))
+            / lit(100000000.0) / count(lit(1)), 4).as("avg_entropy"))
         .orderBy(col("media_type"))),
     "q_multimodal_resize" -> ((s: SparkSession, d: String) =>
       // resize plumbing round-trip: every visual container rewritten to
@@ -2590,10 +2638,13 @@ object SparkEntry {
       val nTot = joint.agg(sum(col("nxy"))).head().getLong(0).toDouble
       val mx = joint.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
       val my = joint.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+      // per-cell terms round to PICO-nats (BIGINT) before the fold —
+      // order-invariant on both engines (the q_volatility recipe)
       joint.join(mx, Seq("x")).join(broadcast(my), Seq("y"))
-        .select(((col("nxy") / nTot) *
-          log((col("nxy") * nTot) / (col("nx") * col("ny")))).as("term"))
-        .agg(round(sum(col("term")), 6).as("mi_nats"),
+        .select(round(((col("nxy") / nTot) *
+          log((col("nxy") * nTot) / (col("nx") * col("ny"))))
+          * lit(1000000000000.0)).cast("long").as("term_p"))
+        .agg(round(sum(col("term_p")) / lit(1000000000000.0), 6).as("mi_nats"),
           count(lit(1)).as("n_cells"))
     }),
     "q_gini" -> ((s: SparkSession, d: String) => {
@@ -2630,8 +2681,12 @@ object SparkEntry {
           least(greatest(col("value"), col("lo")), col("hi")).as("w"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("value")), 6).as("mean_raw"),
-          round(avg(col("w")), 6).as("mean_winsor"),
+          // exact integer folds (cents / micro-units): order-invariant
+          // means on both engines — the q_volatility recipe
+          round(sum(round(col("value") * 100).cast("long"))
+            / lit(100.0) / count(lit(1)), 6).as("mean_raw"),
+          round(sum(round(col("w") * lit(1000000.0)).cast("long"))
+            / lit(1000000.0) / count(lit(1)), 6).as("mean_winsor"),
           sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
             .otherwise(0L)).as("n_clipped"))
         .orderBy(col("event_type"))
@@ -2740,18 +2795,24 @@ object SparkEntry {
       val touch = ev.filter(col("event_type").isin("view", "click"))
         .select(col("user_id"), col("event_type").as("touch_type"),
           hour(col("ts")).as("touch_hod"), unix_micros(col("ts")).as("tus"))
+      // determinism: the decay weight quantizes to PICO-units (exact
+      // BIGINT, so Σw per purchase is order-invariant), and both credit
+      // folds sum pico-rounded terms — the q_volatility recipe
       val hits = purch.join(touch, Seq("user_id"))
         .filter(col("tus") < col("pus") &&
           col("tus") >= col("pus") - lit(6L * 3600L * 1000000L))
         .select(col("pid"), col("touch_type"), col("touch_hod"),
-          pow(lit(0.5), (col("pus") - col("tus")).cast("double") / lit(7.2e9)).as("w"))
+          round(pow(lit(0.5), (col("pus") - col("tus")).cast("double") / lit(7.2e9))
+            * lit(1000000000000.0)).cast("long").as("wp"))
       val perPurchase = hits.groupBy(col("pid"))
-        .agg(count(lit(1)).as("k"), sum(col("w")).as("sumw"))
+        .agg(count(lit(1)).as("k"), sum(col("wp")).as("sumwp"))
       hits.join(perPurchase, Seq("pid"))
         .groupBy(col("touch_type"), col("touch_hod"))
         .agg(count(lit(1)).as("n_touches"),
-          round(sum(lit(1.0) / col("k")), 6).as("linear_credit"),
-          round(sum(col("w") / col("sumw")), 6).as("decay_credit"))
+          round(sum(round((lit(1.0) / col("k")) * lit(1000000000000.0))
+            .cast("long")) / lit(1000000000000.0), 6).as("linear_credit"),
+          round(sum(round((col("wp") / col("sumwp")) * lit(1000000000000.0))
+            .cast("long")) / lit(1000000000000.0), 6).as("decay_credit"))
         .orderBy(col("touch_type"), col("touch_hod"))
     }),
     "q_stream_ema" -> ((s: SparkSession, d: String) =>
@@ -2777,7 +2838,10 @@ object SparkEntry {
       // every sort/window over the hour-COMPRESSED domain (the q_ks_test
       // trick: one tiny ordered pass over distinct hours, never the raw
       // events), mean from one broadcast 1-row aggregate, all six lags in
-      // a single window pass + a single scalar aggregate.
+      // a single window pass + a single scalar aggregate. x̄ is exact
+      // (integer-valued doubles sum exactly), and every (x−x̄)(x_lag−x̄)
+      // term rounds to MICRO-units (BIGINT) before its sum, so the fold
+      // is order-invariant on both engines (q_volatility recipe).
       import org.apache.spark.sql.expressions.Window
       val series = graft.io.EventsReader.batch(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("h"))
@@ -2787,10 +2851,13 @@ object SparkEntry {
       val lagged = (1 to 6).foldLeft(series)((df, k) =>
         df.withColumn(s"l$k", lag(col("x"), k).over(w)))
         .crossJoin(broadcast(mu))
+      def micro(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        round(c * lit(1000000.0)).cast("long")
       val terms = lagged.agg(
-        sum((col("x") - col("mu")) * (col("x") - col("mu"))).as("den"),
+        sum(micro((col("x") - col("mu")) * (col("x") - col("mu")))).as("den"),
         (1 to 6).map(k => sum(when(col(s"l$k").isNotNull,
-          (col("x") - col("mu")) * (col(s"l$k") - col("mu"))).otherwise(lit(0.0)))
+          micro((col("x") - col("mu")) * (col(s"l$k") - col("mu"))))
+          .otherwise(lit(0L)))
           .as(s"num$k")): _*)
       terms.select(explode(array((1 to 6).map(k =>
           struct(lit(k).as("lag"), round(col(s"num$k") / col("den"), 6).as("r"))): _*)).as("a"))
@@ -2812,12 +2879,15 @@ object SparkEntry {
         .join(joint, Seq("lang", "source"), "left")
         .select(coalesce(col("o"), lit(0L)).as("o"), col("nl"), col("ns"))
       val tot = grid.agg(sum(col("o")).as("n"))
+      // per-cell terms round to NANO-units (BIGINT) before the fold —
+      // order-invariant on both engines (the q_volatility recipe)
       grid.crossJoin(broadcast(tot))
         .select(col("o"),
           (col("nl") * col("ns") / col("n").cast("double")).as("e"), col("n"))
         .groupBy(col("n"))
-        .agg(round(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")), 6)
-            .as("chi2"),
+        .agg(round(sum(round(((col("o") - col("e")) * (col("o") - col("e"))
+            / col("e")) * lit(1000000000.0)).cast("long"))
+            / lit(1000000000.0), 6).as("chi2"),
           count(lit(1)).as("n_cells"))
         .select(col("chi2"), col("n_cells"), col("n"))
     }),
@@ -2839,10 +2909,32 @@ object SparkEntry {
           .select(col(c),
             (sum(col("cnt")).over(w) - (col("cnt") - 1) / lit(2.0)).as(s"${c}_rank"))
       }
+      // corr() merges streaming moments in partition order — order-
+      // dependent doubles (the q_volatility hazard class). Ranks are
+      // exact halves, so 2·rank is an exact integer: accumulate the five
+      // Pearson sums as DECIMAL(38,0) (overflow-safe at any SF — Σ(2r)²
+      // ~ (4/3)n³), then evaluate the closed form once in double. The 4×
+      // scale on num and den cancels in rho.
+      val d38 = "decimal(38,0)"
       li.join(broadcast(rankMap("x")), Seq("x"))
         .join(rankMap("y"), Seq("y"))
-        .agg(round(corr(col("x_rank"), col("y_rank")), 6).as("rho"),
-          count(lit(1)).as("n"))
+        .select(round(col("x_rank") * 2).cast("long").as("rx2"),
+          round(col("y_rank") * 2).cast("long").as("ry2"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rx2").cast(d38)).as("sx"),
+          sum(col("ry2").cast(d38)).as("sy"),
+          sum((col("rx2").cast(d38) * col("ry2").cast(d38))).as("sxy"),
+          sum((col("rx2").cast(d38) * col("rx2").cast(d38))).as("sxx"),
+          sum((col("ry2").cast(d38) * col("ry2").cast(d38))).as("syy"))
+        .select(
+          round((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * sqrt(col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("rho"),
+          col("n"))
     }),
     "q_mann_whitney" -> ((s: SparkSession, d: String) => {
       // Mann-Whitney U rank-sum test: are English docs longer than German
@@ -2883,25 +2975,43 @@ object SparkEntry {
       // means quantify the level shift. Day-compressed domain throughout
       // (the q_autocorr shape); the argmax is a LIMIT 1 over the tiny day
       // frame, then one conditional aggregate splits the means.
+      // determinism (the q_volatility hazard class, plus DuckDB's
+      // segment-tree window sums): the day mean quantizes to exact
+      // MICRO-units xm, and the CUSUM is the INTEGER n·Σ_{t≤k}xm − k·Σxm
+      // — scale n·1e6 larger than Σ(x−x̄) but identical argmax — so the
+      // running sum, the |·| argmax, and its ties are integer-exact on
+      // both engines; only the final display divisions touch doubles.
       import org.apache.spark.sql.expressions.Window
       val daily = graft.io.EventsReader.batch(s, d)
         .groupBy(date_trunc("day", col("ts")).as("day"))
-        .agg(avg(col("value")).as("x"))
-      val mu = daily.agg(avg(col("x")).as("mu"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("svc"),
+          count(lit(1)).as("c"))
+        .select(col("day"),
+          round(col("svc") / lit(100.0) / col("c") * lit(1000000.0))
+            .cast("long").as("xm"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("xm")).as("sxm"))
       val w = Window.orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = daily.crossJoin(broadcast(mu))
-        .select(col("day"), col("x"), sum(col("x") - col("mu")).over(w).as("sk"))
-      val cp = cum.orderBy(abs(col("sk")).desc, col("day")).limit(1)
-        .select(col("day").as("change_day"), col("sk"))
+      val cum = daily.crossJoin(broadcast(tot))
+        .select(col("day"), col("n"),
+          (col("n") * sum(col("xm")).over(w)
+            - row_number().over(Window.orderBy(col("day"))) * col("sxm"))
+            .as("skm"))
+      val cp = cum.orderBy(abs(col("skm")).desc, col("day")).limit(1)
+        .select(col("day").as("change_day"), col("skm"), col("n"))
       daily.crossJoin(broadcast(cp))
-        .groupBy(col("change_day"), col("sk"))
-        .agg(round(avg(when(col("day") <= col("change_day"), col("x"))), 6)
+        .groupBy(col("change_day"), col("skm"), col("n"))
+        .agg(round(sum(when(col("day") <= col("change_day"), col("xm")))
+            / lit(1000000.0)
+            / sum(when(col("day") <= col("change_day"), 1L).otherwise(0L)), 6)
             .as("mean_before"),
-          round(avg(when(col("day") > col("change_day"), col("x"))), 6)
+          round(sum(when(col("day") > col("change_day"), col("xm")))
+            / lit(1000000.0)
+            / sum(when(col("day") > col("change_day"), 1L).otherwise(0L)), 6)
             .as("mean_after"),
           count(lit(1)).as("n_days"))
-        .select(col("change_day"), round(col("sk"), 6).as("s_max"),
+        .select(col("change_day"),
+          round(col("skm") / (col("n") * lit(1000000.0)), 6).as("s_max"),
           col("mean_before"), col("mean_after"), col("n_days"))
     }),
     "q_rfm" -> ((s: SparkSession, d: String) => {
@@ -3345,15 +3455,20 @@ object SparkEntry {
         col("actual").as("fc7"))
       val f1 = daily.select(col("event_type"), (col("day") + 1).as("day"),
         col("actual").as("fc1"))
+      // per-day error ratios round to PICO-units (BIGINT) before the
+      // mean — order-invariant on both engines (the q_volatility recipe)
+      def picoAvg(c: org.apache.spark.sql.Column) =
+        round(sum(round(c * lit(1000000000000.0)).cast("long"))
+          / lit(1000000000000.0) / count(lit(1)), 6)
       daily.join(f7, Seq("event_type", "day")).join(f1, Seq("event_type", "day"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_eval"),
-          round(avg(abs(col("actual") - col("fc7")) / col("actual")), 6)
+          picoAvg(abs(col("actual") - col("fc7")) / col("actual"))
             .as("mape_seasonal"),
-          round(avg(abs(col("actual") - col("fc1")) / col("actual")), 6)
+          picoAvg(abs(col("actual") - col("fc1")) / col("actual"))
             .as("mape_naive"),
-          round(avg(abs(col("actual") - col("fc7")) * lit(2.0) /
-            (col("actual") + col("fc7"))), 6).as("smape_seasonal"))
+          picoAvg(abs(col("actual") - col("fc7")) * lit(2.0) /
+            (col("actual") + col("fc7"))).as("smape_seasonal"))
         .orderBy(col("event_type"))
     }),
     "q_wilson" -> ((s: SparkSession, d: String) => {
@@ -3444,12 +3559,17 @@ object SparkEntry {
         .select(col("o_orderkey"), col("c_nationkey"))
       Relational.table(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"),
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+          // exact 1e-4-unit integer revenue — the 4-dp disc-price double
+          // sum lands on the 2-dp round boundary order-dependently (see
+          // Relational.pricingSummary)
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .cast("decimal(38,0)").as("rev4"))
         .join(co, col("l_orderkey") === col("o_orderkey"))
         .join(sup, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("rev")), 2).as("revenue"))
+        .agg(round(sum(col("rev4")) / lit(10000.0), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
     "q_stream_disorder" -> ((s: SparkSession, d: String) =>
@@ -3482,7 +3602,10 @@ object SparkEntry {
       // q_retention_cohort's activity curve. Cohort = first-active week
       // (any event), revenue = purchase values at each week offset,
       // cumulated by a cohort-partitioned window (bounded by the number
-      // of weeks) and normalized by cohort size.
+      // of weeks) and normalized by cohort size. Money sums in integer
+      // CENTS (values are 2-dp, so this is lossless): integer addition is
+      // order-invariant, so the 2-dp/6-dp rounds can't flip with the
+      // partial-agg order (the q_volatility hazard class).
       import org.apache.spark.sql.expressions.Window
       val ev = Relational.table(s, d, "events")
       val weekMs = (floor(unix_millis(col("ts")) / lit(604800000L)) *
@@ -3490,21 +3613,22 @@ object SparkEntry {
       val first = ev.select(col("user_id"), weekMs)
         .groupBy(col("user_id")).agg(min(col("week_ms")).as("cohort_ms"))
       val spend = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), weekMs, col("value"))
+        .select(col("user_id"), weekMs,
+          round(col("value") * 100).cast("long").as("vc"))
         .join(first, Seq("user_id"))
         .select(col("cohort_ms"),
           ((col("week_ms") - col("cohort_ms")) / 604800000L).cast("long")
             .as("age_weeks"),
-          col("value"))
+          col("vc"))
         .groupBy(col("cohort_ms"), col("age_weeks"))
-        .agg(sum(col("value")).as("rev"))
+        .agg(sum(col("vc")).as("rev_c"))
       val sizes = first.groupBy(col("cohort_ms")).agg(count(lit(1)).as("n_users"))
       val w = Window.partitionBy(col("cohort_ms")).orderBy(col("age_weeks"))
-      spend.withColumn("cum_rev", sum(col("rev")).over(w))
+      spend.withColumn("cum_c", sum(col("rev_c")).over(w))
         .join(sizes, Seq("cohort_ms"))
         .select(col("cohort_ms"), col("age_weeks"), col("n_users"),
-          round(col("cum_rev"), 2).as("cum_rev"),
-          round(col("cum_rev") / col("n_users"), 6).as("ltv_per_user"))
+          round(col("cum_c") / lit(100.0), 2).as("cum_rev"),
+          round(col("cum_c") / lit(100.0) / col("n_users"), 6).as("ltv_per_user"))
         .orderBy(col("cohort_ms"), col("age_weeks"))
     }),
     "q_tpch_q3" -> ((s: SparkSession, d: String) => {
@@ -3524,10 +3648,13 @@ object SparkEntry {
       Relational.table(s, d, "lineitem")
         .filter(col("l_shipdate") > to_timestamp(lit("1997-01-01")))
         .select(col("l_orderkey"),
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+          // exact 1e-4-unit integer revenue (see Relational.pricingSummary)
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .cast("decimal(38,0)").as("rev4"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(col("rev")), 2).as("revenue"))
+        .agg(round(sum(col("rev4")) / lit(10000.0), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -3535,8 +3662,11 @@ object SparkEntry {
       // daily log-return drift and volatility per event type — the
       // financial-returns lens on activity series (annualize off-line).
       // Returns come from exact day-arithmetic self-joins (q_forecast's
-      // calendar contract), moments from explicit Σr/Σr² sums so both
-      // engines evaluate the identical closed form.
+      // calendar contract). Each per-day return is rounded to integer
+      // MICRO-units (BIGINT) before the Σr/Σr² sums — integer addition is
+      // associative, so the moments are bit-identical regardless of
+      // partial-agg order on either engine (the exact-replay recipe of
+      // q_hits / q_dp_release; unrounded double sums flaked the r9 gate).
       val daily = graft.io.EventsReader.batch(s, d)
         .groupBy(col("event_type"),
           floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
@@ -3546,14 +3676,16 @@ object SparkEntry {
         col("actual").as("prev_n"))
       daily.join(prev, Seq("event_type", "day"))
         .select(col("event_type"),
-          log(col("actual") / col("prev_n")).as("r"))
+          round(log(col("actual") / col("prev_n")) * lit(1000000.0))
+            .cast("long").as("rm"))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_days"), sum(col("r")).as("sr"),
-          sum(col("r") * col("r")).as("sr2"))
+        .agg(count(lit(1)).as("n_days"), sum(col("rm")).as("srm"),
+          sum(col("rm") * col("rm")).as("sr2m"))
         .select(col("event_type"), col("n_days"),
-          round(col("sr") / col("n_days"), 6).as("drift"),
-          round(sqrt(col("sr2") / col("n_days") -
-            (col("sr") / col("n_days")) * (col("sr") / col("n_days"))), 6)
+          round(col("srm") / lit(1000000.0) / col("n_days"), 6).as("drift"),
+          round(sqrt(col("sr2m") / lit(1000000000000.0) / col("n_days") -
+            (col("srm") / lit(1000000.0) / col("n_days")) *
+              (col("srm") / lit(1000000.0) / col("n_days"))), 6)
             .as("vol_daily"))
         .orderBy(col("event_type"))
     }),
@@ -3722,6 +3854,10 @@ object SparkEntry {
       // — the one-number "how unlike the corpus is this source" monitor
       // beside q_corpus_mix's raw shares. Observed (source, lang) cells
       // only (p>0 ⇒ q>0 by construction), every ratio from integer counts.
+      // Each cell's term is rounded to PICO-nats (BIGINT) before the
+      // per-source sum, so the fold is order-invariant on both engines
+      // (the q_volatility exact-replay recipe; 1e-12 granularity is 5e5×
+      // finer than the 6-dp output round).
       val cnt = docs(s, d).groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n"))
         .localCheckpoint(true) // cell + three marginal reads
@@ -3732,10 +3868,12 @@ object SparkEntry {
         .join(broadcast(nl), Seq("lang"))
         .crossJoin(broadcast(nn)) // single-row corpus total
         .select(col("source"), col("ns"),
-          ((col("n") / col("ns")) *
-            log((col("n") / col("ns")) / (col("nl") / col("nn")))).as("term"))
+          round(((col("n") / col("ns")) *
+            log((col("n") / col("ns")) / (col("nl") / col("nn"))))
+            * lit(1000000000000.0)).cast("long").as("term_p"))
         .groupBy(col("source"))
-        .agg(max(col("ns")).as("n_docs"), round(sum(col("term")), 6).as("kl_nats"))
+        .agg(max(col("ns")).as("n_docs"),
+          round(sum(col("term_p")) / lit(1000000000000.0), 6).as("kl_nats"))
         .orderBy(col("source"))
     }),
     "q_stream_sliding" -> ((s: SparkSession, d: String) =>
@@ -3857,13 +3995,18 @@ object SparkEntry {
         .when(u < 0.9963401531726563, 4L)
         .when(u < 0.9994058151824183, 5L)
         .otherwise(6L)
-      val means = base.select(col("b"), col("value"), w.as("w"))
+      // determinism: Σw·value accumulates as exact integer CENTS (2-dp
+      // values), and the replicate means round to micro-units before the
+      // 20-row average — the q_volatility recipe
+      val means = base.select(col("b"),
+          round(col("value") * 100).cast("long").as("vc"), w.as("w"))
         .groupBy(col("b"))
-        .agg((sum(col("w") * col("value")) / sum(col("w"))).as("m"))
+        .agg((sum(col("w") * col("vc")) / lit(100.0) / sum(col("w"))).as("m"))
       val ranked = means.withColumn("rk",
         row_number().over(Window.orderBy(col("m")))) // 20-row frame
       ranked.agg(count(lit(1)).as("n_replicates"),
-          round(avg(col("m")), 6).as("boot_mean"),
+          round(sum(round(col("m") * lit(1000000.0)).cast("long"))
+            / lit(1000000.0) / count(lit(1)), 6).as("boot_mean"),
           round(min(when(col("rk") === 2, col("m"))), 6).as("ci_lo"),
           round(min(when(col("rk") === 19, col("m"))), 6).as("ci_hi"))
     }),
@@ -3872,20 +4015,32 @@ object SparkEntry {
       // comparison beside q_ab_test's two-sample Welch z: F from the
       // between/within sum-of-squares decomposition, all from one
       // per-group (n, Σx, Σx²) aggregation plus single-row grand totals.
+      // EVERY sum is integer: moments accumulate as CENTS (lossless for
+      // the 2-dp values; Σ(vc²) stays far inside BIGINT), and the k
+      // per-group SS terms are rounded to micro-units before the final
+      // fold — both engines add identical integers in any order, so the
+      // 4-dp/6-dp rounds can't flip (the q_volatility exact-replay recipe).
+      val vc = round(col("value") * 100).cast("long")
       val g = graft.io.EventsReader.batch(s, d)
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sx"),
-          sum(col("value") * col("value")).as("sx2"))
+        .agg(count(lit(1)).as("n"), sum(vc).as("sxc"),
+          sum(vc * vc).as("sx2c"))
         .localCheckpoint(true) // grand totals + the SS aggregation
-      val tot = g.agg(sum(col("n")).as("nn"), sum(col("sx")).as("gx"),
+      val tot = g.agg(sum(col("n")).as("nn"), sum(col("sxc")).as("gxc"),
         count(lit(1)).as("k"))
+      val sx = col("sxc") / lit(100.0)
+      val sx2 = col("sx2c") / lit(10000.0)
+      val gx = col("gxc") / lit(100.0)
       g.crossJoin(broadcast(tot)) // single-row grand totals
-        .select(col("n"), col("sx"), col("sx2"), col("nn"), col("gx"), col("k"),
-          ((col("sx") / col("n") - col("gx") / col("nn")) *
-            (col("sx") / col("n") - col("gx") / col("nn")) * col("n")).as("ssb_t"),
-          (col("sx2") - col("sx") * col("sx") / col("n")).as("ssw_t"))
+        .select(col("n"), col("nn"), col("k"),
+          round(((sx / col("n") - gx / col("nn")) *
+            (sx / col("n") - gx / col("nn")) * col("n")) * lit(1000000.0))
+            .cast("long").as("ssb_tm"),
+          round((sx2 - sx * sx / col("n")) * lit(1000000.0))
+            .cast("long").as("ssw_tm"))
         .agg(max(col("k")).as("k_groups"), max(col("nn")).as("n_total"),
-          sum(col("ssb_t")).as("ssb"), sum(col("ssw_t")).as("ssw"),
+          (sum(col("ssb_tm")) / lit(1000000.0)).as("ssb"),
+          (sum(col("ssw_tm")) / lit(1000000.0)).as("ssw"),
           max(col("k") - 1).as("df1"), max(col("nn") - col("k")).as("df2"))
         .select(col("k_groups"), col("n_total"),
           round(col("ssb"), 4).as("ss_between"),
@@ -4134,7 +4289,9 @@ object SparkEntry {
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+        |    AS sum_disc_price,
         |  avg(l_quantity) AS avg_qty, min(l_discount) AS min_disc, max(l_discount) AS max_disc
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -4741,7 +4898,8 @@ object SparkEntry {
         |WHERE jaccard >= 0.3 ORDER BY block, id_a, id_b""".stripMargin,
     "q_embed_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim,
-        |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+        |  round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000.0)
+        |    AS BIGINT)) AS BIGINT) / 1000000000.0 / count(*), 6) AS mean_val
         |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     // the full power-iteration replay: covariance from the same Σxxᵀ/n −
@@ -5010,7 +5168,7 @@ object SparkEntry {
         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
         |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  round(avg(ln(CAST(c2.c2 AS DOUBLE) / c1.c1)), 6) AS logprob
+        |  round(CAST(sum(CAST(round((ln(CAST(c2.c2 AS DOUBLE) / c1.c1)) * 1000000000000.0) AS BIGINT)) AS BIGINT) / 1000000000000.0 / count(*), 6) AS logprob
         |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
     "q_unigram_logprob" ->
@@ -5021,7 +5179,7 @@ object SparkEntry {
         |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
         |tot AS (SELECT sum(cnt) AS total FROM c)
         |SELECT t.doc_id, count(*) AS n_tokens,
-        |  round(avg(ln(CAST(c.cnt AS DOUBLE) / total)), 6) AS logprob
+        |  round(CAST(sum(CAST(round((ln(CAST(c.cnt AS DOUBLE) / total)) * 1000000000000.0) AS BIGINT)) AS BIGINT) / 1000000000000.0 / count(*), 6) AS logprob
         |FROM t JOIN c USING (tok) CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q_train_split" ->
@@ -5379,8 +5537,10 @@ object SparkEntry {
          |$sqlMmFeatures
          |SELECT media_type, CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-         |  round(avg(byte_mean), 4) AS avg_byte_mean,
-         |  round(avg(byte_entropy), 4) AS avg_entropy
+         |  round(CAST(sum(CAST(round(byte_mean * 100000000.0) AS BIGINT))
+         |    AS BIGINT) / 100000000.0 / count(*), 4) AS avg_byte_mean,
+         |  round(CAST(sum(CAST(round(byte_entropy * 100000000.0) AS BIGINT))
+         |    AS BIGINT) / 100000000.0 / count(*), 4) AS avg_entropy
          |FROM mmfeat GROUP BY media_type ORDER BY media_type""".stripMargin,
     // resize round-trip: visual containers land at the target 40×24 (the
     // header writers + sniffers are inverse pairs), audio is untouched
@@ -5555,10 +5715,30 @@ object SparkEntry {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q_corr_matrix" ->
-      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
-        |  round(corr(l_quantity, l_discount), 6) AS qty_discount,
-        |  round(corr(l_extendedprice, l_tax), 6) AS price_tax
-        |FROM lineitem""".stripMargin,
+      """WITH c AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS t
+        |  FROM lineitem),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+        |    CAST(sum(dd) AS DOUBLE) AS sd, CAST(sum(t) AS DOUBLE) AS st,
+        |    CAST(sum(CAST(q AS HUGEINT) * q) AS DOUBLE) AS sqq,
+        |    CAST(sum(CAST(p AS HUGEINT) * p) AS DOUBLE) AS spp,
+        |    CAST(sum(CAST(dd AS HUGEINT) * dd) AS DOUBLE) AS sdd,
+        |    CAST(sum(CAST(t AS HUGEINT) * t) AS DOUBLE) AS stt,
+        |    CAST(sum(CAST(q AS HUGEINT) * p) AS DOUBLE) AS sqp,
+        |    CAST(sum(CAST(q AS HUGEINT) * dd) AS DOUBLE) AS sqd,
+        |    CAST(sum(CAST(p AS HUGEINT) * t) AS DOUBLE) AS spt
+        |  FROM c)
+        |SELECT
+        |  round((n * sqp - sq * sp)
+        |    / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) AS qty_price,
+        |  round((n * sqd - sq * sd)
+        |    / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6) AS qty_discount,
+        |  round((n * spt - sp * st)
+        |    / (sqrt(n * spp - sp * sp) * sqrt(n * stt - st * st)), 6) AS price_tax
+        |FROM a""".stripMargin,
     "q_group_sample" ->
       """WITH k AS (SELECT source, doc_id,
         |    ('0x' || substr(md5(doc_id::VARCHAR || ':17'), 1, 13))::UBIGINT::DOUBLE AS u
@@ -5795,10 +5975,13 @@ object SparkEntry {
         |        / (nn.n * log(1.0 + 1.0 / digit)), 6) AS chi2_term
         |FROM d, nn GROUP BY digit, nn.n ORDER BY digit""".stripMargin,
     "q_groupwise_ols" ->
-      """WITH e AS (SELECT event_type, CAST(hour(ts) AS DOUBLE) AS x, value AS y FROM events),
+      """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS xi,
+        |             CAST(round(value * 100) AS BIGINT) AS yc FROM events),
         |s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
-        |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-        |        sum(x * x) AS sxx, sum(y * y) AS syy
+        |        CAST(sum(xi) AS DOUBLE) AS sx, sum(yc) / 100.0 AS sy,
+        |        sum(xi * yc) / 100.0 AS sxy,
+        |        CAST(sum(xi * xi) AS DOUBLE) AS sxx,
+        |        sum(yc * yc) / 10000.0 AS syy
         |      FROM e GROUP BY event_type)
         |SELECT event_type, CAST(n AS BIGINT) AS n_obs,
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
@@ -5812,8 +5995,17 @@ object SparkEntry {
            |UNION ALL SELECT '$c', 'distinct', round(CAST(count(DISTINCT $c) AS DOUBLE), 6) FROM lineitem
            |UNION ALL SELECT '$c', 'min', round(CAST(min($c) AS DOUBLE), 6) FROM lineitem
            |UNION ALL SELECT '$c', 'max', round(CAST(max($c) AS DOUBLE), 6) FROM lineitem
-           |UNION ALL SELECT '$c', 'mean', round(avg($c), 6) FROM lineitem
-           |UNION ALL SELECT '$c', 'stddev', round(stddev($c), 6) FROM lineitem""".stripMargin
+           |UNION ALL SELECT '$c', 'mean',
+           |  round(CAST(sum(CAST(round($c * 1000000.0) AS BIGINT)) AS DOUBLE)
+           |    / 1000000.0 / CAST(count($c) AS DOUBLE), 6) FROM lineitem
+           |UNION ALL SELECT '$c', 'stddev',
+           |  round(sqrt((CAST(count($c) AS DOUBLE)
+           |        * CAST(sum(CAST(round($c * 1000000.0) AS HUGEINT)
+           |            * CAST(round($c * 1000000.0) AS BIGINT)) AS DOUBLE)
+           |      - CAST(sum(CAST(round($c * 1000000.0) AS BIGINT)) AS DOUBLE)
+           |        * CAST(sum(CAST(round($c * 1000000.0) AS BIGINT)) AS DOUBLE))
+           |    / (CAST(count($c) AS DOUBLE) * (CAST(count($c) AS DOUBLE) - 1.0)))
+           |    / 1000000.0, 6) FROM lineitem""".stripMargin
       def str(c: String) =
         s"""SELECT '$c' AS col_name, 'completeness' AS metric, round(CAST(count($c) AS DOUBLE)/count(*), 6) AS value FROM lineitem
            |UNION ALL SELECT '$c', 'distinct', round(CAST(count(DISTINCT $c) AS DOUBLE), 6) FROM lineitem
@@ -6331,7 +6523,7 @@ object SparkEntry {
         |         * (CAST(cont.contw2 AS DOUBLE) / nt.ntypes)) AS lp
         |  FROM c2 JOIN lft USING (w1) JOIN cont USING (w2), nt)
         |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  round(avg(m.lp), 6) AS kn_logprob
+        |  round(CAST(sum(CAST(round((m.lp) * 1000000000000.0) AS BIGINT)) AS BIGINT) / 1000000000000.0 / count(*), 6) AS kn_logprob
         |FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
     // deterministic merge list (lexicographic tie-break) pinned from the
@@ -6467,13 +6659,18 @@ object SparkEntry {
         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tk GROUP BY 1, 2),
         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
         |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 100),
-        |wt AS (SELECT tf.doc_id, tf.w, tf.tf * ln(nn.n / dfr.df) AS wt
+        |wt AS (SELECT tf.doc_id, tf.w,
+        |         CAST(round((tf.tf * ln(nn.n / dfr.df)) * 1000000.0) AS BIGINT)
+        |           AS wtm
         |       FROM tf JOIN dfr ON dfr.w = tf.w, nn),
-        |nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wt GROUP BY 1),
-        |u AS (SELECT wt.doc_id, wt.w, wt.wt / nrm.nrm AS uw
+        |nrm AS (SELECT doc_id,
+        |          sqrt(CAST(sum(CAST(wtm AS HUGEINT) * wtm) AS DOUBLE)) AS nrm
+        |        FROM wt GROUP BY 1),
+        |u AS (SELECT wt.doc_id, wt.w, CAST(wt.wtm AS DOUBLE) / nrm.nrm AS uw
         |      FROM wt JOIN nrm ON nrm.doc_id = wt.doc_id WHERE nrm.nrm > 0),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |        round(sum(a.uw * b.uw), 6) AS cosine
+        |        round(CAST(sum(CAST(round((a.uw * b.uw) * 1000000000000.0)
+        |          AS BIGINT)) AS BIGINT) / 1000000000000.0, 6) AS cosine
         |      FROM u a JOIN u b ON a.w = b.w AND a.doc_id < b.doc_id
         |      GROUP BY 1, 2)
         |SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= 0.5
@@ -6514,7 +6711,9 @@ object SparkEntry {
       """WITH bands AS (
         |  SELECT CAST(i AS INT) AS band, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
         |  FROM unnest(generate_series(0, 9)) AS t(i))
-        |SELECT band, count(*) AS cnt, round(avg(value), 6) AS avg_value
+        |SELECT band, count(*) AS cnt,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    / 100.0 / count(*), 6) AS avg_value
         |FROM events JOIN bands ON value >= lo AND value < hi
         |GROUP BY band ORDER BY band""".stripMargin,
     "q_stream_runmax" ->
@@ -6615,8 +6814,9 @@ object SparkEntry {
         |nt AS (SELECT CAST(sum(nxy) AS DOUBLE) AS n FROM joint),
         |mx AS (SELECT x, sum(nxy) AS nx FROM joint GROUP BY 1),
         |my AS (SELECT y, sum(nxy) AS ny FROM joint GROUP BY 1)
-        |SELECT round(sum((j.nxy / nt.n) * ln((j.nxy * nt.n) / (mx.nx * my.ny))), 6)
-        |    AS mi_nats,
+        |SELECT round(CAST(sum(CAST(round(((j.nxy / nt.n)
+        |      * ln((j.nxy * nt.n) / (mx.nx * my.ny))) * 1000000000000.0)
+        |      AS BIGINT)) AS BIGINT) / 1000000000000.0, 6) AS mi_nats,
         |  count(*) AS n_cells
         |FROM joint j JOIN mx USING (x) JOIN my USING (y), nt""".stripMargin,
     "q_gini" ->
@@ -6630,8 +6830,11 @@ object SparkEntry {
         |             quantile_cont(value, 0.95) AS hi
         |           FROM events GROUP BY 1)
         |SELECT e.event_type, count(*) AS n,
-        |  round(avg(e.value), 6) AS mean_raw,
-        |  round(avg(least(greatest(e.value, c.lo), c.hi)), 6) AS mean_winsor,
+        |  round(CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+        |    / 100.0 / count(*), 6) AS mean_raw,
+        |  round(CAST(sum(CAST(round(least(greatest(e.value, c.lo), c.hi)
+        |      * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    / 1000000.0 / count(*), 6) AS mean_winsor,
         |  CAST(sum(CASE WHEN e.value < c.lo OR e.value > c.hi THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_clipped
         |FROM events e JOIN c USING (event_type)
@@ -6696,13 +6899,17 @@ object SparkEntry {
         |        CAST(hour(ts) AS INT) AS touch_hod, epoch_us(ts) AS tus
         |      FROM events WHERE event_type IN ('view', 'click')),
         |h AS (SELECT p.pid, t.touch_type, t.touch_hod,
-        |        pow(0.5, CAST(p.pus - t.tus AS DOUBLE) / 7200000000.0) AS w
+        |        CAST(round(pow(0.5, CAST(p.pus - t.tus AS DOUBLE) / 7200000000.0)
+        |          * 1000000000000.0) AS BIGINT) AS wp
         |      FROM p JOIN t ON p.user_id = t.user_id
         |      WHERE t.tus < p.pus AND t.tus >= p.pus - 21600000000),
-        |pp AS (SELECT pid, count(*) AS k, sum(w) AS sumw FROM h GROUP BY pid)
+        |pp AS (SELECT pid, count(*) AS k,
+        |         CAST(sum(wp) AS BIGINT) AS sumwp FROM h GROUP BY pid)
         |SELECT h.touch_type, h.touch_hod, count(*) AS n_touches,
-        |  round(sum(1.0 / pp.k), 6) AS linear_credit,
-        |  round(sum(h.w / pp.sumw), 6) AS decay_credit
+        |  round(CAST(sum(CAST(round((1.0 / pp.k) * 1000000000000.0) AS BIGINT))
+        |    AS BIGINT) / 1000000000000.0, 6) AS linear_credit,
+        |  round(CAST(sum(CAST(round((h.wp / pp.sumwp) * 1000000000000.0)
+        |    AS BIGINT)) AS BIGINT) / 1000000000000.0, 6) AS decay_credit
         |FROM h JOIN pp ON pp.pid = h.pid
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sessionize" ->
@@ -6743,13 +6950,14 @@ object SparkEntry {
         |        lag(x, 3) OVER (ORDER BY h) AS l3, lag(x, 4) OVER (ORDER BY h) AS l4,
         |        lag(x, 5) OVER (ORDER BY h) AS l5, lag(x, 6) OVER (ORDER BY h) AS l6
         |      FROM s),
-        |t AS (SELECT sum((x - mu) * (x - mu)) AS den,
-        |        sum(CASE WHEN l1 IS NOT NULL THEN (x - mu) * (l1 - mu) ELSE 0 END) AS num1,
-        |        sum(CASE WHEN l2 IS NOT NULL THEN (x - mu) * (l2 - mu) ELSE 0 END) AS num2,
-        |        sum(CASE WHEN l3 IS NOT NULL THEN (x - mu) * (l3 - mu) ELSE 0 END) AS num3,
-        |        sum(CASE WHEN l4 IS NOT NULL THEN (x - mu) * (l4 - mu) ELSE 0 END) AS num4,
-        |        sum(CASE WHEN l5 IS NOT NULL THEN (x - mu) * (l5 - mu) ELSE 0 END) AS num5,
-        |        sum(CASE WHEN l6 IS NOT NULL THEN (x - mu) * (l6 - mu) ELSE 0 END) AS num6
+        |t AS (SELECT
+        |        CAST(sum(CAST(round((x - mu) * (x - mu) * 1000000.0) AS BIGINT)) AS BIGINT) AS den,
+        |        CAST(sum(CASE WHEN l1 IS NOT NULL THEN CAST(round((x - mu) * (l1 - mu) * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS num1,
+        |        CAST(sum(CASE WHEN l2 IS NOT NULL THEN CAST(round((x - mu) * (l2 - mu) * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS num2,
+        |        CAST(sum(CASE WHEN l3 IS NOT NULL THEN CAST(round((x - mu) * (l3 - mu) * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS num3,
+        |        CAST(sum(CASE WHEN l4 IS NOT NULL THEN CAST(round((x - mu) * (l4 - mu) * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS num4,
+        |        CAST(sum(CASE WHEN l5 IS NOT NULL THEN CAST(round((x - mu) * (l5 - mu) * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS num5,
+        |        CAST(sum(CASE WHEN l6 IS NOT NULL THEN CAST(round((x - mu) * (l6 - mu) * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS num6
         |      FROM l, m)
         |SELECT 1 AS lag, round(num1 / den, 6) AS r FROM t
         |UNION ALL SELECT 2, round(num2 / den, 6) FROM t
@@ -6766,9 +6974,11 @@ object SparkEntry {
         |      FROM ml CROSS JOIN ms
         |      LEFT JOIN j ON j.lang = ml.lang AND j.source = ms.source),
         |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM g)
-        |SELECT round(sum((g.o - g.nl * g.ns / CAST(nt.n AS DOUBLE))
+        |SELECT round(CAST(sum(CAST(round(
+        |      ((g.o - g.nl * g.ns / CAST(nt.n AS DOUBLE))
         |         * (g.o - g.nl * g.ns / CAST(nt.n AS DOUBLE))
-        |         / (g.nl * g.ns / CAST(nt.n AS DOUBLE))), 6) AS chi2,
+        |         / (g.nl * g.ns / CAST(nt.n AS DOUBLE))) * 1000000000.0)
+        |      AS BIGINT)) AS BIGINT) / 1000000000.0, 6) AS chi2,
         |  count(*) AS n_cells, max(nt.n) AS n
         |FROM g, nt""".stripMargin,
     "q_spearman" ->
@@ -6778,9 +6988,20 @@ object SparkEntry {
         |       FROM (SELECT x, count(*) AS cnt FROM li GROUP BY 1)),
         |ry AS (SELECT y, sum(cnt) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
         |         - (cnt - 1) / 2.0 AS y_rank
-        |       FROM (SELECT y, count(*) AS cnt FROM li GROUP BY 1))
-        |SELECT round(corr(x_rank, y_rank), 6) AS rho, count(*) AS n
-        |FROM li JOIN rx USING (x) JOIN ry USING (y)""".stripMargin,
+        |       FROM (SELECT y, count(*) AS cnt FROM li GROUP BY 1)),
+        |p AS (SELECT CAST(round(x_rank * 2) AS BIGINT) AS rx2,
+        |        CAST(round(y_rank * 2) AS BIGINT) AS ry2
+        |      FROM li JOIN rx USING (x) JOIN ry USING (y)),
+        |a AS (SELECT count(*) AS n,
+        |        CAST(sum(rx2) AS DOUBLE) AS sx, CAST(sum(ry2) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(rx2 AS HUGEINT) * ry2) AS DOUBLE) AS sxy,
+        |        CAST(sum(CAST(rx2 AS HUGEINT) * rx2) AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(ry2 AS HUGEINT) * ry2) AS DOUBLE) AS syy
+        |      FROM p)
+        |SELECT round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS rho, n
+        |FROM a""".stripMargin,
     "q_mann_whitney" ->
       """WITH d0 AS (SELECT CAST(lang = 'en' AS INT) AS a, n_chars AS v
         |            FROM documents WHERE lang IN ('en', 'de')),
@@ -6799,18 +7020,29 @@ object SparkEntry {
         |      FROM st)
         |SELECT n1, n2, u1, z, abs(z) > 1.96 AS significant FROM z""".stripMargin,
     "q_changepoint" ->
-      """WITH dd AS (SELECT date_trunc('day', ts) AS day, avg(value) AS x
+      """WITH dd AS (SELECT date_trunc('day', ts) AS day,
+        |              CAST(round(CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |                AS BIGINT) / 100.0 / count(*) * 1000000.0) AS BIGINT)
+        |                AS xm
         |            FROM events GROUP BY 1),
-        |m AS (SELECT avg(x) AS mu FROM dd),
-        |c AS (SELECT day, x,
-        |        sum(x - mu) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sk
-        |      FROM dd, m),
-        |cp AS (SELECT day AS change_day, sk FROM c ORDER BY abs(sk) DESC, day LIMIT 1)
-        |SELECT cp.change_day, round(cp.sk, 6) AS s_max,
-        |  round(avg(CASE WHEN dd.day <= cp.change_day THEN dd.x END), 6) AS mean_before,
-        |  round(avg(CASE WHEN dd.day > cp.change_day THEN dd.x END), 6) AS mean_after,
+        |t AS (SELECT count(*) AS n, CAST(sum(xm) AS BIGINT) AS sxm FROM dd),
+        |c AS (SELECT day, t.n,
+        |        t.n * CAST(sum(xm) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |          AS BIGINT)
+        |          - row_number() OVER (ORDER BY day) * t.sxm AS skm
+        |      FROM dd, t),
+        |cp AS (SELECT day AS change_day, skm, n FROM c
+        |       ORDER BY abs(skm) DESC, day LIMIT 1)
+        |SELECT cp.change_day,
+        |  round(cp.skm / (cp.n * 1000000.0), 6) AS s_max,
+        |  round(sum(CASE WHEN dd.day <= cp.change_day THEN dd.xm END) / 1000000.0
+        |    / sum(CASE WHEN dd.day <= cp.change_day THEN 1 ELSE 0 END), 6)
+        |    AS mean_before,
+        |  round(sum(CASE WHEN dd.day > cp.change_day THEN dd.xm END) / 1000000.0
+        |    / sum(CASE WHEN dd.day > cp.change_day THEN 1 ELSE 0 END), 6)
+        |    AS mean_after,
         |  count(*) AS n_days
-        |FROM dd, cp GROUP BY 1, 2""".stripMargin,
+        |FROM dd, cp GROUP BY cp.change_day, cp.skm, cp.n""".stripMargin,
     "q_rfm" ->
       """WITH o AS (SELECT o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS od
         |           FROM orders),
@@ -7102,12 +7334,16 @@ object SparkEntry {
         |                 count(*) AS actual
         |               FROM events GROUP BY 1, 2)
         |SELECT d.event_type, count(*) AS n_eval,
-        |  round(avg(abs(d.actual - f7.actual) / CAST(d.actual AS DOUBLE)), 6)
-        |    AS mape_seasonal,
-        |  round(avg(abs(d.actual - f1.actual) / CAST(d.actual AS DOUBLE)), 6)
-        |    AS mape_naive,
-        |  round(avg(abs(d.actual - f7.actual) * 2.0 /
-        |    CAST(d.actual + f7.actual AS DOUBLE)), 6) AS smape_seasonal
+        |  round(CAST(sum(CAST(round((abs(d.actual - f7.actual)
+        |      / CAST(d.actual AS DOUBLE)) * 1000000000000.0) AS BIGINT))
+        |    AS BIGINT) / 1000000000000.0 / count(*), 6) AS mape_seasonal,
+        |  round(CAST(sum(CAST(round((abs(d.actual - f1.actual)
+        |      / CAST(d.actual AS DOUBLE)) * 1000000000000.0) AS BIGINT))
+        |    AS BIGINT) / 1000000000000.0 / count(*), 6) AS mape_naive,
+        |  round(CAST(sum(CAST(round((abs(d.actual - f7.actual) * 2.0
+        |      / CAST(d.actual + f7.actual AS DOUBLE)) * 1000000000000.0)
+        |      AS BIGINT)) AS BIGINT) / 1000000000000.0 / count(*), 6)
+        |    AS smape_seasonal
         |FROM daily d
         |JOIN daily f7 ON d.event_type = f7.event_type AND d.day = f7.day + 7
         |JOIN daily f1 ON d.event_type = f1.event_type AND d.day = f1.day + 1
@@ -7141,7 +7377,9 @@ object SparkEntry {
         |ORDER BY 1, 2, 3""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+        |    AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -7178,27 +7416,30 @@ object SparkEntry {
         |FROM b JOIN a USING (source), p ORDER BY b.doc_id""".stripMargin,
     "q_cohort_ltv" ->
       """WITH uw AS (SELECT user_id, epoch_ms(ts) // 604800000 * 604800000
-        |              AS week_ms, event_type, value
+        |              AS week_ms, event_type,
+        |              CAST(round(value * 100) AS BIGINT) AS vc
         |            FROM events),
         |first AS (SELECT user_id, min(week_ms) AS cohort_ms FROM uw GROUP BY 1),
         |spend AS (SELECT f.cohort_ms,
         |            (u.week_ms - f.cohort_ms) // 604800000 AS age_weeks,
-        |            sum(u.value) AS rev
+        |            CAST(sum(u.vc) AS BIGINT) AS rev_c
         |          FROM uw u JOIN first f USING (user_id)
         |          WHERE u.event_type = 'purchase' GROUP BY 1, 2),
         |sizes AS (SELECT cohort_ms, count(*) AS n_users FROM first GROUP BY 1),
         |c AS (SELECT cohort_ms, age_weeks,
-        |        sum(rev) OVER (PARTITION BY cohort_ms ORDER BY age_weeks)
-        |          AS cum_rev
+        |        CAST(sum(rev_c) OVER (PARTITION BY cohort_ms ORDER BY age_weeks)
+        |          AS BIGINT) AS cum_c
         |      FROM spend)
         |SELECT c.cohort_ms, c.age_weeks, s.n_users,
-        |  round(c.cum_rev, 2) AS cum_rev,
-        |  round(c.cum_rev / s.n_users, 6) AS ltv_per_user
+        |  round(c.cum_c / 100.0, 2) AS cum_rev,
+        |  round(c.cum_c / 100.0 / s.n_users, 6) AS ltv_per_user
         |FROM c JOIN sizes s USING (cohort_ms)
         |ORDER BY c.cohort_ms, c.age_weeks""".stripMargin,
     "q_tpch_q3" ->
       """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
-        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |  round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0, 2)
+        |    AS revenue
         |FROM customer c, orders o, lineitem l
         |WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey
         |  AND l.l_orderkey = o.o_orderkey
@@ -7210,15 +7451,19 @@ object SparkEntry {
         |                 count(*) AS actual
         |               FROM events GROUP BY 1, 2),
         |r AS (SELECT d.event_type,
-        |        ln(d.actual / CAST(p.actual AS DOUBLE)) AS r
+        |        CAST(round(ln(d.actual / CAST(p.actual AS DOUBLE)) * 1000000.0)
+        |          AS BIGINT) AS rm
         |      FROM daily d
         |      JOIN daily p ON d.event_type = p.event_type AND d.day = p.day + 1),
-        |a AS (SELECT event_type, count(*) AS n_days, sum(r) AS sr,
-        |        sum(r * r) AS sr2
+        |a AS (SELECT event_type, count(*) AS n_days,
+        |        CAST(sum(rm) AS BIGINT) AS srm,
+        |        CAST(sum(rm * rm) AS BIGINT) AS sr2m
         |      FROM r GROUP BY 1)
         |SELECT event_type, n_days,
-        |  round(sr / n_days, 6) AS drift,
-        |  round(sqrt(sr2 / n_days - (sr / n_days) * (sr / n_days)), 6) AS vol_daily
+        |  round(srm / 1000000.0 / n_days, 6) AS drift,
+        |  round(sqrt(sr2m / 1000000000000.0 / n_days
+        |    - (srm / 1000000.0 / n_days) * (srm / 1000000.0 / n_days)), 6)
+        |    AS vol_daily
         |FROM a ORDER BY event_type""".stripMargin,
     "q_dp_release" ->
       """WITH c AS (SELECT event_type, count(*) AS true_n FROM events GROUP BY 1),
@@ -7364,11 +7609,13 @@ object SparkEntry {
         |nl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM c GROUP BY 1),
         |nn AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
         |t AS (SELECT c.source, ns.ns,
-        |        (c.n / CAST(ns.ns AS DOUBLE)) *
+        |        CAST(round(((c.n / CAST(ns.ns AS DOUBLE)) *
         |          ln((c.n / CAST(ns.ns AS DOUBLE)) /
-        |             (nl.nl / CAST(nn.nn AS DOUBLE))) AS term
+        |             (nl.nl / CAST(nn.nn AS DOUBLE)))) * 1000000000000.0)
+        |          AS BIGINT) AS term_p
         |      FROM c JOIN ns USING (source) JOIN nl USING (lang), nn)
-        |SELECT source, max(ns) AS n_docs, round(sum(term), 6) AS kl_nats
+        |SELECT source, max(ns) AS n_docs,
+        |  round(CAST(sum(term_p) AS BIGINT) / 1000000000000.0, 6) AS kl_nats
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     // each event contributes to the two hour-aligned 2h windows
     // covering it — the sliding-window replay
@@ -7448,27 +7695,39 @@ object SparkEntry {
         |              WHEN u < 0.9994058151824183 THEN 5
         |              ELSE 6 END AS w
         |       FROM uw),
-        |m AS (SELECT b, sum(w * value) / sum(w) AS m FROM ww GROUP BY 1),
+        |m AS (SELECT b,
+        |        sum(w * CAST(round(value * 100) AS BIGINT)) / 100.0 / sum(w)
+        |          AS m
+        |      FROM ww GROUP BY 1),
         |r AS (SELECT m, row_number() OVER (ORDER BY m) AS rk FROM m)
-        |SELECT count(*) AS n_replicates, round(avg(m), 6) AS boot_mean,
+        |SELECT count(*) AS n_replicates,
+        |  round(CAST(sum(CAST(round(m * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    / 1000000.0 / count(*), 6) AS boot_mean,
         |  round(min(CASE WHEN rk = 2 THEN m END), 6) AS ci_lo,
         |  round(min(CASE WHEN rk = 19 THEN m END), 6) AS ci_hi
         |FROM r""".stripMargin,
     "q_anova" ->
-      """WITH g AS (SELECT event_type, count(*) AS n, sum(value) AS sx,
-        |             sum(value * value) AS sx2
-        |           FROM events GROUP BY 1),
-        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(sx) AS gx,
-        |        count(*) AS k FROM g),
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |           FROM events),
+        |g AS (SELECT event_type, count(*) AS n,
+        |        CAST(sum(vc) AS BIGINT) AS sxc,
+        |        CAST(sum(vc * vc) AS BIGINT) AS sx2c
+        |      FROM e GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |        CAST(sum(sxc) AS BIGINT) AS gxc, count(*) AS k FROM g),
         |s AS (SELECT g.n, t.nn, t.k,
-        |        (g.sx / g.n - t.gx / t.nn) * (g.sx / g.n - t.gx / t.nn) * g.n
-        |          AS ssb_t,
-        |        g.sx2 - g.sx * g.sx / g.n AS ssw_t
+        |        CAST(round((g.sxc / 100.0 / g.n - t.gxc / 100.0 / t.nn)
+        |          * (g.sxc / 100.0 / g.n - t.gxc / 100.0 / t.nn) * g.n
+        |          * 1000000.0) AS BIGINT) AS ssb_tm,
+        |        CAST(round((g.sx2c / 10000.0
+        |          - (g.sxc / 100.0) * (g.sxc / 100.0) / g.n)
+        |          * 1000000.0) AS BIGINT) AS ssw_tm
         |      FROM g, t)
         |SELECT max(k) AS k_groups, max(nn) AS n_total,
-        |  round(sum(ssb_t), 4) AS ss_between,
-        |  round(sum(ssw_t), 4) AS ss_within,
-        |  round((sum(ssb_t) / max(k - 1)) / (sum(ssw_t) / max(nn - k)), 6)
+        |  round(CAST(sum(ssb_tm) AS BIGINT) / 1000000.0, 4) AS ss_between,
+        |  round(CAST(sum(ssw_tm) AS BIGINT) / 1000000.0, 4) AS ss_within,
+        |  round((CAST(sum(ssb_tm) AS BIGINT) / 1000000.0 / max(k - 1))
+        |    / (CAST(sum(ssw_tm) AS BIGINT) / 1000000.0 / max(nn - k)), 6)
         |    AS f_stat
         |FROM s""".stripMargin,
     "q_window_suite" ->

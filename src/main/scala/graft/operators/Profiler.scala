@@ -29,12 +29,21 @@ object Profiler {
       val base = Seq(
         "completeness" -> count(col_).cast("double") / n.cast("double"),
         "distinct" -> count_distinct(col_).cast("double"))
+      // mean/stddev from EXACT micro-unit integer moments (DECIMAL(38,0)
+      // sums — overflow-safe at any SF), evaluated once in double: avg()/
+      // stddev() merge double partials in partition order, which flips
+      // the 6-dp round order-dependently (the q_volatility hazard class)
+      val vm = round(col_ * lit(1000000.0)).cast("long")
+      val nD = count(col_).cast("double")
+      val sxD = sum(vm.cast("decimal(38,0)")).cast("double")
+      val sxxD = sum(vm.cast("decimal(38,0)") * vm).cast("double")
       val typed =
         if (numeric) Seq(
           "min" -> min(col_).cast("double"),
           "max" -> max(col_).cast("double"),
-          "mean" -> avg(col_),
-          "stddev" -> stddev(col_))
+          "mean" -> sxD / lit(1000000.0) / nD,
+          "stddev" -> sqrt((nD * sxxD - sxD * sxD) / (nD * (nD - lit(1.0))))
+            / lit(1000000.0))
         else Seq(
           "min_length" -> min(length(col_)).cast("double"),
           "max_length" -> max(length(col_)).cast("double"),

@@ -14,6 +14,16 @@ object TextOps {
   def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
+  /** Order-invariant 6-dp mean of an irrational-double term: each term
+    * rounds to PICO-units (exact BIGINT) before the fold, so partial-agg
+    * order can't perturb the result on either engine — the exact-replay
+    * recipe the oracle gate requires (unrounded double sums flaked the
+    * r9 gate on q_volatility). 1e-12 granularity is 5e5× finer than the
+    * 6-dp output round. */
+  private def picoMean6(c: Column): Column =
+    round(sum(round(c * lit(1000000000000.0)).cast("long"))
+      / lit(1000000000000.0) / count(lit(1)), 6)
+
   /** Token count (whitespace tokenization; empty text → 0). Rides the
     * single-pass [[graft.expr.TextExpressions.textStats]] kernel — value
     * identical to `size(split(trim(lower(text)), "\\s+"))` with the
@@ -347,7 +357,7 @@ object TextOps {
       .crossJoin(broadcast(total)) // single row: genuinely bounded
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log(coalesce(col("cnt"), lit(minCount)).cast("double") / col("total"))), 6)
+        picoMean6(log(coalesce(col("cnt"), lit(minCount)).cast("double") / col("total")))
           .as("logprob"))
   }
 
@@ -402,7 +412,7 @@ object TextOps {
       .select(col("w1"), col("w2"), log(col("c2").cast("double") / col("c1")).as("lp"))
     bg.join(model, Seq("w1", "w2"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("logprob"))
+      .agg(count(lit(1)).as("n_bigrams"), picoMean6(col("lp")).as("logprob"))
   }
 
   /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
@@ -445,7 +455,7 @@ object TextOps {
               * (col("contw2").cast("double") / col("ntypes"))).as("lp"))
     bg.join(model, Seq("w1", "w2"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("kn_logprob"))
+      .agg(count(lit(1)).as("n_bigrams"), picoMean6(col("lp")).as("kn_logprob"))
   }
 
   /** PMI collocation extraction — the corpus-statistics operator behind

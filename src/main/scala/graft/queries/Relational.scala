@@ -36,18 +36,27 @@ object Relational {
 
   /** A1/A2-class: TPC-H Q1-shaped grouped aggregation with partial (map-side)
     * aggregation — one shuffle on the two grouping keys. */
-  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    // price·(1−disc) is a 4-dp value; its double sum lands EXACTLY on the
+    // 2-dp round boundary for ~1% of groups, where the partial-agg order
+    // decides the flip. Accumulate exact 1e-4-unit integers instead
+    // (cents × (100−disc_cents)), DECIMAL(38,0) so a 1000× scale-up
+    // can't overflow; the single division afterwards is order-free.
+    val pc = round(col("l_extendedprice") * 100).cast("long")
+    val dc = round(col("l_discount") * 100).cast("long")
     table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("cnt"),
         sum(col("l_quantity")).as("sum_qty"),                 // integral doubles: exact
         round(sum(col("l_extendedprice")), 2).as("sum_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum((pc * (lit(100L) - dc)).cast("decimal(38,0)")) / lit(10000.0), 2)
+          .as("sum_disc_price"),
         avg(col("l_quantity")).as("avg_qty"),                 // exact-sum / count: deterministic
         min(col("l_discount")).as("min_disc"),
         max(col("l_discount")).as("max_disc"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 
   /** A-family extension: hierarchical ROLLUP totals (per (flag, status),
     * per flag, grand total) in one pass — Catalyst expands the grouping
