@@ -285,14 +285,24 @@ object Dedup {
       .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Asymmetric containment near-dup: |A∩B| / min(|A|,|B|) over the same
-    * blocked inverted-index candidates as [[ngramJaccardPairs]]. Catches
-    * the subset-duplication symmetric Jaccard structurally misses — a
-    * document pasted verbatim inside a much larger one scores
-    * containment ≈ 1 while its Jaccard ≈ |A|/|B| can sit far below any
-    * dedup threshold (the boilerplate-inclusion case in Lee et al.'s
-    * dedup taxonomy). Same candidate bound (one shingle-keyed self-join,
-    * `maxDf` hot-shingle guard), same exact-verify contract. */
+  /** Asymmetric containment near-dup: |A∩B| / min(|A|,|B|) over blocked
+    * prefix-probe candidates. Catches the subset-duplication symmetric
+    * Jaccard structurally misses — a document pasted verbatim inside a
+    * much larger one scores containment ≈ 1 while its Jaccard ≈ |A|/|B|
+    * can sit far below any dedup threshold (the boilerplate-inclusion
+    * case in Lee et al.'s dedup taxonomy). Same exact-verify contract as
+    * [[ngramJaccardPairsPrefix]].
+    *
+    * Hot-shingle suppression differs from the Jaccard path: only the
+    * PREFIX side drops hot shingles structurally (canonical df-asc order
+    * pushes them out of every prefix); the probe-side full index is NOT
+    * df-capped by default, because containment admits no size-ratio bound
+    * (a tiny doc is containable in any larger one) and dropping a probe
+    * posting can lose a true pair. `maxDf` (default unbounded — exact)
+    * optionally caps the probe index too for stop-shingle-heavy corpora
+    * where the candidate stage would otherwise degrade toward df² —
+    * an explicit recall-for-cost trade, unlike the Jaccard path where the
+    * cap is recall-neutral for the prefix bound. */
   def ngramContainmentPairs(
       docs: DataFrame,
       blockCol: String,
@@ -300,7 +310,8 @@ object Dedup {
       idCol: String = "doc_id",
       n: Int = 3,
       threshold: Double = 0.9,
-      eager: Boolean = true): DataFrame = {
+      eager: Boolean = true,
+      maxDf: Long = Long.MaxValue): DataFrame = {
     // Prefix principle for min-normalized overlap: C(A,B) ≥ t means
     // |A∩B| ≥ ceil(t·|X|) for X the SMALLER side, so the canonical prefix
     // of X of length |X| − ceil(t·|X|) + 1 must intersect B (if it missed,
@@ -331,8 +342,15 @@ object Dedup {
       .withColumn("nsh", size(col("sorted_sh")))
       .select(col("block"), col("id").as("id_p"),
         explode(slice(col("sorted_sh"), lit(1), prefixLen)).as("h"))
+    // optional probe-side df cap (see scaladoc: recall-trading, off by
+    // default); the prefix side needs no cap — hot shingles sort out of
+    // prefixes structurally
+    val probeIdx =
+      if (maxDf == Long.MaxValue) inv
+      else inv.join(dfreq.filter(col("df") > maxDf).select(col("block"), col("h")),
+        Seq("block", "h"), "left_anti")
     val candidates = prefixes
-      .join(inv.select(col("block"), col("h"), col("id").as("id_f")), Seq("block", "h"))
+      .join(probeIdx.select(col("block"), col("h"), col("id").as("id_f")), Seq("block", "h"))
       .filter(col("id_p") =!= col("id_f"))
       .select(col("block"), least(col("id_p"), col("id_f")).as("id_a"),
         greatest(col("id_p"), col("id_f")).as("id_b"))

@@ -17,26 +17,31 @@ final case class MergeEvent(rank: Long, weight: Double,
   * last driver-O(n) surface of exact mode). The reference collects the
   * whole tree and replays Kruskal on the driver
   * (`hdbscanstar/HDBSCANStar.java` works on in-memory arrays); here the
-  * merge order is reconstructed distributively:
+  * merge order is reconstructed distributively by RANK-RANGE DIVIDE AND
+  * CONQUER (VERDICT r9 #3 — replaces the sequential per-block chain whose
+  * every round re-scanned the O(n) label frame, O(n²/blockSize) total):
   *
   *  1. edges rank-sorted by (weight, src, dst) — ONE range sort;
-  *  2. rank blocks of `blockSize` edges processed in sequence: block k's
-  *     edges are contracted by the labels-after-block-(k−1) frame, and a
-  *     SINGLE task runs a local union-find over the ≤ blockSize
-  *     contracted edges (plus the base sizes of just the labels the block
-  *     touches), emitting the block's merge events AND its
-  *     label-relabel/size-update rows;
-  *  3. the node-shaped label frame and the component-shaped size frame
-  *     absorb each block's (small) update via one join each, lineage
-  *     truncated per round.
+  *  2. recursion on the rank range: a range of ≤ `blockSize` edges is
+  *     contracted by its inherited (vertex → label, size) state and run
+  *     through a SINGLE-task union-find emitting its merge events plus a
+  *     label-shaped relabel map (old label → new label, new size);
+  *  3. an internal range splits in half, recurses left, applies the
+  *     left's relabel map to the right half's state (one join, sized to
+  *     the right half — never to n), recurses right, and composes the two
+  *     relabel maps (labels are component minima, so composition is a
+  *     join on new = old).
   *
-  * Driver/task peak state is O(blockSize) — a declared knob, NOT O(n):
-  * at any instant no participant holds more than one block. Rounds =
-  * ceil(n / blockSize); each round is a bounded join fan. λ-ancestor
-  * resolution over the resulting event tree ([[lowestQualifyingAncestor]])
-  * is pointer-doubling — O(log n) self-joins regardless of dendrogram
-  * depth (a sorted-weight chain makes the tree O(n) deep; per-level
-  * walking would be a scale-killer).
+  * Every state/relabel frame a node touches is bounded by ITS OWN range's
+  * vertex count, so each vertex row is re-joined O(log B) times total
+  * (B = ceil(E/blockSize)) — total row-work O(E log B), vs the old
+  * chain's O(E·B). Task peak state stays O(blockSize) (a declared knob,
+  * NOT O(n)); the left→right data dependence is inherent to exact Kruskal
+  * replay, but the serial chain now carries log-depth COMPOSITION work
+  * only. λ-ancestor resolution over the resulting event tree
+  * ([[nearestQualifyingAncestor]]) is pointer-doubling — O(log n)
+  * self-joins regardless of dendrogram depth (a sorted-weight chain makes
+  * the tree O(n) deep; per-level walking would be a scale-killer).
   */
 object DistributedDendrogram {
 
@@ -54,7 +59,7 @@ object DistributedDendrogram {
   def mergeEvents(spark: SparkSession, edges: DataFrame,
       blockSize: Int = 500000): Dataset[MergeEvent] = {
     import spark.implicits._
-    val rot = new graft.CheckpointRotator
+    import org.apache.spark.sql.GraftShim
     // 1. global Kruskal rank: one range sort + zipWithIndex
     val ranked = edges.select(col("src").cast("long"), col("dst").cast("long"),
         col("weight").cast("double"))
@@ -63,104 +68,154 @@ object DistributedDendrogram {
       .zipWithIndex()
       .map { case ((s, d, w), r) => (r, s, d, w) }
       .toDF("rank", "src", "dst", "weight")
-    val rankedCk = rot.rotate(ranked)
+    val (rankedCk, rankedRdd) = GraftShim.materialize(ranked)
     val total = rankedCk.count()
-    val nBlocks = ((total + blockSize - 1) / blockSize).toInt
 
-    // node-shaped label frame and component-shaped size frame
-    var labels = rot.rotate(
-      rankedCk.select(col("src").as("vertex"))
-        .unionAll(rankedCk.select(col("dst").as("vertex")))
-        .distinct()
-        .select(col("vertex"), col("vertex").as("label")))
-    var sizes = rot.rotate(labels.select(col("label"), lit(1L).as("size")))
+    // cached leaf outputs live until the final events checkpoint — the
+    // ADVICE-r9 fix: never unpersist a frame a later read recomputes
+    // through (each frame gets its own retention, no shared rotator)
+    val retained = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    def mat(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) =
+      GraftShim.materialize(df)
 
-    var events = spark.emptyDataset[MergeEvent].toDF()
-    var k = 0
-    while (k < nBlocks) {
-      val lo = k.toLong * blockSize
-      val hi = lo + blockSize
-      val block = rankedCk.filter(col("rank") >= lo && col("rank") < hi)
-      // contract by current labels (two joins), then bring in the base
-      // sizes of exactly the labels this block touches
-      val contracted = block
-        .join(labels.select(col("vertex").as("src"), col("label").as("la")), "src")
-        .join(labels.select(col("vertex").as("dst"), col("label").as("lb")), "dst")
-        .select(col("rank"), col("weight"), col("la"), col("lb"))
-      val touched = contracted.select(col("la").as("label"))
-        .unionAll(contracted.select(col("lb").as("label"))).distinct()
-      val blockSizes = sizes.join(touched, "label")
-      // single-task local union-find: edge rows (kind 0) + size rows
-      // (kind 2) funneled into ONE partition, processed in rank order
-      val inRows = contracted
-        .select(lit(0).as("kind"), col("rank"), col("weight"),
-          col("la").as("a"), col("lb").as("b"), lit(0L).as("sa"), lit(0L).as("sb"))
-        .unionAll(blockSizes
-          .select(lit(2).as("kind"), lit(0L).as("rank"), lit(0.0).as("weight"),
-            col("label").as("a"), lit(0L).as("b"), col("size").as("sa"), lit(0L).as("sb")))
-        .as[BlockOut]
-      val out = inRows.repartition(1).mapPartitions { it =>
-        val rows = it.toArray
-        val baseSize = scala.collection.mutable.HashMap.empty[Long, Long]
-        rows.iterator.filter(_.kind == 2).foreach(r => baseSize(r.a) = r.sa)
-        // union-find over base labels, rep = min id, size tracked
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        val compSize = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
-          r
-        }
-        val evs = Array.newBuilder[BlockOut]
-        rows.filter(_.kind == 0).sortBy(_.rank).foreach { e =>
-          val ra = find(e.a); val rb = find(e.b)
-          require(ra != rb, s"cycle in MST input at rank ${e.rank}")
-          val sa = compSize.getOrElse(ra, baseSize(ra))
-          val sb = compSize.getOrElse(rb, baseSize(rb))
-          // event reps are the MERGE-TIME component reps (min ids)
-          val (repA, repB) = (ra, rb)
-          val rep = math.min(ra, rb)
-          val other = math.max(ra, rb)
-          parent(other) = rep
-          compSize(rep) = sa + sb
-          compSize.remove(other)
-          evs += BlockOut(0, e.rank, e.weight, repA, repB, sa, sb)
-        }
-        // relabel rows for EVERY touched label (identity included, so the
-        // size frame's anti-join sweeps all stale rows), then one size row
-        // per surviving representative
-        val upd = Array.newBuilder[BlockOut]
-        baseSize.keysIterator.foreach { l =>
-          upd += BlockOut(1, 0L, 0.0, l, find(l), 0L, 0L)
-        }
-        baseSize.keysIterator.map(find).toSet.foreach { (r: Long) =>
-          upd += BlockOut(2, 0L, 0.0, r, 0L, compSize.getOrElse(r, baseSize(r)), 0L)
-        }
-        (evs.result() ++ upd.result()).iterator
-      }.persist()
-      out.count() // materialize once; three filters below read the cache
+    def slice(lo: Long, hi: Long): DataFrame =
+      rankedCk.filter(col("rank") >= lo && col("rank") < hi)
+    def verticesOf(lo: Long, hi: Long): DataFrame =
+      slice(lo, hi).select(col("src").as("vertex"))
+        .unionAll(slice(lo, hi).select(col("dst").as("vertex"))).distinct()
 
-      events = events.unionAll(out.filter(_.kind == 0)
-        .map(e => MergeEvent(e.rank, e.weight, e.a, e.b, e.sa, e.sb)).toDF())
-      val relabel = out.filter(_.kind == 1).map(r => (r.a, r.b)).toDF("label", "newLabel")
-      val newSizes = out.filter(_.kind == 2).map(r => (r.a, r.sa)).toDF("label", "size")
-        .dropDuplicates("label")
-      // absorb: vertices keep their label unless the block relabeled it
-      labels = rot.rotate(
-        labels.join(relabel, Seq("label"), "left")
-          .select(col("vertex"), coalesce(col("newLabel"), col("label")).as("label")))
-      sizes = rot.rotate(
-        sizes.join(relabel.select(col("label")), Seq("label"), "left_anti")
-          .unionAll(newSizes))
-      out.unpersist(blocking = false)
-      k += 1
+    /** Recurse over rank range [lo, hi). `m` is the inherited state —
+      * (vertex, label, size) rows for the range's vertices whose
+      * component is non-trivial as of rank `lo` (missing row = label
+      * self, size 1) — OWNED by this call (freed here). Returns the
+      * range's event frames (cached; retention registered in `retained`)
+      * and its relabel map (old label at lo → new label, new size) for
+      * every label touched in the range, cached and owned by the caller. */
+    def go(lo: Long, hi: Long, m: (DataFrame, org.apache.spark.rdd.RDD[_]))
+        : (Vector[DataFrame], (DataFrame, org.apache.spark.rdd.RDD[_])) = {
+      val nb = (hi - lo + blockSize - 1) / blockSize
+      if (nb <= 1) {
+        // leaf: contract the ≤ blockSize edges by the inherited state and
+        // run a single-task union-find over them in rank order
+        val contracted = slice(lo, hi)
+          .join(m._1.select(col("vertex").as("src"), col("label").as("la0"),
+            col("size").as("sa0")), Seq("src"), "left")
+          .join(m._1.select(col("vertex").as("dst"), col("label").as("lb0"),
+            col("size").as("sb0")), Seq("dst"), "left")
+          .select(col("rank"), col("weight"),
+            coalesce(col("la0"), col("src")).as("la"),
+            coalesce(col("sa0"), lit(1L)).as("sa"),
+            coalesce(col("lb0"), col("dst")).as("lb"),
+            coalesce(col("sb0"), lit(1L)).as("sb"))
+        // kind 0 = edge; kind 2 = base size of a touched label (distinct:
+        // every occurrence of a label carries the same inherited size)
+        val inRows = contracted
+          .select(lit(0).as("kind"), col("rank"), col("weight"),
+            col("la").as("a"), col("lb").as("b"), lit(0L).as("sa"), lit(0L).as("sb"))
+          .unionAll(contracted.select(col("la").as("label"), col("sa").as("size"))
+            .unionAll(contracted.select(col("lb").as("label"), col("sb").as("size")))
+            .distinct()
+            .select(lit(2).as("kind"), lit(0L).as("rank"), lit(0.0).as("weight"),
+              col("label").as("a"), lit(0L).as("b"), col("size").as("sa"), lit(0L).as("sb")))
+          .as[BlockOut]
+        val out = inRows.repartition(1).mapPartitions { it =>
+          val rows = it.toArray
+          val baseSize = scala.collection.mutable.HashMap.empty[Long, Long]
+          rows.iterator.filter(_.kind == 2).foreach(r => baseSize(r.a) = r.sa)
+          // union-find over base labels, rep = min id, size tracked
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          val compSize = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
+          val evs = Array.newBuilder[BlockOut]
+          rows.filter(_.kind == 0).sortBy(_.rank).foreach { e =>
+            val ra = find(e.a); val rb = find(e.b)
+            require(ra != rb, s"cycle in MST input at rank ${e.rank}")
+            val sa = compSize.getOrElse(ra, baseSize(ra))
+            val sb = compSize.getOrElse(rb, baseSize(rb))
+            // event reps are the MERGE-TIME component reps (min ids)
+            val rep = math.min(ra, rb)
+            val other = math.max(ra, rb)
+            parent(other) = rep
+            compSize(rep) = sa + sb
+            compSize.remove(other)
+            evs += BlockOut(0, e.rank, e.weight, ra, rb, sa, sb)
+          }
+          // one relabel row per touched label (identity included — makes
+          // the parent's composition total over touched labels), carrying
+          // the new rep's post-range size
+          val upd = Array.newBuilder[BlockOut]
+          baseSize.keysIterator.foreach { l =>
+            val r = find(l)
+            upd += BlockOut(1, 0L, 0.0, l, r, compSize.getOrElse(r, baseSize(r)), 0L)
+          }
+          (evs.result() ++ upd.result()).iterator
+        }
+        val (outCk, outRdd) = mat(out.toDF())
+        retained += outRdd // events read from this cache until the end
+        val events = outCk.filter(col("kind") === 0)
+          .select(col("rank"), col("weight"), col("a").as("rep_a"),
+            col("b").as("rep_b"), col("sa").as("size_a"), col("sb").as("size_b"))
+        val rel = mat(outCk.filter(col("kind") === 1)
+          .select(col("a").as("old"), col("b").as("new"), col("sa").as("nsize")))
+        m._2.unpersist(blocking = false)
+        (Vector(events), rel)
+      } else {
+        val mid = lo + (nb / 2) * blockSize
+        // restrict the inherited state to each half's own vertices —
+        // every join below is sized to the SUBRANGE, never to n
+        val m1 = mat(m._1.join(verticesOf(lo, mid), Seq("vertex")))
+        val (ev1, r1) = go(lo, mid, m1)
+        val v2 = verticesOf(mid, hi)
+        val m2base = m._1.join(v2, Seq("vertex"))
+        // right state = inherited rows updated by the left's relabels,
+        // plus identity vertices the left absorbed (their identity label
+        // is in the left's relabel domain)
+        val upd = m2base
+          .join(r1._1, m2base("label") === r1._1("old"), "left")
+          .select(m2base("vertex"),
+            coalesce(r1._1("new"), m2base("label")).as("label"),
+            coalesce(r1._1("nsize"), m2base("size")).as("size"))
+        val newly = v2.join(m._1.select(col("vertex")), Seq("vertex"), "left_anti")
+          .join(r1._1, col("vertex") === r1._1("old"))
+          .select(col("vertex"), col("new").as("label"), col("nsize").as("size"))
+        val m2 = mat(upd.unionAll(newly))
+        m._2.unpersist(blocking = false)
+        val (ev2, r2) = go(mid, hi, m2)
+        // compose: r1 chained through r2 (labels are component minima, so
+        // new-of-left joins old-of-right), plus right relabels of labels
+        // the left never touched
+        val r1u = r1._1.join(r2._1, r1._1("new") === r2._1("old"), "left")
+          .select(r1._1("old").as("old"),
+            coalesce(r2._1("new"), r1._1("new")).as("new"),
+            coalesce(r2._1("nsize"), r1._1("nsize")).as("nsize"))
+        val r2only = r2._1.join(r1._1.select(col("new").as("old")).distinct(),
+          Seq("old"), "left_anti")
+        val r = mat(r1u.unionAll(r2only))
+        r1._2.unpersist(blocking = false)
+        r2._2.unpersist(blocking = false)
+        (ev1 ++ ev2, r)
+      }
     }
-    val result = events.as[MergeEvent]
-    val cached = result.localCheckpoint(true).as[MergeEvent]
-    rot.close()
-    cached
+
+    val result =
+      if (total == 0) spark.emptyDataset[MergeEvent]
+      else {
+        val emptyM = mat(Seq.empty[(Long, Long, Long)].toDF("vertex", "label", "size"))
+        val (eventFrames, rFinal) = go(0L, total, emptyM)
+        val all = eventFrames.reduce(_ unionAll _).as[MergeEvent]
+        val ck = all.localCheckpoint(true).as[MergeEvent]
+        rFinal._2.unpersist(blocking = false)
+        ck
+      }
+    retained.foreach(_.unpersist(blocking = false))
+    rankedRdd.unpersist(blocking = false)
+    result
   }
 
   /** Parent linkage of the event tree, distilled from the merge events

@@ -125,11 +125,21 @@ object JpegCodec {
       if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits)
       out.toByteArray
     }
+    /** Byte-align (1-padded) then emit an unstuffed RSTn marker — the
+      * restart-interval writer. */
+    def restartMarker(m: Int): Unit = {
+      if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits)
+      out.write(0xff); out.write(0xd0 + (m & 7))
+    }
   }
 
   private final class BitReader(b: Array[Byte], var pos: Int) {
     private var acc = 0
     private var nbits = 0
+    /** Drop buffered pre-marker pad bits when realigning at an RSTn
+      * marker — stale bits would otherwise be consumed as entropy data
+      * and corrupt every MCU after the restart. */
+    def reset(): Unit = { acc = 0; nbits = 0 }
     def bit(): Int = {
       if (nbits == 0) {
         require(pos < b.length, "entropy stream truncated")
@@ -221,7 +231,15 @@ object JpegCodec {
     * makes flat blocks round-trip exactly), Annex K Huffman tables.
     * Dimensions need not be multiples of 8; edge blocks are padded by
     * replicating the last row/column (the standard encoder convention). */
-  def encode(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+  def encode(w: Int, h: Int, gray: Array[Byte]): Array[Byte] =
+    encode(w, h, gray, restartInterval = 0)
+
+  /** Baseline encode; `restartInterval` > 0 additionally emits a DRI
+    * segment and byte-aligned RSTn markers every that many MCUs (with
+    * the spec'd DC-predictor reset) — the real-world stream shape
+    * webcam/phone encoders produce, exercising the decoder's restart
+    * realignment. */
+  def encode(w: Int, h: Int, gray: Array[Byte], restartInterval: Int): Array[Byte] = {
     require(w > 0 && h > 0 && gray.length == w * h, s"need ${w * h} bytes")
     val dcCodes = buildCodes(DcLumBits, DcLumVals)
     val acCodes = buildCodes(AcLumBits, AcLumVals)
@@ -229,10 +247,15 @@ object JpegCodec {
     val bx = (w + 7) / 8
     val by = (h + 7) / 8
     var prevDc = 0
+    var mcu = 0
+    var rst = 0
     var byi = 0
     while (byi < by) {
       var bxi = 0
       while (bxi < bx) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.restartMarker(rst); rst += 1; prevDc = 0
+        }
         // level-shifted block with edge replication
         val block = new Array[Double](64)
         var y = 0
@@ -280,6 +303,7 @@ object JpegCodec {
           k += 1
         }
         if (run > 0) { val (ec, el) = acCodes(0x00); bw.put(ec, el) } // EOB
+        mcu += 1
         bxi += 1
       }
       byi += 1
@@ -307,6 +331,8 @@ object JpegCodec {
         (1 to 16).map(l => bits(l).toByte) ++ vals.map(_.toByte))
     dht(0, 0, DcLumBits, DcLumVals)
     dht(1, 0, AcLumBits, AcLumVals)
+    if (restartInterval > 0) // DRI
+      seg(0xdd, Array[Byte]((restartInterval >> 8).toByte, (restartInterval & 0xff).toByte))
     seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS: comp 1, DC0/AC0
     out.write(scan)
     marker(0xd9) // EOI
@@ -381,6 +407,7 @@ object JpegCodec {
           case 0xdd =>
             restartInterval = be16(body)
           case 0xda => // SOS → entropy-coded data follows
+            if (comps == null) return None // SOS before SOF: malformed
             val ns = blob(body) & 0xff
             var q = body + 1
             for (_ <- 0 until ns) {
@@ -410,6 +437,7 @@ object JpegCodec {
                         (blob(r + 1) & 0xff) <= 0xd7)) r += 1
                     r + 2
                   }
+                  in.reset() // buffered pad bits die with the restart
                   java.util.Arrays.fill(prevDc, 0)
                 }
                 var ci = 0

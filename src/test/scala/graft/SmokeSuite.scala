@@ -62,5 +62,10 @@ class SmokeSuite extends AnyFunSuite with BeforeAndAfterAll {
     ScaleOpsMillionSmoke.run(_, 1000000L)
   }
 
+  smoke("DendrogramMillionSmoke: 10M-edge D&C merge events, ≥20 blocks, " +
+      "1M byte-identity vs driver replay") {
+    DendrogramMillionSmoke.run(_, 10000000L)
+  }
+
   override def afterAll(): Unit = if (enabled) spark.stop()
 }

@@ -84,6 +84,48 @@ class JpegCodecSpec extends AnyFunSuite {
       "JPEG round trip must preserve the perceptual hash")
   }
 
+  test("DRI/RSTn streams decode to the same pixels as the unrestarted stream") {
+    // restart markers byte-align the entropy stream and reset the DC
+    // predictor; the decoder must ALSO drop its buffered pad bits at the
+    // realign (ADVICE r9: stale pre-restart bits corrupted every MCU
+    // after the first RSTn). Interval 3 on a 5×3-MCU image forces
+    // restarts at every alignment phase.
+    val w = 40; val h = 24
+    val px = Array.tabulate(w * h)(i => ((i * 29 + (i * i) % 83) % 256).toByte)
+    val plain = JpegCodec.decode(JpegCodec.encode(w, h, px)).get
+    for (interval <- Seq(1, 2, 3, 7)) {
+      val blob = JpegCodec.encode(w, h, px, restartInterval = interval)
+      val dri = JpegCodec.decode(blob)
+      assert(dri.isDefined, s"DRI=$interval stream must decode")
+      assert(dri.get._3.toSeq == plain._3.toSeq,
+        s"DRI=$interval pixels must match the unrestarted decode")
+      // cross-validate the restarted stream against the JDK decoder too
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      assert(img != null && img.getWidth == w && img.getHeight == h,
+        s"JDK must accept our DRI=$interval stream")
+      var maxErr = 0
+      for (y <- 0 until h; x <- 0 until w)
+        maxErr = math.max(maxErr, math.abs(
+          img.getRaster.getSample(x, y, 0) - (dri.get._3(y * w + x) & 0xff)))
+      assert(maxErr <= 2, s"DRI=$interval: JDK disagrees by $maxErr")
+    }
+  }
+
+  test("SOS before SOF returns None instead of crashing the task") {
+    // splice the SOS+scan of a valid stream directly after SOI, dropping
+    // SOF/DQT/DHT — comps is still null at SOS (ADVICE r9: NPE escaped
+    // the catch and killed the executor task)
+    val blob = JpegCodec.encode(16, 16, Array.fill[Byte](256)(55))
+    def findMarker(m: Int, from: Int): Int = {
+      var i = from
+      while (!((blob(i) & 0xff) == 0xff && (blob(i + 1) & 0xff) == m)) i += 1
+      i
+    }
+    val sos = findMarker(0xda, 2)
+    val malformed = Array[Byte](0xff.toByte, 0xd8.toByte) ++ blob.drop(sos)
+    assert(JpegCodec.decode(malformed).isEmpty)
+  }
+
   test("unsupported/garbage streams yield None, never wrong pixels") {
     assert(JpegCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
     assert(JpegCodec.decode(Array.fill[Byte](64)(0x55)).isEmpty)
