@@ -1035,6 +1035,20 @@ object SparkEntry {
           all.filter(col("doc_id") < 20), n = 5)
         .orderBy(col("doc_id"))
     }),
+    "q_decontaminate_spans" -> ((s: SparkSession, d: String) => {
+      // span-level contamination (VERDICT r9 #5): WHERE the corpus quotes
+      // the eval set, as cuttable token spans. Planted: every 53rd corpus
+      // doc carries a 10-token sentinel that eval doc 0 also carries, so
+      // the expected structure is nonzero and closed-form (one trailing
+      // 10-token span per planted doc: 6 internal 5-gram hits merge).
+      val sentinel = " alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val all = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") === 0 || (col("doc_id") >= 20 && col("doc_id") % 53 === 0),
+          concat(col("text"), lit(sentinel))).otherwise(col("text")).as("text"))
+      TextOps.decontaminateSpans(all.filter(col("doc_id") >= 20),
+          all.filter(col("doc_id") < 20), n = 5)
+        .orderBy(col("doc_id"))
+    }),
     "q_repetition" -> ((s: SparkSession, d: String) =>
       TextOps.repetitionStats(docs(s, d)).orderBy(col("doc_id"))),
     "q_fingerprint" -> ((s: SparkSession, d: String) =>
@@ -1566,6 +1580,79 @@ object SparkEntry {
         .withColumn("n_same", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("canonical_url"))))
         .orderBy(id)
+    }),
+    "q_curation_pipeline" -> ((s: SparkSession, d: String) => {
+      // END-TO-END curation composition (VERDICT r9 #7): ONE job graph
+      // chaining read → langid gate → quality gate → canonical-URL dedup
+      // (the real canonicalizer over q_url_canonicalize's noisy synthetic
+      // URLs) → exact-text dedup (planted duplicate block) → near-dup
+      // fingerprint dedup (winnowing min-shingle md5) → token-budget shard
+      // packing, emitting the per-stage manifest (docs, tokens) a curation
+      // run ships with. Every gate and key is engine-portable, so the
+      // whole FUNNEL is on the hash gate — the operator-composition proof
+      // no single-operator query gives. Scale: each stage is one window or
+      // map-side-combinable aggregate over the shrinking survivor frame;
+      // the one global-prefix window (shard cumsum) is manifest-side and
+      // becomes hierarchical per-partition prefix sums on a real cluster.
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, d).select(col("doc_id"),
+        // plant an exact-duplicate block (the synthetic corpus is unique);
+        // long English prose with stopwords so the plants SURVIVE the lang
+        // and quality gates and the exact-dedup stage demonstrably fires
+        when(col("doc_id") % 101 === 0, repeat(
+          lit("the quick brown fox jumps over the lazy dog and it is a fine day in the park "), 7))
+          .otherwise(col("text")).as("text"))
+      val id = col("doc_id")
+      val p = id % 250
+      val url = concat(
+        when(id % 2 === 0, lit("HTTPS")).otherwise(lit("https")), lit("://"),
+        when(id % 3 === 0, lit("WWW.")).otherwise(lit("www.")),
+        lit("src"), (p % 20).cast("string"), lit(".example.com"),
+        when(id % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/doc/"), p.cast("string"),
+        lit("?utm_campaign=c"), id.cast("string"),
+        lit("&z="), (p % 7).cast("string"), lit("&a=1"),
+        lit("#s"), (id % 3).cast("string"))
+      val scored = base.select(col("doc_id"), col("text"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.langId(col("text")).as("lang_pred"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.canonicalizeUrl(url).as("curl"))
+        .localCheckpoint(true) // every stage aggregate reads the funnel
+      val s1 = scored.filter(col("lang_pred") =!= "und")
+      val s2 = s1.filter(col("quality") >= 0.55)
+      def keepMinPer(df: DataFrame, key: org.apache.spark.sql.Column) =
+        df.withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(key)))
+          .filter(col("doc_id") === col("keep_id")).drop("keep_id")
+      val s3 = keepMinPer(s2, col("curl"))
+      val s4 = keepMinPer(s3, md5(col("text")))
+      val s5 = keepMinPer(s4, TextOps.minShingleMd5(col("text")))
+        .localCheckpoint(true) // packing + two manifest aggregates
+      val packed = s5.select(col("doc_id"), col("n_tokens"),
+          (sum(col("n_tokens")).over(Window.orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - col("n_tokens")).as("cum_before"))
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("cum_before") / lit(2048)).cast("long").as("shard"))
+      val shards = packed.groupBy(col("shard"))
+        .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("nt"))
+      def stage(name: String, df: DataFrame) =
+        df.agg(lit(name).as("stage"), count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+          .select(col("stage"), col("n_docs"), col("n_tokens"))
+      stage("0_input", scored)
+        .unionAll(stage("1_lang", s1))
+        .unionAll(stage("2_quality", s2))
+        .unionAll(stage("3_url_dedup", s3))
+        .unionAll(stage("4_exact_dedup", s4))
+        .unionAll(stage("5_near_dedup", s5))
+        .unionAll(shards.agg(lit("6_shards").as("stage"),
+          count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+          .select(col("stage"), col("n_docs"), col("n_tokens")))
+        .unionAll(shards.agg(lit("7_max_shard").as("stage"),
+          max(col("nd")).as("n_docs"), max(col("nt")).as("n_tokens"))
+          .select(col("stage"), col("n_docs"), col("n_tokens")))
+        .orderBy(col("stage"))
     }),
     "q_condensed_tree" -> ((s: SparkSession, d: String) => {
       // DISTRIBUTED HDBSCAN* Phase-3 (VERDICT r8 #8): the condensed tree
@@ -5216,6 +5303,52 @@ object SparkEntry {
         |  coalesce(h.n, 0) = 0 AS is_clean
         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
         |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // span merge replayed: 5-gram hit positions, runs with gaps ≤ 5 fold
+    // into one span via the lag/cumsum window, coverage = Σ(e−s)
+    "q_decontaminate_spans" ->
+      """WITH planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id = 0 OR (doc_id >= 20 AND doc_id % 53 = 0)
+        |         THEN text || ' alpha beta gamma delta epsilon zeta eta theta iota kappa'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tk AS (SELECT doc_id, text,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM planted),
+        |sh AS (SELECT doc_id,
+        |         unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |           ELSE list_transform(generate_series(1, len(toks) - 4),
+        |             i -> array_to_string(toks[i:i+4], ' ')) END) AS s,
+        |         unnest(CASE WHEN len(toks) < 5 THEN [1]
+        |           ELSE generate_series(1, len(toks) - 4) END) AS p
+        |  FROM tk),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+        |hits AS (SELECT doc_id, p FROM sh
+        |         WHERE doc_id >= 20 AND s IN (SELECT s FROM ev)),
+        |sp AS (SELECT doc_id, p,
+        |         CASE WHEN lag(p) OVER w IS NULL THEN 1
+        |              WHEN p > lag(p) OVER w + 5 THEN 1 ELSE 0 END AS ns
+        |       FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |sp2 AS (SELECT doc_id, p,
+        |          sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |        FROM sp),
+        |spans AS (SELECT doc_id, sid, min(p) AS s0, max(p) + 5 AS e0,
+        |            count(*) AS nh FROM sp2 GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(sum(nh) AS BIGINT) AS n_hits,
+        |         count(*) AS n_spans,
+        |         CAST(sum(e0 - s0) AS BIGINT) AS covered_tokens
+        |       FROM spans GROUP BY 1),
+        |base AS (SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |           AS BIGINT) END AS n_tokens
+        |  FROM planted WHERE doc_id >= 20)
+        |SELECT b.doc_id, coalesce(pd.n_hits, 0) AS n_hits,
+        |  coalesce(pd.n_spans, 0) AS n_spans,
+        |  coalesce(pd.covered_tokens, 0) AS covered_tokens,
+        |  round(coalesce(pd.covered_tokens, 0)
+        |    / CAST(greatest(b.n_tokens, 1) AS DOUBLE), 6) AS covered_frac,
+        |  coalesce(pd.n_hits, 0) > 0 AS contaminated
+        |FROM base b LEFT JOIN pd USING (doc_id) ORDER BY b.doc_id""".stripMargin,
     "q_repetition" ->
       """WITH tk AS (SELECT doc_id, text,
         |              regexp_split_to_array(trim(lower(text)), '\s+') AS toks
@@ -5840,6 +5973,63 @@ object SparkEntry {
         |    '?a=1&z=' || CAST((doc_id % 250) % 7 AS VARCHAR) AS canonical_url,
         |  CAST(count(*) OVER (PARTITION BY doc_id % 250) AS BIGINT) AS n_same
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the full funnel replayed stage by stage: canonical-URL groups are the
+    // closed-form doc_id % 250 (q_url_canonicalize's contract), quality is
+    // the q_text_stats formula, the near-dup key is q_fingerprint's
+    // min-shingle md5, and packing is an integer cumsum window
+    "q_curation_pipeline" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 101 = 0 THEN repeat(
+         |      'the quick brown fox jumps over the lazy dog and it is a fine day in the park ', 7)
+         |         ELSE text END AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id, text, $sqlToks AS toks FROM base),
+         |sc AS (SELECT doc_id, text, toks,
+         |    CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE CAST(len(toks) AS BIGINT) END AS n_tokens,
+         |    round(0.4 * least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
+         |      + 0.4 * (CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |          / greatest(CAST(len(text) AS DOUBLE), 1.0))
+         |      + 0.2 * least((CASE WHEN len(toks) = 0 THEN 0.0
+         |          ELSE CAST(len(list_filter(toks, t -> list_contains($sqlStopwords, t)))
+         |            AS DOUBLE) / len(toks) END) * 5.0, 1.0), 6) AS quality,
+         |    doc_id % 250 AS curl_key,
+         |    $sqlLangCounts
+         |  FROM tk),
+         |m AS (SELECT *, $sqlLangBest AS best FROM sc),
+         |s0 AS (SELECT doc_id, text, toks, n_tokens, quality, curl_key,
+         |    CASE WHEN best.h = 0 THEN 'und' ELSE best.l END AS lang_pred FROM m),
+         |s1 AS (SELECT * FROM s0 WHERE lang_pred <> 'und'),
+         |s2 AS (SELECT * FROM s1 WHERE quality >= 0.55),
+         |s3 AS (SELECT * FROM s2
+         |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY curl_key)),
+         |s4 AS (SELECT * FROM s3
+         |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+         |nf AS (SELECT doc_id, n_tokens,
+         |    list_sort(list_transform(
+         |      CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+         |           ELSE list_transform(generate_series(1, len(toks) - 4),
+         |             i -> array_to_string(toks[i:i+4], ' ')) END,
+         |      x -> md5(x)))[1] AS fp
+         |  FROM s4),
+         |s5 AS (SELECT doc_id, n_tokens FROM nf
+         |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)),
+         |pk AS (SELECT doc_id, n_tokens,
+         |    CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      - n_tokens) / 2048) AS BIGINT) AS shard
+         |  FROM s5),
+         |sh AS (SELECT shard, count(*) AS nd, CAST(sum(n_tokens) AS BIGINT) AS nt
+         |  FROM pk GROUP BY 1)
+         |SELECT '0_input' AS stage, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM s0
+         |UNION ALL SELECT '1_lang', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s1
+         |UNION ALL SELECT '2_quality', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s2
+         |UNION ALL SELECT '3_url_dedup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s3
+         |UNION ALL SELECT '4_exact_dedup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s4
+         |UNION ALL SELECT '5_near_dedup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s5
+         |UNION ALL SELECT '6_shards', count(*), CAST(sum(nt) AS BIGINT) FROM sh
+         |UNION ALL SELECT '7_max_shard', max(nd), CAST(max(nt) AS BIGINT) FROM sh
+         |ORDER BY stage""".stripMargin,
     // the planted condensed tree in closed form: ascending-weight chains
     // put point p's death at edge max(p−1, 8) of its chain (the first
     // event its component reaches minClusterSize=10); the bridge true

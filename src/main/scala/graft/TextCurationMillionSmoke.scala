@@ -123,6 +123,40 @@ object TextCurationMillionSmoke {
       f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     assert(nCells == 10 && nSrc == 5)
 
+    // ---- 6. span-level decontamination at corpus scale: the eval set is
+    // every 1000th doc, so each eval doc's 4 body lines contaminate
+    // EXACTLY itself-shaped spans in zero other docs (body tokens are
+    // doc-unique), while the planted sentinel line below hits one doc per
+    // 100 — a known contamination rate the span operator must recover.
+    // The probe join must be a shuffle-able semi-join (no broadcast hint:
+    // eval batteries outgrow broadcast at scale).
+    t0 = System.nanoTime()
+    val sentinel = lit(" quick brown fox jumps over the lazy benchmark dog")
+    // body-only text (doc-unique tokens): the shared boiler/template lines
+    // would otherwise mark EVERY doc contaminated and hide the planted rate
+    val bodyOnly = concat_ws(" ", bodyLine(0), bodyLine(1), bodyLine(2), bodyLine(3))
+    val planted = docs.select(id,
+      when(pmod(id, lit(100L)) === 7L || pmod(id, lit(1000L)) === 0L,
+        concat(bodyOnly, sentinel)).otherwise(bodyOnly).as("text"))
+    val spansDf = operators.TextOps.decontaminateSpans(
+      planted.filter(pmod(id, lit(1000L)) =!= 0L),
+      planted.filter(pmod(id, lit(1000L)) === 0L), n = 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spanAgg = spansDf.agg(count(lit(1)).as("docs"),
+      sum(when(col("contaminated"), 1L).otherwise(0L)).as("dirty"),
+      max(col("n_spans")).as("max_spans")).collect()(0)
+    println(f"[decontaminate] ${spanAgg.getLong(0)} docs scanned, " +
+      f"${spanAgg.getLong(1)} contaminated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    // every id%100==7 doc (and only those, minus the eval overlap) carries
+    // the sentinel span
+    val expectedDirty = planted.filter(pmod(id, lit(1000L)) =!= 0L &&
+      pmod(id, lit(100L)) === 7L).count()
+    assert(spanAgg.getLong(1) == expectedDirty,
+      s"contaminated count ${spanAgg.getLong(1)} != planted $expectedDirty")
+    assert(spanAgg.getLong(0) == n - (n + 999) / 1000,
+      s"corpus row count ${spanAgg.getLong(0)} != ${n - (n + 999) / 1000}")
+    spansDf.unpersist(blocking = false)
+
     docs.unpersist(blocking = false)
     println("[textcuration-million] all assertions passed")
   }

@@ -258,66 +258,136 @@ object DistributedDendrogram {
         col("rank").as("parent_rank"), col("rep").as("side_rep"))
   }
 
-  /** For every event, the nearest ancestor-or-self satisfying `qualifies`
-    * — resolved by POINTER DOUBLING (O(log n) self-joins), never by
-    * walking parents level by level: a sorted-weight chain makes the
-    * event tree O(n) deep and a per-level walk a scale-killer. Events
-    * with no qualifying ancestor resolve to null (sub-threshold roots).
-    *
-    * `qualifies` is a boolean Column over the MergeEvent columns.
-    * Returns (rank, target_rank nullable, target_side nullable — the
-    * side_rep through which the chain ENTERED the target event; null
-    * when the target is the event itself). */
-  def nearestQualifyingAncestor(events: Dataset[MergeEvent],
-      qualifies: org.apache.spark.sql.Column,
-      precomputedParents: Option[DataFrame] = None): DataFrame = {
-    val spark = events.sparkSession
+  /** Pointer-doubling nearest-qualifying-ancestor over an ARBITRARY
+    * parent relation — O(log depth) self-joins, never a per-level walk.
+    * `base`: (node, q); `parents`: (node, parent, side). With
+    * `strict = false` the target may be the node itself (side null);
+    * with `strict = true` the walk starts at the parent (side = the
+    * side through which the chain entered it). Nodes with no qualifying
+    * (strict) ancestor resolve to null. Returns (node, target,
+    * target_side). */
+  private def resolveAncestor(spark: SparkSession, base: DataFrame,
+      parents: DataFrame, strict: Boolean): DataFrame = {
     val rot = new graft.CheckpointRotator
-    val parents = precomputedParents.getOrElse(parentEdges(events))
-      .filter(col("child_kind") === 1)
-      .select(col("child_id").as("rank"), col("parent_rank"), col("side_rep"))
-    val base = events.toDF().select(col("rank"), qualifies.as("q"))
-    // state: resolved targets carry (target_rank, target_side); unresolved
-    // rows carry a cursor (ptr) to the next ancestor to examine, plus the
-    // side through which the chain enters that ancestor
     var state = rot.rotate(base
-      .join(parents, Seq("rank"), "left")
-      .select(col("rank"), col("q"),
-        when(col("q"), col("rank")).as("target_rank"),
+      .join(parents, Seq("node"), "left")
+      .select(col("node"), col("q"),
+        (if (strict) lit(null).cast("long")
+         else when(col("q"), col("node"))).as("target"),
         lit(null).cast("long").as("target_side"),
-        when(col("q"), lit(null).cast("long")).otherwise(col("parent_rank")).as("ptr"),
-        when(col("q"), lit(null).cast("long")).otherwise(col("side_rep")).as("ptr_side")))
-    var remaining = state.filter(col("target_rank").isNull && col("ptr").isNotNull).count()
+        (if (strict) col("parent")
+         else when(col("q"), lit(null).cast("long"))
+           .otherwise(col("parent"))).as("ptr"),
+        (if (strict) col("side")
+         else when(col("q"), lit(null).cast("long"))
+           .otherwise(col("side"))).as("ptr_side")))
+    var remaining = state.filter(col("target").isNull && col("ptr").isNotNull).count()
     var iter = 0
     while (remaining > 0 && iter < 64) {
       // examine ptr: if it qualifies (or already resolved), adopt; else
       // jump to ptr's ptr — classic doubling, each round at least halves
       // the unresolved chain length
-      val ptrState = state.select(col("rank").as("ptr"),
-        col("q").as("p_q"), col("target_rank").as("p_target"),
+      val ptrState = state.select(col("node").as("ptr"),
+        col("q").as("p_q"), col("target").as("p_target"),
         col("target_side").as("p_target_side"),
         col("ptr").as("p_ptr"), col("ptr_side").as("p_ptr_side"))
       state = rot.rotate(state.join(ptrState, Seq("ptr"), "left")
-        .select(col("rank"), col("q"),
-          when(col("target_rank").isNotNull, col("target_rank"))
+        .select(col("node"), col("q"),
+          when(col("target").isNotNull, col("target"))
             .when(col("ptr").isNotNull && col("p_q"), col("ptr"))
-            .when(col("ptr").isNotNull, col("p_target")).as("target_rank"),
-          when(col("target_rank").isNotNull, col("target_side"))
+            .when(col("ptr").isNotNull, col("p_target")).as("target"),
+          when(col("target").isNotNull, col("target_side"))
             .when(col("ptr").isNotNull && col("p_q"), col("ptr_side"))
             .when(col("ptr").isNotNull && col("p_target").isNotNull,
               col("p_target_side")).as("target_side"),
-          when(col("target_rank").isNotNull || col("p_q"),
+          when(col("target").isNotNull || col("p_q"),
             lit(null).cast("long")).otherwise(col("p_ptr")).as("ptr"),
-          when(col("target_rank").isNotNull || col("p_q"),
+          when(col("target").isNotNull || col("p_q"),
             lit(null).cast("long")).otherwise(col("p_ptr_side")).as("ptr_side")))
-      remaining = state.filter(col("target_rank").isNull && col("ptr").isNotNull).count()
+      remaining = state.filter(col("target").isNull && col("ptr").isNotNull).count()
       iter += 1
     }
     require(remaining == 0, s"ancestor resolution did not converge in $iter rounds")
-    val out = state.select(col("rank"), col("target_rank"), col("target_side"))
+    val out = state.select(col("node"), col("target"), col("target_side"))
       .localCheckpoint(true)
     rot.close()
     out
+  }
+
+  /** For every event, the nearest ancestor-or-self satisfying `qualifies`
+    * (a boolean Column over the MergeEvent columns). Returns (rank,
+    * target_rank nullable, target_side nullable — the side_rep through
+    * which the chain ENTERED the target event; null when the target is
+    * the event itself). */
+  def nearestQualifyingAncestor(events: Dataset[MergeEvent],
+      qualifies: org.apache.spark.sql.Column,
+      precomputedParents: Option[DataFrame] = None): DataFrame = {
+    val spark = events.sparkSession
+    val parents = precomputedParents.getOrElse(parentEdges(events))
+      .filter(col("child_kind") === 1)
+      .select(col("child_id").as("node"), col("parent_rank").as("parent"),
+        col("side_rep").as("side"))
+    val base = events.toDF().select(col("rank").as("node"), qualifies.as("q"))
+    resolveAncestor(spark, base, parents, strict = false)
+      .select(col("node").as("rank"), col("target").as("target_rank"),
+        col("target_side"))
+  }
+
+  /** Tie-aware LEVEL-GROUP structure over the event tree. The reference's
+    * hierarchy walks ε LEVELS, not single edges (HDBSCANStar.java's
+    * descending level loop): all equal-weight merges assembling one
+    * component act simultaneously, so a cluster splits only when a level
+    * leaves ≥ 2 FRAGMENTS (components formed strictly below the level's
+    * weight) of size ≥ minClusterSize. Per-rank split semantics disagree
+    * with the kernel whenever weights tie — and mutual-reachability
+    * weights tie constantly (core distances clip many edges to the same
+    * value).
+    *
+    * Returns:
+    *  - tops: (rank, top) — every event's group top (the highest
+    *    same-weight ancestor; one group = one maximal run of equal-weight
+    *    merges of one component);
+    *  - groupParents: (node=top, parent=parent group's top, side=rep of
+    *    this group's merged component) — the group-level parent relation;
+    *  - fragments: (top, frag_rep, frag_size) — each group's entering
+    *    fragments (sides that are leaves or lower-weight events). */
+  private[operators] def levelStructure(events: Dataset[MergeEvent],
+      parents: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val spark = events.sparkSession
+    val ev = events.toDF()
+    val evParents = parents.filter(col("child_kind") === 1)
+      .select(col("child_id").as("node"), col("parent_rank").as("parent"),
+        col("side_rep").as("side"))
+    val topQ = ev.select(col("rank").as("node"), col("weight"))
+      .join(evParents, Seq("node"), "left")
+      .join(ev.select(col("rank").as("parent"), col("weight").as("pweight")),
+        Seq("parent"), "left")
+      .select(col("node"),
+        (col("parent").isNull || col("pweight") =!= col("weight")).as("q"))
+    val tops = resolveAncestor(spark, topQ, evParents, strict = false)
+      .select(col("node").as("rank"), col("target").as("top"))
+    // fragment census: event sides whose child entity entered from
+    // strictly below the level weight
+    val sides = ev.select(col("rank"), col("weight"),
+        col("rep_a").as("rep"), col("size_a").as("fsize"))
+      .unionAll(ev.select(col("rank"), col("weight"),
+        col("rep_b").as("rep"), col("size_b").as("fsize")))
+    val childOf = parents.select(col("parent_rank").as("rank"),
+      col("side_rep").as("rep"), col("child_kind"), col("child_id"))
+    val fragments = sides.join(childOf, Seq("rank", "rep"))
+      .join(ev.select(col("rank").as("child_id"), col("weight").as("cweight")),
+        Seq("child_id"), "left") // null for leaf children
+      .filter(col("child_kind") === 0 || col("cweight") < col("weight"))
+      .join(tops, Seq("rank"))
+      .select(col("top"), col("rep").as("frag_rep"), col("fsize").as("frag_size"))
+    val groupParents = tops.filter(col("rank") === col("top"))
+      .select(col("top").as("node"))
+      .join(evParents, Seq("node"))
+      .join(tops.select(col("rank").as("parent"), col("top").as("ptop")),
+        Seq("parent"))
+      .select(col("node"), col("ptop").as("parent"), col("side"))
+    (tops.localCheckpoint(true), groupParents.localCheckpoint(true),
+      fragments.localCheckpoint(true))
   }
 
   /** Per-point death resolution: the event at which each vertex's
@@ -325,34 +395,40 @@ object DistributedDendrogram {
     * descending HDBSCAN* view, the weight at which the point falls out of
     * its cluster. Output: (vertex, death_rank, death_weight, anchor_rank,
     * anchor_side) where the anchor names the condensed cluster the point
-    * died in: the nearest TRUE SPLIT (both sides ≥ m) at-or-above the
-    * death event, and the side of that split the point sits under (null
-    * anchor = the root cluster). Vertices whose final component stays
-    * below m resolve to null death (global noise). */
+    * died in — TIE-AWARE: the nearest true-split LEVEL GROUP (≥ 2
+    * fragments ≥ m) STRICTLY ABOVE the death event's own group, keyed
+    * (group top rank, entering fragment rep); null anchor = the root
+    * cluster. Vertices whose final component stays below m resolve to
+    * null death (global noise). */
   def pointDeaths(events: Dataset[MergeEvent], minClusterSize: Long,
       precomputedParents: Option[DataFrame] = None): DataFrame = {
     val spark = events.sparkSession
     require(minClusterSize >= 2, "minClusterSize must be >= 2")
-    val qualifies = (col("size_a") + col("size_b")) >= minClusterSize
-    val trueSplit = qualifies &&
-      least(col("size_a"), col("size_b")) >= minClusterSize
-    val ev = events.toDF()
-    // the parent-linkage window runs ONCE; both ancestor passes and the
-    // leaf linkage read the same cached frame
+    // the parent-linkage window runs ONCE; every pass reads the same frame
     val parents = precomputedParents
       .getOrElse(parentEdges(events).localCheckpoint(true))
-    // death event per leaf: parent if it qualifies, else its nearest
-    // qualifying ancestor
+    // tie-aware anchors: death group top → nearest true-split group
+    // strictly above, entered via the fragment containing this lineage
+    val (tops, groupParents, fragments) = levelStructure(events, parents)
+    val groupAnchor = groupAnchors(spark, tops, groupParents, fragments, minClusterSize)
+    deathsFrame(events, minClusterSize, parents, tops, groupAnchor)
+  }
+
+  /** The (vertex, death_rank, death_weight, anchor_rank, anchor_side)
+    * frame from precomputed structure — shared by [[pointDeaths]] and
+    * [[condensedTree]] so the level-group resolution runs once. */
+  private def deathsFrame(events: Dataset[MergeEvent], minClusterSize: Long,
+      parents: DataFrame, tops: DataFrame, groupAnchor: DataFrame): DataFrame = {
+    val qualifies = (col("size_a") + col("size_b")) >= minClusterSize
+    val ev = events.toDF()
     val leafParents = parents
       .filter(col("child_kind") === 0)
       .select(col("child_id").as("vertex"), col("parent_rank"))
     val qual = nearestQualifyingAncestor(events, qualifies, Some(parents))
       .select(col("rank").as("parent_rank"), col("target_rank").as("death_rank"))
-    // anchor (condensed-cluster id) per qualifying event: nearest true
-    // split at-or-above it + entry side
-    val anchors = nearestQualifyingAncestor(events, trueSplit, Some(parents))
-      .select(col("rank").as("death_rank"), col("target_rank").as("anchor_rank"),
-        col("target_side").as("anchor_side"))
+    val anchors = tops.select(col("rank").as("death_rank"), col("top"))
+      .join(groupAnchor, Seq("top"))
+      .select(col("death_rank"), col("anchor_rank"), col("anchor_side"))
     leafParents
       .join(qual, Seq("parent_rank"), "left")
       .join(ev.select(col("rank").as("death_rank"), col("weight").as("death_weight")),
@@ -360,6 +436,23 @@ object DistributedDendrogram {
       .join(anchors, Seq("death_rank"), "left")
       .select(col("vertex"), col("death_rank"), col("death_weight"),
         col("anchor_rank"), col("anchor_side"))
+  }
+
+  /** Per level group: the nearest TRUE-SPLIT group (≥ 2 fragments ≥ m)
+    * STRICTLY ABOVE it, plus the entering fragment rep — the tie-aware
+    * condensed-cluster key of everything shed at that group. Null target
+    * = root cluster. Returns (top, anchor_rank, anchor_side). */
+  private def groupAnchors(spark: SparkSession, tops: DataFrame,
+      groupParents: DataFrame, fragments: DataFrame,
+      minClusterSize: Long): DataFrame = {
+    val geCounts = fragments.filter(col("frag_size") >= minClusterSize)
+      .groupBy(col("top")).agg(count(lit(1)).as("n_ge"))
+    val groupQ = tops.select(col("top").as("node")).distinct()
+      .join(geCounts.select(col("top").as("node"), col("n_ge")), Seq("node"), "left")
+      .select(col("node"), (coalesce(col("n_ge"), lit(0L)) >= 2).as("q"))
+    resolveAncestor(spark, groupQ, groupParents, strict = true)
+      .select(col("node").as("top"), col("target").as("anchor_rank"),
+        col("target_side").as("anchor_side"))
   }
 
   /** One node of the condensed tree. cluster_id 0 = the root cluster;
@@ -380,90 +473,102 @@ object DistributedDendrogram {
     * must be > 0 (mutual-reachability distances are).
     *
     * @return (condensed nodes incl. stabilities + FOSC selection,
-    *         labels frame (vertex, label, death_weight) — label is the
-    *         selected cluster_id or −1 for noise)
+    *         labels frame (vertex, label, death_weight, outlier_score) —
+    *         label is the selected cluster_id or −1 for noise;
+    *         outlier_score is the GLOSH score 1 − ε_max/ε(p) computed
+    *         from the same distributed death frame)
     */
   def condensedTree(events: Dataset[MergeEvent], minClusterSize: Long,
       allowSingleCluster: Boolean = false): (Seq[CondensedNode], DataFrame) = {
     val spark = events.sparkSession
     import spark.implicits._
-    val qualifies = (col("size_a") + col("size_b")) >= minClusterSize
-    val trueSplitC = qualifies &&
-      least(col("size_a"), col("size_b")) >= minClusterSize
     val ev = events.toDF().persist()
     val parents = parentEdges(events).localCheckpoint(true)
-    val deaths = pointDeaths(events, minClusterSize, Some(parents)).persist()
+    val (tops, groupParents, fragments) = levelStructure(events, parents)
+    val groupAnchor = groupAnchors(spark, tops, groupParents, fragments,
+      minClusterSize)
+    val deaths = deathsFrame(events, minClusterSize, parents, tops, groupAnchor)
+      .persist()
     deaths.count()
 
-    // bounded collects: ≤ n/m true splits, ≤ 2·(that)+1 cluster aggregates
-    val splits = ev.filter(trueSplitC)
-      .select(col("rank"), col("weight"), col("rep_a"), col("rep_b"),
-        col("size_a"), col("size_b"))
-      .collect()
-    // cluster-parent of each true split: enter via its own parent edge;
-    // if that parent is itself a true split the cluster is (parent, edge
-    // side), else the parent's strict-ancestor anchor
-    val anchorsAtSelf = nearestQualifyingAncestor(events, trueSplitC, Some(parents))
-    val tsParentRows = parents
-      .filter(col("child_kind") === 1)
-      .join(ev.filter(trueSplitC).select(col("rank").as("child_id")), Seq("child_id"))
-      .join(anchorsAtSelf.select(col("rank").as("parent_rank"),
-        col("target_rank"), col("target_side")), Seq("parent_rank"), "left")
-      .select(col("child_id").as("rank"), col("parent_rank"), col("side_rep"),
-        col("target_rank"), col("target_side"))
-      .collect()
-    val deathAgg = deaths.filter(col("death_rank").isNotNull)
-      .groupBy(col("anchor_rank"), col("anchor_side"))
-      .agg(count(lit(1)).as("n"), sum(lit(1.0) / col("death_weight")).as("sum_lambda"))
-      .collect()
+    // bounded collects, all ≤ 2n/m rows: one row per (true split, ≥ m
+    // fragment) = one per non-root cluster; one anchor row per true split;
+    // one aggregate row per cluster
+    val fragGe = fragments.filter(col("frag_size") >= minClusterSize)
+    val trueTops = fragGe.groupBy(col("top")).agg(count(lit(1)).as("n_ge"))
+      .filter(col("n_ge") >= 2).select(col("top"))
+    val splitRows = graft.GraftTags.bounded(spark) {
+      fragGe.join(trueTops, Seq("top"))
+        .join(ev.select(col("rank").as("top"), col("weight")), Seq("top"))
+        .select(col("top"), col("weight"), col("frag_rep"), col("frag_size"))
+        .collect()
+    }
+    val tsAnchorRows = graft.GraftTags.bounded(spark) {
+      groupAnchor.join(trueTops, Seq("top")).collect()
+    }
+    val deathAgg = graft.GraftTags.bounded(spark) {
+      deaths.filter(col("death_rank").isNotNull)
+        .groupBy(col("anchor_rank"), col("anchor_side"))
+        .agg(count(lit(1)).as("n"), sum(lit(1.0) / col("death_weight")).as("sum_lambda"),
+          min(col("death_weight")).as("min_death"))
+        .collect()
+    }
 
     // ---- driver tree over bounded rows ----
-    // cluster key: (anchor_rank, side) with (-1,-1) = root
+    // cluster key: (split group top rank, fragment rep) with (-1,-1) = root
     val RootKey = (-1L, -1L)
-    def splitKeyA(s: org.apache.spark.sql.Row) = (s.getLong(0), s.getLong(2))
-    def splitKeyB(s: org.apache.spark.sql.Row) = (s.getLong(0), s.getLong(3))
+    // per true split: weight + its ≥ m fragments (the K-ARY children the
+    // tie-aware semantics allow — one ε level can shatter a cluster into
+    // any number of surviving fragments)
+    val splitFrags: Map[Long, Seq[(Long, Long)]] = splitRows
+      .groupBy(_.getLong(0))
+      .map { case (t, rows) =>
+        t -> rows.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+      }
+    val splitWeight: Map[Long, Double] =
+      splitRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // points surviving INTO children at the split = Σ ≥m fragment sizes
+    // (shed points die AT the split and are counted via their deaths)
+    val splitSurvivors: Map[Long, Long] =
+      splitFrags.map { case (t, fs) => t -> fs.map(_._2).sum }
     val ids = scala.collection.mutable.LinkedHashMap[(Long, Long), Long](RootKey -> 0L)
-    splits.sortBy(_.getLong(0)).foreach { s =>
-      ids(splitKeyA(s)) = ids.size.toLong
-      ids(splitKeyB(s)) = ids.size.toLong
+    splitFrags.keys.toSeq.sorted.foreach { t =>
+      splitFrags(t).foreach { case (rep, _) => ids((t, rep)) = ids.size.toLong }
     }
-    // parent cluster of each true split (the cluster the split ENDS)
-    val clusterOfSplit: Map[Long, (Long, Long)] = tsParentRows.map { r =>
-      val rank = r.getLong(0)
-      val key =
-        if (r.isNullAt(3)) RootKey // no true split above → root cluster
-        else if (r.getLong(3) == r.getLong(1)) (r.getLong(1), r.getLong(2))
-        else (r.getLong(3), r.getLong(4))
-      rank -> key
-    }.toMap
-    // root splits (events tree roots that are true splits) end the root
-    val splitMeta = splits.map { s =>
-      s.getLong(0) -> (s.getDouble(1), s.getLong(4) + s.getLong(5))
+    // parent cluster of each true split (the cluster the split ENDS) =
+    // its own strict group anchor
+    val clusterOfSplit: Map[Long, (Long, Long)] = tsAnchorRows.map { r =>
+      val t = r.getLong(0)
+      val key = if (r.isNullAt(1)) RootKey else (r.getLong(1), r.getLong(2))
+      t -> key
     }.toMap
     val endedBy: Map[(Long, Long), Long] = // cluster key -> its child split
-      splitMeta.keys.map(r => clusterOfSplit.getOrElse(r, RootKey) -> r).toMap
+      splitFrags.keys.map(t => clusterOfSplit.getOrElse(t, RootKey) -> t).toMap
     val deathByKey = deathAgg.map { r =>
       val key = if (r.isNullAt(0)) RootKey else (r.getLong(0), r.getLong(1))
       key -> (r.getLong(2), r.getDouble(3))
     }.toMap
+    // per-cluster min death weight, for GLOSH's subtree minimum (ε_max)
+    val minDeathByKey = deathAgg.map { r =>
+      val key = if (r.isNullAt(0)) RootKey else (r.getLong(0), r.getLong(1))
+      key -> r.getDouble(4)
+    }.toMap
 
-    val splitByRank = splits.map(s => s.getLong(0) -> s).toMap
+    val fragSize: Map[(Long, Long), Long] = splitFrags.flatMap {
+      case (t, fs) => fs.map { case (rep, sz) => (t, rep) -> sz }
+    }
     val nodes = ids.map { case (key, id) =>
       val (birthRank, birthW, sideSize, parentId) =
         if (key == RootKey) (-1L, Double.NaN, -1L, -1L)
         else {
-          val s = splitByRank(key._1)
-          val size = if (s.getLong(2) == key._2) s.getLong(4) else s.getLong(5)
           val pk = clusterOfSplit.getOrElse(key._1, RootKey)
-          (key._1, s.getDouble(1), size, ids(pk))
+          (key._1, splitWeight(key._1), fragSize(key), ids(pk))
         }
       val (nD, sumLam) = deathByKey.getOrElse(key, (0L, 0.0))
       val childSplit = endedBy.getOrElse(key, -1L)
       val lamBirth = if (key == RootKey) 0.0 else 1.0 / birthW
-      val survivorTerm = if (childSplit < 0) 0.0 else {
-        val (wChild, sizeChild) = splitMeta(childSplit)
-        sizeChild * (1.0 / wChild - lamBirth)
-      }
+      val survivorTerm = if (childSplit < 0) 0.0 else
+        splitSurvivors(childSplit) * (1.0 / splitWeight(childSplit) - lamBirth)
       val stability = (sumLam - nD * lamBirth) + survivorTerm
       id -> CondensedNode(id, parentId, birthRank, birthW,
         if (key == RootKey) -1L else key._2, sideSize, childSplit, nD,
@@ -500,6 +605,20 @@ object DistributedDendrogram {
     val finalNodes = ids.values.toSeq.sorted
       .map(id => nodes(id).copy(selected = selected.contains(id)))
 
+    // ---- GLOSH ε_max per cluster: the subtree minimum of point death
+    // weights (HDBSCANStar.java:653-686 semantics, distributed — the
+    // per-cluster minima arrived in the same bounded deathAgg rows; the
+    // cluster tree itself is driver-bounded, so the propagation is) ----
+    val keyOfId = ids.map(_.swap)
+    val epsMinSub = scala.collection.mutable.HashMap.empty[Long, Double]
+    def epsVisit(id: Long): Double = {
+      val own = minDeathByKey.getOrElse(keyOfId(id), Double.PositiveInfinity)
+      val v = (own +: children.getOrElse(id, Nil).map(epsVisit)).min
+      epsMinSub(id) = v
+      v
+    }
+    epsVisit(0L)
+
     // ---- flat labels: nearest selected ancestor-or-self of each point's
     // anchor cluster; none → noise ----
     val labelOfKey = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
@@ -512,8 +631,9 @@ object DistributedDendrogram {
       }
       labelOfKey(key) = lab
     }
-    val labelMap = labelOfKey.toSeq.map { case ((ar, as), lab) => (ar, as, lab) }
-      .toDF("anchor_rank_k", "anchor_side_k", "label_k")
+    val labelMap = labelOfKey.toSeq.map { case ((ar, as), lab) =>
+        (ar, as, lab, epsMinSub(ids((ar, as)))) }
+      .toDF("anchor_rank_k", "anchor_side_k", "label_k", "eps_min_k")
     val labels = deaths
       .withColumn("ar", coalesce(col("anchor_rank"), lit(-1L)))
       .withColumn("as", coalesce(col("anchor_side"), lit(-1L)))
@@ -523,7 +643,12 @@ object DistributedDendrogram {
       .select(col("vertex"),
         when(col("death_rank").isNull, lit(-1L))
           .otherwise(coalesce(col("label_k"), lit(-1L))).as("label"),
-        col("death_weight"))
+        col("death_weight"),
+        // GLOSH: 1 − ε_max(anchor cluster subtree)/ε(p); points that never
+        // reach a ≥m component (null death) score 0, like the kernel path
+        when(col("death_weight").isNull || col("death_weight") <= 0.0, lit(0.0))
+          .otherwise(lit(1.0) - col("eps_min_k") / col("death_weight"))
+          .as("outlier_score"))
     val out = labels.localCheckpoint(true)
     deaths.unpersist(blocking = false)
     ev.unpersist(blocking = false)

