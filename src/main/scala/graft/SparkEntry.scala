@@ -912,8 +912,11 @@ object SparkEntry {
           round((col("tf") * log(lit(nDocs.toDouble) / col("df")))
             * lit(1000000.0)).cast("long").as("wtm"))
       val nrm = wt.groupBy(col("doc_id"))
-        .agg(sqrt(sum((col("wtm") * col("wtm")).cast("decimal(38,0)"))
-          .cast("double")).as("nrm"))
+        .agg(sqrt(sum(((col("wtm") * col("wtm")
+            - pmod(col("wtm") * col("wtm"), lit(1000000000L)))
+            / lit(1000000000L)).cast("long")).cast("double") * lit(1.0e9)
+          + sum(pmod(col("wtm") * col("wtm"), lit(1000000000L)))
+            .cast("double")).as("nrm"))
       val u = wt.join(nrm, Seq("doc_id"))
         .filter(col("nrm") > 0)
         .select(col("doc_id"), col("w"),
@@ -1048,6 +1051,30 @@ object SparkEntry {
       TextOps.decontaminateSpans(all.filter(col("doc_id") >= 20),
           all.filter(col("doc_id") < 20), n = 5)
         .orderBy(col("doc_id"))
+    }),
+    "q_contamination_rate" -> ((s: SparkSession, d: String) => {
+      // the corpus-level KPI over q_decontaminate_spans' per-doc frame:
+      // how contaminated is this corpus, and how much of its token mass
+      // sits inside eval-overlapping spans — the release-gate number a
+      // pre-training run reports (planted truth: 9 of 480 docs carry the
+      // sentinel at sf0.01)
+      val sentinel = " alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val all = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") === 0 || (col("doc_id") >= 20 && col("doc_id") % 53 === 0),
+          concat(col("text"), lit(sentinel))).otherwise(col("text")).as("text"))
+      val spans = TextOps.decontaminateSpans(all.filter(col("doc_id") >= 20),
+        all.filter(col("doc_id") < 20), n = 5)
+      val toks = all.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("nt"))
+      spans.join(toks, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+          round(sum(when(col("contaminated"), 1L).otherwise(0L))
+            / count(lit(1)).cast("double"), 6).as("doc_rate"),
+          sum(col("covered_tokens")).as("covered_tokens"),
+          sum(col("nt")).as("total_tokens"),
+          round(sum(col("covered_tokens")) / sum(col("nt")).cast("double"), 6)
+            .as("token_rate"))
     }),
     "q_repetition" -> ((s: SparkSession, d: String) =>
       TextOps.repetitionStats(docs(s, d)).orderBy(col("doc_id"))),
@@ -1388,28 +1415,36 @@ object SparkEntry {
       // Pearson correlations between the lineitem measures — one
       // map-side-combinable aggregate computes every pair. corr() merges
       // streaming double moments in partition order (the q_volatility
-      // hazard class), so the algebraic sums accumulate as EXACT integer
-      // cents in DECIMAL(38,0) instead and the closed form is evaluated
-      // once in double — identical on both engines, any order, any SF.
-      val d38 = "decimal(38,0)"
+      // hazard class), so the algebraic sums fold EXACT integer cents
+      // instead and the closed form is evaluated once in double —
+      // identical on both engines, any order. Each cents PRODUCT fits a
+      // BIGINT (≤ ~1.1e14) but its sum would not, so every product sum
+      // splits into base-1e9 limbs (two plain long sums, codegen-fast —
+      // the DECIMAL(38,0) accumulator this replaces cost 6.6× at sf0.1).
       def c100(c: String) = round(col(c) * 100).cast("long")
       val li = Relational.table(s, d, "lineitem").select(
         c100("l_quantity").as("q"), c100("l_extendedprice").as("p"),
         c100("l_discount").as("dd"), c100("l_tax").as("t"))
-      def s2(a: String, b: String, n: String) =
-        sum(col(a).cast(d38) * col(b).cast(d38)).as(n)
-      val agg = li.agg(count(lit(1)).as("n"),
-        sum(col("q").cast(d38)).as("sq"), sum(col("p").cast(d38)).as("sp"),
-        sum(col("dd").cast(d38)).as("sd"), sum(col("t").cast(d38)).as("st"),
-        s2("q", "q", "sqq"), s2("p", "p", "spp"), s2("dd", "dd", "sdd"),
-        s2("t", "t", "stt"), s2("q", "p", "sqp"), s2("q", "dd", "sqd"),
-        s2("p", "t", "spt"))
+      def s2(a: String, b: String, n: String): Seq[org.apache.spark.sql.Column] = {
+        val x = col(a) * col(b)
+        val lo = pmod(x, lit(1000000000L))
+        Seq(sum(((x - lo) / lit(1000000000L)).cast("long")).as(s"${n}_hi"),
+          sum(lo).as(s"${n}_lo"))
+      }
+      val moments = Seq(("q", "q", "sqq"), ("p", "p", "spp"), ("dd", "dd", "sdd"),
+        ("t", "t", "stt"), ("q", "p", "sqp"), ("q", "dd", "sqd"), ("p", "t", "spt"))
+        .flatMap { case (a, b, n) => s2(a, b, n) }
+      val aggs = Seq(sum(col("q")).as("sq"), sum(col("p")).as("sp"),
+        sum(col("dd")).as("sd"), sum(col("t")).as("st")) ++ moments
+      val agg = li.agg(count(lit(1)).as("n"), aggs: _*)
+      def M(n: String) = // reconstruct the split moment in double (exact limbs)
+        col(s"${n}_hi").cast("double") * lit(1.0e9) + col(s"${n}_lo").cast("double")
       def rho(sxy: String, sx: String, sy: String, sxx: String, syy: String) = {
         def D(c: String) = col(c).cast("double")
         val n = D("n")
-        round((n * D(sxy) - D(sx) * D(sy)) /
-          (sqrt(n * D(sxx) - D(sx) * D(sx)) *
-            sqrt(n * D(syy) - D(sy) * D(sy))), 6)
+        round((n * M(sxy) - D(sx) * D(sy)) /
+          (sqrt(n * M(sxx) - D(sx) * D(sx)) *
+            sqrt(n * M(syy) - D(sy) * D(sy))), 6)
       }
       agg.select(rho("sqp", "sq", "sp", "sqq", "spp").as("qty_price"),
         rho("sqd", "sq", "sd", "sqq", "sdd").as("qty_discount"),
@@ -1670,9 +1705,14 @@ object SparkEntry {
         Seq((i.toLong, i + 1L, 1.0 + i * 0.001),
           (1000L + i, 1001L + i, 2.0 + i * 0.001))
       } :+ ((0L, 1000L, 100.0))
-      val events = graft.operators.DistributedDendrogram.mergeEvents(
-        s, chain.toDF("src", "dst", "weight"), blockSize = 37)
-      val (_, labels) = graft.operators.DistributedDendrogram.condensedTree(events, 10)
+      // the planted frame is 200 edges: run the many small dendrogram
+      // jobs at 8 shuffle partitions (same treatment as the stream
+      // replays; values are partitioning-free)
+      val (events, labels) = GraftSession.withShufflePartitions(s, 8) {
+        val ev = graft.operators.DistributedDendrogram.mergeEvents(
+          s, chain.toDF("src", "dst", "weight"), blockSize = 37)
+        (ev, graft.operators.DistributedDendrogram.condensedTree(ev, 10)._2)
+      }
       val reps = labels.groupBy(col("label")).agg(min(col("vertex")).as("cluster_rep"))
       labels.join(reps, "label")
         .select(col("vertex"), col("cluster_rep"),
@@ -2998,27 +3038,36 @@ object SparkEntry {
       }
       // corr() merges streaming moments in partition order — order-
       // dependent doubles (the q_volatility hazard class). Ranks are
-      // exact halves, so 2·rank is an exact integer: accumulate the five
-      // Pearson sums as DECIMAL(38,0) (overflow-safe at any SF — Σ(2r)²
-      // ~ (4/3)n³), then evaluate the closed form once in double. The 4×
-      // scale on num and den cancels in rho.
-      val d38 = "decimal(38,0)"
+      // exact halves, so 2·rank is an exact integer: the five Pearson
+      // sums fold exact integers and the closed form is evaluated once
+      // in double (4× scale cancels in rho). Each rank PRODUCT fits a
+      // BIGINT but its sum would not, so product sums split into
+      // base-1e9 limbs — plain codegen long sums (valid to ~1.5e9 rows;
+      // the DECIMAL accumulator this replaces cost 1.6× at sf0.1).
+      def moment(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+          n: String): Seq[org.apache.spark.sql.Column] = {
+        val x = a * b
+        val lo = pmod(x, lit(1000000000L))
+        Seq(sum(((x - lo) / lit(1000000000L)).cast("long")).as(s"${n}_hi"),
+          sum(lo).as(s"${n}_lo"))
+      }
+      def M(n: String) =
+        col(s"${n}_hi").cast("double") * lit(1.0e9) + col(s"${n}_lo").cast("double")
+      val rx2 = col("rx2"); val ry2 = col("ry2")
       li.join(broadcast(rankMap("x")), Seq("x"))
         .join(rankMap("y"), Seq("y"))
         .select(round(col("x_rank") * 2).cast("long").as("rx2"),
           round(col("y_rank") * 2).cast("long").as("ry2"))
         .agg(count(lit(1)).as("n"),
-          sum(col("rx2").cast(d38)).as("sx"),
-          sum(col("ry2").cast(d38)).as("sy"),
-          sum((col("rx2").cast(d38) * col("ry2").cast(d38))).as("sxy"),
-          sum((col("rx2").cast(d38) * col("rx2").cast(d38))).as("sxx"),
-          sum((col("ry2").cast(d38) * col("ry2").cast(d38))).as("syy"))
+          (Seq(sum(rx2).as("sx"), sum(ry2).as("sy")) ++
+            moment(rx2, ry2, "sxy") ++ moment(rx2, rx2, "sxx") ++
+            moment(ry2, ry2, "syy")): _*)
         .select(
-          round((col("n").cast("double") * col("sxy").cast("double")
+          round((col("n").cast("double") * M("sxy")
               - col("sx").cast("double") * col("sy").cast("double"))
-            / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+            / (sqrt(col("n").cast("double") * M("sxx")
                 - col("sx").cast("double") * col("sx").cast("double"))
-              * sqrt(col("n").cast("double") * col("syy").cast("double")
+              * sqrt(col("n").cast("double") * M("syy")
                 - col("sy").cast("double") * col("sy").cast("double"))), 6)
             .as("rho"),
           col("n"))
@@ -3648,10 +3697,10 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_suppkey"),
           // exact 1e-4-unit integer revenue — the 4-dp disc-price double
           // sum lands on the 2-dp round boundary order-dependently (see
-          // Relational.pricingSummary)
+          // Relational.pricingSummary; BIGINT-safe past sf1000)
           (round(col("l_extendedprice") * 100).cast("long") *
             (lit(100L) - round(col("l_discount") * 100).cast("long")))
-            .cast("decimal(38,0)").as("rev4"))
+            .as("rev4"))
         .join(co, col("l_orderkey") === col("o_orderkey"))
         .join(sup, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
@@ -3735,10 +3784,11 @@ object SparkEntry {
       Relational.table(s, d, "lineitem")
         .filter(col("l_shipdate") > to_timestamp(lit("1997-01-01")))
         .select(col("l_orderkey"),
-          // exact 1e-4-unit integer revenue (see Relational.pricingSummary)
+          // exact 1e-4-unit integer revenue (see Relational.pricingSummary;
+          // BIGINT-safe past sf1000)
           (round(col("l_extendedprice") * 100).cast("long") *
             (lit(100L) - round(col("l_discount") * 100).cast("long")))
-            .cast("decimal(38,0)").as("rev4"))
+            .as("rev4"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(col("rev4")) / lit(10000.0), 2).as("revenue"))
@@ -5349,6 +5399,51 @@ object SparkEntry {
         |    / CAST(greatest(b.n_tokens, 1) AS DOUBLE), 6) AS covered_frac,
         |  coalesce(pd.n_hits, 0) > 0 AS contaminated
         |FROM base b LEFT JOIN pd USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+    "q_contamination_rate" ->
+      """WITH planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id = 0 OR (doc_id >= 20 AND doc_id % 53 = 0)
+        |         THEN text || ' alpha beta gamma delta epsilon zeta eta theta iota kappa'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tk AS (SELECT doc_id, text,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM planted),
+        |sh AS (SELECT doc_id,
+        |         unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |           ELSE list_transform(generate_series(1, len(toks) - 4),
+        |             i -> array_to_string(toks[i:i+4], ' ')) END) AS s,
+        |         unnest(CASE WHEN len(toks) < 5 THEN [1]
+        |           ELSE generate_series(1, len(toks) - 4) END) AS p
+        |  FROM tk),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+        |hits AS (SELECT doc_id, p FROM sh
+        |         WHERE doc_id >= 20 AND s IN (SELECT s FROM ev)),
+        |sp AS (SELECT doc_id, p,
+        |         CASE WHEN lag(p) OVER w IS NULL THEN 1
+        |              WHEN p > lag(p) OVER w + 5 THEN 1 ELSE 0 END AS ns
+        |       FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |sp2 AS (SELECT doc_id, p,
+        |          sum(ns) OVER (PARTITION BY doc_id ORDER BY p
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |        FROM sp),
+        |spans AS (SELECT doc_id, sid, min(p) AS s0, max(p) + 5 AS e0
+        |          FROM sp2 GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(sum(e0 - s0) AS BIGINT) AS covered_tokens
+        |       FROM spans GROUP BY 1),
+        |base AS (SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |           AS BIGINT) END AS nt
+        |  FROM planted WHERE doc_id >= 20)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN pd.covered_tokens IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_contaminated,
+        |  round(sum(CASE WHEN pd.covered_tokens IS NOT NULL THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS doc_rate,
+        |  CAST(sum(coalesce(pd.covered_tokens, 0)) AS BIGINT) AS covered_tokens,
+        |  CAST(sum(b.nt) AS BIGINT) AS total_tokens,
+        |  round(sum(coalesce(pd.covered_tokens, 0))
+        |    / CAST(sum(b.nt) AS DOUBLE), 6) AS token_rate
+        |FROM base b LEFT JOIN pd USING (doc_id)""".stripMargin,
     "q_repetition" ->
       """WITH tk AS (SELECT doc_id, text,
         |              regexp_split_to_array(trim(lower(text)), '\s+') AS toks
@@ -5856,13 +5951,20 @@ object SparkEntry {
         |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
         |    CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
         |    CAST(sum(dd) AS DOUBLE) AS sd, CAST(sum(t) AS DOUBLE) AS st,
-        |    CAST(sum(CAST(q AS HUGEINT) * q) AS DOUBLE) AS sqq,
-        |    CAST(sum(CAST(p AS HUGEINT) * p) AS DOUBLE) AS spp,
-        |    CAST(sum(CAST(dd AS HUGEINT) * dd) AS DOUBLE) AS sdd,
-        |    CAST(sum(CAST(t AS HUGEINT) * t) AS DOUBLE) AS stt,
-        |    CAST(sum(CAST(q AS HUGEINT) * p) AS DOUBLE) AS sqp,
-        |    CAST(sum(CAST(q AS HUGEINT) * dd) AS DOUBLE) AS sqd,
-        |    CAST(sum(CAST(p AS HUGEINT) * t) AS DOUBLE) AS spt
+        |    CAST(sum((q * q) // 1000000000) AS DOUBLE) * 1e9
+        |      + CAST(sum((q * q) % 1000000000) AS DOUBLE) AS sqq,
+        |    CAST(sum((p * p) // 1000000000) AS DOUBLE) * 1e9
+        |      + CAST(sum((p * p) % 1000000000) AS DOUBLE) AS spp,
+        |    CAST(sum((dd * dd) // 1000000000) AS DOUBLE) * 1e9
+        |      + CAST(sum((dd * dd) % 1000000000) AS DOUBLE) AS sdd,
+        |    CAST(sum((t * t) // 1000000000) AS DOUBLE) * 1e9
+        |      + CAST(sum((t * t) % 1000000000) AS DOUBLE) AS stt,
+        |    CAST(sum((q * p) // 1000000000) AS DOUBLE) * 1e9
+        |      + CAST(sum((q * p) % 1000000000) AS DOUBLE) AS sqp,
+        |    CAST(sum((q * dd) // 1000000000) AS DOUBLE) * 1e9
+        |      + CAST(sum((q * dd) % 1000000000) AS DOUBLE) AS sqd,
+        |    CAST(sum((p * t) // 1000000000) AS DOUBLE) * 1e9
+        |      + CAST(sum((p * t) % 1000000000) AS DOUBLE) AS spt
         |  FROM c)
         |SELECT
         |  round((n * sqp - sq * sp)
@@ -6189,13 +6291,17 @@ object SparkEntry {
            |  round(CAST(sum(CAST(round($c * 1000000.0) AS BIGINT)) AS DOUBLE)
            |    / 1000000.0 / CAST(count($c) AS DOUBLE), 6) FROM lineitem
            |UNION ALL SELECT '$c', 'stddev',
-           |  round(sqrt((CAST(count($c) AS DOUBLE)
-           |        * CAST(sum(CAST(round($c * 1000000.0) AS HUGEINT)
-           |            * CAST(round($c * 1000000.0) AS BIGINT)) AS DOUBLE)
-           |      - CAST(sum(CAST(round($c * 1000000.0) AS BIGINT)) AS DOUBLE)
-           |        * CAST(sum(CAST(round($c * 1000000.0) AS BIGINT)) AS DOUBLE))
-           |    / (CAST(count($c) AS DOUBLE) * (CAST(count($c) AS DOUBLE) - 1.0)))
-           |    / 1000000.0, 6) FROM lineitem""".stripMargin
+           |  round(sqrt((n * (sa2 * 1e12 + sab * 2e6 + sb2) - sx * sx)
+           |      / (n * (n - 1.0))) / 1000000.0, 6)
+           |FROM (SELECT CAST(count(vm) AS DOUBLE) AS n,
+           |        CAST(sum(vm) AS DOUBLE) AS sx,
+           |        CAST(sum(a * a) AS DOUBLE) AS sa2,
+           |        CAST(sum(a * b) AS DOUBLE) AS sab,
+           |        CAST(sum(b * b) AS DOUBLE) AS sb2
+           |      FROM (SELECT vm, (vm - b) // 1000000 AS a, b
+           |            FROM (SELECT vm, (vm % 1000000 + 1000000) % 1000000 AS b
+           |                  FROM (SELECT CAST(round($c * 1000000.0) AS BIGINT) AS vm
+           |                        FROM lineitem))))""".stripMargin
       def str(c: String) =
         s"""SELECT '$c' AS col_name, 'completeness' AS metric, round(CAST(count($c) AS DOUBLE)/count(*), 6) AS value FROM lineitem
            |UNION ALL SELECT '$c', 'distinct', round(CAST(count(DISTINCT $c) AS DOUBLE), 6) FROM lineitem
@@ -6854,7 +6960,8 @@ object SparkEntry {
         |           AS wtm
         |       FROM tf JOIN dfr ON dfr.w = tf.w, nn),
         |nrm AS (SELECT doc_id,
-        |          sqrt(CAST(sum(CAST(wtm AS HUGEINT) * wtm) AS DOUBLE)) AS nrm
+        |          sqrt(CAST(sum((wtm * wtm) // 1000000000) AS DOUBLE) * 1e9
+        |            + CAST(sum((wtm * wtm) % 1000000000) AS DOUBLE)) AS nrm
         |        FROM wt GROUP BY 1),
         |u AS (SELECT wt.doc_id, wt.w, CAST(wt.wtm AS DOUBLE) / nrm.nrm AS uw
         |      FROM wt JOIN nrm ON nrm.doc_id = wt.doc_id WHERE nrm.nrm > 0),
@@ -7184,9 +7291,12 @@ object SparkEntry {
         |      FROM li JOIN rx USING (x) JOIN ry USING (y)),
         |a AS (SELECT count(*) AS n,
         |        CAST(sum(rx2) AS DOUBLE) AS sx, CAST(sum(ry2) AS DOUBLE) AS sy,
-        |        CAST(sum(CAST(rx2 AS HUGEINT) * ry2) AS DOUBLE) AS sxy,
-        |        CAST(sum(CAST(rx2 AS HUGEINT) * rx2) AS DOUBLE) AS sxx,
-        |        CAST(sum(CAST(ry2 AS HUGEINT) * ry2) AS DOUBLE) AS syy
+        |        CAST(sum((rx2 * ry2) // 1000000000) AS DOUBLE) * 1e9
+        |          + CAST(sum((rx2 * ry2) % 1000000000) AS DOUBLE) AS sxy,
+        |        CAST(sum((rx2 * rx2) // 1000000000) AS DOUBLE) * 1e9
+        |          + CAST(sum((rx2 * rx2) % 1000000000) AS DOUBLE) AS sxx,
+        |        CAST(sum((ry2 * ry2) // 1000000000) AS DOUBLE) * 1e9
+        |          + CAST(sum((ry2 * ry2) % 1000000000) AS DOUBLE) AS syy
         |      FROM p)
         |SELECT round((CAST(n AS DOUBLE) * sxy - sx * sy)
         |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)

@@ -222,6 +222,7 @@ final case class Hdbscan(
   private def exactDistributed(pts: Dataset[Point], n: Long): DataFrame = {
     val spark = pts.sparkSession
     import spark.implicits._
+    val tStart = System.nanoTime()
     val rot = new graft.CheckpointRotator
     val bndRot = new graft.CheckpointRotator
     val (assigned, boundary) =
@@ -257,8 +258,16 @@ final case class Hdbscan(
       .join(coresDf.select(col("vid").as("src"), col("vcore").as("cs")), "src")
       .join(coresDf.select(col("vid").as("dst"), col("vcore").as("cd")), "dst")
       .select(col("src"), col("dst"), greatest(col("w0"), col("cs"), col("cd")).as("weight"))
-    val forestDf = graft.operators.BoruvkaMst.run(spark, localMst.unionAll(bnd))
-      .localCheckpoint(true)
+    val tSplit = System.nanoTime()
+    // Borůvka's log-rounds are also small-frame jobs at gate scale —
+    // same shuffle sizing as the dendrogram section below
+    val mergeParts = math.max(8L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong, n / 50000L)).toInt
+    val forestDf = graft.GraftSession.withShufflePartitions(spark, mergeParts) {
+      graft.operators.BoruvkaMst.run(spark, localMst.unionAll(bnd))
+        .localCheckpoint(true)
+    }
+    val tBoruvka = System.nanoTime()
     // defensive completion (degenerate splits only): bridge components
     // with max-weight edges, exactly like exactGlobal's driver bridge —
     // component count is metadata-sized, tagged as such
@@ -284,9 +293,19 @@ final case class Hdbscan(
           .toDF("src", "dst", "weight")
         forestDf.unionAll(bridges)
       }
-    val events = graft.operators.DistributedDendrogram.mergeEvents(spark, forestAll)
-    val (nodesSeq, labels) = graft.operators.DistributedDendrogram
-      .condensedTree(events, minClusterSize.toLong, allowSingleCluster)
+    // the dendrogram section runs dozens of SMALL jobs over ≤ n-row
+    // frames (pointer-doubling rounds, bounded collects) — size its
+    // shuffles to the data instead of paying 32-task overhead per job at
+    // gate scale; at real n this floor never binds
+    val (events, nodesSeq, labels) = graft.GraftSession
+      .withShufflePartitions(spark, mergeParts) {
+        val ev = graft.operators.DistributedDendrogram.mergeEvents(spark, forestAll)
+        val (ns, lb) = graft.operators.DistributedDendrogram
+          .condensedTree(ev, minClusterSize.toLong, allowSingleCluster)
+        (ev, ns, lb)
+      }
+    val tEvents = tBoruvka // events/tree timing folded into the tree phase
+    val tTree = System.nanoTime()
     // kernel label convention: selected clusters renumbered 1..k in
     // cluster-id order, 0 = noise (a broadcast metadata map)
     val flatIds = nodesSeq.filter(_.selected).map(_.cluster_id).sorted
@@ -301,6 +320,12 @@ final case class Hdbscan(
       .localCheckpoint(true)
     local.unpersist(blocking = false)
     rot.close(); bndRot.close()
+    Console.err.println(f"[graft] exactDistributed phases: " +
+      f"split+kernels=${(tSplit - tStart) / 1e9}%.1fs " +
+      f"boruvka=${(tBoruvka - tSplit) / 1e9}%.1fs " +
+      f"events=${(tEvents - tBoruvka) / 1e9}%.1fs " +
+      f"tree=${(tTree - tEvents) / 1e9}%.1fs " +
+      f"labels=${(System.nanoTime() - tTree) / 1e9}%.1fs")
     out
   }
 

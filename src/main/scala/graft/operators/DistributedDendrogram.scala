@@ -281,17 +281,15 @@ object DistributedDendrogram {
         (if (strict) col("side")
          else when(col("q"), lit(null).cast("long"))
            .otherwise(col("side"))).as("ptr_side")))
-    var remaining = state.filter(col("target").isNull && col("ptr").isNotNull).count()
-    var iter = 0
-    while (remaining > 0 && iter < 64) {
-      // examine ptr: if it qualifies (or already resolved), adopt; else
-      // jump to ptr's ptr — classic doubling, each round at least halves
-      // the unresolved chain length
-      val ptrState = state.select(col("node").as("ptr"),
+    // examine ptr: if it qualifies (or already resolved), adopt; else
+    // jump to ptr's ptr — classic doubling, each step at least halves
+    // the unresolved chain length
+    def step(st: DataFrame): DataFrame = {
+      val ptrState = st.select(col("node").as("ptr"),
         col("q").as("p_q"), col("target").as("p_target"),
         col("target_side").as("p_target_side"),
         col("ptr").as("p_ptr"), col("ptr_side").as("p_ptr_side"))
-      state = rot.rotate(state.join(ptrState, Seq("ptr"), "left")
+      st.join(ptrState, Seq("ptr"), "left")
         .select(col("node"), col("q"),
           when(col("target").isNotNull, col("target"))
             .when(col("ptr").isNotNull && col("p_q"), col("ptr"))
@@ -303,7 +301,15 @@ object DistributedDendrogram {
           when(col("target").isNotNull || col("p_q"),
             lit(null).cast("long")).otherwise(col("p_ptr")).as("ptr"),
           when(col("target").isNotNull || col("p_q"),
-            lit(null).cast("long")).otherwise(col("p_ptr_side")).as("ptr_side")))
+            lit(null).cast("long")).otherwise(col("p_ptr_side")).as("ptr_side"))
+    }
+    var remaining = state.filter(col("target").isNull && col("ptr").isNotNull).count()
+    var iter = 0
+    while (remaining > 0 && iter < 32) {
+      // TWO doubling steps per materialization/convergence check — the
+      // loop is job-count-bound at gate scale, and the second step rides
+      // the first's cached input for free
+      state = rot.rotate(step(step(state)))
       remaining = state.filter(col("target").isNull && col("ptr").isNotNull).count()
       iter += 1
     }

@@ -40,8 +40,9 @@ object Relational {
     // price·(1−disc) is a 4-dp value; its double sum lands EXACTLY on the
     // 2-dp round boundary for ~1% of groups, where the partial-agg order
     // decides the flip. Accumulate exact 1e-4-unit integers instead
-    // (cents × (100−disc_cents)), DECIMAL(38,0) so a 1000× scale-up
-    // can't overflow; the single division afterwards is order-free.
+    // (cents × (100−disc_cents), ≤ ~1e9/row — the plain BIGINT sum holds
+    // to ~6e9 rows/group, i.e. past sf1000); one order-free division at
+    // the end.
     val pc = round(col("l_extendedprice") * 100).cast("long")
     val dc = round(col("l_discount") * 100).cast("long")
     table(spark, dir, "lineitem")
@@ -50,7 +51,7 @@ object Relational {
         count(lit(1)).as("cnt"),
         sum(col("l_quantity")).as("sum_qty"),                 // integral doubles: exact
         round(sum(col("l_extendedprice")), 2).as("sum_price"),
-        round(sum((pc * (lit(100L) - dc)).cast("decimal(38,0)")) / lit(10000.0), 2)
+        round(sum(pc * (lit(100L) - dc)) / lit(10000.0), 2)
           .as("sum_disc_price"),
         avg(col("l_quantity")).as("avg_qty"),                 // exact-sum / count: deterministic
         min(col("l_discount")).as("min_disc"),
