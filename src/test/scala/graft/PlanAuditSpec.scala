@@ -45,6 +45,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_corpus_mix" -> "single-row corpus-totals frame joined to every cell",
     "q_ks_test" -> "single-row (na, nb) totals frame crossJoined onto the compressed distinct-value CDF domain",
     "q_corpus_overlap" -> "three single-row sketch-aggregate frames crossJoined into one result row",
+    "q_profile" -> "two SINGLE-ROW aggregate frames (plain-moments pass × exact-distinct pass) crossJoined into one wide row — the split that keeps the moment sums off the ×(k+1) distinct Expand",
     "q_scd2_lookup" -> "single-row global time-span frame crossJoined into the probe generator",
     "q_embed_quantize" -> "single-row packed min/max-arrays frame broadcast to the code transform",
     "q_hybrid_search" -> "single-row query-vector frame broadcast to the cosine leg (bm25 leg reuses q_bm25's single-row stats)",

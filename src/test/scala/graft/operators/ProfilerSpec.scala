@@ -28,6 +28,23 @@ class ProfilerSpec extends SparkTestBase {
     assert(m(("s", "min_length")) == 1.0 && m(("s", "max_length")) == 2.0)
   }
 
+  test("profile: split-limb moments are exact on negatives and mixed signs") {
+    // the base-1e6 limb decomposition (vm = a·1e6 + b with b = pmod ≥ 0)
+    // must reproduce textbook mean/stddev for NEGATIVE values too — the
+    // subtle path: a goes negative while b stays in [0, 1e6)
+    import spark.implicits._
+    val vals = Seq(-3.5, -1.25, 0.0, 2.75, 7.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val m = Profiler.profile(df, numericCols = Seq("x"), stringCols = Nil)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val mean = vals.sum / vals.size
+    val sd = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / (vals.size - 1))
+    // profile rounds values at 6 dp — compare within that granularity
+    assert(math.abs(m(("x", "mean")) - mean) < 1e-6, s"mean ${m(("x", "mean"))} vs $mean")
+    assert(math.abs(m(("x", "stddev")) - sd) < 1e-6, s"stddev ${m(("x", "stddev"))} vs $sd")
+    assert(m(("x", "min")) == -3.5 && m(("x", "max")) == 7.0)
+  }
+
   test("profile job count is independent of column count (no per-column fan-out)") {
     def jobsFor(numeric: Seq[String], string: Seq[String]): Int = {
       val counted = new java.util.concurrent.atomic.AtomicInteger(0)
