@@ -54,6 +54,7 @@ object DendrogramMillionSmoke {
     val evFew = DistributedDendrogram.mergeEvents(spark, edges, math.max((n / 2L).toInt, 1))
     val cntFew = evFew.count()
     val fewSecs = (System.nanoTime() - t0) / 1e9
+    evFew.unpersist(blocking = false) // checkpoint blocks die with the check
     println(f"[smoke] dendrogram: $cntMany%d events; 20-block $manySecs%.1f s, " +
       f"2-block $fewSecs%.1f s, ratio ${manySecs / fewSecs}%.2f " +
       f"(old chain ratio ~10; D&C holds ~log)")
@@ -76,12 +77,14 @@ object DendrogramMillionSmoke {
     // invariant checked here is the exact closed form for THIS generator,
     // computed independently below at 1M; at 10M assert the cheap bounds
     assert(stats.getLong(5) >= n, s"telescoped size sum too small: $stats")
+    evMany.unpersist(blocking = false) // free before the 1M replay section
 
     // ---- byte-identity vs driver replay at 1M ----
     val m = math.min(n, 1000000L)
     val small = tree(spark, m)
-    val got = DistributedDendrogram.mergeEvents(spark, small, math.max((m / 20L).toInt, 1))
-      .collect().sortBy(_.rank)
+    val gotDs = DistributedDendrogram.mergeEvents(spark, small, math.max((m / 20L).toInt, 1))
+    val got = gotDs.collect().sortBy(_.rank)
+    gotDs.unpersist(blocking = false)
     val raw = small.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val sorted = raw.sortBy(e => (e._3, e._1, e._2))
     val parent = new java.util.HashMap[Long, Long](2 * m.toInt)

@@ -62,9 +62,13 @@ class SmokeSuite extends AnyFunSuite with BeforeAndAfterAll {
     ScaleOpsMillionSmoke.run(_, 1000000L)
   }
 
-  smoke("DendrogramMillionSmoke: 10M-edge D&C merge events, ≥20 blocks, " +
+  smoke("DendrogramMillionSmoke: 6M-edge D&C merge events, ≥20 blocks, " +
       "1M byte-identity vs driver replay") {
-    DendrogramMillionSmoke.run(_, 10000000L)
+    // 6M in-suite: this smoke runs LAST in a JVM already carrying six
+    // smokes' heap residue (10M OOMed the shared 8g heap once); the
+    // standalone main defaults to the full 10M, and BASELINE.md records
+    // that run's numbers
+    DendrogramMillionSmoke.run(_, 6000000L)
   }
 
   override def afterAll(): Unit = if (enabled) spark.stop()
