@@ -1719,6 +1719,35 @@ object SparkEntry {
           round(col("death_weight"), 6).as("death_weight"))
         .orderBy(col("vertex"))
     }),
+    "q_condensed_ties" -> ((s: SparkSession, d: String) => {
+      // TIE-AWARE condensed-tree semantics pinned on the HARD gate: all
+      // of component A assembles at ONE weight level (two ≥m sub-chains
+      // plus their equal-weight join — ranked LAST within the tie group
+      // via the (weight, src, dst) order), so per-RANK semantics would
+      // split A into two clusters at the join event, while the
+      // reference's per-LEVEL semantics (all tied edges act at once;
+      // fragments are singletons) keep A whole. The oracle states the
+      // tie-aware closed form: exactly two clusters (A, B), every point
+      // dying at its component's assembly level, GLOSH 0 everywhere
+      // (each cluster's ε_max equals its points' shared death ε).
+      import s.implicits._
+      val a1 = (0 until 14).map(i => (i.toLong, i + 1L, 1.0))          // 15 pts
+      val a2 = (0 until 11).map(i => (100L + i, 101L + i, 1.0))        // 12 pts
+      val joinA = Seq((111L, 14L, 1.0)) // src 111 ranks after every a2 edge
+      val b = (0 until 19).map(i => (1000L + i, 1001L + i, 2.0))       // 20 pts
+      val bridge = Seq((0L, 1000L, 100.0))
+      val edges = (a1 ++ a2 ++ joinA ++ b ++ bridge).toDF("src", "dst", "weight")
+      val (events, labels) = GraftSession.withShufflePartitions(s, 8) {
+        val ev = graft.operators.DistributedDendrogram.mergeEvents(s, edges, blockSize = 11)
+        (ev, graft.operators.DistributedDendrogram.condensedTree(ev, 10)._2)
+      }
+      val reps = labels.groupBy(col("label")).agg(min(col("vertex")).as("cluster_rep"))
+      labels.join(reps, "label")
+        .select(col("vertex"), col("cluster_rep"),
+          round(col("death_weight"), 6).as("death_weight"),
+          round(col("outlier_score"), 6).as("outlier_score"))
+        .orderBy(col("vertex"))
+    }),
     "q_merge_upsert" -> ((s: SparkSession, d: String) => {
       // MERGE/CDC upsert (the warehouse staple q_scd2 implies but
       // doesn't cover): a keyed insert/update/delete delta applied to
@@ -6147,6 +6176,18 @@ object SparkEntry {
         |FROM v ORDER BY vertex""".stripMargin,
     // the MERGE replayed as plain SQL: latest delta row per key via
     // row_number, full-outer join against the snapshot, deletes filtered
+    // tie-aware closed form: vertices 0..14 ∪ 100..111 are cluster A
+    // (rep 0, death level 1.0), 1000..1019 cluster B (rep 1000, death
+    // level 2.0); GLOSH 0 everywhere (ε_max = ε for every point)
+    "q_condensed_ties" ->
+      """WITH a AS (SELECT unnest(generate_series(0, 14)) AS v
+        |           UNION ALL SELECT unnest(generate_series(100, 111))),
+        |b AS (SELECT unnest(generate_series(1000, 1019)) AS v)
+        |SELECT CAST(v AS BIGINT) AS vertex, CAST(0 AS BIGINT) AS cluster_rep,
+        |  1.0 AS death_weight, 0.0 AS outlier_score FROM a
+        |UNION ALL
+        |SELECT CAST(v AS BIGINT), CAST(1000 AS BIGINT), 2.0, 0.0 FROM b
+        |ORDER BY vertex""".stripMargin,
     "q_merge_upsert" ->
       """WITH snap AS (SELECT c_custkey AS k, c_name AS name,
         |                round(c_acctbal, 2) AS bal, c_nationkey AS nat FROM customer),
