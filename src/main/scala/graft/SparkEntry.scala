@@ -68,6 +68,16 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Normalize IEEE signed zero after a final `round`: −0.0 + 0.0 = +0.0.
+    * DuckDB's `round` preserves the sign bit (round(−3.45e−8, 6) → −0.0)
+    * while Spark's goes through BigDecimal HALF_UP, which cannot represent
+    * −0 and yields +0.0 — so any rounded output column whose true value can
+    * approach 0 from below hash-diverges across the engines unless BOTH
+    * sides append `+ 0.0` (the r10 q_volatility root cause). Every oracle
+    * SQL for a query using this helper carries the matching `+ 0.0`. */
+  private def nz(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c + lit(0.0)
+
   private def embPair(s: SparkSession, dir: String, as1: String, as2: String): DataFrame =
     Relational.embeddings(s, dir).select(col("vec_id").as(as1), col("vec").as(as2))
 
@@ -1364,8 +1374,8 @@ object SparkEntry {
       val slope = (col("m") * col("sxy") - col("sx") * col("sy")) /
         (col("m") * col("sxx") - col("sx") * col("sx"))
       fit.select(col("m").cast("long").as("n_terms"),
-        round(slope, 4).as("slope"),
-        round((col("sy") - slope * col("sx")) / col("m"), 4).as("intercept"))
+        nz(round(slope, 4)).as("slope"),
+        nz(round((col("sy") - slope * col("sx")) / col("m"), 4)).as("intercept"))
     }),
     "q_gap_fill" -> ((s: SparkSession, d: String) => {
       // dense time series from sparse events: the full hourly spine per
@@ -1446,9 +1456,9 @@ object SparkEntry {
           (sqrt(n * M(sxx) - D(sx) * D(sx)) *
             sqrt(n * M(syy) - D(sy) * D(sy))), 6)
       }
-      agg.select(rho("sqp", "sq", "sp", "sqq", "spp").as("qty_price"),
-        rho("sqd", "sq", "sd", "sqq", "sdd").as("qty_discount"),
-        rho("spt", "sp", "st", "spp", "stt").as("price_tax"))
+      agg.select(nz(rho("sqp", "sq", "sp", "sqq", "spp")).as("qty_price"),
+        nz(rho("sqd", "sq", "sd", "sqq", "sdd")).as("qty_discount"),
+        nz(rho("spt", "sp", "st", "spp", "stt")).as("price_tax"))
     }),
     "q_group_sample" -> ((s: SparkSession, d: String) =>
       // balanced per-group sampling: top-5 docs per source by the A-ES
@@ -1902,10 +1912,10 @@ object SparkEntry {
           sum(col("xi") * col("xi")).cast("double").as("sxx"),
           (sum(col("yc") * col("yc")) / lit(10000.0)).as("syy"))
         .select(col("event_type"), col("n").cast("long").as("n_obs"),
-          round(((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx"))), 6).as("slope"),
-          round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
+          nz(round(((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))), 6)).as("slope"),
+          nz(round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6))
             .as("intercept"),
           round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
             ((col("n") * col("sxx") - col("sx") * col("sx")) *
@@ -2168,7 +2178,7 @@ object SparkEntry {
       val z = when(col("n") >= lit(12L) && varExpr > 0,
         (col("cnt") - col("s") / col("n")) / sqrt(varExpr))
       stats.select(col("event_type"), col("hour_ms"), col("cnt"),
-          round(z, 6).as("z"),
+          nz(round(z, 6)).as("z"),
           coalesce(abs(z) > 3.0, lit(false)).as("is_anomaly"))
         .orderBy(col("event_type"), col("hour_ms"))
     }),
@@ -2800,7 +2810,7 @@ object SparkEntry {
         .select(round(((col("nxy") / nTot) *
           log((col("nxy") * nTot) / (col("nx") * col("ny"))))
           * lit(1000000000000.0)).cast("long").as("term_p"))
-        .agg(round(sum(col("term_p")) / lit(1000000000000.0), 6).as("mi_nats"),
+        .agg(nz(round(sum(col("term_p")) / lit(1000000000000.0), 6)).as("mi_nats"),
           count(lit(1)).as("n_cells"))
     }),
     "q_gini" -> ((s: SparkSession, d: String) => {
@@ -2931,7 +2941,7 @@ object SparkEntry {
       agg.select(col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
         round(col("sa") / col("na"), 6).as("mean_a"),
         round(col("sb") / col("nb"), 6).as("mean_b"),
-        round(z, 6).as("z"),
+        nz(round(z, 6)).as("z"),
         (abs(z) > 1.96).as("significant"))
     }),
     "q_multitouch" -> ((s: SparkSession, d: String) => {
@@ -3016,7 +3026,7 @@ object SparkEntry {
           .otherwise(lit(0L)))
           .as(s"num$k")): _*)
       terms.select(explode(array((1 to 6).map(k =>
-          struct(lit(k).as("lag"), round(col(s"num$k") / col("den"), 6).as("r"))): _*)).as("a"))
+          struct(lit(k).as("lag"), nz(round(col(s"num$k") / col("den"), 6)).as("r"))): _*)).as("a"))
         .select(col("a.lag").as("lag"), col("a.r").as("r"))
         .orderBy(col("lag"))
     }),
@@ -3092,12 +3102,12 @@ object SparkEntry {
             moment(rx2, ry2, "sxy") ++ moment(rx2, rx2, "sxx") ++
             moment(ry2, ry2, "syy")): _*)
         .select(
-          round((col("n").cast("double") * M("sxy")
+          nz(round((col("n").cast("double") * M("sxy")
               - col("sx").cast("double") * col("sy").cast("double"))
             / (sqrt(col("n").cast("double") * M("sxx")
                 - col("sx").cast("double") * col("sx").cast("double"))
               * sqrt(col("n").cast("double") * M("syy")
-                - col("sy").cast("double") * col("sy").cast("double"))), 6)
+                - col("sy").cast("double") * col("sy").cast("double"))), 6))
             .as("rho"),
           col("n"))
     }),
@@ -3126,11 +3136,11 @@ object SparkEntry {
           (col("r1") - col("n1") * (col("n1") + 1) / lit(2.0)).as("u1_raw"),
           col("ties"))
         .select(col("n1"), col("n2"), round(col("u1_raw"), 6).as("u1"),
-          round((col("u1_raw") - col("n1") * col("n2") / lit(2.0)) /
+          nz(round((col("u1_raw") - col("n1") * col("n2") / lit(2.0)) /
             sqrt(col("n1") * col("n2") / lit(12.0) *
               ((col("n1") + col("n2") + 1) -
                 col("ties") / ((col("n1") + col("n2")) * (col("n1") + col("n2") - 1))
-                  .cast("double"))), 6).as("z"))
+                  .cast("double"))), 6)).as("z"))
         .withColumn("significant", abs(col("z")) > 1.96)
     }),
     "q_changepoint" -> ((s: SparkSession, d: String) => {
@@ -3176,7 +3186,7 @@ object SparkEntry {
             .as("mean_after"),
           count(lit(1)).as("n_days"))
         .select(col("change_day"),
-          round(col("skm") / (col("n") * lit(1000000.0)), 6).as("s_max"),
+          nz(round(col("skm") / (col("n") * lit(1000000.0)), 6)).as("s_max"),
           col("mean_before"), col("mean_after"), col("n_days"))
     }),
     "q_rfm" -> ((s: SparkSession, d: String) => {
@@ -3470,7 +3480,7 @@ object SparkEntry {
       val w5 = Window.partitionBy(col("lang")).orderBy(col("z").desc, col("w"))
       scored.withColumn("rn", row_number().over(w5)).filter(col("rn") <= 3)
         .select(col("lang"), col("w").as("term"), col("y").as("n_uses"),
-          round(col("z"), 6).as("z"), col("rn").as("rank"))
+          nz(round(col("z"), 6)).as("z"), col("rn").as("rank"))
         .orderBy(col("lang"), col("rank"))
     }),
     "q_readability" -> ((s: SparkSession, d: String) => {
@@ -3489,9 +3499,9 @@ object SparkEntry {
           expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
             .as("n_syllables"))
         .filter(col("n_words") > 0)
-        .withColumn("flesch", round(lit(206.835)
+        .withColumn("flesch", nz(round(lit(206.835)
           - lit(1.015) * col("n_words") / col("n_sentences")
-          - lit(84.6) * col("n_syllables") / col("n_words"), 4))
+          - lit(84.6) * col("n_syllables") / col("n_words"), 4)))
         .withColumn("band",
           when(col("flesch") >= 70, "easy")
           .when(col("flesch") >= 50, "standard")
@@ -3848,12 +3858,60 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_days"), sum(col("rm")).as("srm"),
           sum(col("rm") * col("rm")).as("sr2m"))
         .select(col("event_type"), col("n_days"),
-          round(col("srm") / lit(1000000.0) / col("n_days"), 6).as("drift"),
-          round(sqrt(col("sr2m") / lit(1000000000000.0) / col("n_days") -
+          nz(round(col("srm") / lit(1000000.0) / col("n_days"), 6)).as("drift"),
+          nz(round(sqrt(col("sr2m") / lit(1000000000000.0) / col("n_days") -
             (col("srm") / lit(1000000.0) / col("n_days")) *
-              (col("srm") / lit(1000000.0) / col("n_days"))), 6)
+              (col("srm") / lit(1000000.0) / col("n_days"))), 6))
             .as("vol_daily"))
         .orderBy(col("event_type"))
+    }),
+    "q_round_semantics" -> ((s: SparkSession, d: String) => {
+      // cross-engine round() contract fixture (r10 verdict #5): pins the
+      // exact cases both engines must agree on — HALF ties away from zero
+      // at several scales, near-tie boundaries around 5e-7 at scale 6,
+      // shortest-repr arithmetic (0.1+0.2, 1/3), and IEEE signed zero
+      // (round(−1e-7, 6) is −0.0 in DuckDB, +0.0 in Spark — normalized by
+      // the nz `+ 0.0` recipe, which is therefore PART of this contract).
+      // The one known diverging class — a double whose SHORTEST DECIMAL
+      // REPR is a tie at the scale but whose binary value is on the other
+      // side (±1.005 @ 2: binary 1.00499…; Spark rounds the repr → 1.01,
+      // DuckDB the binary → 1.00) — is deliberately EXCLUDED and
+      // documented in BASELINE.md; gate queries avoid it by rounding
+      // integer-derived quantities only. The two rounds q_volatility
+      // spent red (r9 sum-order, r10 signed zero) can't reach the gate
+      // again without this row going red first.
+      import s.implicits._
+      val rows = Seq(
+        ("t01_tie_pos_half", 2.5, 0), ("t02_tie_neg_half", -2.5, 0),
+        ("t03_tie_pos_odd", 3.5, 0), ("t04_tie_neg_odd", -3.5, 0),
+        ("t05_half_up", 0.5, 0), ("t06_half_dn", -0.5, 0),
+        ("t07_exact_eighth", 0.125, 2), ("t08_exact_eighth_neg", -0.125, 2),
+        ("t09_repr_above_tie", 2.675, 2), ("t10_tie_sc3", 1.0005, 3),
+        ("t11_tie_sc3b", 2.0005, 3), ("t12_tie_sc3c", 0.0005, 3),
+        ("t13_plain", 12.345, 2), ("t14_plain_neg", -12.345, 2),
+        ("t15_sc4", 0.12345, 4), ("t16_sc4_above", 0.123450001, 4),
+        ("t17_carry", 99.99995, 4), ("t18_carry_neg", -99.99995, 4),
+        ("t19_zero_pos", 1.0e-7, 6), ("t20_zero_neg", -1.0e-7, 6),
+        ("t21_below_tie", 4.9999999e-7, 6), ("t22_above_tie", 5.0000001e-7, 6),
+        ("t23_tie_sc6", 5.0e-7, 6), ("t24_tie_sc6_neg", -5.0e-7, 6),
+        ("t25_zero4_neg", -1.0e-5, 4), ("t26_noop", 123.456, 6),
+        ("t27_noop_neg", -123.456, 6), ("t28_int", 7.0, 2))
+      val base = rows.toDF("case_id", "x", "scale")
+        .unionAll(Seq(("t29_sum_repr", 1)).toDF("case_id", "scale")
+          .select(col("case_id"), (lit(0.1) + lit(0.2)).as("x"), col("scale")))
+        .unionAll(Seq(("t30_third", 6), ("t31_third_neg", 6))
+          .toDF("case_id", "scale")
+          .select(col("case_id"),
+            when(col("case_id") === "t30_third", lit(1.0) / lit(3.0))
+              .otherwise(lit(-1.0) / lit(3.0)).as("x"), col("scale")))
+      val r = when(col("scale") === 0, round(col("x"), 0))
+        .when(col("scale") === 1, round(col("x"), 1))
+        .when(col("scale") === 2, round(col("x"), 2))
+        .when(col("scale") === 3, round(col("x"), 3))
+        .when(col("scale") === 4, round(col("x"), 4))
+        .otherwise(round(col("x"), 6))
+      base.select(col("case_id"), nz(r).as("rounded"))
+        .orderBy(col("case_id"))
     }),
     "q_dp_release" -> ((s: SparkSession, d: String) => {
       // differentially-private-style noisy count release: per-type counts
@@ -3869,8 +3927,8 @@ object SparkEntry {
       val c = u - lit(0.5)
       val lap = lit(-2.0) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
       cnt.select(col("event_type"), col("true_n"),
-          round(lap, 4).as("noise"),
-          round(col("true_n") + lap, 4).as("released"))
+          nz(round(lap, 4)).as("noise"),
+          nz(round(col("true_n") + lap, 4)).as("released"))
         .orderBy(col("event_type"))
     }),
     "q_assortativity" -> ((s: SparkSession, d: String) => {
@@ -3899,9 +3957,9 @@ object SparkEntry {
           sum(col("dj") * col("dj")).as("sj2"),
           sum(col("dk") * col("dk")).as("sk2"))
       m.select(col("m").as("n_edges"),
-        round((col("sjk") / col("m") - (col("sj") / col("m")) * (col("sk") / col("m"))) /
+        nz(round((col("sjk") / col("m") - (col("sj") / col("m")) * (col("sk") / col("m"))) /
           sqrt((col("sj2") / col("m") - (col("sj") / col("m")) * (col("sj") / col("m"))) *
-            (col("sk2") / col("m") - (col("sk") / col("m")) * (col("sk") / col("m")))), 6)
+            (col("sk2") / col("m") - (col("sk") / col("m")) * (col("sk") / col("m")))), 6))
           .as("assortativity"))
     }),
     "q_sssp" -> ((s: SparkSession, d: String) => {
@@ -4039,7 +4097,7 @@ object SparkEntry {
             * lit(1000000000000.0)).cast("long").as("term_p"))
         .groupBy(col("source"))
         .agg(max(col("ns")).as("n_docs"),
-          round(sum(col("term_p")) / lit(1000000000000.0), 6).as("kl_nats"))
+          nz(round(sum(col("term_p")) / lit(1000000000000.0), 6)).as("kl_nats"))
         .orderBy(col("source"))
     }),
     "q_stream_sliding" -> ((s: SparkSession, d: String) =>
@@ -5095,7 +5153,7 @@ object SparkEntry {
          |v0 AS MATERIALIZED (SELECT dim, 1.0 / sqrt(64.0) AS v FROM mu),
          |$rounds
          |fin AS (SELECT 1 AS one)
-         |SELECT v15.dim, round(v15.v, 6) AS loading,
+         |SELECT v15.dim, round(v15.v, 6) + 0.0 AS loading,
          |  round(n15.nrm, 6) AS eigenvalue,
          |  round(n15.nrm / tr.trace, 6) AS var_explained
          |FROM v15, n15, tr ORDER BY v15.dim""".stripMargin
@@ -5334,7 +5392,7 @@ object SparkEntry {
         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
         |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  round(CAST(sum(CAST(round((ln(CAST(c2.c2 AS DOUBLE) / c1.c1)) * 1000000000000.0) AS BIGINT)) AS BIGINT) / 1000000000000.0 / count(*), 6) AS logprob
+        |  round(CAST(sum(CAST(round((ln(CAST(c2.c2 AS DOUBLE) / c1.c1)) * 1000000000000.0) AS BIGINT)) AS BIGINT) / 1000000000000.0 / count(*), 6) + 0.0 AS logprob
         |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
     "q_unigram_logprob" ->
@@ -5345,7 +5403,7 @@ object SparkEntry {
         |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
         |tot AS (SELECT sum(cnt) AS total FROM c)
         |SELECT t.doc_id, count(*) AS n_tokens,
-        |  round(CAST(sum(CAST(round((ln(CAST(c.cnt AS DOUBLE) / total)) * 1000000000000.0) AS BIGINT)) AS BIGINT) / 1000000000000.0 / count(*), 6) AS logprob
+        |  round(CAST(sum(CAST(round((ln(CAST(c.cnt AS DOUBLE) / total)) * 1000000000000.0) AS BIGINT)) AS BIGINT) / 1000000000000.0 / count(*), 6) + 0.0 AS logprob
         |FROM t JOIN c USING (tok) CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q_train_split" ->
@@ -5941,8 +5999,8 @@ object SparkEntry {
         |f AS (SELECT CAST(count(*) AS DOUBLE) AS m, sum(x) AS sx, sum(y) AS sy,
         |        sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
         |SELECT CAST(m AS BIGINT) AS n_terms,
-        |  round((m * sxy - sx * sy) / (m * sxx - sx * sx), 4) AS slope,
-        |  round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 4) AS intercept
+        |  round((m * sxy - sx * sy) / (m * sxx - sx * sx), 4) + 0.0 AS slope,
+        |  round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 4) + 0.0 AS intercept
         |FROM f""".stripMargin,
     // the exact-size contract: ceil(f_k * n_k) per stratum, recomputed by
     // DuckDB from the base table — valid at every SF
@@ -5997,11 +6055,11 @@ object SparkEntry {
         |  FROM c)
         |SELECT
         |  round((n * sqp - sq * sp)
-        |    / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) AS qty_price,
+        |    / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) + 0.0 AS qty_price,
         |  round((n * sqd - sq * sd)
-        |    / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6) AS qty_discount,
+        |    / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6) + 0.0 AS qty_discount,
         |  round((n * spt - sp * st)
-        |    / (sqrt(n * spp - sp * sp) * sqrt(n * stt - st * st)), 6) AS price_tax
+        |    / (sqrt(n * spp - sp * sp) * sqrt(n * stt - st * st)), 6) + 0.0 AS price_tax
         |FROM a""".stripMargin,
     "q_group_sample" ->
       """WITH k AS (SELECT source, doc_id,
@@ -6317,8 +6375,8 @@ object SparkEntry {
         |        sum(yc * yc) / 10000.0 AS syy
         |      FROM e GROUP BY event_type)
         |SELECT event_type, CAST(n AS BIGINT) AS n_obs,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) + 0.0 AS intercept,
         |  round(pow(n * sxy - sx * sy, 2)
         |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM s ORDER BY event_type""".stripMargin,
@@ -6640,7 +6698,7 @@ object SparkEntry {
         |         CASE WHEN n >= 12 AND (ss - s * s / n) / (n - 1) > 0
         |              THEN (cnt - s / n) / sqrt((ss - s * s / n) / (n - 1)) END AS z
         |       FROM st)
-        |SELECT event_type, hour_ms, cnt, round(z, 6) AS z,
+        |SELECT event_type, hour_ms, cnt, round(z, 6) + 0.0 AS z,
         |  coalesce(abs(z) > CAST(3.0 AS DOUBLE), false) AS is_anomaly
         |FROM zz ORDER BY event_type, hour_ms""".stripMargin,
     // α=1/2 truncated EMA: binary-exact weights, lag chain summed in the
@@ -6860,7 +6918,7 @@ object SparkEntry {
         |         * (CAST(cont.contw2 AS DOUBLE) / nt.ntypes)) AS lp
         |  FROM c2 JOIN lft USING (w1) JOIN cont USING (w2), nt)
         |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  round(CAST(sum(CAST(round((m.lp) * 1000000000000.0) AS BIGINT)) AS BIGINT) / 1000000000000.0 / count(*), 6) AS kn_logprob
+        |  round(CAST(sum(CAST(round((m.lp) * 1000000000000.0) AS BIGINT)) AS BIGINT) / 1000000000000.0 / count(*), 6) + 0.0 AS kn_logprob
         |FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
     // deterministic merge list (lexicographic tie-break) pinned from the
@@ -6908,7 +6966,7 @@ object SparkEntry {
         |       GROUP BY w1, w2 HAVING count(*) >= 5)
         |SELECT c2.w1, c2.w2, c2.c2,
         |  round(ln(CAST(c2.c2 AS DOUBLE) * nu.nu * nu.nu
-        |        / (nb.nb * u1.cu * u2.cu)), 6) AS pmi
+        |        / (nb.nb * u1.cu * u2.cu)), 6) + 0.0 AS pmi
         |FROM c2 JOIN u u1 ON c2.w1 = u1.tok
         |        JOIN u u2 ON c2.w2 = u2.tok, nu, nb
         |ORDER BY w1, w2""".stripMargin,
@@ -7154,7 +7212,7 @@ object SparkEntry {
         |my AS (SELECT y, sum(nxy) AS ny FROM joint GROUP BY 1)
         |SELECT round(CAST(sum(CAST(round(((j.nxy / nt.n)
         |      * ln((j.nxy * nt.n) / (mx.nx * my.ny))) * 1000000000000.0)
-        |      AS BIGINT)) AS BIGINT) / 1000000000000.0, 6) AS mi_nats,
+        |      AS BIGINT)) AS BIGINT) / 1000000000000.0, 6) + 0.0 AS mi_nats,
         |  count(*) AS n_cells
         |FROM joint j JOIN mx USING (x) JOIN my USING (y), nt""".stripMargin,
     "q_gini" ->
@@ -7225,7 +7283,7 @@ object SparkEntry {
         |  round(sa / na, 6) AS mean_a, round(sb / nb, 6) AS mean_b,
         |  round((sb / nb - sa / na) /
         |    sqrt((qa / na - (sa / na) * (sa / na)) / na
-        |       + (qb / nb - (sb / nb) * (sb / nb)) / nb), 6) AS z,
+        |       + (qb / nb - (sb / nb) * (sb / nb)) / nb), 6) + 0.0 AS z,
         |  abs((sb / nb - sa / na) /
         |    sqrt((qa / na - (sa / na) * (sa / na)) / na
         |       + (qb / nb - (sb / nb) * (sb / nb)) / nb)) > 1.96 AS significant
@@ -7297,12 +7355,12 @@ object SparkEntry {
         |        CAST(sum(CASE WHEN l5 IS NOT NULL THEN CAST(round((x - mu) * (l5 - mu) * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS num5,
         |        CAST(sum(CASE WHEN l6 IS NOT NULL THEN CAST(round((x - mu) * (l6 - mu) * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS num6
         |      FROM l, m)
-        |SELECT 1 AS lag, round(num1 / den, 6) AS r FROM t
-        |UNION ALL SELECT 2, round(num2 / den, 6) FROM t
-        |UNION ALL SELECT 3, round(num3 / den, 6) FROM t
-        |UNION ALL SELECT 4, round(num4 / den, 6) FROM t
-        |UNION ALL SELECT 5, round(num5 / den, 6) FROM t
-        |UNION ALL SELECT 6, round(num6 / den, 6) FROM t
+        |SELECT 1 AS lag, round(num1 / den, 6) + 0.0 AS r FROM t
+        |UNION ALL SELECT 2, round(num2 / den, 6) + 0.0 FROM t
+        |UNION ALL SELECT 3, round(num3 / den, 6) + 0.0 FROM t
+        |UNION ALL SELECT 4, round(num4 / den, 6) + 0.0 FROM t
+        |UNION ALL SELECT 5, round(num5 / den, 6) + 0.0 FROM t
+        |UNION ALL SELECT 6, round(num6 / den, 6) + 0.0 FROM t
         |ORDER BY lag""".stripMargin,
     "q_chi_square" ->
       """WITH j AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
@@ -7341,7 +7399,7 @@ object SparkEntry {
         |      FROM p)
         |SELECT round((CAST(n AS DOUBLE) * sxy - sx * sy)
         |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
-        |      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS rho, n
+        |      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0.0 AS rho, n
         |FROM a""".stripMargin,
     "q_mann_whitney" ->
       """WITH d0 AS (SELECT CAST(lang = 'en' AS INT) AS a, n_chars AS v
@@ -7357,7 +7415,7 @@ object SparkEntry {
         |z AS (SELECT n1, n2, round(r1 - n1 * (n1 + 1) / 2.0, 6) AS u1,
         |        round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) /
         |          sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
-        |            - ties / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))), 6) AS z
+        |            - ties / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))), 6) + 0.0 AS z
         |      FROM st)
         |SELECT n1, n2, u1, z, abs(z) > 1.96 AS significant FROM z""".stripMargin,
     "q_changepoint" ->
@@ -7375,7 +7433,7 @@ object SparkEntry {
         |cp AS (SELECT day AS change_day, skm, n FROM c
         |       ORDER BY abs(skm) DESC, day LIMIT 1)
         |SELECT cp.change_day,
-        |  round(cp.skm / (cp.n * 1000000.0), 6) AS s_max,
+        |  round(cp.skm / (cp.n * 1000000.0), 6) + 0.0 AS s_max,
         |  round(sum(CASE WHEN dd.day <= cp.change_day THEN dd.xm END) / 1000000.0
         |    / sum(CASE WHEN dd.day <= cp.change_day THEN 1 ELSE 0 END), 6)
         |    AS mean_before,
@@ -7559,7 +7617,7 @@ object SparkEntry {
         |        CAST(row_number() OVER (PARTITION BY lang ORDER BY z DESC, w) AS INT)
         |          AS rank
         |      FROM z)
-        |SELECT lang, w AS term, y AS n_uses, round(z, 6) AS z, rank
+        |SELECT lang, w AS term, y AS n_uses, round(z, 6) + 0.0 AS z, rank
         |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
     "q_readability" ->
       """WITH b AS (SELECT doc_id,
@@ -7572,7 +7630,7 @@ object SparkEntry {
         |      FROM documents WHERE lang = 'en'),
         |f AS (SELECT doc_id, n_words, n_sentences, n_syllables,
         |        round(206.835 - 1.015 * n_words / n_sentences
-        |          - 84.6 * n_syllables / n_words, 4) AS flesch
+        |          - 84.6 * n_syllables / n_words, 4) + 0.0 AS flesch
         |      FROM b WHERE n_words > 0)
         |SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
         |  CASE WHEN flesch >= 70 THEN 'easy'
@@ -7801,11 +7859,34 @@ object SparkEntry {
         |        CAST(sum(rm * rm) AS BIGINT) AS sr2m
         |      FROM r GROUP BY 1)
         |SELECT event_type, n_days,
-        |  round(srm / 1000000.0 / n_days, 6) AS drift,
+        |  round(srm / 1000000.0 / n_days, 6) + 0.0 AS drift,
         |  round(sqrt(sr2m / 1000000000000.0 / n_days
-        |    - (srm / 1000000.0 / n_days) * (srm / 1000000.0 / n_days)), 6)
+        |    - (srm / 1000000.0 / n_days) * (srm / 1000000.0 / n_days)), 6) + 0.0
         |    AS vol_daily
         |FROM a ORDER BY event_type""".stripMargin,
+    // same VALUES battery as the Spark side; the trailing `+ 0.0` IS part
+    // of the pinned contract (DuckDB's round preserves −0.0, Spark's can't)
+    "q_round_semantics" ->
+      """WITH v(case_id, x, scale) AS (VALUES
+        |  ('t01_tie_pos_half', 2.5::DOUBLE, 0), ('t02_tie_neg_half', -2.5::DOUBLE, 0),
+        |  ('t03_tie_pos_odd', 3.5::DOUBLE, 0), ('t04_tie_neg_odd', -3.5::DOUBLE, 0),
+        |  ('t05_half_up', 0.5::DOUBLE, 0), ('t06_half_dn', -0.5::DOUBLE, 0),
+        |  ('t07_exact_eighth', 0.125::DOUBLE, 2), ('t08_exact_eighth_neg', -0.125::DOUBLE, 2),
+        |  ('t09_repr_above_tie', 2.675::DOUBLE, 2), ('t10_tie_sc3', 1.0005::DOUBLE, 3),
+        |  ('t11_tie_sc3b', 2.0005::DOUBLE, 3), ('t12_tie_sc3c', 0.0005::DOUBLE, 3),
+        |  ('t13_plain', 12.345::DOUBLE, 2), ('t14_plain_neg', -12.345::DOUBLE, 2),
+        |  ('t15_sc4', 0.12345::DOUBLE, 4), ('t16_sc4_above', 0.123450001::DOUBLE, 4),
+        |  ('t17_carry', 99.99995::DOUBLE, 4), ('t18_carry_neg', -99.99995::DOUBLE, 4),
+        |  ('t19_zero_pos', 1.0e-7::DOUBLE, 6), ('t20_zero_neg', -1.0e-7::DOUBLE, 6),
+        |  ('t21_below_tie', 4.9999999e-7::DOUBLE, 6), ('t22_above_tie', 5.0000001e-7::DOUBLE, 6),
+        |  ('t23_tie_sc6', 5.0e-7::DOUBLE, 6), ('t24_tie_sc6_neg', -5.0e-7::DOUBLE, 6),
+        |  ('t25_zero4_neg', -1.0e-5::DOUBLE, 4), ('t26_noop', 123.456::DOUBLE, 6),
+        |  ('t27_noop_neg', -123.456::DOUBLE, 6), ('t28_int', 7.0::DOUBLE, 2),
+        |  ('t29_sum_repr', 0.1::DOUBLE + 0.2::DOUBLE, 1),
+        |  ('t30_third', 1.0::DOUBLE / 3.0::DOUBLE, 6),
+        |  ('t31_third_neg', -1.0::DOUBLE / 3.0::DOUBLE, 6))
+        |SELECT case_id, round(x, scale) + 0.0 AS rounded
+        |FROM v ORDER BY case_id""".stripMargin,
     "q_dp_release" ->
       """WITH c AS (SELECT event_type, count(*) AS true_n FROM events GROUP BY 1),
         |u AS (SELECT event_type, true_n,
@@ -7813,8 +7894,8 @@ object SparkEntry {
         |          / 4503599627370496.0 - 0.5 AS cu
         |      FROM c)
         |SELECT event_type, true_n,
-        |  round(-2.0 * sign(cu) * ln(1.0 - 2.0 * abs(cu)), 4) AS noise,
-        |  round(true_n + -2.0 * sign(cu) * ln(1.0 - 2.0 * abs(cu)), 4) AS released
+        |  round(-2.0 * sign(cu) * ln(1.0 - 2.0 * abs(cu)), 4) + 0.0 AS noise,
+        |  round(true_n + -2.0 * sign(cu) * ln(1.0 - 2.0 * abs(cu)), 4) + 0.0 AS released
         |FROM u ORDER BY event_type""".stripMargin,
     "q_assortativity" ->
       """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
@@ -7837,7 +7918,7 @@ object SparkEntry {
         |    sqrt((sj2 / CAST(m AS DOUBLE) -
         |        (sj / CAST(m AS DOUBLE)) * (sj / CAST(m AS DOUBLE))) *
         |      (sk2 / CAST(m AS DOUBLE) -
-        |        (sk / CAST(m AS DOUBLE)) * (sk / CAST(m AS DOUBLE)))), 6)
+        |        (sk / CAST(m AS DOUBLE)) * (sk / CAST(m AS DOUBLE)))), 6) + 0.0
         |    AS assortativity
         |FROM a""".stripMargin,
     // 4 Bellman-Ford relaxation rounds unrolled: each round min-merges
@@ -7956,7 +8037,7 @@ object SparkEntry {
         |          AS BIGINT) AS term_p
         |      FROM c JOIN ns USING (source) JOIN nl USING (lang), nn)
         |SELECT source, max(ns) AS n_docs,
-        |  round(CAST(sum(term_p) AS BIGINT) / 1000000000000.0, 6) AS kl_nats
+        |  round(CAST(sum(term_p) AS BIGINT) / 1000000000000.0, 6) + 0.0 AS kl_nats
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     // each event contributes to the two hour-aligned 2h windows
     // covering it — the sliding-window replay

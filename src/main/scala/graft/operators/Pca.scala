@@ -126,7 +126,10 @@ object Pca {
     v.zipWithIndex.map { case (x, dim) => (dim, x, lambda, lambda / trace) }
       .toSeq.toDF("dim", "loading_raw", "eigenvalue_raw", "ve_raw")
       .select(col("dim"),
-        round(col("loading_raw"), scale).as("loading"),
+        // + 0.0 normalizes IEEE −0.0 after the round: eigenvector
+        // components can approach 0 from below, and DuckDB's round
+        // preserves the sign bit while Spark's cannot (q_volatility r10)
+        (round(col("loading_raw"), scale) + lit(0.0)).as("loading"),
         round(col("eigenvalue_raw"), scale).as("eigenvalue"),
         round(col("ve_raw"), scale).as("var_explained"))
   }

@@ -21,8 +21,12 @@ object TextOps {
     * r9 gate on q_volatility). 1e-12 granularity is 5e5× finer than the
     * 6-dp output round. */
   private def picoMean6(c: Column): Column =
+    // + 0.0 normalizes IEEE −0.0: a logprob mean can approach 0 from below
+    // (all-deterministic n-grams), and DuckDB's round preserves the sign
+    // bit while Spark's cannot — each caller's oracle carries the matching
+    // `+ 0.0` (the r10 q_volatility recipe)
     round(sum(round(c * lit(1000000000000.0)).cast("long"))
-      / lit(1000000000000.0) / count(lit(1)), 6)
+      / lit(1000000000000.0) / count(lit(1)), 6) + lit(0.0)
 
   /** Token count (whitespace tokenization; empty text → 0). Rides the
     * single-pass [[graft.expr.TextExpressions.textStats]] kernel — value
@@ -542,8 +546,10 @@ object TextOps {
       .crossJoin(broadcast(pairTotal)) // single row
       .crossJoin(broadcast(uniTotal))  // single row
       .select(col("w1"), col("w2"), col("c2"),
-        round(log(col("c2").cast("double") * col("nu") * col("nu") /
-          (col("nb") * col("cu1") * col("cu2"))), 6).as("pmi"))
+        // + 0.0: PMI can approach 0 from below; DuckDB's round keeps −0.0,
+        // Spark's can't (the oracle carries the matching + 0.0)
+        (round(log(col("c2").cast("double") * col("nu") * col("nu") /
+          (col("nb") * col("cu1") * col("cu2"))), 6) + lit(0.0)).as("pmi"))
   }
 
   /** Temperature-scaled corpus-mix weights — the multilingual-LM sampling

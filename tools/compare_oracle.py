@@ -66,11 +66,19 @@ for name, sql in sorted(oracle.items()):
             continue
         try:
             if e.dtype.kind == "f" or g.dtype.kind == "f":
-                ok = np.allclose(e.astype(float), g.astype(float), rtol=0, atol=0, equal_nan=True)
-                if not ok:
-                    # count exact mismatches for reporting
-                    bad = (~np.isclose(e.astype(float), g.astype(float), rtol=0, atol=0)) & ~(e.isna() & g.isna())
-                    mismatch.append(f"{c}:{int(bad.sum())}rows")
+                # BIT-exact: the driver hashes canonicalized values, where
+                # -0.0 != +0.0 (the r10 q_volatility escape: np.isclose
+                # treats them equal, the driver's hash does not). Compare
+                # raw float64 bits; paired NaN counts as equal.
+                ev = e.astype(np.float64).values
+                gv = g.astype(np.float64).values
+                eq = (ev.view(np.int64) == gv.view(np.int64)) | \
+                     (np.isnan(ev) & np.isnan(gv))
+                if not eq.all():
+                    bad = ~eq
+                    sz = int((bad & (ev == gv)).sum())  # signed-zero-only cells
+                    tag = f" ({sz} signed-zero)" if sz else ""
+                    mismatch.append(f"{c}:{int(bad.sum())}rows{tag}")
             else:
                 eq = e.astype(str).values == g.astype(str).values
                 if not eq.all():
