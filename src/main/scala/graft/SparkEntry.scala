@@ -1438,7 +1438,10 @@ object SparkEntry {
       def s2(a: String, b: String, n: String): Seq[org.apache.spark.sql.Column] = {
         val x = col(a) * col(b)
         val lo = pmod(x, lit(1000000000L))
-        Seq(sum(((x - lo) / lit(1000000000L)).cast("long")).as(s"${n}_hi"),
+        // div (integral, exact) rather than double division: same result
+        // here (cents products ≤ ~1.1e14 keep x−lo double-exact) but it
+        // removes the 2^53 cliff entirely — the q_spearman contract
+        Seq(sum(call_function("div", x - lo, lit(1000000000L))).as(s"${n}_hi"),
           sum(lo).as(s"${n}_lo"))
       }
       val moments = Seq(("q", "q", "sqq"), ("p", "p", "spp"), ("dd", "dd", "sdd"),
@@ -3081,13 +3084,17 @@ object SparkEntry {
       // sums fold exact integers and the closed form is evaluated once
       // in double (4× scale cancels in rho). Each rank PRODUCT fits a
       // BIGINT but its sum would not, so product sums split into
-      // base-1e9 limbs — plain codegen long sums (valid to ~1.5e9 rows;
-      // the DECIMAL accumulator this replaces cost 1.6× at sf0.1).
+      // base-1e9 limbs — plain codegen long sums. The hi limb uses
+      // INTEGRAL division (`div`, exact like DuckDB's `//` on the exact
+      // multiple x−lo): a double division here is exact only to x−lo <
+      // ~2^53·512 (n ≲ 7.6e8 rows given products ≤ 4n²), while div holds
+      // to the product-fits-BIGINT bound, 4n² ≤ 2^63 → n ≤ ~1.5e9 rows
+      // (the DECIMAL accumulator this replaces cost 1.6× at sf0.1).
       def moment(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
           n: String): Seq[org.apache.spark.sql.Column] = {
         val x = a * b
         val lo = pmod(x, lit(1000000000L))
-        Seq(sum(((x - lo) / lit(1000000000L)).cast("long")).as(s"${n}_hi"),
+        Seq(sum(call_function("div", x - lo, lit(1000000000L))).as(s"${n}_hi"),
           sum(lo).as(s"${n}_lo"))
       }
       def M(n: String) =
@@ -6390,17 +6397,35 @@ object SparkEntry {
            |  round(CAST(sum(CAST(round($c * 1000000.0) AS BIGINT)) AS DOUBLE)
            |    / 1000000.0 / CAST(count($c) AS DOUBLE), 6) FROM lineitem
            |UNION ALL SELECT '$c', 'stddev',
-           |  round(sqrt((n * (sa2 * 1e12 + sab * 2e6 + sb2) - sx * sx)
+           |  round(sqrt((n * ((sa2hi * 1e12 + sa2mid * 1e6 + sa2lo) * 1e12
+           |        + (sabhi * 1e12 + sabmid * 1e6 + sablo) * 2e6
+           |        + (sb2hi * 1e12 + sb2mid * 1e6 + sb2lo))
+           |      - (sa * 1e6 + sb) * (sa * 1e6 + sb))
            |      / (n * (n - 1.0))) / 1000000.0, 6)
-           |FROM (SELECT CAST(count(vm) AS DOUBLE) AS n,
-           |        CAST(sum(vm) AS DOUBLE) AS sx,
-           |        CAST(sum(a * a) AS DOUBLE) AS sa2,
-           |        CAST(sum(a * b) AS DOUBLE) AS sab,
-           |        CAST(sum(b * b) AS DOUBLE) AS sb2
-           |      FROM (SELECT vm, (vm - b) // 1000000 AS a, b
-           |            FROM (SELECT vm, (vm % 1000000 + 1000000) % 1000000 AS b
-           |                  FROM (SELECT CAST(round($c * 1000000.0) AS BIGINT) AS vm
-           |                        FROM lineitem))))""".stripMargin
+           |FROM (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |        CAST(sum(a) AS DOUBLE) AS sa, CAST(sum(b) AS DOUBLE) AS sb,
+           |        CAST(sum((aarest - (aarest % 1000000 + 1000000) % 1000000) // 1000000) AS DOUBLE) AS sa2hi,
+           |        CAST(sum((aarest % 1000000 + 1000000) % 1000000) AS DOUBLE) AS sa2mid,
+           |        CAST(sum(aalo) AS DOUBLE) AS sa2lo,
+           |        CAST(sum((abrest - (abrest % 1000000 + 1000000) % 1000000) // 1000000) AS DOUBLE) AS sabhi,
+           |        CAST(sum((abrest % 1000000 + 1000000) % 1000000) AS DOUBLE) AS sabmid,
+           |        CAST(sum(ablo) AS DOUBLE) AS sablo,
+           |        CAST(sum((bbrest - (bbrest % 1000000 + 1000000) % 1000000) // 1000000) AS DOUBLE) AS sb2hi,
+           |        CAST(sum((bbrest % 1000000 + 1000000) % 1000000) AS DOUBLE) AS sb2mid,
+           |        CAST(sum(bblo) AS DOUBLE) AS sb2lo
+           |      FROM (SELECT a, b, aalo, ablo, bblo,
+           |              (aa - aalo) // 1000000 AS aarest,
+           |              (ab - ablo) // 1000000 AS abrest,
+           |              (bb - bblo) // 1000000 AS bbrest
+           |            FROM (SELECT a, b, aa, ab, bb,
+           |                    (aa % 1000000 + 1000000) % 1000000 AS aalo,
+           |                    (ab % 1000000 + 1000000) % 1000000 AS ablo,
+           |                    (bb % 1000000 + 1000000) % 1000000 AS bblo
+           |                  FROM (SELECT a, b, a * a AS aa, a * b AS ab, b * b AS bb
+           |                        FROM (SELECT vm, (vm - b) // 1000000 AS a, b
+           |                              FROM (SELECT vm, (vm % 1000000 + 1000000) % 1000000 AS b
+           |                                    FROM (SELECT CAST(round($c * 1000000.0) AS BIGINT) AS vm
+           |                                          FROM lineitem WHERE $c IS NOT NULL)))))))""".stripMargin
       def str(c: String) =
         s"""SELECT '$c' AS col_name, 'completeness' AS metric, round(CAST(count($c) AS DOUBLE)/count(*), 6) AS value FROM lineitem
            |UNION ALL SELECT '$c', 'distinct', round(CAST(count(DISTINCT $c) AS DOUBLE), 6) FROM lineitem

@@ -297,14 +297,14 @@ final case class Hdbscan(
     // frames (pointer-doubling rounds, bounded collects) — size its
     // shuffles to the data instead of paying 32-task overhead per job at
     // gate scale; at real n this floor never binds
-    val (events, nodesSeq, labels) = graft.GraftSession
+    val (events, nodesSeq, labels, tEvents) = graft.GraftSession
       .withShufflePartitions(spark, mergeParts) {
         val ev = graft.operators.DistributedDendrogram.mergeEvents(spark, forestAll)
+        val tEv = System.nanoTime() // mergeEvents is eager — real phase cut
         val (ns, lb) = graft.operators.DistributedDendrogram
           .condensedTree(ev, minClusterSize.toLong, allowSingleCluster)
-        (ev, ns, lb)
+        (ev, ns, lb, tEv)
       }
-    val tEvents = tBoruvka // events/tree timing folded into the tree phase
     val tTree = System.nanoTime()
     // kernel label convention: selected clusters renumbered 1..k in
     // cluster-id order, 0 = noise (a broadcast metadata map)

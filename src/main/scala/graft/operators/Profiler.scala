@@ -21,26 +21,50 @@ object Profiler {
   /** Long-form profile (column, metric, value): completeness, exact
     * distinct, min/max/mean/stddev for numeric columns; completeness,
     * exact distinct, length stats for string columns. Values are rounded
-    * to 6 decimals so the frame is hash-stable across partitionings. */
+    * to 6 decimals so the frame is hash-stable across partitionings.
+    *
+    * Numeric contract: every value is quantized to 1e-6 units PER ROW
+    * (`round(v * 1e6)` into BIGINT) before the moment sums — mean/stddev
+    * are therefore the exact moments of the QUANTIZED values (bias vs the
+    * unquantized mean ≤ 5e-7, invisible at the 6-dp output round for
+    * ≤6-dp inputs), not of the raw doubles. The quantization itself
+    * requires |value| ≤ ~9.2e12 (micro-units must fit BIGINT); the limb
+    * decomposition below then keeps every per-row sum addend < ~1e6, so
+    * the BIGINT moment sums are exact to ~9.2e12 rows per aggregation for
+    * |value| ≤ ~9e5 (and n ≤ ~9.2e18/(|value|·1e6) beyond that). */
   def profile(df: DataFrame, numericCols: Seq[String], stringCols: Seq[String]): DataFrame = {
     // mean/stddev from EXACT micro-unit integer moments: avg()/stddev()
     // merge double partials in partition order, which flips the 6-dp
     // round order-dependently (the q_volatility hazard class). The square
     // Σvm² would overflow BIGINT, so vm splits into base-1e6 limbs
-    // (vm = a·1e6 + b) and the moment folds as THREE plain long sums
-    // (Σa², Σab, Σb² — each far inside BIGINT for |value| < ~9e5 over
-    // ≤ ~1e12 rows), reconstructed once in double. The limb PRODUCTS are
+    // (vm = a·1e6 + b) and the moment folds over the three limb products
+    // a², ab, b² — and because those PRODUCTS reach ~1e12 per row (b² up
+    // to (1e6)²), summing them directly would wrap BIGINT at ~9.2e6 rows:
+    // each product therefore splits AGAIN into base-1e6 limbs
+    // (x = hi·1e12 + mid·1e6 + lo, all three < 1e6 per row except the
+    // tiny hi), giving nine plain long sums per column whose addends stay
+    // < 1e6 — exact to ~9.2e12 rows — reconstructed once in double in the
+    // same IEEE order as the mirrored oracle SQL. All limb arithmetic is
     // precomputed in this projection: the exact-distinct Expand (×k+1)
     // replicates every regular-agg input per branch, so heavy expression
     // trees under the sums cost k+1× the scan — plain column refs don't
     // (measured 7.9 s → 2.1 s at sf0.1; the DECIMAL(38,0) accumulator
-    // both replace was no better).
+    // these replace was no better).
+    def productLimbs(x: Column, tag: String, c: String): Seq[Column] = {
+      val lo = pmod(x, lit(1000000L))
+      val rest = ((x - lo) / lit(1000000L)).cast("long") // exact multiple
+      val mid = pmod(rest, lit(1000000L))
+      val hi = ((rest - mid) / lit(1000000L)).cast("long")
+      Seq(hi.as(s"__${tag}hi_$c"), mid.as(s"__${tag}mid_$c"), lo.as(s"__${tag}lo_$c"))
+    }
     val prepared = df.select((numericCols ++ stringCols).map(col) ++
       numericCols.flatMap { c =>
         val vm = round(col(c) * lit(1000000.0)).cast("long")
         val b = pmod(vm, lit(1000000L)) // nonneg limb, negatives included
         val a = ((vm - b) / lit(1000000L)).cast("long") // exact: vm−b is a multiple
-        Seq(a.as(s"__a_$c"), b.as(s"__b_$c"))
+        Seq(a.as(s"__a_$c"), b.as(s"__b_$c")) ++
+          productLimbs(a * a, "aa", c) ++ productLimbs(a * b, "ab", c) ++
+          productLimbs(b * b, "bb", c)
       } ++ stringCols.map(c => length(col(c)).as(s"__len_$c")): _*)
     // TWO single-row aggregates, cross-joined: the exact-distinct pass
     // (whose Expand multiplies the scan ×(k+1) — it gets ONLY the distinct
@@ -58,8 +82,13 @@ object Profiler {
       val nD = count(col_).cast("double")
       val la = col(s"__a_$c"); val lb = col(s"__b_$c")
       val sxD = sum(la).cast("double") * lit(1.0e6) + sum(lb).cast("double")
-      val sxxD = sum(la * la).cast("double") * lit(1.0e12) +
-        sum(la * lb).cast("double") * lit(2.0e6) + sum(lb * lb).cast("double")
+      // reconstruct each split product sum in double (exact limb sums);
+      // the oracle SQL mirrors this expression tree token for token
+      def m(tag: String): Column =
+        sum(col(s"__${tag}hi_$c")).cast("double") * lit(1.0e12) +
+          sum(col(s"__${tag}mid_$c")).cast("double") * lit(1.0e6) +
+          sum(col(s"__${tag}lo_$c")).cast("double")
+      val sxxD = m("aa") * lit(1.0e12) + m("ab") * lit(2.0e6) + m("bb")
       val typed =
         if (numeric) Seq(
           ("min", min(col_).cast("double"), false),

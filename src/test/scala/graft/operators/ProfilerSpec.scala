@@ -45,6 +45,33 @@ class ProfilerSpec extends SparkTestBase {
     assert(m(("x", "min")) == -3.5 && m(("x", "max")) == 7.0)
   }
 
+  test("profile: moment sums survive the old BIGINT wrap point (7M max-limb rows)") {
+    // regression for the r10 ADVICE overflow: with vm = k·1e6 + 999999 the
+    // low limb b = 999999, so the PRE-split Σb² ≈ 1e12/row wrapped a plain
+    // long sum at ~9.2e6 rows and silently corrupted stddev. 7M rows of
+    // b² ≈ 1e12 puts Σb² ≈ 7e18 within 2^63 only barely — combined with
+    // Σ(ab) ≈ 7e6·k·1e6·999999 (up to ~4e19) the old single-sum layout is
+    // guaranteed to wrap; the base-1e6 product limbs must stay exact.
+    val n = 7000000L
+    val df = spark.range(n).select(
+      ((col("id") % 7).cast("double") + lit(0.999999)).as("x"))
+    val m = Profiler.profile(df, numericCols = Seq("x"), stringCols = Nil)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // exact replay of the quantized-moment formula with BigInt sums
+    val perK = n / 7
+    val vms = (0L to 6L).map(k => k * 1000000L + 999999L)
+    val sx = vms.map(v => BigInt(v) * perK).sum
+    val sxx = vms.map(v => BigInt(v) * v * perK).sum
+    val nD = BigDecimal(n); val sxD = BigDecimal(sx); val sxxD = BigDecimal(sxx)
+    val sd = math.sqrt(((nD * sxxD - sxD * sxD) /
+      (nD * (nD - 1))).toDouble) / 1000000.0
+    val mean = (sxD / nD).toDouble / 1000000.0
+    assert(!m(("x", "stddev")).isNaN, "stddev is NaN — a moment sum wrapped")
+    assert(math.abs(m(("x", "stddev")) - sd) < 1e-6,
+      s"stddev ${m(("x", "stddev"))} vs exact $sd")
+    assert(math.abs(m(("x", "mean")) - mean) < 1e-6)
+  }
+
   test("profile job count is independent of column count (no per-column fan-out)") {
     def jobsFor(numeric: Seq[String], string: Seq[String]): Int = {
       val counted = new java.util.concurrent.atomic.AtomicInteger(0)
