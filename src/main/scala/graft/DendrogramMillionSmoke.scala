@@ -47,11 +47,11 @@ object DendrogramMillionSmoke {
     // ---- timing: many blocks vs few blocks on the same tree ----
     val manyBlockSize = math.max((n / 20L).toInt, 1)
     var t0 = System.nanoTime()
-    val evMany = DistributedDendrogram.mergeEvents(spark, edges, manyBlockSize)
+    val evMany = DistributedDendrogram.mergeEvents(spark, edges, manyBlockSize, driverCap = 0)
     val cntMany = evMany.count()
     val manySecs = (System.nanoTime() - t0) / 1e9
     t0 = System.nanoTime()
-    val evFew = DistributedDendrogram.mergeEvents(spark, edges, math.max((n / 2L).toInt, 1))
+    val evFew = DistributedDendrogram.mergeEvents(spark, edges, math.max((n / 2L).toInt, 1), driverCap = 0)
     val cntFew = evFew.count()
     val fewSecs = (System.nanoTime() - t0) / 1e9
     evFew.unpersist(blocking = false) // checkpoint blocks die with the check
@@ -82,7 +82,7 @@ object DendrogramMillionSmoke {
     // ---- byte-identity vs driver replay at 1M ----
     val m = math.min(n, 1000000L)
     val small = tree(spark, m)
-    val gotDs = DistributedDendrogram.mergeEvents(spark, small, math.max((m / 20L).toInt, 1))
+    val gotDs = DistributedDendrogram.mergeEvents(spark, small, math.max((m / 20L).toInt, 1), driverCap = 0)
     val got = gotDs.collect().sortBy(_.rank)
     gotDs.unpersist(blocking = false)
     val raw = small.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -52,17 +52,68 @@ object DistributedDendrogram {
   private[operators] final case class BlockOut(kind: Int, rank: Long, weight: Double,
       a: Long, b: Long, sa: Long, sb: Long)
 
+  /** Driver Kruskal replay — the SAME event semantics as the distributed
+    * block pipeline (rank = (weight, src, dst) order, reps = component
+    * minima, sizes at merge time), proven equal event-for-event by
+    * DistributedDendrogramSpec. Runs in O(E α(E)) on the driver. */
+  private[operators] def kruskalReplay(
+      edges: Array[(Long, Long, Double)]): Array[MergeEvent] = {
+    java.util.Arrays.sort(edges, Ordering.by[(Long, Long, Double), (Double, Long, Long)](
+      e => (e._3, e._1, e._2)))
+    val parent = new java.util.HashMap[Long, Long]
+    val size = new java.util.HashMap[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    val out = new Array[MergeEvent](edges.length)
+    var i = 0
+    while (i < edges.length) {
+      val (s, d, w) = edges(i)
+      val ra = find(s); val rb = find(d)
+      require(ra != rb, s"cycle in MST input at rank $i")
+      val sa = size.getOrDefault(ra, 1L); val sb = size.getOrDefault(rb, 1L)
+      val rep = math.min(ra, rb)
+      parent.put(math.max(ra, rb), rep)
+      size.put(rep, sa + sb)
+      size.remove(math.max(ra, rb))
+      out(i) = MergeEvent(i.toLong, w, ra, rb, sa, sb)
+      i += 1
+    }
+    out
+  }
+
   /** Compute all n−1 merge events of the single-linkage dendrogram of
     * `edges` (an MST or forest: (src, dst, weight); src≠dst, acyclic).
     * Ties broken by (weight, src, dst) — deterministic at any
-    * parallelism. Representatives are component-min node ids. */
+    * parallelism. Representatives are component-min node ids.
+    *
+    * Size gate (VERDICT r10 #2): at or below `driverCap` edges the events
+    * come from a tagged driver Kruskal replay (microseconds at gate scale
+    * vs ~100 small jobs; byte-identical by spec) — the distributed
+    * rank-range divide and conquer is the ABOVE-cap path. `driverCap = 0`
+    * forces the distributed path (specs, smokes). */
   def mergeEvents(spark: SparkSession, edges: DataFrame,
-      blockSize: Int = 500000): Dataset[MergeEvent] = {
+      blockSize: Int = 500000, driverCap: Long = 500000): Dataset[MergeEvent] = {
     import spark.implicits._
     import org.apache.spark.sql.GraftShim
+    val edgeCols = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("weight").cast("double"))
+    // gate probe: LIMIT cap+1 early-terminates, so the above-cap path pays
+    // a bounded prefix scan, not a full extra pass over the edge plan
+    val probeCap = math.min(driverCap, Int.MaxValue - 1L).toInt
+    if (driverCap > 0 &&
+        edgeCols.limit(probeCap + 1).count() <= driverCap) {
+      val rows = graft.GraftTags.tagged(spark, graft.GraftTags.DriverCollectTag) {
+        edgeCols.as[(Long, Long, Double)].collect()
+      }
+      return spark.createDataset(kruskalReplay(rows).toSeq)
+    }
     // 1. global Kruskal rank: one range sort + zipWithIndex
-    val ranked = edges.select(col("src").cast("long"), col("dst").cast("long"),
-        col("weight").cast("double"))
+    val ranked = edgeCols
       .orderBy(col("weight"), col("src"), col("dst"))
       .as[(Long, Long, Double)].rdd
       .zipWithIndex()
@@ -484,10 +535,19 @@ object DistributedDendrogram {
     *         outlier_score is the GLOSH score 1 − ε_max/ε(p) computed
     *         from the same distributed death frame)
     */
+  /** Distributed condensed-tree + FOSC + GLOSH (see overload doc). At or
+    * below `driverCap` events the whole structural resolution runs as a
+    * tagged driver replay ([[condensedTreeDriver]]) — identical semantics,
+    * none of the ~100 small pointer-doubling jobs; `driverCap = 0` forces
+    * the distributed frames (specs, smokes). */
   def condensedTree(events: Dataset[MergeEvent], minClusterSize: Long,
-      allowSingleCluster: Boolean = false): (Seq[CondensedNode], DataFrame) = {
+      allowSingleCluster: Boolean = false, driverCap: Long = 500000)
+      : (Seq[CondensedNode], DataFrame) = {
     val spark = events.sparkSession
     import spark.implicits._
+    if (driverCap > 0 &&
+        events.limit(math.min(driverCap, Int.MaxValue - 1L).toInt + 1).count() <= driverCap)
+      return condensedTreeDriver(events, minClusterSize, allowSingleCluster)
     val ev = events.toDF().persist()
     val parents = parentEdges(events).localCheckpoint(true)
     val (tops, groupParents, fragments) = levelStructure(events, parents)
@@ -508,31 +568,76 @@ object DistributedDendrogram {
         .join(ev.select(col("rank").as("top"), col("weight")), Seq("top"))
         .select(col("top"), col("weight"), col("frag_rep"), col("frag_size"))
         .collect()
-    }
+    }.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
     val tsAnchorRows = graft.GraftTags.bounded(spark) {
       groupAnchor.join(trueTops, Seq("top")).collect()
-    }
+    }.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))).toSeq
     val deathAgg = graft.GraftTags.bounded(spark) {
       deaths.filter(col("death_rank").isNotNull)
         .groupBy(col("anchor_rank"), col("anchor_side"))
         .agg(count(lit(1)).as("n"), sum(lit(1.0) / col("death_weight")).as("sum_lambda"),
           min(col("death_weight")).as("min_death"))
         .collect()
-    }
+    }.map(r => (if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1))),
+      r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
 
-    // ---- driver tree over bounded rows ----
+    val (finalNodes, labelRows) =
+      buildCondensed(splitRows, tsAnchorRows, deathAgg, allowSingleCluster)
+    val labelMap = labelRows
+      .toDF("anchor_rank_k", "anchor_side_k", "label_k", "eps_min_k")
+    val labels = deaths
+      .withColumn("ar", coalesce(col("anchor_rank"), lit(-1L)))
+      .withColumn("as", coalesce(col("anchor_side"), lit(-1L)))
+      .join(broadcast(labelMap),
+        col("ar") === col("anchor_rank_k") && col("as") === col("anchor_side_k"),
+        "left")
+      .select(col("vertex"),
+        when(col("death_rank").isNull, lit(-1L))
+          .otherwise(coalesce(col("label_k"), lit(-1L))).as("label"),
+        col("death_weight"),
+        // GLOSH: 1 − ε_max(anchor cluster subtree)/ε(p); points that never
+        // reach a ≥m component (null death) score 0, like the kernel path
+        when(col("death_weight").isNull || col("death_weight") <= 0.0, lit(0.0))
+          .otherwise(lit(1.0) - col("eps_min_k") / col("death_weight"))
+          .as("outlier_score"))
+    val out = labels.localCheckpoint(true)
+    deaths.unpersist(blocking = false)
+    ev.unpersist(blocking = false)
+    (finalNodes, out)
+  }
+
+  /** The driver tree over bounded rows — FOSC selection, stability, GLOSH
+    * ε_max, flat-label resolution. Shared verbatim by the distributed
+    * path (inputs collected from frames) and the size-gated driver path
+    * (inputs replayed locally), so the two routes cannot diverge here.
+    *
+    * @param splitRows  (true-split top rank, weight, frag rep, frag size)
+    *                   — one row per ≥ m fragment of each true split
+    * @param tsAnchorRows (true-split top rank, parent cluster key or None)
+    * @param deathAgg   (cluster key or None = root, n deaths, Σ 1/w,
+    *                   min death w)
+    * @return (condensed nodes, labelMap rows (anchor_rank, anchor_side,
+    *         label, eps_min) with (−1,−1) encoding the root key)
+    */
+  private def buildCondensed(
+      splitRows: Seq[(Long, Double, Long, Long)],
+      tsAnchorRows: Seq[(Long, Option[(Long, Long)])],
+      deathAgg: Seq[(Option[(Long, Long)], Long, Double, Double)],
+      allowSingleCluster: Boolean)
+      : (Seq[CondensedNode], Seq[(Long, Long, Long, Double)]) = {
     // cluster key: (split group top rank, fragment rep) with (-1,-1) = root
     val RootKey = (-1L, -1L)
     // per true split: weight + its ≥ m fragments (the K-ARY children the
     // tie-aware semantics allow — one ε level can shatter a cluster into
     // any number of surviving fragments)
     val splitFrags: Map[Long, Seq[(Long, Long)]] = splitRows
-      .groupBy(_.getLong(0))
+      .groupBy(_._1)
       .map { case (t, rows) =>
-        t -> rows.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+        t -> rows.map(r => (r._3, r._4)).sortBy(_._1).toSeq
       }
     val splitWeight: Map[Long, Double] =
-      splitRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      splitRows.map(r => r._1 -> r._2).toMap
     // points surviving INTO children at the split = Σ ≥m fragment sizes
     // (shed points die AT the split and are counted via their deaths)
     val splitSurvivors: Map[Long, Long] =
@@ -544,20 +649,16 @@ object DistributedDendrogram {
     // parent cluster of each true split (the cluster the split ENDS) =
     // its own strict group anchor
     val clusterOfSplit: Map[Long, (Long, Long)] = tsAnchorRows.map { r =>
-      val t = r.getLong(0)
-      val key = if (r.isNullAt(1)) RootKey else (r.getLong(1), r.getLong(2))
-      t -> key
+      r._1 -> r._2.getOrElse(RootKey)
     }.toMap
     val endedBy: Map[(Long, Long), Long] = // cluster key -> its child split
       splitFrags.keys.map(t => clusterOfSplit.getOrElse(t, RootKey) -> t).toMap
     val deathByKey = deathAgg.map { r =>
-      val key = if (r.isNullAt(0)) RootKey else (r.getLong(0), r.getLong(1))
-      key -> (r.getLong(2), r.getDouble(3))
+      r._1.getOrElse(RootKey) -> (r._2, r._3)
     }.toMap
     // per-cluster min death weight, for GLOSH's subtree minimum (ε_max)
     val minDeathByKey = deathAgg.map { r =>
-      val key = if (r.isNullAt(0)) RootKey else (r.getLong(0), r.getLong(1))
-      key -> r.getDouble(4)
+      r._1.getOrElse(RootKey) -> r._4
     }.toMap
 
     val fragSize: Map[(Long, Long), Long] = splitFrags.flatMap {
@@ -637,27 +738,180 @@ object DistributedDendrogram {
       }
       labelOfKey(key) = lab
     }
-    val labelMap = labelOfKey.toSeq.map { case ((ar, as), lab) =>
-        (ar, as, lab, epsMinSub(ids((ar, as)))) }
-      .toDF("anchor_rank_k", "anchor_side_k", "label_k", "eps_min_k")
-    val labels = deaths
-      .withColumn("ar", coalesce(col("anchor_rank"), lit(-1L)))
-      .withColumn("as", coalesce(col("anchor_side"), lit(-1L)))
-      .join(broadcast(labelMap),
-        col("ar") === col("anchor_rank_k") && col("as") === col("anchor_side_k"),
-        "left")
-      .select(col("vertex"),
-        when(col("death_rank").isNull, lit(-1L))
-          .otherwise(coalesce(col("label_k"), lit(-1L))).as("label"),
-        col("death_weight"),
-        // GLOSH: 1 − ε_max(anchor cluster subtree)/ε(p); points that never
-        // reach a ≥m component (null death) score 0, like the kernel path
-        when(col("death_weight").isNull || col("death_weight") <= 0.0, lit(0.0))
-          .otherwise(lit(1.0) - col("eps_min_k") / col("death_weight"))
-          .as("outlier_score"))
-    val out = labels.localCheckpoint(true)
-    deaths.unpersist(blocking = false)
-    ev.unpersist(blocking = false)
-    (finalNodes, out)
+    val labelRows = labelOfKey.toSeq.map { case ((ar, as), lab) =>
+      (ar, as, lab, epsMinSub(ids((ar, as))))
+    }.sortBy(r => (r._1, r._2))
+    (finalNodes, labelRows)
+  }
+
+  /** Size-gated driver replay of the whole condensed-tree structural
+    * resolution (VERDICT r10 #2): parent linkage, tie-aware level groups,
+    * fragments, strict anchors and per-point deaths computed in O(E) on
+    * the collected events, then the SAME [[buildCondensed]] driver tree
+    * the distributed path uses. Output frame and semantics are identical
+    * to the distributed route (spec: fast-vs-forced equality on random
+    * trees); what disappears is the ~100-small-job pointer-doubling floor
+    * at gate scale. */
+  private def condensedTreeDriver(events: Dataset[MergeEvent], minClusterSize: Long,
+      allowSingleCluster: Boolean): (Seq[CondensedNode], DataFrame) = {
+    val spark = events.sparkSession
+    require(minClusterSize >= 2, "minClusterSize must be >= 2")
+    val evs = graft.GraftTags.tagged(spark, graft.GraftTags.DriverCollectTag) {
+      events.collect()
+    }.sortBy(_.rank)
+    val E = evs.length
+    val idxOf = evs.iterator.map(_.rank).zipWithIndex.toMap
+
+    // ---- parent linkage (the parentEdges window, replayed in rank
+    // order): per event side, the child entity = the side rep's nearest
+    // earlier merged-or-leaf occurrence ----
+    val lastOcc = new java.util.HashMap[Long, Int] // rep -> event idx (merged)
+    val childKindA = new Array[Int](E); val childIdA = new Array[Long](E)
+    val childKindB = new Array[Int](E); val childIdB = new Array[Long](E)
+    val leafParent = new java.util.HashMap[Long, Int] // vertex -> event idx
+    val eventParent = new Array[Int](E) // parent event idx, −1 = root
+    val eventParentSide = new Array[Long](E)
+    java.util.Arrays.fill(eventParent, -1)
+    var i = 0
+    while (i < E) {
+      val e = evs(i)
+      def side(rep: Long): (Int, Long) = {
+        val prev = lastOcc.getOrDefault(rep, -1)
+        if (prev < 0) { leafParent.put(rep, i); (0, rep) }
+        else { eventParent(prev) = i; eventParentSide(prev) = rep; (1, evs(prev).rank) }
+      }
+      val (ka, ia) = side(e.rep_a); childKindA(i) = ka; childIdA(i) = ia
+      val (kb, ib) = side(e.rep_b); childKindB(i) = kb; childIdB(i) = ib
+      lastOcc.put(math.min(e.rep_a, e.rep_b), i)
+      i += 1
+    }
+
+    // ---- tie-aware level-group tops (descending: parent idx > own) ----
+    val top = new Array[Int](E)
+    i = E - 1
+    while (i >= 0) {
+      val p = eventParent(i)
+      top(i) = if (p >= 0 && evs(p).weight == evs(i).weight) top(p) else i
+      i -= 1
+    }
+
+    // ---- fragment census: sides entering from strictly below the level ----
+    val frags = scala.collection.mutable.HashMap
+      .empty[Int, scala.collection.mutable.ListBuffer[(Long, Long)]]
+    def addFrag(t: Int, rep: Long, size: Long): Unit =
+      frags.getOrElseUpdate(t, scala.collection.mutable.ListBuffer.empty) += ((rep, size))
+    i = 0
+    while (i < E) {
+      val e = evs(i)
+      if (childKindA(i) == 0 || evs(idxOf(childIdA(i))).weight < e.weight)
+        addFrag(top(i), e.rep_a, e.size_a)
+      if (childKindB(i) == 0 || evs(idxOf(childIdB(i))).weight < e.weight)
+        addFrag(top(i), e.rep_b, e.size_b)
+      i += 1
+    }
+    val nGe: Int => Int = t => frags.get(t).map(_.count(_._2 >= minClusterSize)).getOrElse(0)
+    def isTrueSplit(t: Int): Boolean = nGe(t) >= 2
+
+    // ---- strict group anchors (descending: parent top idx > own) ----
+    // anchor(top) = nearest true-split group strictly above, plus the
+    // side rep via which the chain ENTERS it
+    val anchorOf = new java.util.HashMap[Int, (Long, Long)] // topIdx -> (rank, side); absent = root
+    i = E - 1
+    while (i >= 0) {
+      if (top(i) == i) {
+        val p = eventParent(i)
+        if (p >= 0) {
+          val pt = top(p)
+          val side = eventParentSide(i)
+          if (isTrueSplit(pt)) anchorOf.put(i, (evs(pt).rank, side))
+          else {
+            val up = anchorOf.get(pt) // computed already (pt > i)
+            if (up != null) anchorOf.put(i, up)
+          }
+        }
+      }
+      i -= 1
+    }
+
+    // ---- per-event nearest qualifying ancestor-or-self (descending) ----
+    val deathIdx = new Array[Int](E) // −1 = none (component never reaches m)
+    i = E - 1
+    while (i >= 0) {
+      val e = evs(i)
+      deathIdx(i) =
+        if (e.size_a + e.size_b >= minClusterSize) i
+        else if (eventParent(i) >= 0) deathIdx(eventParent(i))
+        else -1
+      i -= 1
+    }
+
+    // ---- per-vertex deaths, in vertex order (deterministic Σ 1/w) ----
+    final case class DeathRow(vertex: Long, deathRank: Long, deathWeight: Double,
+        anchorRank: Long, anchorSide: Long, hasDeath: Boolean, hasAnchor: Boolean)
+    val vertices = {
+      val it = leafParent.keySet().iterator()
+      val b = Array.newBuilder[Long]
+      while (it.hasNext) b += it.next()
+      val arr = b.result(); java.util.Arrays.sort(arr); arr
+    }
+    val deathRows = vertices.map { v =>
+      val lp = leafParent.get(v)
+      val d = deathIdx(lp)
+      if (d < 0) DeathRow(v, -1L, 0.0, -1L, -1L, hasDeath = false, hasAnchor = false)
+      else {
+        val a = anchorOf.get(top(d))
+        if (a == null)
+          DeathRow(v, evs(d).rank, evs(d).weight, -1L, -1L, hasDeath = true, hasAnchor = false)
+        else
+          DeathRow(v, evs(d).rank, evs(d).weight, a._1, a._2, hasDeath = true, hasAnchor = true)
+      }
+    }
+
+    // ---- bounded aggregates, same shapes as the distributed collects ----
+    val splitRows = frags.keysIterator.filter(isTrueSplit).toSeq.sorted.flatMap { t =>
+      frags(t).toSeq.filter(_._2 >= minClusterSize).map { case (rep, sz) =>
+        (evs(t).rank, evs(t).weight, rep, sz)
+      }
+    }
+    val tsAnchorRows = frags.keysIterator.filter(isTrueSplit).toSeq.sorted.map { t =>
+      (evs(t).rank, Option(anchorOf.get(t)))
+    }
+    val deathAgg = deathRows.filter(_.hasDeath)
+      .groupBy(r => if (r.hasAnchor) Some((r.anchorRank, r.anchorSide)) else None)
+      .toSeq.sortBy(_._1)
+      .map { case (key, rows) =>
+        (key, rows.length.toLong, rows.map(1.0 / _.deathWeight).sum,
+          rows.map(_.deathWeight).min)
+      }
+
+    val (finalNodes, labelRows) =
+      buildCondensed(splitRows, tsAnchorRows, deathAgg, allowSingleCluster)
+    val labelOf = labelRows.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+
+    // ---- labels frame, replicating the distributed left-join semantics
+    // cell for cell (unmatched anchor → label −1, null outlier) ----
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vertex",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("death_weight",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("outlier_score",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList(deathRows.length)
+    deathRows.foreach { r =>
+      val keyed = labelOf.get((if (r.hasAnchor) r.anchorRank else -1L,
+        if (r.hasAnchor) r.anchorSide else -1L))
+      val label: Long =
+        if (!r.hasDeath) -1L else keyed.fold(-1L)(_._1)
+      val dw: java.lang.Double = if (r.hasDeath) r.deathWeight else null
+      val outlier: java.lang.Double =
+        if (!r.hasDeath || r.deathWeight <= 0.0) 0.0
+        else keyed.map(k => 1.0 - k._2 / r.deathWeight)
+          .map(java.lang.Double.valueOf).orNull
+      rows.add(org.apache.spark.sql.Row(r.vertex, label, dw, outlier))
+    }
+    (finalNodes, spark.createDataFrame(rows, schema))
   }
 }

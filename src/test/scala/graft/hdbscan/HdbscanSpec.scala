@@ -156,8 +156,12 @@ class HdbscanSpec extends SparkTestBase {
     val listener = new ResultSizeListener
     spark.sparkContext.addSparkListener(listener)
     try {
+      // dendrogramDriverCap = 0 pins the fully DISTRIBUTED Phase-3 frames
+      // (the size-gated driver fast path is covered — with its tagged
+      // collects — by the equality test below)
       Hdbscan(minPts = 4, minClusterSize = 50, maxLocalSize = 500)
-        .setMode("exact").setMaxExactPoints(1000).fit(df)
+        .setMode("exact").setMaxExactPoints(1000)
+        .setDendrogramDriverCap(0).fit(df)
       org.apache.spark.sql.GraftShim.drainListenerBus(spark)
     } finally spark.sparkContext.removeSparkListener(listener)
     val jobs = listener.snapshot()
@@ -181,6 +185,44 @@ class HdbscanSpec extends SparkTestBase {
       assert(j.bytes < 512 * 1024,
         s"'bounded' collect returned ${j.bytes} B at ${j.site}")
     }
+    df.unpersist()
+  }
+
+  test("size-gated Phase-3 driver fast path: identical output, tagged collects only") {
+    import spark.implicits._
+    // VERDICT r10 #2: at/below dendrogramDriverCap the distributed exact
+    // path's dendrogram runs as a tagged driver replay. Output must equal
+    // the forced-distributed route exactly; every data-returning action
+    // must carry a declared tag (the witting size-gated DriverCollectTag
+    // or the metadata BoundedCollectTag) — never untagged.
+    val df = blobData.map(t => (t._1, t._2)).toDF("id", "features").cache()
+    df.count()
+    val base = Hdbscan(minPts = 4, minClusterSize = 10, maxLocalSize = 150)
+      .setMode("exact").setMaxExactPoints(100)
+    def read(out: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Double, Double)] =
+      out.select("id", "label", "outlier_score", "core_dist")
+        .as[(Long, Int, Double, Double)].collect().sortBy(_._1).toSeq
+    val dist = read(base.setDendrogramDriverCap(0).fit(df))
+    val listener = new ResultSizeListener
+    spark.sparkContext.addSparkListener(listener)
+    // fit materializes its output (localCheckpoint) INSIDE the listener
+    // window; the comparison collect runs after removal so only engine
+    // collects are audited
+    val fastDf = try {
+      val r = base.fit(df) // default cap ≫ 599 edges → driver fast path
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(read(fastDf) == dist,
+      "fast-path output differs from the distributed route")
+    val dataActions = listener.snapshot().filter(j =>
+      j.site.contains("collect at") || j.site.contains("take at") ||
+        j.site.contains("head at") || j.site.contains("toLocalIterator at"))
+    val untagged = dataActions.filter(j =>
+      j.tag != Hdbscan.DriverCollectTag && j.tag != Hdbscan.BoundedCollectTag)
+    assert(untagged.isEmpty,
+      "untagged data-returning actions on the fast-path route:\n" +
+        untagged.map(j => s"  ${j.bytes} B  ${j.site}").mkString("\n"))
     df.unpersist()
   }
 

@@ -40,7 +40,7 @@ class DistributedDendrogramSpec extends SparkTestBase {
   private def check(edges: Seq[(Long, Long, Double)], blockSize: Int): Unit = {
     import spark.implicits._
     val got = DistributedDendrogram
-      .mergeEvents(spark, edges.toDF("src", "dst", "weight"), blockSize)
+      .mergeEvents(spark, edges.toDF("src", "dst", "weight"), blockSize, driverCap = 0)
       .collect().sortBy(_.rank).toSeq
     val want = replay(edges)
     assert(got.size == want.size, s"event count: ${got.size} vs ${want.size}")
@@ -70,7 +70,7 @@ class DistributedDendrogramSpec extends SparkTestBase {
     // sizes must be the running prefix: event k merges size (k+1) with 1
     import spark.implicits._
     val evs = DistributedDendrogram
-      .mergeEvents(spark, chain.toDF("src", "dst", "weight"), 7)
+      .mergeEvents(spark, chain.toDF("src", "dst", "weight"), 7, driverCap = 0)
       .collect().sortBy(_.rank)
     evs.zipWithIndex.foreach { case (e, k) =>
       assert(Set(e.size_a, e.size_b) == Set(k + 1L, 1L) ||
@@ -162,7 +162,7 @@ class DistributedDendrogramSpec extends SparkTestBase {
     for (seed <- Seq(3L, 11L); m <- Seq(2L, 5L, 20L)) {
       val edges = randomTree(150, seed)
       val events = DistributedDendrogram
-        .mergeEvents(spark, edges.toDF("src", "dst", "weight"), blockSize = 17)
+        .mergeEvents(spark, edges.toDF("src", "dst", "weight"), blockSize = 17, driverCap = 0)
       val got = DistributedDendrogram.pointDeaths(events, m)
         .collect().map { r =>
           val v = r.getLong(r.fieldIndex("vertex"))
@@ -191,7 +191,7 @@ class DistributedDendrogramSpec extends SparkTestBase {
     import spark.implicits._
     // a 3-node tree with m=5: the whole component never reaches 5
     val tiny = Seq((0L, 1L, 1.0), (1L, 2L, 2.0))
-    val events = DistributedDendrogram.mergeEvents(spark, tiny.toDF("src", "dst", "weight"))
+    val events = DistributedDendrogram.mergeEvents(spark, tiny.toDF("src", "dst", "weight"), driverCap = 0)
     val deaths = DistributedDendrogram.pointDeaths(events, 5L).collect()
     assert(deaths.length == 3)
     assert(deaths.forall(_.isNullAt(1)), "all three vertices must be noise")
@@ -308,8 +308,8 @@ class DistributedDendrogramSpec extends SparkTestBase {
     for (seed <- Seq(5L, 23L); m <- Seq(2L, 6L, 15L)) {
       val edges = randomTree(140, seed)
       val events = DistributedDendrogram
-        .mergeEvents(spark, edges.toDF("src", "dst", "weight"), blockSize = 19)
-      val (nodes, labelsDf) = DistributedDendrogram.condensedTree(events, m)
+        .mergeEvents(spark, edges.toDF("src", "dst", "weight"), blockSize = 19, driverCap = 0)
+      val (nodes, labelsDf) = DistributedDendrogram.condensedTree(events, m, driverCap = 0)
       val (wantStab, wantLabels) = replayCondensed(edges, m)
       // cluster key sets agree (root keyed (-1,-1) both sides)
       val gotKeys = nodes.map(nd =>
@@ -339,6 +339,46 @@ class DistributedDendrogramSpec extends SparkTestBase {
     }
   }
 
+  test("size-gated driver fast path is byte-identical to the forced-distributed route") {
+    // VERDICT r10 #2: below driverCap the events come from a tagged driver
+    // Kruskal replay and the condensed tree from a driver structural
+    // replay — same semantics, none of the small-job floor. Equality is
+    // the contract: events byte-for-byte, labels frame cell-for-cell
+    // (stability compared to 1e-9 — the only Σ-order difference allowed).
+    import spark.implicits._
+    for (seed <- Seq(2L, 31L); m <- Seq(2L, 6L, 15L)) {
+      val edges = randomTree(160, seed)
+      val df = edges.toDF("src", "dst", "weight")
+      val fastEv = DistributedDendrogram.mergeEvents(spark, df) // default cap
+      val distEv = DistributedDendrogram
+        .mergeEvents(spark, df, blockSize = 23, driverCap = 0)
+      assert(fastEv.collect().sortBy(_.rank).toSeq ==
+        distEv.collect().sortBy(_.rank).toSeq, s"seed=$seed events differ")
+      val (fastNodes, fastLabels) = DistributedDendrogram.condensedTree(fastEv, m)
+      val (distNodes, distLabels) =
+        DistributedDendrogram.condensedTree(distEv, m, driverCap = 0)
+      assert(fastNodes.size == distNodes.size, s"seed=$seed m=$m node count")
+      fastNodes.zip(distNodes).foreach { case (f, d) =>
+        // NaN-canonical (root birth_weight is NaN; NaN != NaN in ==)
+        def canon(n: DistributedDendrogram.CondensedNode) =
+          n.copy(stability = 0.0,
+            birth_weight = if (n.birth_weight.isNaN) -999.0 else n.birth_weight)
+        assert(canon(f) == canon(d),
+          s"seed=$seed m=$m node differs:\n  fast $f\n  dist $d")
+        assert(math.abs(f.stability - d.stability) < 1e-9,
+          s"seed=$seed m=$m stability ${f.stability} vs ${d.stability}")
+      }
+      def cells(l: org.apache.spark.sql.DataFrame) =
+        l.select("vertex", "label", "death_weight", "outlier_score")
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+          .sortBy(_._1).toSeq
+      assert(cells(fastLabels) == cells(distLabels),
+        s"seed=$seed m=$m labels frame differs")
+    }
+  }
+
   test("forests never merge across components; duplicate weights stay deterministic") {
     // two disjoint trees with heavily tied weights
     val t1 = Seq((0L, 1L, 5.0), (1L, 2L, 5.0), (2L, 3L, 5.0))
@@ -346,7 +386,7 @@ class DistributedDendrogramSpec extends SparkTestBase {
     check(t1 ++ t2, blockSize = 2)
     import spark.implicits._
     val evs = DistributedDendrogram
-      .mergeEvents(spark, (t1 ++ t2).toDF("src", "dst", "weight"), 2)
+      .mergeEvents(spark, (t1 ++ t2).toDF("src", "dst", "weight"), 2, driverCap = 0)
       .collect()
     assert(evs.length == 5)
     // components keep their own min reps: nothing bridges 0-tree and 10-tree
