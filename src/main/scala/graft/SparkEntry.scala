@@ -1208,6 +1208,34 @@ object SparkEntry {
           sum(when(col("outlier_score") < 0.0 || col("outlier_score") > 1.0, 1L)
             .otherwise(0L)).as("bad_scores"),
           sum(when(col("label") < 0, 1L).otherwise(0L)).as("bad_labels"))),
+    "q_hdbscan_exact_constrained" -> ((s: SparkSession, d: String) => {
+      // constrained exact mode PAST maxExactPoints (VERDICT r10 #3): the
+      // must-link/cannot-link steering now rides the distributed Phase-3
+      // (endpoint-anchor lookup bounded by 2·|constraints|, selection on
+      // the driver-bounded cluster tree) instead of falling back to the
+      // kernel's O(n) collects. The gate check IS the route-equality
+      // contract: the same constrained pipeline below the gate (kernel
+      // condensed tree) must yield the identical canonical partition and
+      // GLOSH scores — counted here, zero-mismatch pinned by the oracle.
+      import org.apache.spark.sql.expressions.Window
+      val pts = embeddingsD(s, d)
+      val base = Hdbscan(minPts = 4, minClusterSize = 4, maxLocalSize = 100,
+        constraints = Seq((0L, 1L, true), (2L, 3L, false))).setMode("exact")
+      def canon(df: DataFrame, tag: String): DataFrame =
+        df.select(col("id"),
+            when(col("label") === 0, lit(-1L))
+              .otherwise(min(col("id")).over(Window.partitionBy(col("label"))))
+              .as(s"rep_$tag"),
+            col("outlier_score").as(s"score_$tag"))
+      val dist = canon(base.setMaxExactPoints(200).fit(pts), "d")
+      val kern = canon(base.setMaxExactPoints(10000000L).fit(pts), "k")
+      dist.join(kern, Seq("id"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(when(col("rep_d") =!= col("rep_k"), 1L).otherwise(0L))
+            .as("label_mismatch"),
+          sum(when(abs(col("score_d") - col("score_k")) > 1e-9, 1L).otherwise(0L))
+            .as("score_mismatch"))
+    }),
     "q_count_distinct" -> ((s: SparkSession, d: String) =>
       Relational.table(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -7039,6 +7067,11 @@ object SparkEntry {
     "q_hdbscan_exact_unbounded" ->
       """SELECT count(*) AS n_points, CAST(0 AS BIGINT) AS bad_scores,
         |  CAST(0 AS BIGINT) AS bad_labels FROM embeddings""".stripMargin,
+    // the constrained distributed route must equal the constrained kernel
+    // route point for point — zero mismatches at any SF
+    "q_hdbscan_exact_constrained" ->
+      """SELECT count(*) AS n_points, CAST(0 AS BIGINT) AS label_mismatch,
+        |  CAST(0 AS BIGINT) AS score_mismatch FROM embeddings""".stripMargin,
     "q_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value
         |            FROM events),

@@ -539,15 +539,24 @@ object DistributedDendrogram {
     * below `driverCap` events the whole structural resolution runs as a
     * tagged driver replay ([[condensedTreeDriver]]) — identical semantics,
     * none of the ~100 small pointer-doubling jobs; `driverCap = 0` forces
-    * the distributed frames (specs, smokes). */
+    * the distributed frames (specs, smokes).
+    *
+    * `constraints` (vertexA, vertexB, isMustLink) switches flat extraction
+    * from FOSC to the reference's constraint-driven propagateTree
+    * (VERDICT r10 #3 — the semantics of `HdbscanKernel.hierarchy`'s
+    * constrained branch, see its scaladoc): cluster membership is resolved
+    * from each endpoint's anchor cluster — a collect bounded by
+    * 2·|constraints|, never by n — and the selection itself runs on the
+    * driver-bounded cluster tree. */
   def condensedTree(events: Dataset[MergeEvent], minClusterSize: Long,
-      allowSingleCluster: Boolean = false, driverCap: Long = 500000)
+      allowSingleCluster: Boolean = false, driverCap: Long = 500000,
+      constraints: Seq[(Long, Long, Boolean)] = Nil)
       : (Seq[CondensedNode], DataFrame) = {
     val spark = events.sparkSession
     import spark.implicits._
     if (driverCap > 0 &&
         events.limit(math.min(driverCap, Int.MaxValue - 1L).toInt + 1).count() <= driverCap)
-      return condensedTreeDriver(events, minClusterSize, allowSingleCluster)
+      return condensedTreeDriver(events, minClusterSize, allowSingleCluster, constraints)
     val ev = events.toDF().persist()
     val parents = parentEdges(events).localCheckpoint(true)
     val (tops, groupParents, fragments) = levelStructure(events, parents)
@@ -582,8 +591,24 @@ object DistributedDendrogram {
     }.map(r => (if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1))),
       r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
 
+    // constraint endpoints → anchor cluster keys: ONE collect bounded by
+    // 2·|constraints| (constraints are a driver-provided Seq by contract)
+    val consKeys = if (constraints.isEmpty) Nil else {
+      val vs = constraints.flatMap(c => Seq(c._1, c._2)).distinct
+      val keyOf = graft.GraftTags.bounded(spark) {
+        deaths.filter(col("vertex").isin(vs: _*))
+          .select(col("vertex"), col("death_rank"), col("anchor_rank"),
+            col("anchor_side")).collect()
+      }.map { r =>
+        r.getLong(0) -> (if (r.isNullAt(1) || r.isNullAt(2)) (-1L, -1L)
+          else (r.getLong(2), r.getLong(3)))
+      }.toMap
+      constraints.map { case (a, b, ml) =>
+        (keyOf.getOrElse(a, (-1L, -1L)), keyOf.getOrElse(b, (-1L, -1L)), ml)
+      }
+    }
     val (finalNodes, labelRows) =
-      buildCondensed(splitRows, tsAnchorRows, deathAgg, allowSingleCluster)
+      buildCondensed(splitRows, tsAnchorRows, deathAgg, allowSingleCluster, consKeys)
     val labelMap = labelRows
       .toDF("anchor_rank_k", "anchor_side_k", "label_k", "eps_min_k")
     val labels = deaths
@@ -617,6 +642,10 @@ object DistributedDendrogram {
     * @param tsAnchorRows (true-split top rank, parent cluster key or None)
     * @param deathAgg   (cluster key or None = root, n deaths, Σ 1/w,
     *                   min death w)
+    * @param consKeys   constraints with endpoints already resolved to their
+    *                   anchor cluster keys ((−1,−1) = root); non-empty
+    *                   switches selection from FOSC to the reference's
+    *                   constraint-driven propagateTree
     * @return (condensed nodes, labelMap rows (anchor_rank, anchor_side,
     *         label, eps_min) with (−1,−1) encoding the root key)
     */
@@ -624,7 +653,8 @@ object DistributedDendrogram {
       splitRows: Seq[(Long, Double, Long, Long)],
       tsAnchorRows: Seq[(Long, Option[(Long, Long)])],
       deathAgg: Seq[(Option[(Long, Long)], Long, Double, Double)],
-      allowSingleCluster: Boolean)
+      allowSingleCluster: Boolean,
+      consKeys: Seq[((Long, Long), (Long, Long), Boolean)] = Nil)
       : (Seq[CondensedNode], Seq[(Long, Long, Long, Double)]) = {
     // cluster key: (split group top rank, fragment rep) with (-1,-1) = root
     val RootKey = (-1L, -1L)
@@ -682,33 +712,80 @@ object DistributedDendrogram {
         stability, selected = false)
     }.toMap
 
-    // ---- FOSC bottom-up selection ----
+    // ---- flat selection: FOSC, or constraint-driven propagateTree ----
     val children: Map[Long, Seq[Long]] = nodes.values
       .filter(_.parent_id >= 0).toSeq.groupBy(_.parent_id)
-      .map { case (p, cs) => p -> cs.map(_.cluster_id) }
-    val propagated = scala.collection.mutable.HashMap.empty[Long, Double]
+      .map { case (p, cs) => p -> cs.map(_.cluster_id).sorted }
     val selected = scala.collection.mutable.HashSet.empty[Long]
-    def visit(id: Long): Double = {
-      val cs = children.getOrElse(id, Nil)
-      val childSum = cs.map(visit).sum
-      val own = nodes(id).stability
-      // the root is only selectable under allowSingleCluster — otherwise a
-      // split-free tree yields ALL NOISE, the standard HDBSCAN* convention
-      if ((id != 0L || allowSingleCluster) && own >= childSum) {
-        // select this node; deselect descendants
-        def clear(x: Long): Unit = children.getOrElse(x, Nil).foreach { c =>
-          selected -= c; clear(c)
+    if (consKeys.isEmpty) {
+      val propagated = scala.collection.mutable.HashMap.empty[Long, Double]
+      def visit(id: Long): Double = {
+        val cs = children.getOrElse(id, Nil)
+        val childSum = cs.map(visit).sum
+        val own = nodes(id).stability
+        // the root is only selectable under allowSingleCluster — otherwise a
+        // split-free tree yields ALL NOISE, the standard HDBSCAN* convention
+        if ((id != 0L || allowSingleCluster) && own >= childSum) {
+          // select this node; deselect descendants
+          def clear(x: Long): Unit = children.getOrElse(x, Nil).foreach { c =>
+            selected -= c; clear(c)
+          }
+          clear(id)
+          selected += id
+          propagated(id) = own
+          own
+        } else {
+          propagated(id) = math.max(own, childSum)
+          math.max(own, childSum)
         }
-        clear(id)
-        selected += id
-        propagated(id) = own
-        own
-      } else {
-        propagated(id) = math.max(own, childSum)
-        math.max(own, childSum)
       }
+      visit(0L)
+    } else {
+      // constraint-driven propagateTree (the HdbscanKernel.hierarchy
+      // constrained branch — Cluster.java:98-142 semantics): each cluster
+      // credited once, at birth — +2 per must-link whose endpoints are
+      // both inside, +1 per cannot-link endpoint inside whose partner is
+      // outside; selection prefers more satisfied constraints, ties by
+      // stability (self wins stability ties, reference `>=`); the root
+      // never competes.
+      val satisfied = scala.collection.mutable.HashMap.empty[Long, Long]
+        .withDefaultValue(0L)
+      def ancestorIds(key: (Long, Long)): Set[Long] = {
+        var k = key
+        val out = scala.collection.mutable.Set.empty[Long]
+        var guard = 0
+        while (guard < ids.size + 2) {
+          out += ids.getOrElse(k, 0L)
+          if (k == RootKey) return out.toSet
+          k = clusterOfSplit.getOrElse(k._1, RootKey)
+          guard += 1
+        }
+        out.toSet
+      }
+      consKeys.foreach { case (ka, kb, isMl) =>
+        val ancA = ancestorIds(ka); val ancB = ancestorIds(kb)
+        if (isMl) (ancA & ancB).foreach(satisfied(_) += 2L)
+        else {
+          (ancA -- ancB).foreach(satisfied(_) += 1L)
+          (ancB -- ancA).foreach(satisfied(_) += 1L)
+        }
+      }
+      def prop(id: Long): (Long, Double, List[Long]) = {
+        val cs = children.getOrElse(id, Nil)
+        if (cs.isEmpty) (satisfied(id), nodes(id).stability, List(id))
+        else {
+          val kid = cs.map(prop)
+          val childSat = kid.map(_._1).sum
+          val childStab = kid.map(_._2).sum
+          val selfWins = id != 0L &&
+            (satisfied(id) > childSat ||
+              (satisfied(id) == childSat && nodes(id).stability >= childStab))
+          if (selfWins) (satisfied(id), nodes(id).stability, List(id))
+          else (childSat, childStab, kid.flatMap(_._3).toList)
+        }
+      }
+      prop(0L)._3.filter(_ != 0L).foreach(selected += _)
     }
-    visit(0L)
     val finalNodes = ids.values.toSeq.sorted
       .map(id => nodes(id).copy(selected = selected.contains(id)))
 
@@ -753,7 +830,8 @@ object DistributedDendrogram {
     * trees); what disappears is the ~100-small-job pointer-doubling floor
     * at gate scale. */
   private def condensedTreeDriver(events: Dataset[MergeEvent], minClusterSize: Long,
-      allowSingleCluster: Boolean): (Seq[CondensedNode], DataFrame) = {
+      allowSingleCluster: Boolean,
+      constraints: Seq[(Long, Long, Boolean)] = Nil): (Seq[CondensedNode], DataFrame) = {
     val spark = events.sparkSession
     require(minClusterSize >= 2, "minClusterSize must be >= 2")
     val evs = graft.GraftTags.tagged(spark, graft.GraftTags.DriverCollectTag) {
@@ -884,8 +962,15 @@ object DistributedDendrogram {
           rows.map(_.deathWeight).min)
       }
 
+    val deathKeyOf: Map[Long, (Long, Long)] = if (constraints.isEmpty) Map.empty
+      else deathRows.iterator.map(r => r.vertex ->
+        (if (r.hasDeath && r.hasAnchor) (r.anchorRank, r.anchorSide)
+         else (-1L, -1L))).toMap
+    val consKeys = constraints.map { case (a, b, ml) =>
+      (deathKeyOf.getOrElse(a, (-1L, -1L)), deathKeyOf.getOrElse(b, (-1L, -1L)), ml)
+    }
     val (finalNodes, labelRows) =
-      buildCondensed(splitRows, tsAnchorRows, deathAgg, allowSingleCluster)
+      buildCondensed(splitRows, tsAnchorRows, deathAgg, allowSingleCluster, consKeys)
     val labelOf = labelRows.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
 
     // ---- labels frame, replicating the distributed left-join semantics

@@ -226,31 +226,57 @@ class HdbscanSpec extends SparkTestBase {
     df.unpersist()
   }
 
-  test("constrained exact path keeps the kernel route (tagged O(n) collects)") {
+  test("constrained exact past the gate rides the distributed route, driver-bounded") {
     import spark.implicits._
-    // constraints need the kernel condensed tree; the routing must fall
-    // back to the collected path, whose O(n) collects stay tagged
+    // VERDICT r10 #3: constrained exact mode past maxExactPoints no longer
+    // falls back to driver-O(n) kernel collects — constraint steering rides
+    // the distributed condensed tree (endpoint-anchor lookup bounded by
+    // 2·|constraints|). The distributed route (dendrogram forced
+    // distributed) must show NO DriverCollectTag and nothing untagged, and
+    // its output must equal the kernel route (same data below the gate).
     val data = (0 until 3000).map { i =>
       (i.toLong, Array((i % 6) * 50.0 + (i % 17) * 0.01, (i % 6) * 10.0))
     }
     val df = data.toDF("id", "features").cache()
     df.count()
+    // a must-link across two stripes: forces selection away from plain FOSC
+    val base = Hdbscan(minPts = 4, minClusterSize = 50, maxLocalSize = 500,
+      constraints = Seq((0L, 1L, true), (2L, 3L, false))).setMode("exact")
+    def read(out: org.apache.spark.sql.DataFrame): Map[Long, (Int, Double, Double)] =
+      out.select("id", "label", "outlier_score", "core_dist")
+        .as[(Long, Int, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val kernel = read(base.setMaxExactPoints(10000).fit(df)) // kernel route
     val listener = new ResultSizeListener
     spark.sparkContext.addSparkListener(listener)
-    try {
-      Hdbscan(minPts = 4, minClusterSize = 50, maxLocalSize = 500,
-          constraints = Seq((0L, 1L, true)))
-        .setMode("exact").setMaxExactPoints(1000).fit(df)
+    val distDf = try {
+      val r = base.setMaxExactPoints(1000).setDendrogramDriverCap(0).fit(df)
       org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+      r
     } finally spark.sparkContext.removeSparkListener(listener)
     val dataActions = listener.snapshot().filter(j =>
       j.site.contains("collect at") || j.site.contains("take at") ||
         j.site.contains("head at") || j.site.contains("toLocalIterator at"))
-    assert(dataActions.exists(_.tag == Hdbscan.DriverCollectTag),
-      "expected tagged driver-O(n) collects on the constrained kernel path")
-    assert(dataActions.forall(j =>
-      j.tag == Hdbscan.DriverCollectTag || j.tag == Hdbscan.BoundedCollectTag),
-      "untagged data-returning actions on the constrained kernel path")
+    assert(!dataActions.exists(_.tag == Hdbscan.DriverCollectTag),
+      "driver-O(n) collects reappeared on the constrained distributed path:\n" +
+        dataActions.filter(_.tag == Hdbscan.DriverCollectTag)
+          .map(j => s"  ${j.bytes} B  ${j.site}").mkString("\n"))
+    assert(dataActions.forall(_.tag == Hdbscan.BoundedCollectTag),
+      "untagged data-returning actions on the constrained distributed path:\n" +
+        dataActions.filter(_.tag != Hdbscan.BoundedCollectTag)
+          .map(j => s"  ${j.bytes} B  ${j.site}").mkString("\n"))
+    val dist = read(distDf)
+    def canon(m: Map[Long, (Int, Double, Double)]): Map[Long, Long] = {
+      val minId = m.toSeq.filter(_._2._1 != 0).groupBy(_._2._1)
+        .map { case (l, g) => (l, g.map(_._1).min) }
+      m.map { case (id, (l, _, _)) => id -> (if (l == 0) -1L else minId(l)) }
+    }
+    assert(canon(dist) == canon(kernel),
+      "constrained flat partition differs between kernel and distributed routes")
+    kernel.foreach { case (id, (_, score, core)) =>
+      assert(math.abs(dist(id)._3 - core) < 1e-12, s"core_dist differs at $id")
+      assert(math.abs(dist(id)._2 - score) < 1e-9, s"outlier score differs at $id")
+    }
     df.unpersist()
   }
 }
