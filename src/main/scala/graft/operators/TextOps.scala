@@ -28,6 +28,19 @@ object TextOps {
     round(sum(round(c * lit(1000000000000.0)).cast("long"))
       / lit(1000000000000.0) / count(lit(1)), 6) + lit(0.0)
 
+  /** Pico-unit (1e-12) integer quantization of a per-TYPE score — hoisting
+    * the BigDecimal `round` out of the corpus-row fold into the vocab-
+    * shaped model (r10 bench: the per-occurrence round doubled
+    * q_bigram_logprob). Values are identical to rounding per occurrence:
+    * the score is a pure function of the type row. */
+  private def picoUnits(c: Column): Column =
+    round(c * lit(1000000000000.0)).cast("long")
+
+  /** Mean over PRE-quantized pico-unit scores — the aggregation half of
+    * [[picoMean6]] (same exact-integer fold, same signed-zero guard). */
+  private def picoMean6Pre(units: Column): Column =
+    round(sum(units) / lit(1000000000000.0) / count(lit(1)), 6) + lit(0.0)
+
   /** Token count (whitespace tokenization; empty text → 0). Rides the
     * single-pass [[graft.expr.TextExpressions.textStats]] kernel — value
     * identical to `size(split(trim(lower(text)), "\\s+"))` with the
@@ -404,11 +417,18 @@ object TextOps {
     val allCounts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = allCounts.agg(sum(col("cnt")).as("total"))
     val counts = if (minCount <= 1L) allCounts else allCounts.where(col("cnt") >= minCount)
-    toks.join(counts, Seq("tok"), "left")
+    // scores quantize to pico-units in the VOCAB-shaped model; the corpus
+    // fold sums plain longs (misses fall back to the floor score, rounded
+    // lazily — never taken at minCount = 1)
+    val scored = counts.crossJoin(broadcast(total))
+      .select(col("tok"),
+        picoUnits(log(col("cnt").cast("double") / col("total"))).as("lpp"))
+    toks.join(scored, Seq("tok"), "left")
       .crossJoin(broadcast(total)) // single row: genuinely bounded
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        picoMean6(log(coalesce(col("cnt"), lit(minCount)).cast("double") / col("total")))
+        picoMean6Pre(coalesce(col("lpp"),
+            picoUnits(log(lit(minCount).cast("double") / col("total")))))
           .as("logprob"))
   }
 
@@ -460,10 +480,12 @@ object TextOps {
     val model = cnt2
       .withColumn("salt", pmod(xxhash64(col("w2")), lit(saltS)).cast("int"))
       .join(cnt1.withColumn("salt", explode(lit((0 until saltS).toArray))), Seq("w1", "salt"))
-      .select(col("w1"), col("w2"), log(col("c2").cast("double") / col("c1")).as("lp"))
+      .select(col("w1"), col("w2"),
+        // pico-quantized in the vocab-shaped model, not per occurrence
+        picoUnits(log(col("c2").cast("double") / col("c1"))).as("lpp"))
     bg.join(model, Seq("w1", "w2"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), picoMean6(col("lp")).as("logprob"))
+      .agg(count(lit(1)).as("n_bigrams"), picoMean6Pre(col("lpp")).as("logprob"))
   }
 
   /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
@@ -500,13 +522,14 @@ object TextOps {
     val model = cnt2.join(left, Seq("w1")).join(cont, Seq("w2"))
       .crossJoin(broadcast(nTypes)) // single row
       .select(col("w1"), col("w2"),
-        log(
+        // pico-quantized in the vocab-shaped model, not per occurrence
+        picoUnits(log(
           greatest(col("c2") - lit(discount), lit(0.0)) / col("c1")
             + lit(discount) * col("types1") / col("c1")
-              * (col("contw2").cast("double") / col("ntypes"))).as("lp"))
+              * (col("contw2").cast("double") / col("ntypes")))).as("lpp"))
     bg.join(model, Seq("w1", "w2"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), picoMean6(col("lp")).as("kn_logprob"))
+      .agg(count(lit(1)).as("n_bigrams"), picoMean6Pre(col("lpp")).as("kn_logprob"))
   }
 
   /** PMI collocation extraction — the corpus-statistics operator behind
