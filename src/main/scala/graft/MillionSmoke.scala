@@ -61,6 +61,31 @@ object MillionSmoke {
     assert(purity >= 0.99, s"purity $purity < 0.99 vs generating blobs")
     assert(nClusters >= 10 && nClusters <= 60, s"implausible cluster count $nClusters for 20 blobs")
     assert(covered >= (n * 9) / 10, s"only $covered/$n points labeled non-noise")
-    res.unpersist(blocking = false); pts.unpersist(blocking = false)
+    res.unpersist(blocking = false)
+
+    // ---- raised-sampleCap leg (VERDICT r10 #7): ~10× the default sketch
+    // granularity pushes the bubble count past bubbleMatrixCap (4096), so
+    // the hierarchy runs MATRIX-FREE (BubbleSketchGraph: distributed E11
+    // scan + Borůvka over the implicit MRD graph + distributed G8) —
+    // driver state O(#bubbles), never the O(m²) = 3.2 GB matrix this m
+    // would need. Same quality gates as the default sketch. ----
+    val capHi = math.min(20000L, math.max(4097L, n / 50)).toInt
+    val t1 = System.nanoTime()
+    val resHi = Hdbscan(minPts = 4, minClusterSize = 500, maxLocalSize = 4000,
+      maxExactPoints = 200000, sampleCap = capHi)
+      .fit(pts.select(col("id"), col("features"))).persist()
+    val nClustersHi = resHi.filter(col("label") =!= 0).select("label").distinct().count()
+    println(f"[bubbles-hi] sampleCap=$capHi%d (matrix-free hierarchy): " +
+      f"clustered $n rows in ${(System.nanoTime() - t1) / 1e9}%.1f s; $nClustersHi clusters")
+    val joinedHi = resHi.join(pts.select(col("id"), col("blob")), "id")
+      .filter(col("label") =!= 0)
+    val purityHi = joinedHi.groupBy("label", "blob").count()
+      .groupBy("label").agg(max("count").as("maj"), sum("count").as("tot"))
+      .agg((sum("maj") / sum("tot")).as("purity")).collect()(0).getDouble(0)
+    val coveredHi = joinedHi.count()
+    println(f"[bubbles-hi] purity vs generating blob: $purityHi%.4f over $coveredHi labeled points")
+    assert(purityHi >= 0.99, s"hi-cap purity $purityHi < 0.99 vs generating blobs")
+    assert(coveredHi >= (n * 9) / 10, s"only $coveredHi/$n points labeled non-noise at hi cap")
+    resHi.unpersist(blocking = false); pts.unpersist(blocking = false)
   }
 }

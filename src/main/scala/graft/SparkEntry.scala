@@ -5239,7 +5239,7 @@ object SparkEntry {
         |  GROUP BY ga, gb)
         |SELECT CAST(ga AS INT) AS ga, CAST(gb AS INT) AS gb,
         |  round(CASE WHEN repdist - (x.extent + y.extent) >= 0
-        |    THEN repdist - (x.extent + y.extent) + x.nnd + y.nnd
+        |    THEN repdist - (x.extent + y.extent) + (x.nnd + y.nnd)
         |    ELSE greatest(x.nnd, y.nnd) END, 6) AS bubble_dist
         |FROM rd JOIN nn x ON ga = x.g JOIN nn y ON gb = y.g
         |ORDER BY ga, gb""".stripMargin,
@@ -5277,7 +5277,7 @@ object SparkEntry {
         |bd AS (
         |  SELECT ga AS gi, gb AS gj,
         |    CASE WHEN repdist - (x.extent + y.extent) >= 0
-        |         THEN repdist - (x.extent + y.extent) + x.nnd + y.nnd
+        |         THEN repdist - (x.extent + y.extent) + (x.nnd + y.nnd)
         |         ELSE greatest(x.nnd, y.nnd) END AS bd
         |  FROM rd JOIN nn x ON ga = x.g JOIN nn y ON gb = y.g
         |  UNION ALL SELECT g, g, 0.0 FROM nn),

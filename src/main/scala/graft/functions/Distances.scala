@@ -88,8 +88,10 @@ object Distances {
     */
   def bubbleDistance(repDist: Column, extentA: Column, extentB: Column,
                      nnA: Column, nnB: Column): Column = {
+    // gap + (nnA + nnB): symmetric under operand swap (IEEE addition is
+    // commutative but not associative) — mirrored in the DuckDB oracle
     val gap = repDist - (extentA + extentB)
-    when(gap >= 0, gap + nnA + nnB).otherwise(greatest(nnA, nnB))
+    when(gap >= 0, gap + (nnA + nnB)).otherwise(greatest(nnA, nnB))
   }
 
   /** Dispatch by name — mirrors the reference's distance vtable

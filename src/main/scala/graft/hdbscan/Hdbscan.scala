@@ -86,7 +86,8 @@ final case class Hdbscan(
     allowSingleCluster: Boolean = false,
     constraints: Seq[(Long, Long, Boolean)] = Nil,
     mode: String = "auto",
-    dendrogramDriverCap: Long = 500000) {
+    dendrogramDriverCap: Long = 500000,
+    bubbleMatrixCap: Int = 4096) {
 
   def setMinPts(v: Int): Hdbscan = copy(minPts = v)
   def setMinClusterSize(v: Int): Hdbscan = copy(minClusterSize = v)
@@ -102,6 +103,15 @@ final case class Hdbscan(
     * job distributed frames (identical semantics; VERDICT r10 #2). 0
     * forces the distributed route at any size (listener specs, smokes). */
   def setDendrogramDriverCap(v: Long): Hdbscan = copy(dendrogramDriverCap = v)
+
+  /** Bubble count at or below which the sketch hierarchy builds the E7
+    * distance matrix on the driver (O(m²) memory — 32 MB at the default
+    * sampleCap ≈ 2000, fastest at driver-friendly m). Past it, the bubble
+    * core distances, MRD MST, and noise reattachment run matrix-free
+    * through [[BubbleSketchGraph]] (driver state O(m); the raised-
+    * sampleCap 100 TB posture). 0 forces the matrix-free route at any m
+    * (cross-route equality specs). */
+  def setBubbleMatrixCap(v: Int): Hdbscan = copy(bubbleMatrixCap = v)
 
   /** Execution-path selection:
     *   - `"auto"` (default): exact while n ≤ maxExactPoints, then the
@@ -664,13 +674,15 @@ final case class Hdbscan(
 
     // ---- CF-bubble aggregation: one shuffle, map-side combine ----
     val cfCol = CFAggregator.toColumn
-    val bubbles = assigned
-      .select(col("subset").as("sample_id"), col("features"))
-      .as[(Long, Array[Double])]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(cfCol.name("cf"))
-      .collect() // O(#bubbles) rows
+    val bubbles = Hdbscan.tagged(spark, Hdbscan.BoundedCollectTag) {
+      assigned
+        .select(col("subset").as("sample_id"), col("features"))
+        .as[(Long, Array[Double])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(cfCol.name("cf"))
+        .collect() // O(#bubbles) rows
+    }
       // canonical order: collect() arrival order depends on the partition
       // layout, and every downstream index — MST tiebreaks, hierarchy
       // traversal, label NUMBERING — follows bubble position. Sorting by
@@ -686,7 +698,13 @@ final case class Hdbscan(
     rot.close()
     val tCf = System.nanoTime()
 
-    // ---- bubble-level hierarchy on the driver (E7/E11 + weighted G3) ----
+    // ---- bubble-level hierarchy (E7/E11 + weighted G3). At or below
+    // `bubbleMatrixCap` bubbles the E7 matrix builds on the driver (O(m²)
+    // memory, fastest at driver-friendly m); past it the same quantities
+    // compute matrix-free through BubbleSketchGraph (distributed scans
+    // against the broadcast sketch; driver state O(m)) so a raised
+    // sampleCap never materializes m². Both routes share the kernels
+    // oracle-checked through q_bubble_distance / q_bubble_core. ----
     val ids = bubbles.map(_._1)
     val cfs = bubbles.map(_._2)
     val m = ids.length
@@ -694,15 +712,21 @@ final case class Hdbscan(
     val extents = cfs.map(_.extent)
     val nnDists = cfs.map(_.nnDist(minPts.toDouble))
     val mass = cfs.map(_.n.toDouble)
-    // bubble distance matrix (E7) + bubble core distance (E11, paper
-    // semantics: accumulate bubble mass over nearest bubbles until
-    // >= minPts) — shared kernels, oracle-checked through
-    // q_bubble_distance / q_bubble_core
-    val bd = HdbscanKernel.bubbleDistanceMatrix(reps, extents, nnDists, dist)
-    val bCore = HdbscanKernel.bubbleCoreDistances(bd, mass, nnDists, minPts.toDouble)
-    val mrd = Array.tabulate(m, m)((i, j) =>
-      if (i == j) 0.0 else math.max(bd(i)(j), math.max(bCore(i), bCore(j))))
-    val mst = HdbscanKernel.primMstMatrix(mrd)
+    val useMatrix = m <= bubbleMatrixCap
+    val (bCore, mst, reattach) =
+      if (useMatrix) {
+        val bd = HdbscanKernel.bubbleDistanceMatrix(reps, extents, nnDists, dist)
+        val c = HdbscanKernel.bubbleCoreDistances(bd, mass, nnDists, minPts.toDouble)
+        val mrd = Array.tabulate(m, m)((i, j) =>
+          if (i == j) 0.0 else math.max(bd(i)(j), math.max(c(i), c(j))))
+        (c, HdbscanKernel.primMstMatrix(mrd),
+          (ls: Array[Int]) => HdbscanKernel.reattachNoise(ls, bd))
+      } else {
+        val sk = BubbleSketchGraph.Sketch(reps, extents, nnDists, mass)
+        val c = BubbleSketchGraph.coreDistances(spark, sk, minPts.toDouble, dist)
+        (c, BubbleSketchGraph.mst(spark, sk, c, dist),
+          (ls: Array[Int]) => BubbleSketchGraph.reattachNoise(spark, ls, sk, dist))
+      }
     val globalIdEdges = mst.map(e => (ids(e.src), ids(e.dst), e.weight))
     // ---- G10 at sketch granularity: point-level constraints map to their
     // containing bubbles through the assignment frame (two constraint-sized
@@ -719,11 +743,12 @@ final case class Hdbscan(
         // output stays constraint-sized
         val withA = idMap.select(col("id").as("pa"), col("sample_id").as("ba"))
           .join(broadcast(consDf), Seq("pa"))
-        idMap.select(col("id").as("pb"), col("sample_id").as("bb"))
-          .join(broadcast(withA), Seq("pb"))
-          .select(col("ba"), col("bb"), col("ml"))
-          .as[(Long, Long, Boolean)].collect()
-          .collect { case (a, b, ml) if a != b => (idxOf(a), idxOf(b), ml) }
+        Hdbscan.tagged(spark, Hdbscan.BoundedCollectTag) {
+          idMap.select(col("id").as("pb"), col("sample_id").as("bb"))
+            .join(broadcast(withA), Seq("pb"))
+            .select(col("ba"), col("bb"), col("ml"))
+            .as[(Long, Long, Boolean)].collect() // O(#constraints)
+        }.collect { case (a, b, ml) if a != b => (idxOf(a), idxOf(b), ml) }
           .distinct
       }
     val h = HdbscanKernel.hierarchy(m, mst, bCore, minClusterSize.toDouble, mass,
@@ -732,10 +757,11 @@ final case class Hdbscan(
     // ---- G8: noise-bubble reattachment to the nearest labeled bubble by
     // bubble distance (E7) — points inside noise bubbles were all
     // mislabeled vs reference semantics in round 1 (VERDICT r1 missing #2)
-    val labels = HdbscanKernel.reattachNoise(h.labels, bd)
+    val labels = reattach(h.labels)
     Console.err.println(f"[graft] bubbleGlobal phases: split=${(tSplit - tStart) / 1e9}%.1fs " +
       f"cf+collect=${(tCf - tSplit) / 1e9}%.1fs " +
-      f"driver-hierarchy=${(System.nanoTime() - tCf) / 1e9}%.1fs bubbles=$m")
+      f"${if (useMatrix) "driver" else "distributed"}-hierarchy=" +
+      f"${(System.nanoTime() - tCf) / 1e9}%.1fs bubbles=$m")
 
     // ---- labels back to points via broadcast join off the narrow map ----
     val labelRows = ids.indices.map(i => (ids(i), labels(i), h.outlierScores(i), bCore(i)))

@@ -149,12 +149,23 @@ object HdbscanKernel {
       nnDists: Array[Double], dist: Dist): Array[Array[Double]] =
     Array.tabulate(reps.length, reps.length) { (i, j) =>
       if (i == j) 0.0
-      else {
-        val gap = dist(reps(i), reps(j)) - (extents(i) + extents(j))
-        if (gap >= 0) gap + nnDists(i) + nnDists(j)
-        else math.max(nnDists(i), nnDists(j))
-      }
+      else bubbleDistance(reps(i), extents(i), nnDists(i),
+        reps(j), extents(j), nnDists(j), dist)
     }
+
+  /** E7 for one bubble pair — the matrix-free form of
+    * [[bubbleDistanceMatrix]] (same formula; the distributed bubble graph
+    * evaluates it per scanned pair instead of materializing m×m). */
+  def bubbleDistance(repI: Array[Double], extentI: Double, nnI: Double,
+      repJ: Array[Double], extentJ: Double, nnJ: Double, dist: Dist): Double = {
+    val gap = dist(repI, repJ) - (extentI + extentJ)
+    // gap + (nnI + nnJ), NOT gap + nnI + nnJ: IEEE addition is commutative
+    // but not associative, so only the parenthesized form guarantees
+    // bd(i,j) == bd(j,i) bit-exactly — the matrix-free routes evaluate the
+    // pair from whichever endpoint scans it
+    if (gap >= 0) gap + (nnI + nnJ)
+    else math.max(nnI, nnJ)
+  }
 
   /** E11 bubble core distance (paper semantics; the reference's index
     * bookkeeping bugs at `HdbscanDataBubbles.java:75-146` are documented in

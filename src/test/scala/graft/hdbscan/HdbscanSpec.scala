@@ -279,6 +279,56 @@ class HdbscanSpec extends SparkTestBase {
     }
     df.unpersist()
   }
+
+  test("matrix-free bubble route equals the driver-matrix route, driver-bounded") {
+    import spark.implicits._
+    // VERDICT r10 #7: a raised sampleCap must not build the O(m²) bubble
+    // matrix on the driver. bubbleMatrixCap = 0 forces the matrix-free
+    // BubbleSketchGraph route; its flat partition, GLOSH scores, and
+    // per-point core distances must equal the matrix route (tied MRD
+    // weights can flip individual MST edges between Prim and Borůvka, but
+    // single-linkage structure is MST-tie-invariant), and the listener
+    // must see only tagged, metadata-sized collects.
+    val df = blobData.map(t => (t._1, t._2)).toDF("id", "features").cache()
+    df.count()
+    val base = Hdbscan(minPts = 4, minClusterSize = 10,
+      maxExactPoints = 100, sampleCap = 120)
+    def read(out: org.apache.spark.sql.DataFrame): Map[Long, (Int, Double, Double)] =
+      out.select("id", "label", "outlier_score", "core_dist")
+        .as[(Long, Int, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val matrix = read(base.fit(df)) // default cap ≫ ~120 bubbles
+    val listener = new ResultSizeListener
+    spark.sparkContext.addSparkListener(listener)
+    val freeDf = try {
+      val r = base.setBubbleMatrixCap(0).fit(df)
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val free = read(freeDf)
+    val dataActions = listener.snapshot().filter(j =>
+      j.site.contains("collect at") || j.site.contains("take at") ||
+        j.site.contains("head at") || j.site.contains("toLocalIterator at"))
+    assert(dataActions.forall(_.tag == Hdbscan.BoundedCollectTag),
+      "untagged data-returning actions on the matrix-free bubble route:\n" +
+        dataActions.filter(_.tag != Hdbscan.BoundedCollectTag)
+          .map(j => s"  ${j.bytes} B  ${j.site}").mkString("\n"))
+    dataActions.foreach(j => assert(j.bytes < 512 * 1024,
+      s"'bounded' collect returned ${j.bytes} B at ${j.site}"))
+    assert(free.keySet == matrix.keySet)
+    def canon2(m: Map[Long, (Int, Double, Double)]): Map[Long, Long] = {
+      val minId = m.toSeq.filter(_._2._1 != 0).groupBy(_._2._1)
+        .map { case (l, g) => (l, g.map(_._1).min) }
+      m.map { case (id, (l, _, _)) => id -> (if (l == 0) -1L else minId(l)) }
+    }
+    assert(canon2(free) == canon2(matrix),
+      "flat partition differs between matrix and matrix-free bubble routes")
+    matrix.foreach { case (id, (_, score, core)) =>
+      assert(math.abs(free(id)._3 - core) < 1e-12, s"core_dist differs at $id")
+      assert(math.abs(free(id)._2 - score) < 1e-9, s"outlier score differs at $id")
+    }
+    df.unpersist()
+  }
 }
 
 private final case class JobRecord(tag: String, site: String, bytes: Long)
