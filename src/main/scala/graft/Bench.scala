@@ -24,9 +24,12 @@ object Bench {
       .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional arg: substring filter to bench a subset of queries
+    // optional args: substring filters to bench a subset of queries;
+    // an arg prefixed with '=' matches exactly (so "=q_hdbscan" doesn't
+    // drag in the whole q_hdbscan_* family)
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => args.isEmpty || args.exists(q._1.contains))
+      .filter(q => args.isEmpty || args.exists(a =>
+        if (a.startsWith("=")) q._1 == a.drop(1) else q._1.contains(a)))
     // untimed warmup: absorb JVM/codegen/noop-sink startup so the
     // alphabetically-first query isn't charged ~4s of session warmup
     // (measured in graft.Prof: q_adjacency_list 4.5s first vs 0.3s warm)

@@ -43,7 +43,14 @@ object GraftSession {
   def localBuilder(appName: String = "graft", cpus: Int = 32): SparkSession.Builder =
     builder(appName)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // default: one shuffle partition per core (AQE coalesces down).
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for scale experiments —
+      // past ~10× the gate SF, per-partition shuffle blocks outgrow the
+      // local executor's storage fraction and spill; more (smaller)
+      // partitions restore the in-memory regime, exactly as a real
+      // cluster's core count would
+      .config("spark.sql.shuffle.partitions",
+        sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt).getOrElse(cpus))
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
 

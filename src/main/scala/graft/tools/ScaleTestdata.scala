@@ -58,31 +58,41 @@ object ScaleTestdata {
 
     val docs = tbl("documents")
     val docCap = cap(docs, "doc_id")
-    // replica-salt token after every 4th token: breaks ≥ 3-gram shingle
-    // runs, so cross-replica Jaccard/containment lands far below every
-    // dedup threshold while intra-replica structure is verbatim
-    val salted = expr(
+    // every token carries a per-replica suffix (replica 0 verbatim): each
+    // replica's pair/similarity structure is ISOMORPHIC to the source
+    // corpus while replicas share zero vocabulary — so dedup CANDIDATE
+    // volume scales with the data, not factor² (the first cut spliced
+    // salt tokens BETWEEN originals, which killed cross-replica output
+    // but left every rare prefix token shared across a doc's 9 twins:
+    // candidates grew ×100 while output grew ×10, and the inverted-index
+    // dedup rows read 15–26× instead of their true linear shape)
+    val suffixed = expr(
       """array_join(transform(split(text, ' '),
-        |  (t, i) -> CASE WHEN i % 4 = 3 THEN concat(t, ' zq', r, 'xsalt') ELSE t END),
+        |  t -> CASE WHEN t = '' THEN t ELSE concat(t, 'q', r, 'z') END),
         |  ' ')""".stripMargin)
     write(docs.crossJoin(reps)
       .select((col("doc_id") + col("r") * docCap).as("doc_id"),
-        when(col("r") === 0, col("text")).otherwise(salted).as("text"),
+        when(col("r") === 0, col("text")).otherwise(suffixed).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long")),
       "documents")
 
     val emb = tbl("embeddings")
     val vecCap = cap(emb, "vec_id")
-    // deterministic per-(vec, replica, dim) jitter in [−0.05, 0.05):
-    // replicates the space's geometry without exact-duplicate vectors
-    val jittered = expr(
+    // circular dimension rotation per replica: an ISOMETRY (euclidean AND
+    // cosine geometry preserved exactly), so every replica's neighbor/
+    // cluster structure equals the source's, while a vector and its
+    // rotated twins are generically unrelated — no cross-replica
+    // near-dup twins (the first cut's ±0.05 jitter left each vector 9
+    // near-identical copies, inflating cluster-routed candidate volume
+    // ×100 over the true linear shape)
+    val rotated = expr(
       """transform(embedding,
-        |  (v, i) -> CAST(v + pmod(xxhash64(vec_id, r, i), 1000L) / 10000.0 - 0.05
-        |            AS FLOAT))""".stripMargin)
+        |  (v, i) -> element_at(embedding,
+        |    CAST(pmod(i + r, size(embedding)) + 1 AS INT)))""".stripMargin)
     write(emb.crossJoin(reps)
       .select((col("vec_id") + col("r") * vecCap).as("vec_id"),
-        when(col("r") === 0, col("embedding")).otherwise(jittered).as("embedding"),
+        when(col("r") === 0, col("embedding")).otherwise(rotated).as("embedding"),
         col("label")),
       "embeddings")
 
