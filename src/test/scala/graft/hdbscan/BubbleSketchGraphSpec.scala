@@ -89,6 +89,36 @@ class BubbleSketchGraphSpec extends SparkTestBase {
     assert(got == exp)
   }
 
+  test("mst: tied MRD weights — same weight multiset as Prim, spanning, acyclic") {
+    // overlapping bubbles tie constantly (gap < 0 → max(nn_i, nn_j)
+    // repeats across pairs; core caps repeat across a bubble's pairs).
+    // Under ties Borůvka and Prim may pick different trees, but every MST
+    // of a graph has the SAME sorted weight multiset — and single-linkage
+    // structure (what the hierarchy consumes) is weight-multiset-determined
+    // per level. Property-checked across seeds.
+    for (seedv <- 20 to 24) {
+      val sk = overlappingSketch(50, seedv)
+      val minPts = 6.0
+      val bd = HdbscanKernel.bubbleDistanceMatrix(sk.reps, sk.extents, sk.nnDists, dist)
+      val core = HdbscanKernel.bubbleCoreDistances(bd, sk.mass, sk.nnDists, minPts)
+      val mrd = Array.tabulate(sk.m, sk.m)((i, j) =>
+        if (i == j) 0.0 else math.max(bd(i)(j), math.max(core(i), core(j))))
+      val prim = HdbscanKernel.primMstMatrix(mrd)
+      val got = BubbleSketchGraph.mst(spark, sk, core, dist)
+      assert(got.length == sk.m - 1, s"[seed $seedv] not spanning: ${got.length} edges")
+      val uf = new graft.kernel.UnionFind(sk.m)
+      got.foreach { e =>
+        assert(uf.find(e.src) != uf.find(e.dst), s"[seed $seedv] cycle at $e")
+        uf.union(e.src, e.dst)
+      }
+      assert(got.map(_.weight).sorted.toSeq == prim.map(_.weight).sorted.toSeq,
+        s"[seed $seedv] MST weight multiset differs from Prim")
+      // each Borůvka edge must carry its true MRD weight
+      got.foreach(e => assert(e.weight == mrd(e.src)(e.dst),
+        s"[seed $seedv] edge $e weight != mrd"))
+    }
+  }
+
   test("mst: degenerate sizes (m = 1, m = 2)") {
     val sk1 = separatedSketch(1, 5)
     assert(BubbleSketchGraph.mst(spark, sk1, Array(0.1), dist).isEmpty)
