@@ -218,11 +218,18 @@ object GraphOps {
       val nb = e.join(core.select(col("node").as("nbr"), col("core").as("nval")),
           e("dst") === col("nbr"))
         .select(e("src").as("v"), col("nval"))
-      val h = nb
-        .withColumn("rn", row_number().over(
+      // h-index from per-(v, value) COUNTS, not a per-neighbor sort: the
+      // largest h with ≥ h neighbors of value ≥ h equals
+      // max over distinct values t of min(t, #{neighbors ≥ t}) — min(t,·)
+      // is maximized inside each constant-count run at its top value, so
+      // distinct-value thresholds suffice. The groupBy is map-side
+      // combinable and the window sorts only distinct (v, nval) rows
+      // (≪ E on hub nodes), vs the old row_number over every neighbor row.
+      val h = nb.groupBy(col("v"), col("nval")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
           Window.partitionBy(col("v")).orderBy(col("nval").desc)))
         .groupBy(col("v").as("node"))
-        .agg(sum(when(col("nval") >= col("rn"), 1L).otherwise(0L)).as("h"))
+        .agg(max(least(col("nval"), col("cum"))).as("h"))
       val next = core.join(h, Seq("node"))
         .select(col("node"), least(col("core"), col("h")).as("core"))
         .localCheckpoint(true)
