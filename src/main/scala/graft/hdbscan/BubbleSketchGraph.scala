@@ -138,10 +138,16 @@ private[hdbscan] object BubbleSketchGraph {
     * max(bubbleDistance(i,j), core(i), core(j)); ties broken by the total
     * order (weight, lo, hi). Driver state O(m) (union-find + forest). */
   def mst(spark: SparkSession, sk: Sketch, core: Array[Double],
-      dist: Dist): Array[Edge] = {
+      dist: Dist): Array[Edge] = mstCounted(spark, sk, core, dist)._1
+
+  /** As [[mst]], also returning the Borůvka round count — the graph is
+    * complete, so components at least halve per round and the spec pins
+    * rounds ≤ ⌈log₂ m⌉. */
+  def mstCounted(spark: SparkSession, sk: Sketch, core: Array[Double],
+      dist: Dist): (Array[Edge], Int) = {
     import spark.implicits._
     val m = sk.m
-    if (m <= 1) return Array.empty
+    if (m <= 1) return (Array.empty, 0)
     val bSk = spark.sparkContext.broadcast((sk, core))
     val localDist = dist
     val uf = new graft.kernel.UnionFind(m)
@@ -195,7 +201,7 @@ private[hdbscan] object BubbleSketchGraph {
       }
     }
     bSk.unpersist(blocking = false)
-    edges.toArray
+    (edges.toArray, rounds)
   }
 
   /** G8 noise reattachment, matrix-free: every noise bubble (label 0)

@@ -113,6 +113,10 @@ class BubbleSketchGraphSpec extends SparkTestBase {
       }
       assert(got.map(_.weight).sorted.toSeq == prim.map(_.weight).sorted.toSeq,
         s"[seed $seedv] MST weight multiset differs from Prim")
+      // complete graph ⇒ components at least halve per round
+      val (_, rounds) = BubbleSketchGraph.mstCounted(spark, sk, core, dist)
+      val logBound = math.ceil(math.log(sk.m.toDouble) / math.log(2.0)).toInt
+      assert(rounds <= logBound, s"[seed $seedv] $rounds Borůvka rounds > log₂ bound $logBound")
       // each Borůvka edge must carry its true MRD weight
       got.foreach(e => assert(e.weight == mrd(e.src)(e.dst),
         s"[seed $seedv] edge $e weight != mrd"))
