@@ -2824,6 +2824,12 @@ object SparkEntry {
       // the streamed estimate bit-equal to batch, pinned per hour
       GraftSession.withShufflePartitions(s, 8)(
         graft.streaming.StreamingOps.hllStream(s, d))),
+    "q_stream_cf_bubbles" -> ((s: SparkSession, d: String) =>
+      // streaming data-bubble sketch: the batch CFAggregator run as a
+      // streaming aggregation (state O(#cells × dim)); snapshot equals
+      // batch CF per the aggregator's merge algebra, asserted at 1e-9
+      GraftSession.withShufflePartitions(s, 8)(
+        graft.streaming.StreamingOps.cfBubbleStream(s, d))),
     "q_mutual_info" -> ((s: SparkSession, d: String) => {
       // mutual information between event type and hour-of-day (nats) —
       // the feature-relevance score a pipeline computes before keeping a
@@ -7265,6 +7271,26 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS exact_users,
         |  true AS est_eq_batch, true AS within_rsd
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    // the q_cf_stats chain keyed by vec_id % 10; the stream-vs-batch CF
+    // equality (the aggregator's merge-order invariance cashed in under
+    // micro-batching) is an engine-side boolean the oracle asserts true
+    "q_stream_cf_bubbles" ->
+      """WITH per_dim AS (
+        |  SELECT vec_id % 10 AS cell, i, count(*) AS n,
+        |    sum(CAST(embedding[i] AS DOUBLE)) AS ls,
+        |    sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS ss
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |  GROUP BY cell, i),
+        |agg AS (
+        |  SELECT cell, max(n) AS n, count(*) AS d,
+        |    sum(CASE WHEN (2*n*ss - 2*ls*ls) / (n*(n-1.0)) > 0
+        |        THEN sqrt((2*n*ss - 2*ls*ls) / (n*(n-1.0))) ELSE 0 END) / count(*) AS extent
+        |  FROM per_dim GROUP BY cell)
+        |SELECT CAST(cell AS INT) AS cell, CAST(n AS BIGINT) AS n,
+        |  round(extent, 6) AS extent,
+        |  round(pow(4.0 / n, 1.0 / d) * extent, 6) AS nn_dist,
+        |  true AS stream_eq_batch
+        |FROM agg ORDER BY cell""".stripMargin,
     "q_mutual_info" ->
       """WITH ev AS (SELECT event_type AS x, CAST(hour(ts) AS INT) AS y FROM events),
         |joint AS (SELECT x, y, count(*) AS nxy FROM ev GROUP BY 1, 2),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 
@@ -784,5 +784,58 @@ object StreamingOps {
           state.update((lastEid, maxTs, n, nDis))
           (uid, n, nDis)
       }
+  }
+
+  /** Streaming CF-bubble maintenance — SURVEY §2.12 meets the data-bubble
+    * model (reference `mappers/CombineStep.java`, batch-only): the SAME
+    * commutative/associative typed [[graft.operators.CFAggregator]] that
+    * powers the batch sketch (A3/A9) runs as a Structured Streaming
+    * aggregation over the vector stream, keyed by cell. State per cell is
+    * one CF(n, LS, SS) — O(#cells × dim), the sketch granularity, never
+    * the row count — so an unbounded ingest keeps the bubble sketch WARM
+    * for incremental clustering where the reference re-aggregates its
+    * corpus from scratch per run.
+    *
+    * Correctness contract: CF's algebra is merge-order-invariant, so the
+    * final streamed snapshot equals the batch CF over the same rows up to
+    * IEEE summation order; the E8/E9/E10 stats agree to far beyond the
+    * 6 dp the gate rounds to (engine-side equality booleans at 1e-9
+    * relative tolerance, asserted by the oracle). */
+  def cfBubbleStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val batchView = spark.read.parquet(s"$dir/embeddings.parquet")
+    val src = spark.readStream.schema(batchView.schema)
+      .option("pathGlobFilter", "embeddings.parquet").format("parquet").load(dir)
+    def cellCf(df: DataFrame): org.apache.spark.sql.Dataset[(Int, graft.operators.CF)] =
+      df.select(pmod(col("vec_id"), lit(10)).cast("int").as("cell"),
+          col("embedding").cast("array<double>").as("vec"))
+        .as[(Int, Array[Double])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.operators.CFAggregator.toColumn.name("cf"))
+    def stats(ds: org.apache.spark.sql.Dataset[(Int, graft.operators.CF)]): DataFrame =
+      ds.map { case (cell, cf) => (cell, cf.n, cf.extent, cf.nnDist(4.0)) }
+        .toDF("cell", "n", "extent_raw", "nn_raw")
+    val name = s"cf_bubbles_${System.nanoTime()}"
+    val q = cellCf(src).toDF("cell", "cf").writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (streamed, _) = org.apache.spark.sql.GraftShim.materialize(
+      stats(spark.table(name).as[(Int, graft.operators.CF)]))
+    spark.catalog.dropTempView(name)
+    val batch = stats(cellCf(batchView))
+      .select(col("cell"), col("n").as("bn"),
+        col("extent_raw").as("bext"), col("nn_raw").as("bnn"))
+    def close(a: Column, b: Column): Column =
+      abs(a - b) <= greatest(abs(b) * 1e-9, lit(1e-12))
+    streamed.join(batch, Seq("cell"))
+      .select(col("cell"), col("n"),
+        round(col("extent_raw"), 6).as("extent"),
+        round(col("nn_raw"), 6).as("nn_dist"),
+        (col("n") === col("bn") && close(col("extent_raw"), col("bext")) &&
+          close(col("nn_raw"), col("bnn"))).as("stream_eq_batch"))
+      .orderBy(col("cell"))
   }
 }

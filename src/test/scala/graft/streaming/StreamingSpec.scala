@@ -579,4 +579,52 @@ class StreamingSpec extends SparkTestBase {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(chain.contains("sequence violated"), chain)
   }
+
+  test("CF-bubble stream: multi-batch snapshot equals the batch CF algebra") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two micro-batches of 3-dim vectors over 2 cells: the streaming
+    // CFAggregator state must carry (n, LS, SS) across the batch boundary
+    // so the final snapshot equals the batch fold over the union — the
+    // incremental contract q_stream_cf_bubbles pins on the gate corpus
+    val dir = java.nio.file.Files.createTempDirectory("cfb").toString
+    val rng = new scala.util.Random(11)
+    def rows(ids: Range): Seq[(Long, Array[Double])] =
+      ids.map(i => (i.toLong, Array.fill(3)(rng.nextGaussian())))
+    val b1 = rows(0 until 40); val b2 = rows(40 until 100)
+    b1.toDF("vec_id", "vec").coalesce(1).write.parquet(s"$dir/b1")
+    b2.toDF("vec_id", "vec").coalesce(1).write.parquet(s"$dir/b2")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").format("parquet").load(dir)
+    def cf(df: org.apache.spark.sql.DataFrame) =
+      df.select(pmod(col("vec_id"), lit(2)).cast("int").as("cell"), col("vec"))
+        .as[(Int, Array[Double])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.operators.CFAggregator.toColumn.name("cf"))
+    val name = s"cfb_test_${System.nanoTime()}"
+    val q = cf(src).toDF("cell", "cf").writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected at least two non-empty micro-batches")
+    val streamed = spark.table(name).as[(Int, graft.operators.CF)]
+      .collect().map(t => t._1 -> t._2).toMap
+    spark.catalog.dropTempView(name)
+    val batch = cf((b1 ++ b2).toDF("vec_id", "vec"))
+      .collect().map(t => t._1 -> t._2).toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (cell, b) =>
+      val s = streamed(cell)
+      assert(s.n == b.n, s"cell $cell n")
+      s.ls.indices.foreach { i =>
+        assert(math.abs(s.ls(i) - b.ls(i)) <= 1e-9 * math.max(1.0, math.abs(b.ls(i))))
+        assert(math.abs(s.ss(i) - b.ss(i)) <= 1e-9 * math.max(1.0, math.abs(b.ss(i))))
+      }
+      assert(math.abs(s.extent - b.extent) <= 1e-9)
+    }
+  }
 }
