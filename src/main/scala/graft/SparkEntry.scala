@@ -679,6 +679,26 @@ object SparkEntry {
           round(col("nn_raw"), 6).as("nn_dist"))
         .orderBy(col("label"))
     }),
+    "q_cluster_sketch" -> ((s: SparkSession, d: String) => {
+      // Hdbscan.fitSketch on the oracle gate: the CF sketch of the mod-10
+      // cells (the same cells q_cf_stats / q_stream_cf_bubbles pin)
+      // re-clustered at bubble granularity WITHOUT touching the rows again
+      // — the surface a live streaming CFAggregator state feeds. Masses
+      // replay exactly in SQL; the clustering columns ride engine-side
+      // invariant booleans (valid labels, GLOSH in [0,1], nonneg cores).
+      import s.implicits._
+      val sketch = Relational.embeddings(s, d)
+        .select(pmod(col("vec_id"), lit(10)).cast("long").as("cell"), col("vec"))
+        .as[(Long, Array[Double])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.operators.CFAggregator.toColumn.name("cf"))
+      graft.hdbscan.Hdbscan(minPts = 4, minClusterSize = 4).fitSketch(sketch)
+        .select(col("bubble_id"), col("mass"),
+          (col("label") >= 0).as("label_valid"),
+          (col("outlier_score") >= 0 && col("outlier_score") <= 1).as("score_01"),
+          (col("core_dist") >= 0).as("core_nonneg"))
+        .orderBy(col("bubble_id"))
+    }),
     "q_bubble_distance" -> ((s: SparkSession, d: String) => {
       // E7/E8 end-to-end on the oracle gate: bubbles built by the A3 CF
       // path over 10 deterministic groups (vec_id mod 10), with dim 0
@@ -5224,6 +5244,13 @@ object SparkEntry {
     // E7/E8 recomputed from scratch: the same per-dim-sum chain as
     // q_cf_stats (on shifted mod-10 groups), then rep = LS/n, rep distance,
     // and the two-branch bubble-distance formula
+    // per-cell masses replay exactly; the clustering invariants are
+    // engine-side booleans (per-point pins for the sketch paths live on
+    // q_hdbscan_bubbles / q_hdbscan_bubble_histogram)
+    "q_cluster_sketch" ->
+      """SELECT CAST(vec_id % 10 AS BIGINT) AS bubble_id, count(*) AS mass,
+        |  true AS label_valid, true AS score_01, true AS core_nonneg
+        |FROM embeddings GROUP BY 1 ORDER BY bubble_id""".stripMargin,
     "q_bubble_distance" ->
       """WITH x AS (
         |  SELECT vec_id % 10 AS g, i,

@@ -708,26 +708,6 @@ final case class Hdbscan(
     val ids = bubbles.map(_._1)
     val cfs = bubbles.map(_._2)
     val m = ids.length
-    val reps = cfs.map(_.rep)
-    val extents = cfs.map(_.extent)
-    val nnDists = cfs.map(_.nnDist(minPts.toDouble))
-    val mass = cfs.map(_.n.toDouble)
-    val useMatrix = m <= bubbleMatrixCap
-    val (bCore, mst, reattach) =
-      if (useMatrix) {
-        val bd = HdbscanKernel.bubbleDistanceMatrix(reps, extents, nnDists, dist)
-        val c = HdbscanKernel.bubbleCoreDistances(bd, mass, nnDists, minPts.toDouble)
-        val mrd = Array.tabulate(m, m)((i, j) =>
-          if (i == j) 0.0 else math.max(bd(i)(j), math.max(c(i), c(j))))
-        (c, HdbscanKernel.primMstMatrix(mrd),
-          (ls: Array[Int]) => HdbscanKernel.reattachNoise(ls, bd))
-      } else {
-        val sk = BubbleSketchGraph.Sketch(reps, extents, nnDists, mass)
-        val c = BubbleSketchGraph.coreDistances(spark, sk, minPts.toDouble, dist)
-        (c, BubbleSketchGraph.mst(spark, sk, c, dist),
-          (ls: Array[Int]) => BubbleSketchGraph.reattachNoise(spark, ls, sk, dist))
-      }
-    val globalIdEdges = mst.map(e => (ids(e.src), ids(e.dst), e.weight))
     // ---- G10 at sketch granularity: point-level constraints map to their
     // containing bubbles through the assignment frame (two constraint-sized
     // broadcast joins), then steer bubble-level extraction exactly like the
@@ -751,16 +731,11 @@ final case class Hdbscan(
         }.collect { case (a, b, ml) if a != b => (idxOf(a), idxOf(b), ml) }
           .distinct
       }
-    val h = HdbscanKernel.hierarchy(m, mst, bCore, minClusterSize.toDouble, mass,
-      allowSingleCluster, consBubble)
-
-    // ---- G8: noise-bubble reattachment to the nearest labeled bubble by
-    // bubble distance (E7) — points inside noise bubbles were all
-    // mislabeled vs reference semantics in round 1 (VERDICT r1 missing #2)
-    val labels = reattach(h.labels)
+    val (bCore, mst, h, labels) = sketchHierarchy(spark, cfs, consBubble)
+    val globalIdEdges = mst.map(e => (ids(e.src), ids(e.dst), e.weight))
     Console.err.println(f"[graft] bubbleGlobal phases: split=${(tSplit - tStart) / 1e9}%.1fs " +
       f"cf+collect=${(tCf - tSplit) / 1e9}%.1fs " +
-      f"${if (useMatrix) "driver" else "distributed"}-hierarchy=" +
+      f"${if (m <= bubbleMatrixCap) "driver" else "distributed"}-hierarchy=" +
       f"${(System.nanoTime() - tCf) / 1e9}%.1fs bubbles=$m")
 
     // ---- labels back to points via broadcast join off the narrow map ----
@@ -770,6 +745,78 @@ final case class Hdbscan(
     val out = idMap.join(broadcast(labelDf), "sample_id")
       .select(col("id"), col("label"), col("outlier_score"), col("core_dist"))
     (out, h, globalIdEdges)
+  }
+
+  /** The sketch-mode hierarchy core shared by [[bubbleGlobal]] and
+    * [[fitSketch]]: E7/E11 + mass-weighted G3 + G8 over a collected CF
+    * array — the driver-matrix route at/below `bubbleMatrixCap` bubbles,
+    * matrix-free [[BubbleSketchGraph]] past it (driver state O(m)).
+    * Returns (core distances, MST edges over bubble INDICES, hierarchy,
+    * labels after noise reattachment). */
+  private def sketchHierarchy(spark: SparkSession, cfs: Array[CF],
+      consBubble: Array[(Int, Int, Boolean)])
+      : (Array[Double], Array[Edge], HdbscanKernel.Hierarchy, Array[Int]) = {
+    val m = cfs.length
+    val reps = cfs.map(_.rep)
+    val extents = cfs.map(_.extent)
+    val nnDists = cfs.map(_.nnDist(minPts.toDouble))
+    val mass = cfs.map(_.n.toDouble)
+    val (bCore, mst, reattach) =
+      if (m <= bubbleMatrixCap) {
+        val bd = HdbscanKernel.bubbleDistanceMatrix(reps, extents, nnDists, dist)
+        val c = HdbscanKernel.bubbleCoreDistances(bd, mass, nnDists, minPts.toDouble)
+        val mrd = Array.tabulate(m, m)((i, j) =>
+          if (i == j) 0.0 else math.max(bd(i)(j), math.max(c(i), c(j))))
+        (c, HdbscanKernel.primMstMatrix(mrd),
+          (ls: Array[Int]) => HdbscanKernel.reattachNoise(ls, bd))
+      } else {
+        val sk = BubbleSketchGraph.Sketch(reps, extents, nnDists, mass)
+        val c = BubbleSketchGraph.coreDistances(spark, sk, minPts.toDouble, dist)
+        (c, BubbleSketchGraph.mst(spark, sk, c, dist),
+          (ls: Array[Int]) => BubbleSketchGraph.reattachNoise(spark, ls, sk, dist))
+      }
+    val h = HdbscanKernel.hierarchy(m, mst, bCore, minClusterSize.toDouble, mass,
+      allowSingleCluster, consBubble)
+    // G8: noise-bubble reattachment to the nearest labeled bubble by
+    // bubble distance (E7) — points inside noise bubbles were all
+    // mislabeled vs reference semantics in round 1 (VERDICT r1 missing #2)
+    (bCore, mst, h, reattach(h.labels))
+  }
+
+  /** Cluster a PRE-AGGREGATED CF-bubble sketch — the surface that pairs
+    * with [[graft.streaming.StreamingOps.cfBubbleStream]]'s live state:
+    * stream vectors through the CFAggregator, snapshot its per-cell CF
+    * state, and re-cluster at sketch granularity WITHOUT touching the
+    * corpus again (the incremental regime; the reference re-aggregates
+    * from scratch per run, `Main.java:69-413`).
+    *
+    * Input rows are (bubble_id, cf). Driver state O(m): one tagged
+    * O(#bubbles) collect, then [[sketchHierarchy]] (matrix route at/below
+    * `bubbleMatrixCap`, matrix-free past it). `constraints` are
+    * interpreted at BUBBLE granularity here — (bubbleIdA, bubbleIdB,
+    * isMustLink); ids not present in the sketch are ignored, same-bubble
+    * pairs drop (see [[setConstraints]]).
+    *
+    * @return one row per bubble:
+    *         (bubble_id, label, outlier_score, core_dist, mass) */
+  def fitSketch(sketch: Dataset[(Long, CF)]): DataFrame = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val bubbles = Hdbscan.tagged(spark, Hdbscan.BoundedCollectTag) {
+      sketch.collect() // O(#bubbles)
+    }.sortBy(_._1) // canonical order: labels a pure function of content
+    val ids = bubbles.map(_._1)
+    val cfs = bubbles.map(_._2)
+    val idxOf = ids.zipWithIndex.toMap
+    val consBubble = constraints.collect {
+      case (a, b, ml) if a != b && idxOf.contains(a) && idxOf.contains(b) =>
+        (idxOf(a), idxOf(b), ml)
+    }.toArray
+    val (bCore, _, h, labels) = sketchHierarchy(spark, cfs, consBubble)
+    val rows = ids.indices.map(i =>
+      (ids(i), labels(i), h.outlierScores(i), bCore(i), cfs(i).n))
+    spark.createDataset(rows)
+      .toDF("bubble_id", "label", "outlier_score", "core_dist", "mass")
   }
 }
 
