@@ -805,8 +805,14 @@ final case class Hdbscan(
     val bubbles = Hdbscan.tagged(spark, Hdbscan.BoundedCollectTag) {
       sketch.collect() // O(#bubbles)
     }.sortBy(_._1) // canonical order: labels a pure function of content
+    if (bubbles.isEmpty)
+      return spark.emptyDataset[(Long, Int, Double, Double, Long)]
+        .toDF("bubble_id", "label", "outlier_score", "core_dist", "mass")
     val ids = bubbles.map(_._1)
+    require(ids.distinct.length == ids.length, "fitSketch: duplicate bubble_id")
     val cfs = bubbles.map(_._2)
+    require(cfs.forall(c => c.n > 0 && c.ls.length == cfs.head.ls.length),
+      "fitSketch: every CF must be non-empty and share one dimensionality")
     val idxOf = ids.zipWithIndex.toMap
     val consBubble = constraints.collect {
       case (a, b, ml) if a != b && idxOf.contains(a) && idxOf.contains(b) =>

@@ -64,6 +64,39 @@ class FitSketchSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("fitSketch matrix-free route (bubbleMatrixCap = 0) equals the matrix route") {
+    import spark.implicits._
+    val sketch = cfOf(cellData.map(t => (t._1, t._3)))
+    def run(h: Hdbscan): Seq[(Long, Int, Double, Double)] =
+      h.fitSketch(sketch)
+        .select(col("bubble_id"), col("label"), col("outlier_score"), col("core_dist"))
+        .as[(Long, Int, Double, Double)].collect().sortBy(_._1).toSeq
+    val base = Hdbscan(minPts = 4, minClusterSize = 4)
+    val matrix = run(base)
+    val free = run(base.setBubbleMatrixCap(0))
+    assert(matrix.map(t => (t._1, t._2)) == free.map(t => (t._1, t._2)),
+      "labels differ between matrix and matrix-free fitSketch routes")
+    matrix.zip(free).foreach { case (a, b) =>
+      assert(a._4 == b._4, s"core_dist differs at ${a._1}")
+      assert(math.abs(a._3 - b._3) < 1e-9, s"outlier score differs at ${a._1}")
+    }
+  }
+
+  test("fitSketch rejects malformed sketches and passes through an empty one") {
+    import spark.implicits._
+    val h = Hdbscan(minPts = 4, minClusterSize = 4)
+    val empty = Seq.empty[(Long, CF)].toDS()
+    assert(h.fitSketch(empty).count() == 0)
+    val ragged = Seq(
+      (0L, CF(2L, Array(1.0, 2.0), Array(1.0, 4.0))),
+      (1L, CF(2L, Array(1.0), Array(1.0)))).toDS()
+    intercept[IllegalArgumentException] { h.fitSketch(ragged) }
+    val dup = Seq(
+      (0L, CF(2L, Array(1.0), Array(1.0))),
+      (0L, CF(2L, Array(2.0), Array(4.0)))).toDS()
+    intercept[IllegalArgumentException] { h.fitSketch(dup) }
+  }
+
   test("fitSketch honors bubble-level constraints (must-link flips selection)") {
     import spark.implicits._
     // two adjacent blobs A (cells 0-9) and B (cells 10-19), far blob C
