@@ -31,8 +31,10 @@ import graft.kernel.HdbscanKernel.{Dist, Edge}
   *     narrow groupBy reduces per component; the driver union-finds the
   *     O(#components) picks. The graph is complete, so components at
   *     least halve per round ⇒ ≤ log₂ m rounds of O(m²/parallelism)
-  *     scan work — compute identical in total to the matrix build, but
-  *     distributed and never materialized.
+  *     scan work. Total compute is O(m² log m) distance evaluations —
+  *     a log factor over the one-shot matrix build — traded for never
+  *     materializing m² anywhere and distributing every scan; at the
+  *     default gate (m ≤ 4096) the matrix route remains the fast path.
   *   - [[reattachNoise]]: one distributed argmin pass over noise bubbles
   *     (nearest LABELED bubble by E7; ties to the lowest index — the
   *     matrix version's strict-< scan order).
