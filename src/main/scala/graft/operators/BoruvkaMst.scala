@@ -30,22 +30,49 @@ object BoruvkaMst {
     *         tree per connected component, exactly the Kruskal result under
     *         the same (weight, lo, hi) tie order
     */
-  def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 40): DataFrame =
-    runCounted(spark, edges, maxRounds)._1
+  def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 40,
+      driverCap: Long = 500000): DataFrame =
+    runCounted(spark, edges, maxRounds, driverCap)._1
 
   /** As [[run]], also returning the number of contraction rounds executed —
-    * plan-regression tests assert the O(log V) bound with it. */
-  def runCounted(spark: SparkSession, edges: DataFrame, maxRounds: Int = 40)
-      : (DataFrame, Int) = {
+    * plan-regression tests assert the O(log V) bound with it (0 on the
+    * below-cap driver path).
+    *
+    * Size gate (VERDICT r11 #3, mirroring `DistributedDendrogram
+    * .mergeEvents`' driverCap probe): at or below `driverCap` candidate
+    * edges the forest comes from a tagged driver Kruskal under the SAME
+    * (weight, lo, hi) total order — identical output by construction
+    * (BoruvkaPropertySpec pins distributed == driver Kruskal on
+    * duplicate-weight multigraphs), but milliseconds instead of
+    * ~log V × 5 shuffle-stage jobs at gate-scale inputs. `driverCap = 0`
+    * forces the distributed path (specs, smokes). The probe's LIMIT cap+1
+    * early-terminates, so the above-cap path pays a bounded prefix scan,
+    * not a full extra pass. */
+  def runCounted(spark: SparkSession, edges: DataFrame, maxRounds: Int = 40,
+      driverCap: Long = 500000): (DataFrame, Int) = {
     val eRot = new graft.CheckpointRotator
     val forestRot = new graft.CheckpointRotator
     // normalize to lo < hi once; (weight, lo, hi) is the total edge order.
-    // Carry each endpoint's current component alongside (identity at start).
-    var e = eRot.rotate(edges
+    // Materialized eagerly so the gate probe and whichever path wins read
+    // cached blocks instead of recomputing the caller's candidate plan
+    // (per-cell kernels + boundary joins in the HDBSCAN caller) per action.
+    val normalized = eRot.rotate(edges
       .select(least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"), col("weight"))
       .filter(col("lo") =!= col("hi"))
-      .groupBy(col("lo"), col("hi")).agg(min(col("weight")).as("weight"))
+      .groupBy(col("lo"), col("hi")).agg(min(col("weight")).as("weight")))
+    val probeCap = math.min(driverCap, Int.MaxValue - 1L).toInt
+    if (driverCap > 0 && normalized.limit(probeCap + 1).count() <= driverCap) {
+      import spark.implicits._
+      val rows = graft.GraftTags.tagged(spark, graft.GraftTags.DriverCollectTag) {
+        normalized.as[(Long, Long, Double)].collect()
+      }
+      eRot.close(); forestRot.close()
+      return (spark.createDataset(driverKruskal(rows).toSeq)
+        .toDF("src", "dst", "weight"), 0)
+    }
+    // Carry each endpoint's current component alongside (identity at start).
+    var e = eRot.rotate(normalized
       .select(col("lo"), col("hi"), col("weight"),
         col("lo").as("ca"), col("hi").as("cb")))
 
@@ -141,5 +168,21 @@ object BoruvkaMst {
     }
     eRot.close(); forestRot.close()
     (out, rounds)
+  }
+
+  /** Driver Kruskal over pre-normalized (lo, hi, weight) rows under the
+    * (weight, lo, hi) total order — the below-cap fast path's kernel.
+    * Sparse ids are index-mapped so the union-find is O(V) not O(max id). */
+  private def driverKruskal(rows: Array[(Long, Long, Double)])
+      : Array[(Long, Long, Double)] = {
+    val ids = scala.collection.mutable.HashMap.empty[Long, Int]
+    def idx(v: Long): Int = ids.getOrElseUpdate(v, ids.size)
+    val triples = rows.map { case (lo, hi, w) => (idx(lo), idx(hi), lo, hi, w) }
+    java.util.Arrays.sort(triples, Ordering.by[(Int, Int, Long, Long, Double), (Double, Long, Long)](t => (t._5, t._3, t._4)))
+    val uf = new graft.kernel.UnionFind(ids.size)
+    triples.iterator.collect {
+      case (a, b, lo, hi, w) if uf.find(a) != uf.find(b) =>
+        uf.union(a, b); (lo, hi, w)
+    }.toArray
   }
 }

@@ -48,8 +48,26 @@ object ScaleTestdata {
       .select(col("id").cast("long").as("r")))
 
     def tbl(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    // Flat SINGLE-FILE layout, exactly like the driver testdata
+    // (`<dir>/<table>.parquet` is a file, not a directory): the streaming
+    // sources select input via `pathGlobFilter` on leaf FILE names
+    // (StreamingOps / EventsReader), so a directory-shaped table would
+    // stream zero files and silently hand every q_stream_* query an empty
+    // frame (ADVICE r11 medium). The upstream plan stays parallel; only
+    // the final write funnels through one task (seconds at sf1 sizes).
     def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      import org.apache.hadoop.fs.Path
+      val tmp = s"$dst/_tmp_$name"
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet")) match {
+        case Array(one) => one.getPath
+        case other => sys.error(s"expected one part file for $name, got ${other.length}")
+      }
+      val dest = new Path(s"$dst/$name.parquet")
+      fs.delete(dest, true)
+      if (!fs.rename(part, dest)) sys.error(s"rename failed for $name")
+      fs.delete(new Path(tmp), true)
       Console.err.println(s"[scale-testdata] wrote $name")
     }
     /** max(key)+1 — the per-replica key offset (keeps replicas disjoint). */

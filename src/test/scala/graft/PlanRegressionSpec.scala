@@ -189,7 +189,10 @@ class PlanRegressionSpec extends SparkTestBase {
     val edges = a.crossJoin(b).filter(col("src") < col("dst"))
       .select(col("src"), col("dst"),
         graft.functions.Distances.euclidean(col("va"), col("vb")).as("weight"))
-    val (forest, rounds) = graft.operators.BoruvkaMst.runCounted(spark, edges)
+    // driverCap = 0 forces the distributed contraction (the subject here);
+    // the below-cap driver Kruskal path returns rounds = 0 by design
+    val (forest, rounds) = graft.operators.BoruvkaMst.runCounted(spark, edges,
+      driverCap = 0)
     assert(forest.count() == 149)
     // components at least halve per round: ceil(log2(150)) = 8, +1 for the
     // final empty-frame convergence detection round

@@ -127,6 +127,39 @@ class HdbscanSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("maxSingleKernelPoints gate: partitioned route matches the single kernel at the boundary") {
+    import spark.implicits._
+    // VERDICT r11 #1: auto mode past the single-kernel budget must route to
+    // the partitioned-exact path and keep the clustering. The partitioned
+    // route computes core distances within Voronoi cells, so points whose
+    // true minPts-NN sits across a cell boundary may see an inflated core
+    // distance — the documented approximation. The cross-route contract is
+    // therefore STRUCTURAL: identical cluster count, a bijective cluster
+    // mapping, and ≥ 98% per-point canonical agreement (disagreements are
+    // boundary noise-flips, never cluster mixing).
+    val df = blobData.map(t => (t._1, t._2)).toDF("id", "features").cache()
+    val base = Hdbscan(minPts = 4, minClusterSize = 10)
+    def run(h: Hdbscan): Map[Long, Int] = h.fit(df)
+      .select("id", "label").as[(Long, Int)].collect().toMap
+    val single = run(base) // n=600 ≤ budget: one kernel task
+    val split = run(base.setMaxSingleKernelPoints(300)) // budget < n: partitioned
+    def canon(m: Map[Long, Int]): Map[Long, Long] = {
+      val minId = m.toSeq.filter(_._2 != 0).groupBy(_._2)
+        .map { case (l, g) => (l, g.map(_._1).min) }
+      m.map { case (id, l) => id -> (if (l == 0) -1L else minId(l)) }
+    }
+    val cs = canon(single); val cp = canon(split)
+    assert(single.values.filter(_ != 0).toSet.size == split.values.filter(_ != 0).toSet.size,
+      "cluster count differs across the kernel-budget gate")
+    val disagree = cs.collect { case (id, v) if cp(id) != v => (id, v, cp(id)) }
+    assert(disagree.size <= (cs.size * 0.02).toInt,
+      s"${disagree.size}/${cs.size} points disagree across the gate: ${disagree.take(10)}")
+    // disagreements must be noise-flips, not cross-cluster mixing
+    assert(disagree.forall { case (_, a, b) => a == -1L || b == -1L },
+      s"cross-cluster mixing across the gate: ${disagree.filter(d => d._2 != -1L && d._3 != -1L)}")
+    df.unpersist()
+  }
+
   test("testdata embeddings: all rows labeled, outlier scores in [0,1]") {
     val pts = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("features"))

@@ -44,12 +44,24 @@ object BoruvkaPropertySpec extends Properties("BoruvkaMst") {
     Prop.forAll(graphGen) { es =>
       val spark = graft.SparkTestBase.session
       import spark.implicits._
-      val got = BoruvkaMst.run(spark, es.toDF("src", "dst", "weight"))
+      // driverCap = 0 forces the distributed contraction — the subject
+      val got = BoruvkaMst.run(spark, es.toDF("src", "dst", "weight"), driverCap = 0)
         .as[(Long, Long, Double)].collect().toSet
       val want = kruskal(es)
       if (got != want) {
         println(s"edges=$es\nboruvka=${got.toSeq.sorted}\nkruskal=${want.toSeq.sorted}")
       }
       got == want
+    }
+
+  property("below-cap driver fast path equals the same Kruskal contract") =
+    Prop.forAll(graphGen) { es =>
+      val spark = graft.SparkTestBase.session
+      import spark.implicits._
+      // default driverCap ≫ |es|: exercises the gate probe + the sparse-id
+      // index mapping inside the driver Kruskal kernel (VERDICT r11 #3)
+      val got = BoruvkaMst.run(spark, es.toDF("src", "dst", "weight"))
+        .as[(Long, Long, Double)].collect().toSet
+      got == kruskal(es)
     }
 }

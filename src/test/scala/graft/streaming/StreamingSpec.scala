@@ -627,4 +627,57 @@ class StreamingSpec extends SparkTestBase {
       assert(math.abs(s.extent - b.extent) <= 1e-9)
     }
   }
+
+  test("streaming-clustering loop: fitSketch labels refresh across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // VERDICT r11 #2: the end-to-end loop (CF state → foreachBatch snapshot
+    // → fitSketch labels) must re-cluster PER TRIGGER. Batch 1 streams two
+    // well-separated blob groups (cells 0-9 near origin, 10-19 at +50);
+    // batch 2 adds a third group (cells 20-29 at +100) and more mass to the
+    // first. The second snapshot must see the new bubbles and refresh
+    // labels; the final snapshot must equal a direct batch fitSketch over
+    // the union.
+    val rng = new scala.util.Random(23)
+    def blob(cells: Range, center: Double, perCell: Int): Seq[(Long, Array[Double])] =
+      cells.flatMap(c => (0 until perCell).map(_ =>
+        (c.toLong, Array.fill(3)(center + rng.nextGaussian() * 0.3))))
+    val b1 = blob(0 until 10, 0.0, 8) ++ blob(10 until 20, 50.0, 8)
+    val b2 = blob(20 until 30, 100.0, 8) ++ blob(0 until 10, 0.0, 4)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Double])]
+    val model = graft.hdbscan.Hdbscan(minPts = 2, minClusterSize = 4)
+    val loop = StreamingOps.startClusterLoop(
+      mem.toDS().toDF("cell", "vec"), model,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData(b1)
+      loop.query.processAllAvailable()
+      val after1 = loop.snapshots
+      assert(after1.nonEmpty, "no snapshot after batch 1")
+      assert(after1.last.rows.map(_._1).toSet == (0L until 20L).toSet)
+      mem.addData(b2)
+      loop.query.processAllAvailable()
+      val after2 = loop.snapshots
+      assert(after2.size > after1.size, "labels did not refresh on batch 2")
+      val fin = after2.last.rows
+      assert(fin.map(_._1).toSet == (0L until 30L).toSet)
+      // the refreshed masses include batch 2's extra rows on cells 0-9
+      assert(fin.filter(_._1 < 10).forall(_._5 == 12L), s"masses not refreshed: $fin")
+      // three separated groups → three clusters in the refreshed labels
+      val byLabel = fin.filter(_._2 != 0).groupBy(_._2)
+      assert(byLabel.size == 3, s"expected 3 clusters, got ${byLabel.keySet}")
+      // final snapshot == direct batch fitSketch over the union
+      val batchSketch = (b1 ++ b2).toDF("cell", "vec")
+        .select(col("cell"), col("vec").cast("array<double>"))
+        .as[(Long, Array[Double])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.operators.CFAggregator.toColumn.name("cf"))
+      val want = model.fitSketch(batchSketch)
+        .select(col("bubble_id"), col("label"), col("mass"))
+        .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+      assert(fin.map(t => (t._1, t._2, t._5)) == want,
+        "final streamed labels differ from the batch fitSketch")
+    } finally if (loop.query.isActive) loop.query.stop()
+  }
 }
