@@ -86,6 +86,57 @@ object MillionSmoke {
     println(f"[bubbles-hi] purity vs generating blob: $purityHi%.4f over $coveredHi labeled points")
     assert(purityHi >= 0.99, s"hi-cap purity $purityHi < 0.99 vs generating blobs")
     assert(coveredHi >= (n * 9) / 10, s"only $coveredHi/$n points labeled non-noise at hi cap")
-    resHi.unpersist(blocking = false); pts.unpersist(blocking = false)
+
+    // ---- constrained leg (VERDICT r11 #7): constraints steer at SKETCH
+    // granularity (point ids → containing bubbles through the assignment
+    // frame, Hdbscan.setConstraints) — proven here at 1M points on the
+    // matrix-free route, the way the unconstrained path is. Two planted
+    // must-links across two blob pairs: constraint-driven extraction must
+    // flip selection to each pair's merge parent, so both endpoints of
+    // each must-link share one label while the two pairs stay apart. ----
+    // pairs must be DENDROGRAM-ADJACENT (mutually nearest blobs): a
+    // must-link across an arbitrary pair is satisfied only by a high
+    // ancestor that can swallow unrelated blobs. Centers via one 20-row agg.
+    val centers = pts.groupBy("blob")
+      .agg(array((0 until dims).map(d => avg(col("features")(d))): _*).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cDist(a: Long, b: Long): Double =
+      math.sqrt(centers(a).zip(centers(b)).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val blobIds = centers.keys.toSeq.sorted
+    val allPairs = (for { a <- blobIds; b <- blobIds if a < b } yield (a, b, cDist(a, b)))
+      .sortBy(_._3)
+    val (pa, pb, _) = allPairs.head
+    val (pc, pd, _) = allPairs.find(p => Set(p._1, p._2).intersect(Set(pa, pb)).isEmpty).get
+    val four = Seq(pa, pb, pc, pd)
+    val reps = pts.filter(col("blob").isInCollection(four))
+      .groupBy("blob").agg(min("id").as("rid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unconLabels = resHi.filter(col("id").isInCollection(reps.values.toSeq))
+      .select("id", "label").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    resHi.unpersist(blocking = false)
+    val cons = Seq((reps(pa), reps(pb), true), (reps(pc), reps(pd), true))
+    val t2 = System.nanoTime()
+    val resCon = Hdbscan(minPts = 4, minClusterSize = 500, maxLocalSize = 4000,
+      maxExactPoints = 200000, sampleCap = capHi, constraints = cons)
+      .fit(pts.select(col("id"), col("features"))).persist()
+    val conLabels = resCon.filter(col("id").isInCollection(reps.values.toSeq))
+      .select("id", "label").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val nClustersCon = resCon.filter(col("label") =!= 0).select("label").distinct().count()
+    println(f"[bubbles-con] sampleCap=$capHi%d + 2 must-links: clustered $n rows " +
+      f"in ${(System.nanoTime() - t2) / 1e9}%.1f s; $nClustersCon clusters; " +
+      s"pair($pa,$pb)=${conLabels(reps(pa))}/${conLabels(reps(pb))} " +
+      s"pair($pc,$pd)=${conLabels(reps(pc))}/${conLabels(reps(pd))}")
+    // unconstrained: the four blobs are distinct clusters
+    assert(four.map(b => unconLabels(reps(b))).distinct.size == 4,
+      s"unconstrained blobs $four not distinct: $unconLabels")
+    // constrained: each must-link pair shares a non-noise label...
+    assert(conLabels(reps(pa)) != 0 && conLabels(reps(pa)) == conLabels(reps(pb)),
+      s"must-link (blob$pa, blob$pb) unsatisfied: $conLabels")
+    assert(conLabels(reps(pc)) != 0 && conLabels(reps(pc)) == conLabels(reps(pd)),
+      s"must-link (blob$pc, blob$pd) unsatisfied: $conLabels")
+    // ...and the two pairs stay separate clusters
+    assert(conLabels(reps(pa)) != conLabels(reps(pc)),
+      s"pairs ($pa,$pb) and ($pc,$pd) collapsed into one cluster: $conLabels")
+    resCon.unpersist(blocking = false); pts.unpersist(blocking = false)
   }
 }

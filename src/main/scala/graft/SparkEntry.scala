@@ -360,6 +360,21 @@ object SparkEntry {
       // sorted-merge kernel — 10x the naive posting self-join at sf0.1
       Dedup.ngramContainmentPairs(docs(s, d), "source", threshold = 0.9)
         .orderBy(col("block"), col("id_a"), col("id_b"))),
+    "q_dedup_delta" -> ((s: SparkSession, d: String) => {
+      // shard-append exact near-dup (r12): every Jaccard-≥-t pair touching
+      // the "new shard" (the latest id range, doc_id ≥ 400 — the shape a
+      // crawl append actually has) against the accumulated corpus —
+      // candidate cost ∝ shard × index, never corpus². Output is exactly
+      // the all-pairs SQL filtered to shard-touching pairs (the oracle
+      // replays it verbatim; DedupDeltaSpec pins equality against the
+      // full-corpus prefix operator, including cross (history, delta)
+      // pairs).
+      val all = docs(s, d)
+      Dedup.ngramJaccardDelta(
+        all.filter(col("doc_id") < 400),
+        all.filter(col("doc_id") >= 400), "source")
+        .orderBy(col("block"), col("id_a"), col("id_b"))
+    }),
     "q_simjoin_cost" -> ((s: SparkSession, d: String) =>
       // pre-flight cost estimator for the exact similarity join (VERDICT
       // r11 #5): one aggregation pass over the shingle df spectrum gives
@@ -5194,6 +5209,21 @@ object SparkEntry {
         |      least(len(a.s), len(b.s)), 6) AS containment
         |  FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id)
         |WHERE containment >= 0.9 ORDER BY block, id_a, id_b""".stripMargin,
+    // the all-pairs jaccard SQL restricted to pairs touching the delta
+    // shard (doc_id >= 400) — the delta operator's exact contract
+    "q_dedup_delta" ->
+      """WITH sh AS (
+        |  SELECT source AS block, doc_id AS id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(n) - 2, 1)),
+        |      i -> substr(n, i, 3))) AS s
+        |  FROM (SELECT *, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n FROM documents))
+        |SELECT block, id_a, id_b, jaccard FROM (
+        |  SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
+        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
+        |  WHERE a.id >= 400 OR b.id >= 400)
+        |WHERE jaccard >= 0.3 ORDER BY block, id_a, id_b""".stripMargin,
     // the df spectrum over the SAME normalized 3-gram universe as
     // q_ngram_jaccard; every output term is integer arithmetic per
     // shingle, so the sums replay bit-exactly

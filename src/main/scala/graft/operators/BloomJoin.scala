@@ -61,6 +61,9 @@ object BloomJoin {
     if (bf == null) return big.limit(0) // empty key set: nothing matches
     big.filter(mightContain(bf, col(keyCol)))
       .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      // a USING join emits the key column FIRST — restore the caller's
+      // column order (see bloomAntiJoin for why this is load-bearing)
+      .select(big.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Exact anti-join: rows of `big` whose `keyCol` does NOT appear in
@@ -73,8 +76,19 @@ object BloomJoin {
     if (bf == null) return big // empty key set: everything is clean
     val probe = mightContain(bf, col(keyCol))
     val clean = big.filter(!probe)
+    // a USING join emits the key column FIRST, so the survivor frame's
+    // column order differs from `clean`'s whenever keyCol isn't already
+    // big's first column — and unionAll is POSITIONAL, so the misaligned
+    // columns union under implicit ANSI casts that only detonate when a
+    // survivor row actually materializes. Survivors are bloom FALSE
+    // POSITIVES: zero on a generously-sized filter (every small-SF run),
+    // present the moment the key count outgrows expectedKeys — the sf1
+    // full bench was the first run to produce one (r12). Restore big's
+    // column order before the union; a spec now overloads the filter to
+    // force survivors and pins exactness.
     val survivors = big.filter(probe)
       .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .select(big.columns.map(col).toIndexedSeq: _*)
     clean.unionAll(survivors)
   }
 }

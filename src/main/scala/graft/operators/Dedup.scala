@@ -510,6 +510,85 @@ object Dedup {
     }
   }
 
+  /** Shard-append exact near-dup (r12): all Jaccard-≥-t pairs TOUCHING a
+    * new delta shard — (delta, history) and (delta, delta) pairs — without
+    * re-running the corpus-wide join. This is the recurring 100 TB dedup
+    * job: a new crawl shard lands and must be deduped against the
+    * accumulated corpus; the full [[ngramJaccardPairsPrefix]] costs
+    * Σ C(pdf,2) over the WHOLE corpus every time, while the delta form's
+    * candidate stage is Σ_h pdf_Δ(h)·df(h) — proportional to the shard,
+    * not the corpus squared.
+    *
+    * Correctness: J(A,B) ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥ t·|A|, so A's canonical
+    * prefix of length |A| − ⌈t·|A|⌉ + 1 must intersect B — probing the
+    * FULL (history ∪ delta) inverted index with only the DELTA side's
+    * prefixes finds every qualifying pair with a delta endpoint (the
+    * containment-style one-sided bound; both-delta pairs are covered from
+    * either side). Verification is the exact sorted-merge Jaccard on full
+    * shingle sets — output is EXACTLY the all-pairs SQL filtered to
+    * delta-touching pairs (spec-pinned against the full-corpus operator;
+    * the oracle replays it verbatim).
+    *
+    * History docs pay one shingling scan (the index build — at scale this
+    * is the incrementally-maintained structure); only delta prefixes probe.
+    *
+    * @return (block, id_a, id_b, jaccard), id_a < id_b, at least one
+    *         endpoint in `delta`; jaccard ≥ threshold, rounded to 6 dp */
+  def ngramJaccardDelta(
+      history: DataFrame,
+      delta: DataFrame,
+      blockCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    def shingled(df: DataFrame, isDelta: Boolean) =
+      df.select(col(blockCol).as("block"), col(idCol).as("id"),
+          graft.expr.TextExpressions.charShingleHashes(col(textCol), n).as("sh"))
+        .withColumn("nsh", size(col("sh")))
+        .withColumn("is_delta", lit(isDelta))
+    val sh = shingled(history, isDelta = false)
+      .unionAll(shingled(delta, isDelta = true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // full inverted index over history ∪ delta; df for the canonical order
+    val inv = sh.select(col("block"), col("id"), col("is_delta"), explode(col("sh")).as("h"))
+    val dfreq = inv.groupBy(col("block"), col("h")).agg(count(lit(1)).as("df"))
+    // canonical (df asc, h asc) prefixes of the DELTA side only
+    val prefixLen = (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int")
+    val prefixes = inv.filter(col("is_delta"))
+      .join(dfreq, Seq("block", "h"))
+      .groupBy(col("block"), col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ordered"))
+      .select(col("block"), col("id"),
+        transform(col("ordered"), x => x.getField("h")).as("sorted_sh"))
+      .withColumn("nsh", size(col("sorted_sh")))
+      .select(col("block"), col("id").as("id_p"),
+        explode(slice(col("sorted_sh"), lit(1), prefixLen)).as("h"))
+    // delta prefixes probe the FULL index (one-sided bound — see scaladoc);
+    // normalize to id_a < id_b and dedup multi-shingle hits before verify
+    val candidates = prefixes
+      .join(inv.select(col("block"), col("h"), col("id").as("id_i")), Seq("block", "h"))
+      .filter(col("id_p") =!= col("id_i"))
+      .select(col("block"),
+        least(col("id_p"), col("id_i")).as("id_a"),
+        greatest(col("id_p"), col("id_i")).as("id_b"))
+      .distinct()
+    val verified = candidates
+      .join(sh.select(col("block"), col("id").as("id_a"),
+          sort_array(col("sh")).as("sh_a")), Seq("block", "id_a"))
+      .join(sh.select(col("block"), col("id").as("id_b"),
+          sort_array(col("sh")).as("sh_b")), Seq("block", "id_b"))
+      .withColumn("common", graft.expr.TextExpressions
+        .sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
+    val (out, _) = org.apache.spark.sql.GraftShim.materialize(verified)
+    sh.unpersist(blocking = false)
+    out
+  }
+
   /** The shingle frame and the UNVERIFIED candidate pairs of
     * [[ngramJaccardPairsPrefix]] — the stage whose size is the operator's
     * scale story (prefixes structurally exclude high-df shingles from

@@ -46,9 +46,12 @@ object Diagnostics {
       textCol: String = "text", idCol: String = "doc_id",
       n: Int = 3, threshold: Double = 0.3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
-        graft.expr.TextExpressions.charShingleHashes(col(textCol), n).as("sh"))
-      .withColumn("nsh", size(col("sh")).cast("long"))
+    // the shingling kernel is the scan's whole cost and feeds two
+    // aggregations (per-doc budget + df spectrum) — materialize it once
+    val (sh, shRdd) = org.apache.spark.sql.GraftShim.materialize(
+      docs.select(col(blockCol).as("block"), col(idCol).as("id"),
+          graft.expr.TextExpressions.charShingleHashes(col(textCol), n).as("sh"))
+        .withColumn("nsh", size(col("sh")).cast("long")))
     val dfreq = sh.select(col("block"), explode(col("sh")).as("h"))
       .groupBy(col("block"), col("h")).agg(count(lit(1)).as("df"))
     // per-block prefix posting budget: Σ_docs (nsh − ⌈t·nsh⌉ + 1), with
@@ -81,9 +84,12 @@ object Diagnostics {
       max(col("df")).as("max_df"),
       sum(expr("cnt * (df * (df - 1) DIV 2)")).as("exact_candidates"),
       sum(col("prefix_pairs")).as("est_prefix_candidates"))
-    nd.join(spectrum, Seq("block"))
+    val out = nd.join(spectrum, Seq("block"))
       .select(col("block"), col("n_docs"), col("n_postings"), col("n_shingles"),
         col("max_df"), col("exact_candidates"), col("est_prefix_candidates"))
+    val (materialized, _) = org.apache.spark.sql.GraftShim.materialize(out)
+    shRdd.unpersist(blocking = false)
+    materialized
   }
 
   /** Skew profile of a prospective shuffle key: top-`k` key counts plus

@@ -38,6 +38,36 @@ class BloomJoinSpec extends graft.SparkTestBase {
     assert(BloomJoin.bloomSemiJoin(big, none, "k", expectedKeys = 10L).count() === 0L)
   }
 
+  test("overloaded filter (nonempty survivor frame): still exact, schema preserved") {
+    import spark.implicits._
+    // the r12 sf1 failure class: when the key count outgrows expectedKeys,
+    // bloom FALSE POSITIVES materialize the survivor branch — which must
+    // union onto the clean branch with big's exact column order (a USING
+    // join emits the key first; positional unionAll would pair doc ids
+    // with content hashes under ANSI casts). Force survivors with a
+    // deliberately undersized filter over string keys and a NON-key-first
+    // column order.
+    val big = (0L until 4000L).map(i => (i, s"k_$i")).toDF("id", "key")
+    val keys = (0L until 4000L by 3L).map(i => s"k_$i").toDF("key")
+    val anti = BloomJoin.bloomAntiJoin(big, keys, "key", expectedKeys = 16L, fpp = 0.2)
+    assert(anti.columns.toSeq == Seq("id", "key"), s"schema: ${anti.columns.toSeq}")
+    val gotAnti = anti.select(col("id")).collect().map(_.getLong(0)).sorted
+    val wantAnti = big.join(keys.distinct(), Seq("key"), "left_anti")
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(gotAnti.toSeq === wantAnti.toSeq)
+    // the survivor branch really fired: with 1334 keys in a 16-key filter
+    // the probe passes nearly everything, so clean ∪ survivors both exist
+    val bf = BloomJoin.buildFilter(keys, "key", 16L, 0.2)
+    val passed = big.filter(BloomJoin.mightContain(bf, col("key"))).count()
+    assert(passed > 1334, s"expected false positives, probe passed only $passed")
+    val semi = BloomJoin.bloomSemiJoin(big, keys, "key", expectedKeys = 16L, fpp = 0.2)
+    assert(semi.columns.toSeq == Seq("id", "key"))
+    val gotSemi = semi.select(col("id")).collect().map(_.getLong(0)).sorted
+    val wantSemi = big.join(keys.distinct(), Seq("key"), "left_semi")
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(gotSemi.toSeq === wantSemi.toSeq)
+  }
+
   test("probe has no false negatives even at high fpp") {
     import spark.implicits._
     // tiny filter (64 expected, 20% fpp) over 5000 keys: lots of false
