@@ -362,17 +362,19 @@ object SparkEntry {
         .orderBy(col("block"), col("id_a"), col("id_b"))),
     "q_dedup_delta" -> ((s: SparkSession, d: String) => {
       // shard-append exact near-dup (r12): every Jaccard-≥-t pair touching
-      // the "new shard" (the latest id range, doc_id ≥ 400 — the shape a
-      // crawl append actually has) against the accumulated corpus —
-      // candidate cost ∝ shard × index, never corpus². Output is exactly
-      // the all-pairs SQL filtered to shard-touching pairs (the oracle
-      // replays it verbatim; DedupDeltaSpec pins equality against the
+      // the "new shard" (the top 20% of the id range — the shape a crawl
+      // append actually has, and SF-relative so the shard stays a shard
+      // at every scale) against the accumulated corpus — candidate cost
+      // ∝ shard × index, never corpus². Output is exactly the all-pairs
+      // SQL filtered to shard-touching pairs (the oracle replays it
+      // verbatim, cut included; DedupDeltaSpec pins equality against the
       // full-corpus prefix operator, including cross (history, delta)
-      // pairs).
+      // pairs). The max(doc_id) probe is one bounded 1-row aggregate.
       val all = docs(s, d)
+      val cut = 4L * (all.agg(max(col("doc_id"))).head().getLong(0) + 1L) / 5L
       Dedup.ngramJaccardDelta(
-        all.filter(col("doc_id") < 400),
-        all.filter(col("doc_id") >= 400), "source")
+        all.filter(col("doc_id") < cut),
+        all.filter(col("doc_id") >= cut), "source")
         .orderBy(col("block"), col("id_a"), col("id_b"))
     }),
     "q_simjoin_cost" -> ((s: SparkSession, d: String) =>
@@ -5210,7 +5212,8 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id)
         |WHERE containment >= 0.9 ORDER BY block, id_a, id_b""".stripMargin,
     // the all-pairs jaccard SQL restricted to pairs touching the delta
-    // shard (doc_id >= 400) — the delta operator's exact contract
+    // shard (the top 20% of the id range) — the delta operator's exact
+    // contract; the cut is the same integer arithmetic on both engines
     "q_dedup_delta" ->
       """WITH sh AS (
         |  SELECT source AS block, doc_id AS id,
@@ -5222,7 +5225,8 @@ object SparkEntry {
         |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
         |  FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
-        |  WHERE a.id >= 400 OR b.id >= 400)
+        |  WHERE a.id >= (SELECT 4 * (max(doc_id) + 1) // 5 FROM documents)
+        |     OR b.id >= (SELECT 4 * (max(doc_id) + 1) // 5 FROM documents))
         |WHERE jaccard >= 0.3 ORDER BY block, id_a, id_b""".stripMargin,
     // the df spectrum over the SAME normalized 3-gram universe as
     // q_ngram_jaccard; every output term is integer arithmetic per

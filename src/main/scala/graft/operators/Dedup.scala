@@ -519,18 +519,23 @@ object Dedup {
     * candidate stage is Σ_h pdf_Δ(h)·df(h) — proportional to the shard,
     * not the corpus squared.
     *
-    * Correctness: J(A,B) ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥ t·|A|, so A's canonical
-    * prefix of length |A| − ⌈t·|A|⌉ + 1 must intersect B — probing the
-    * FULL (history ∪ delta) inverted index with only the DELTA side's
-    * prefixes finds every qualifying pair with a delta endpoint (the
-    * containment-style one-sided bound; both-delta pairs are covered from
-    * either side). Verification is the exact sorted-merge Jaccard on full
-    * shingle sets — output is EXACTLY the all-pairs SQL filtered to
-    * delta-touching pairs (spec-pinned against the full-corpus operator;
-    * the oracle replays it verbatim).
+    * Correctness: the AllPairs prefix theorem — J(A,B) ≥ t ⇒ the canonical
+    * (df asc, h asc) prefixes of length |X| − ⌈t·|X|⌉ + 1 of A and B
+    * intersect — holds under any GLOBAL canonical order, so delta prefixes
+    * join against the prefix postings of history ∪ delta (both sides
+    * prefix, like the full operator; a first cut probed the FULL posting
+    * lists under the one-sided containment bound and paid Σ pdf_Δ·df ≈
+    * 13.5M candidate rows where this pays Σ pdf_Δ·pdf ≈ share² of the
+    * full join). The size-ratio filter (J ≤ min/max of the set sizes)
+    * prunes before the verify, exactly as in [[ngramJaccardPairsPrefix]].
+    * Verification is the exact sorted-merge Jaccard on full shingle sets —
+    * output is EXACTLY the all-pairs SQL filtered to delta-touching pairs
+    * (spec-pinned against the full-corpus operator; the oracle replays it
+    * verbatim).
     *
     * History docs pay one shingling scan (the index build — at scale this
-    * is the incrementally-maintained structure); only delta prefixes probe.
+    * is the incrementally-maintained structure); only delta-touching
+    * candidates pay the join and verify.
     *
     * @return (block, id_a, id_b, jaccard), id_a < id_b, at least one
     *         endpoint in `delta`; jaccard ≥ threshold, rounded to 6 dp */
@@ -553,22 +558,28 @@ object Dedup {
     // full inverted index over history ∪ delta; df for the canonical order
     val inv = sh.select(col("block"), col("id"), col("is_delta"), explode(col("sh")).as("h"))
     val dfreq = inv.groupBy(col("block"), col("h")).agg(count(lit(1)).as("df"))
-    // canonical (df asc, h asc) prefixes of the DELTA side only
+    // canonical (df asc, h asc) prefixes of EVERY doc (the prefix index);
+    // the AllPairs theorem needs prefixes on both join sides
     val prefixLen = (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int")
-    val prefixes = inv.filter(col("is_delta"))
+    val posting = inv
       .join(dfreq, Seq("block", "h"))
-      .groupBy(col("block"), col("id"))
+      .groupBy(col("block"), col("id"), col("is_delta"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ordered"))
-      .select(col("block"), col("id"),
+      .select(col("block"), col("id"), col("is_delta"),
         transform(col("ordered"), x => x.getField("h")).as("sorted_sh"))
       .withColumn("nsh", size(col("sorted_sh")))
-      .select(col("block"), col("id").as("id_p"),
+      .select(col("block"), col("id"), col("is_delta"), col("nsh"),
         explode(slice(col("sorted_sh"), lit(1), prefixLen)).as("h"))
-    // delta prefixes probe the FULL index (one-sided bound — see scaladoc);
-    // normalize to id_a < id_b and dedup multi-shingle hits before verify
-    val candidates = prefixes
-      .join(inv.select(col("block"), col("h"), col("id").as("id_i")), Seq("block", "h"))
+    // delta prefixes ⋈ all prefixes; size-ratio prune (J ≤ min/max sizes),
+    // normalize to id_a < id_b, dedup multi-shingle hits before verify
+    val a = posting.filter(col("is_delta"))
+      .select(col("block"), col("h"), col("id").as("id_p"), col("nsh").as("nsh_p"))
+    val b = posting
+      .select(col("block"), col("h"), col("id").as("id_i"), col("nsh").as("nsh_i"))
+    val candidates = a.join(b, Seq("block", "h"))
       .filter(col("id_p") =!= col("id_i"))
+      .filter(least(col("nsh_p"), col("nsh_i")).cast("double") /
+        greatest(col("nsh_p"), col("nsh_i")) >= threshold)
       .select(col("block"),
         least(col("id_p"), col("id_i")).as("id_a"),
         greatest(col("id_p"), col("id_i")).as("id_b"))
