@@ -377,6 +377,23 @@ object SparkEntry {
         all.filter(col("doc_id") >= cut), "source")
         .orderBy(col("block"), col("id_a"), col("id_b"))
     }),
+    "q_neardup_incremental" -> ((s: SparkSession, d: String) => {
+      // the ingestion LOOP (r12): three id-range shards folded through the
+      // shard-append delta join — every qualifying pair emitted exactly
+      // once, when its later shard arrives, so the union over the fold
+      // equals the full all-pairs SQL on the same slice (the oracle).
+      // Bounded demo slice like q_dedup_clusters (the word-salad corpus is
+      // near-dup-dense, so the unbounded pair set is bench-hostile).
+      // The streaming form (StreamingOps.nearDupStream) runs the same fold
+      // per micro-batch — MemoryStream spec pins the three-batch equality.
+      val slice = docs(s, d).filter(col("doc_id") < 1000)
+      val shards = Seq(
+        slice.filter(col("doc_id") < 333),
+        slice.filter(col("doc_id") >= 333 && col("doc_id") < 666),
+        slice.filter(col("doc_id") >= 666))
+      graft.operators.Dedup.incrementalNearDup(shards, "source")
+        .orderBy(col("block"), col("id_a"), col("id_b"))
+    }),
     "q_simjoin_cost" -> ((s: SparkSession, d: String) =>
       // pre-flight cost estimator for the exact similarity join (VERDICT
       // r11 #5): one aggregation pass over the shingle df spectrum gives
@@ -5227,6 +5244,21 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
         |  WHERE a.id >= (SELECT 4 * (max(doc_id) + 1) // 5 FROM documents)
         |     OR b.id >= (SELECT 4 * (max(doc_id) + 1) // 5 FROM documents))
+        |WHERE jaccard >= 0.3 ORDER BY block, id_a, id_b""".stripMargin,
+    // the incremental fold's completeness contract: its union over the
+    // three shards IS the plain all-pairs result on the slice
+    "q_neardup_incremental" ->
+      """WITH sh AS (
+        |  SELECT source AS block, doc_id AS id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(n) - 2, 1)),
+        |      i -> substr(n, i, 3))) AS s
+        |  FROM (SELECT *, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
+        |        FROM documents WHERE doc_id < 1000))
+        |SELECT block, id_a, id_b, jaccard FROM (
+        |  SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
+        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id)
         |WHERE jaccard >= 0.3 ORDER BY block, id_a, id_b""".stripMargin,
     // the df spectrum over the SAME normalized 3-gram universe as
     // q_ngram_jaccard; every output term is integer arithmetic per

@@ -600,6 +600,43 @@ object Dedup {
     out
   }
 
+  /** Incremental near-dup over an ORDERED sequence of shards — the
+    * recurring ingestion loop: as each shard lands, emit exactly the
+    * Jaccard-≥-t pairs it forms with everything already ingested (and
+    * within itself), via [[ngramJaccardDelta]].
+    *
+    * Completeness contract (the reason this is oracle-checkable with the
+    * plain all-pairs SQL): every qualifying pair is emitted EXACTLY ONCE —
+    * when its later shard arrives — so folding a whole corpus through the
+    * loop reproduces the full [[ngramJaccardPairsPrefix]] pair set
+    * verbatim, while each step costs shard × accumulated-index instead of
+    * corpus². [[graft.streaming.StreamingOps.nearDupStream]] runs the same
+    * fold per micro-batch with the accumulated history as stream state. */
+  def incrementalNearDup(
+      shards: Seq[DataFrame],
+      blockCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    require(shards.nonEmpty, "incrementalNearDup: no shards")
+    val spark = shards.head.sparkSession
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long, Long, Double)]
+      .toDF("block", "id_a", "id_b", "jaccard")
+    val cols = Seq(blockCol, textCol, idCol)
+    val (_, out) = shards.foldLeft((Option.empty[DataFrame], empty)) {
+      case ((history, acc), shard) =>
+        val delta = shard.select(cols.map(col): _*)
+        val pairs = history match {
+          case Some(h) => ngramJaccardDelta(h, delta, blockCol, textCol, idCol, n, threshold)
+          case None => ngramJaccardDelta(delta.limit(0), delta, blockCol, textCol, idCol, n, threshold)
+        }
+        (Some(history.map(_.unionAll(delta)).getOrElse(delta)), acc.unionAll(pairs))
+    }
+    out
+  }
+
   /** The shingle frame and the UNVERIFIED candidate pairs of
     * [[ngramJaccardPairsPrefix]] — the stage whose size is the operator's
     * scale story (prefixes structurally exclude high-df shingles from

@@ -917,6 +917,77 @@ object StreamingOps {
     loop.snapshots
   }
 
+  /** Streaming incremental near-dup — the ingestion-loop form of
+    * [[graft.operators.Dedup.incrementalNearDup]]: per micro-batch, emit
+    * exactly the Jaccard-≥-t pairs the batch forms with the accumulated
+    * history (and within itself) via the shard-append delta join, then
+    * fold the batch into the history. Every qualifying pair is emitted
+    * exactly once (when its later member arrives), so the union of all
+    * emissions over a bounded stream equals the full batch all-pairs
+    * result — the MemoryStream spec pins that equality across three
+    * batches.
+    *
+    * State shape: the accumulated docs frame, rotated through eager
+    * checkpoints per batch (the index at scale would be an incrementally-
+    * maintained table; here the fold re-shingles history per batch, which
+    * is the [[graft.operators.Dedup.ngramJaccardDelta]] cost model).
+    *
+    * @param docs streaming (block, id, text) frame
+    * @return per-batch emissions: (batchId, block, id_a, id_b, jaccard) */
+  /** A live ingestion-dedup loop: the running query plus the per-batch
+    * pair emissions so far. The driver buffer is gate-harness-sized
+    * (bounded slices); a production deployment sinks each batch's pair
+    * frame instead of collecting it. */
+  final class NearDupLoop private[streaming](
+      val query: org.apache.spark.sql.streaming.StreamingQuery,
+      buf: scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long, Double)],
+      rot: graft.CheckpointRotator) {
+    def emissions: Seq[(Long, String, Long, Long, Double)] = buf.synchronized(buf.toSeq)
+    def close(): Unit = { if (query.isActive) query.stop(); rot.close() }
+  }
+
+  /** Start the loop without blocking — specs drive micro-batches with a
+    * MemoryStream (addData → processAllAvailable → emissions grow). */
+  def startNearDupLoop(docs: DataFrame, threshold: Double,
+      trigger: Trigger): NearDupLoop = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rot = new graft.CheckpointRotator
+    var history: Option[DataFrame] = None
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Double)]
+    val q = docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val shard = batch.select(col("block"), col("id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (!shard.isEmpty) {
+          val hist = history.getOrElse(shard.limit(0))
+          val pairs = graft.operators.Dedup.ngramJaccardDelta(
+              hist, shard, "block", "text", "id", threshold = threshold)
+            .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
+            .as[(String, Long, Long, Double)].collect()
+          emitted.synchronized {
+            emitted ++= pairs.iterator.map(p => (batchId, p._1, p._2, p._3, p._4))
+          }
+          history = Some(rot.rotate(hist.unionAll(shard)))
+        }
+        shard.unpersist(blocking = false)
+        ()
+      }
+      .start()
+    new NearDupLoop(q, emitted, rot)
+  }
+
+  def nearDupStream(docs: DataFrame, threshold: Double = 0.3,
+      trigger: Trigger = Trigger.AvailableNow()): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val loop = startNearDupLoop(docs, threshold, trigger)
+    try loop.query.awaitTermination() finally loop.close()
+    loop.emissions.toDF("batch_id", "block", "id_a", "id_b", "jaccard")
+  }
+
   /** q_stream_cluster's surface: [[cfClusterSnapshots]] over the bounded
     * embeddings stream (same mod-10 cells as q_cluster_sketch /
     * q_stream_cf_bubbles), returning the FINAL trigger's labels with the
