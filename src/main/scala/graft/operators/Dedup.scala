@@ -547,14 +547,34 @@ object Dedup {
       idCol: String = "doc_id",
       n: Int = 3,
       threshold: Double = 0.3): DataFrame = {
-    def shingled(df: DataFrame, isDelta: Boolean) =
-      df.select(col(blockCol).as("block"), col(idCol).as("id"),
-          graft.expr.TextExpressions.charShingleHashes(col(textCol), n).as("sh"))
-        .withColumn("nsh", size(col("sh")))
-        .withColumn("is_delta", lit(isDelta))
-    val sh = shingled(history, isDelta = false)
-      .unionAll(shingled(delta, isDelta = true))
+    val sh = shingleFrame(history, blockCol, textCol, idCol, n, isDelta = false)
+      .unionAll(shingleFrame(delta, blockCol, textCol, idCol, n, isDelta = true))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = deltaJoinShingled(sh, threshold)
+    sh.unpersist(blocking = false)
+    out
+  }
+
+  /** (block, id, sh, nsh, is_delta) shingle rows — the unit the
+    * incremental fold maintains so each document is shingled exactly once
+    * across its lifetime in the loop. */
+  private def shingleFrame(df: DataFrame, blockCol: String, textCol: String,
+      idCol: String, n: Int, isDelta: Boolean): DataFrame =
+    df.select(col(blockCol).as("block"), col(idCol).as("id"),
+        graft.expr.TextExpressions.charShingleHashes(col(textCol), n).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+      .withColumn("is_delta", lit(isDelta))
+
+  /** [[ngramJaccardDelta]]'s join over a pre-shingled (block, id, sh, nsh,
+    * is_delta) frame. The df spectrum and canonical prefixes ARE rebuilt
+    * per call — the canonical order must be one GLOBAL order across both
+    * join sides, and df shifts as history grows (a frozen per-doc prefix
+    * under an arrival-time order would stay valid only for hash-canonical
+    * order, which puts a random — not rarest — (1−t) slice of each doc in
+    * the prefix and inflates candidates toward the unfiltered join; the
+    * df-order rebuild is the price of candidate minimality, and it is one
+    * aggregation + per-doc sort, linear in the index). */
+  private def deltaJoinShingled(sh: DataFrame, threshold: Double): DataFrame = {
     // full inverted index over history ∪ delta; df for the canonical order
     val inv = sh.select(col("block"), col("id"), col("is_delta"), explode(col("sh")).as("h"))
     val dfreq = inv.groupBy(col("block"), col("h")).agg(count(lit(1)).as("df"))
@@ -596,7 +616,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
     val (out, _) = org.apache.spark.sql.GraftShim.materialize(verified)
-    sh.unpersist(blocking = false)
     out
   }
 
@@ -624,17 +643,24 @@ object Dedup {
     import spark.implicits._
     val empty = Seq.empty[(String, Long, Long, Double)]
       .toDF("block", "id_a", "id_b", "jaccard")
-    val cols = Seq(blockCol, textCol, idCol)
+    // the maintained structure is the SHINGLE frame (each doc shingled
+    // exactly once across the whole fold), rotated per step so no step's
+    // blocks outlive it
+    val rot = new graft.CheckpointRotator
     val (_, out) = shards.foldLeft((Option.empty[DataFrame], empty)) {
-      case ((history, acc), shard) =>
-        val delta = shard.select(cols.map(col): _*)
-        val pairs = history match {
-          case Some(h) => ngramJaccardDelta(h, delta, blockCol, textCol, idCol, n, threshold)
-          case None => ngramJaccardDelta(delta.limit(0), delta, blockCol, textCol, idCol, n, threshold)
-        }
-        (Some(history.map(_.unionAll(delta)).getOrElse(delta)), acc.unionAll(pairs))
+      case ((historySh, acc), shard) =>
+        val deltaSh = shingleFrame(shard, blockCol, textCol, idCol, n, isDelta = true)
+        val sh = rot.rotate(historySh match {
+          case Some(h) => h.unionAll(deltaSh)
+          case None => deltaSh
+        })
+        val pairs = deltaJoinShingled(sh, threshold)
+        // demote this step's delta rows to history for the next step
+        (Some(sh.withColumn("is_delta", lit(false))), acc.unionAll(pairs))
     }
-    out
+    val (res, _) = org.apache.spark.sql.GraftShim.materialize(out)
+    rot.close()
+    res
   }
 
   /** The shingle frame and the UNVERIFIED candidate pairs of
