@@ -394,6 +394,26 @@ object SparkEntry {
       graft.operators.Dedup.incrementalNearDup(shards, "source")
         .orderBy(col("block"), col("id_a"), col("id_b"))
     }),
+    "q_dedup_funnel" -> ((s: SparkSession, d: String) => {
+      // the funnel ORDER the sf1 char-gram analysis prescribes (BASELINE
+      // r12): exact dedup FIRST, the n-gram join only over survivors —
+      // verbatim twins (every 50th doc replaced by its predecessor's text,
+      // identically constructible in SQL) collapse in the digest pass and
+      // never inflate the quadratic stage. Output = all-pairs jaccard over
+      // the kept docs, replayed verbatim by the oracle.
+      val base = docs(s, d).filter(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"), col("source"))
+      val prev = base.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("prev_text"))
+      val planted = base.join(prev, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 50 === 1 && col("prev_text").isNotNull,
+            col("prev_text")).otherwise(col("text")).as("text"),
+          col("source"))
+      val kept = Dedup.exactKept(planted)
+      Dedup.ngramJaccardPairsPrefix(kept, "source")
+        .orderBy(col("block"), col("id_a"), col("id_b"))
+    }),
     "q_simjoin_cost" -> ((s: SparkSession, d: String) =>
       // pre-flight cost estimator for the exact similarity join (VERDICT
       // r11 #5): one aggregation pass over the shingle df spectrum gives
@@ -5254,6 +5274,32 @@ object SparkEntry {
         |      i -> substr(n, i, 3))) AS s
         |  FROM (SELECT *, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
         |        FROM documents WHERE doc_id < 1000))
+        |SELECT block, id_a, id_b, jaccard FROM (
+        |  SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
+        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id)
+        |WHERE jaccard >= 0.3 ORDER BY block, id_a, id_b""".stripMargin,
+    // exact-dedup-first funnel: plant verbatim twins, collapse them by
+    // digest (row_number over md5, lowest id kept), all-pairs jaccard over
+    // the survivors only
+    "q_dedup_funnel" ->
+      """WITH base AS (SELECT doc_id, text, source FROM documents WHERE doc_id < 1000),
+        |planted AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.doc_id % 50 = 1 AND p.text IS NOT NULL THEN p.text
+        |         ELSE b.text END AS text,
+        |    b.source
+        |  FROM base b LEFT JOIN base p ON p.doc_id = b.doc_id - 1),
+        |kept AS (
+        |  SELECT doc_id, text, source FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM planted) WHERE rn = 1),
+        |sh AS (
+        |  SELECT source AS block, doc_id AS id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(n) - 2, 1)),
+        |      i -> substr(n, i, 3))) AS s
+        |  FROM (SELECT *, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n FROM kept))
         |SELECT block, id_a, id_b, jaccard FROM (
         |  SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
         |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
