@@ -106,7 +106,21 @@ object MillionSmoke {
     val allPairs = (for { a <- blobIds; b <- blobIds if a < b } yield (a, b, cDist(a, b)))
       .sortBy(_._3)
     val (pa, pb, _) = allPairs.head
-    val (pc, pd, _) = allPairs.find(p => Set(p._1, p._2).intersect(Set(pa, pb)).isEmpty).get
+    // the second pair must be MUTUALLY nearest GLOBALLY (each endpoint's
+    // nearest blob is the other — like (pa,pb), which is the closest pair
+    // overall): single linkage then merges them directly, so the must-link
+    // is satisfiable at their own merge parent. The closest pair merely
+    // DISJOINT from {pa,pb} can have an endpoint whose true nearest blob
+    // is pa or pb, pushing satisfaction to a high ancestor that swallows
+    // unrelated blobs and breaks the pairs-stay-separate assertion
+    // (ADVICE r12 — previously stable only because the generator is seeded)
+    def nearestBlob(b: Long): Long = blobIds.filter(_ != b).minBy(cDist(b, _))
+    val (pc, pd, _) = allPairs
+      .find { case (c, d, _) =>
+        !Set(c, d).exists(Set(pa, pb)) && nearestBlob(c) == d && nearestBlob(d) == c
+      }
+      .getOrElse(sys.error(
+        "no globally mutual-nearest blob pair disjoint from the closest pair"))
     val four = Seq(pa, pb, pc, pd)
     val reps = pts.filter(col("blob").isInCollection(four))
       .groupBy("blob").agg(min("id").as("rid"))

@@ -301,7 +301,12 @@ object SparkEntry {
       // distance graph of the reference dataset's 150 points. Unique under
       // the (weight, lo, hi) total order, so the edge SET pins exactly;
       // cross-validated against a driver Kruskal in OperatorsSpec and by
-      // BoruvkaPropertySpec on tie-heavy random graphs
+      // BoruvkaPropertySpec on tie-heavy random graphs. driverCap = 0
+      // forces the DISTRIBUTED Borůvka contraction (this row's stated
+      // purpose): the ~11k candidate edges sit far below the default
+      // driver-Kruskal gate, which would silently replace the contraction
+      // with the driver replay and shrink the named-query surface with
+      // every check green (ADVICE r12 medium)
       val pts = graft.io.PointsIO.readPointsText(s, refDatasetPath())
       val a = pts.select(col("id").as("src"), col("features").as("va"))
       val b = pts.select(col("id").as("dst"), col("features").as("vb"))
@@ -310,7 +315,7 @@ object SparkEntry {
       val edges = a.crossJoin(broadcast(b)).filter(col("src") < col("dst"))
         .select(col("src"), col("dst"),
           graft.functions.Distances.euclidean(col("va"), col("vb")).as("weight"))
-      graft.operators.BoruvkaMst.run(s, edges)
+      graft.operators.BoruvkaMst.run(s, edges, driverCap = 0)
         .select(col("src"), col("dst"), round(col("weight"), 6).as("weight"))
         .orderBy(col("src"), col("dst"))
     }),

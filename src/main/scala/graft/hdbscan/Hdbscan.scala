@@ -126,9 +126,17 @@ final case class Hdbscan(
     *     silently paid ONE ~2.6e10-flop task — measured 0.79 s → 60.8 s
     *     from sf0.1 → sf1; with the budget the same fit splits into
     *     parallel ≤ budget cells and scales within the partitioned
-    *     envelope. Cross-route flat partitions are spec-pinned equal at
-    *     the gate boundary (HdbscanSpec). Raise it only when one task's
-    *     budget² · dim cost is genuinely acceptable. */
+    *     envelope. Cross-route flat partitions are spec-pinned
+    *     STRUCTURALLY EQUIVALENT at the gate boundary (HdbscanSpec: same
+    *     cluster count, per-point noise-flip disagreement ≤ 2%) — not
+    *     bit-identical labels; partition-boundary points near the noise
+    *     threshold may flip. Note the default-config consequence: the
+    *     default budget (8192) sits below the default maxLocalSize
+    *     (10000), so fits with 8193 ≤ n ≤ 10000 now take the partitioned
+    *     route and may relabel up to ~2% of boundary points relative to
+    *     pre-r12 single-kernel behavior (BASELINE Round-12/13). Raise it
+    *     only when one task's budget² · dim cost is genuinely
+    *     acceptable. */
   def setMaxSingleKernelPoints(v: Int): Hdbscan = {
     require(v > 0, "maxSingleKernelPoints must be positive")
     copy(maxSingleKernelPoints = v)

@@ -60,13 +60,24 @@ object ScaleTestdata {
       val tmp = s"$dst/_tmp_$name"
       df.repartition(1).write.mode("overwrite").parquet(tmp)
       val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet")) match {
+      // globStatus returns null (not empty) when the dir vanished or the
+      // writer produced no part files — normalize before matching so the
+      // failure is the descriptive sys.error, not a MatchError (ADVICE r12)
+      val part = Option(fs.globStatus(new Path(s"$tmp/part-*.parquet")))
+          .getOrElse(Array.empty) match {
         case Array(one) => one.getPath
         case other => sys.error(s"expected one part file for $name, got ${other.length}")
       }
       val dest = new Path(s"$dst/$name.parquet")
+      // stage next to the destination first, so the non-atomic window
+      // (raw FileSystem has no atomic replace) is delete→rename of two
+      // sibling entries, not delete→cross-directory move; a crash inside
+      // it leaves `<name>.parquet.new` as the recovery artifact
+      val staged = new Path(s"$dst/$name.parquet.new")
+      fs.delete(staged, true)
+      if (!fs.rename(part, staged)) sys.error(s"stage rename failed for $name")
       fs.delete(dest, true)
-      if (!fs.rename(part, dest)) sys.error(s"rename failed for $name")
+      if (!fs.rename(staged, dest)) sys.error(s"rename failed for $name")
       fs.delete(new Path(tmp), true)
       Console.err.println(s"[scale-testdata] wrote $name")
     }
