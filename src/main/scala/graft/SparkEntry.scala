@@ -399,6 +399,28 @@ object SparkEntry {
       graft.operators.Dedup.incrementalNearDup(shards, "source")
         .orderBy(col("block"), col("id_a"), col("id_b"))
     }),
+    "q_neardup_index" -> ((s: SparkSession, d: String) => {
+      // the persisted posting/df INDEX form of the ingestion loop (r13,
+      // VERDICT r12 #1): three shards folded through NearDupIndex — each
+      // step pays O(|shard| + candidates) against append-only posting/doc
+      // tables (no full-history df re-aggregation, no per-doc prefix
+      // re-sort), with an exact rebuildOrder() after the first shard so
+      // the gate exercises BOTH the frozen-order ingest and the periodic
+      // rebuild. Union of emissions == the plain all-pairs SQL on the
+      // slice (the same completeness contract q_neardup_incremental pins;
+      // a fresh temp dir per run keeps reruns independent).
+      val slice = docs(s, d).filter(col("doc_id") < 1000)
+      val index = new graft.operators.NearDupIndex(s,
+        java.nio.file.Files.createTempDirectory("graft-ndi-gate").toString)
+      val out1 = index.ingest(slice.filter(col("doc_id") < 333))
+      index.rebuildOrder()
+      val out2 = index.ingest(slice.filter(col("doc_id") >= 333 && col("doc_id") < 666))
+      val out3 = index.ingest(slice.filter(col("doc_id") >= 666))
+      val (res, _) = org.apache.spark.sql.GraftShim.materialize(
+        out1.unionAll(out2).unionAll(out3))
+      index.release()
+      res.orderBy(col("block"), col("id_a"), col("id_b"))
+    }),
     "q_dedup_funnel" -> ((s: SparkSession, d: String) => {
       // the funnel ORDER the sf1 char-gram analysis prescribes (BASELINE
       // r12): exact dedup FIRST, the n-gram join only over survivors —
@@ -5273,6 +5295,22 @@ object SparkEntry {
     // the incremental fold's completeness contract: its union over the
     // three shards IS the plain all-pairs result on the slice
     "q_neardup_incremental" ->
+      """WITH sh AS (
+        |  SELECT source AS block, doc_id AS id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(n) - 2, 1)),
+        |      i -> substr(n, i, 3))) AS s
+        |  FROM (SELECT *, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
+        |        FROM documents WHERE doc_id < 1000))
+        |SELECT block, id_a, id_b, jaccard FROM (
+        |  SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
+        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id)
+        |WHERE jaccard >= 0.3 ORDER BY block, id_a, id_b""".stripMargin,
+    // the persisted-index fold (frozen-order prefixes + one mid-fold exact
+    // rebuild) has the SAME completeness contract: union over the shards
+    // IS the plain all-pairs result on the slice
+    "q_neardup_index" ->
       """WITH sh AS (
         |  SELECT source AS block, doc_id AS id,
         |    list_distinct(list_transform(generate_series(1, greatest(len(n) - 2, 1)),

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incrementally-maintained exact near-dup index (VERDICT r12 #1) — the
+  * persistent structure behind recurring shard/stream ingestion, replacing
+  * the per-step full-history rebuild of [[Dedup.ngramJaccardDelta]]'s cost
+  * model with an append-only posting table.
+  *
+  * '''What is maintained''' (three parquet tables under `dir`):
+  *   - `order/`  — the FROZEN df spectrum `(block, h, df)`, captured at the
+  *     last [[rebuildOrder]] (seeded from the first delta on an empty
+  *     index). The canonical order is `(df asc, h asc)` with shingles
+  *     absent from the spectrum at `df = 0` (rarest-first).
+  *   - `postings/` — `(block, id, nsh, h)` canonical-PREFIX postings of
+  *     every ingested doc, appended per ingest, all under the CURRENT
+  *     frozen order ([[rebuildOrder]] rewrites the whole table, so the
+  *     invariant "one global order across the table" always holds).
+  *   - `docs/` — `(block, id, sh, nsh)` full sorted shingle sets (the doc
+  *     store the exact verify joins against).
+  *
+  * '''Why a stale order is safe.''' The AllPairs prefix theorem —
+  * J(A,B) ≥ t ⇒ the first |X| − ⌈t·|X|⌉ + 1 shingles of A and B under a
+  * global total order intersect — holds for ANY fixed global order; df
+  * ascending is merely the order that makes prefixes rarest-first and the
+  * candidate set smallest. Prefix LENGTH is order-independent, so freezing
+  * the order between rebuilds keeps the candidate set COMPLETE (never a
+  * missed pair — NearDupIndexSpec pins candidates ⊇ true pairs under a
+  * deliberately stale spectrum) and only lets it drift WIDER as true df
+  * diverges from the frozen one; verification is the exact sorted-merge
+  * Jaccard either way. [[rebuildOrder]] restores candidate minimality
+  * periodically — the corpus-linear cost is paid once per rebuild cadence,
+  * not once per ingest.
+  *
+  * '''Per-ingest cost''': shingle the delta, rank it against the frozen
+  * order (one join keyed by `(block, h)`), probe the posting table with the
+  * delta's prefixes, verify candidates against the doc store — O(|delta| +
+  * candidates) work plus columnar scans of the stored tables (no
+  * aggregation or per-doc re-sort over history, the r12 scale-killer). On
+  * a cluster the posting table would be bucketed by `(block, h)` and the
+  * doc store by `(block, id)` so the probe and verify joins co-locate
+  * shuffle-free; the append-only layout is exactly what Delta/Iceberg-style
+  * table formats transactionalize. This generalizes the reference's
+  * inter-iteration checkpoint pattern (`main/Main.java:101,199`) from
+  * cluster state to the dedup family.
+  *
+  * '''Durability caveat''' (harness-grade): appends and the two-table
+  * rebuild rewrite are not transactional — a crash mid-rebuild can leave
+  * `order/` and `postings/` under different orders, which breaks the
+  * one-global-order invariant. A production deployment wraps both writes
+  * in one table-format transaction.
+  *
+  * Contract: ingested `(block, id)` keys must be new (re-ingesting a doc
+  * duplicates its postings). Every J ≥ t pair is emitted EXACTLY once —
+  * by the ingest that adds its later member — so the union of all ingests'
+  * outputs over a corpus equals [[Dedup.ngramJaccardPairsPrefix]] on the
+  * whole corpus (the oracle replays that equality).
+  */
+final class NearDupIndex(
+    spark: SparkSession,
+    dir: String,
+    blockCol: String = "source",
+    textCol: String = "text",
+    idCol: String = "doc_id",
+    n: Int = 3,
+    threshold: Double = 0.3) {
+
+  private val orderDir = s"$dir/order"
+  private val postingsDir = s"$dir/postings"
+  private val docsDir = s"$dir/docs"
+
+  private val orderSchema = StructType(Seq(
+    StructField("block", StringType), StructField("h", LongType),
+    StructField("df", LongType)))
+  private val postingsSchema = StructType(Seq(
+    StructField("block", StringType), StructField("id", LongType),
+    StructField("nsh", IntegerType), StructField("h", LongType)))
+  private val docsSchema = StructType(Seq(
+    StructField("block", StringType), StructField("id", LongType),
+    StructField("sh", ArrayType(LongType)), StructField("nsh", IntegerType)))
+
+  /** Materialized per-ingest results kept cached until [[release]] — the
+    * returned frames are backed by persisted RDDs whose LINEAGE reads the
+    * stored tables as of their ingest; freeing them before the caller has
+    * consumed the rows would let a recompute see later appends (ADVICE r12
+    * low — the loop-leak fix is an explicit consumption boundary, not a
+    * dropped handle). */
+  private val handles = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+
+  private def fs = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def exists(p: String): Boolean = fs.exists(new org.apache.hadoop.fs.Path(p))
+  private def readOr(p: String, schema: StructType): DataFrame =
+    if (exists(p)) spark.read.schema(schema).parquet(p)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  private def shingle(delta: DataFrame): DataFrame =
+    delta.select(col(blockCol).as("block"), col(idCol).as("id"),
+        graft.expr.TextExpressions.charShingleHashes(col(textCol), n).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+
+  private def dfSpectrum(sh: DataFrame): DataFrame =
+    sh.select(col("block"), explode(col("sh")).as("h"))
+      .groupBy(col("block"), col("h")).agg(count(lit(1)).as("df"))
+
+  /** Canonical-prefix postings of `sh` under the CURRENT frozen order:
+    * rank each doc's shingles by (frozen df asc, h asc) — unseen shingles
+    * at df 0 — and keep the first nsh − ⌈t·nsh⌉ + 1. */
+  private def prefixPostings(sh: DataFrame, orderDf: DataFrame): DataFrame = {
+    val prefixLen = (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int")
+    sh.select(col("block"), col("id"), explode(col("sh")).as("h"))
+      .join(orderDf, Seq("block", "h"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .groupBy(col("block"), col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ordered"))
+      .withColumn("nsh", size(col("ordered")))
+      .select(col("block"), col("id"), col("nsh"),
+        explode(slice(transform(col("ordered"), x => x.getField("h")),
+          lit(1), prefixLen)).as("h"))
+  }
+
+  /** UNVERIFIED candidate pairs the next [[ingest]] of `delta` would
+    * verify — exposed for the completeness-under-staleness spec
+    * (candidates must contain every true delta-touching pair no matter how
+    * stale the frozen order is). Does not mutate the index. */
+  private[graft] def candidatesFor(delta: DataFrame): DataFrame = {
+    val deltaSh = shingle(delta)
+    val orderDf =
+      if (exists(orderDir)) readOr(orderDir, orderSchema) else dfSpectrum(deltaSh)
+    candidates(prefixPostings(deltaSh, orderDf))
+  }
+
+  private def candidates(deltaPostings: DataFrame): DataFrame = {
+    val probe = readOr(postingsDir, postingsSchema)
+      .unionByName(deltaPostings.select(col("block"), col("id"), col("nsh"), col("h")))
+    val a = deltaPostings.select(col("block"), col("h"),
+      col("id").as("id_p"), col("nsh").as("nsh_p"))
+    val b = probe.select(col("block"), col("h"),
+      col("id").as("id_i"), col("nsh").as("nsh_i"))
+    a.join(b, Seq("block", "h"))
+      .filter(col("id_p") =!= col("id_i"))
+      // size-ratio prune: J ≤ min/max of the set sizes
+      .filter(least(col("nsh_p"), col("nsh_i")).cast("double") /
+        greatest(col("nsh_p"), col("nsh_i")) >= threshold)
+      .select(col("block"),
+        least(col("id_p"), col("id_i")).as("id_a"),
+        greatest(col("id_p"), col("id_i")).as("id_b"))
+      .distinct()
+  }
+
+  /** Ingest one delta shard: emit exactly the J ≥ t pairs it forms with
+    * everything already in the index (and within itself), then append its
+    * postings and docs. The result is EAGERLY materialized before the
+    * appends (its lineage reads the stored tables, which the appends
+    * grow); call [[release]] once the caller has consumed all results.
+    *
+    * @return (block, id_a, id_b, jaccard), id_a < id_b, jaccard ≥ t
+    *         rounded to 6 dp, at least one endpoint in `delta` */
+  def ingest(delta: DataFrame): DataFrame = {
+    val deltaSh0 = shingle(delta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // empty index: seed the frozen order from the first delta's spectrum
+    if (!exists(orderDir))
+      dfSpectrum(deltaSh0).write.mode("overwrite").parquet(orderDir)
+    val orderDf = readOr(orderDir, orderSchema)
+    val deltaPostings = prefixPostings(deltaSh0, orderDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaDocs = deltaSh0.select(col("block"), col("id"),
+      sort_array(col("sh")).as("sh"), col("nsh"))
+    val docsAll = readOr(docsDir, docsSchema).unionByName(deltaDocs)
+    val verified = candidates(deltaPostings)
+      .join(docsAll.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("block", "id_a"))
+      .join(docsAll.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("block", "id_b"))
+      .withColumn("common", graft.expr.TextExpressions
+        .sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
+    // materialize BEFORE the appends: the plan scans postings/ and docs/,
+    // which are about to grow
+    val (out, handle) = org.apache.spark.sql.GraftShim.materialize(verified)
+    handles.synchronized { handles += handle }
+    deltaPostings.write.mode("append").parquet(postingsDir)
+    deltaDocs.write.mode("append").parquet(docsDir)
+    deltaPostings.unpersist(blocking = false)
+    deltaSh0.unpersist(blocking = false)
+    out
+  }
+
+  /** Recompute the frozen order from the FULL doc store and rewrite every
+    * doc's prefix postings under it — the periodic corpus-linear pass that
+    * restores candidate minimality after the frozen spectrum has drifted.
+    * Results of prior [[ingest]] calls are unaffected (already emitted). */
+  def rebuildOrder(): Unit = {
+    val docsT = readOr(docsDir, docsSchema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (docsT.isEmpty) { docsT.unpersist(blocking = false); return }
+    val freshOrder = dfSpectrum(docsT)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rebuilt = prefixPostings(docsT, freshOrder)
+    // postings first, then order: both derive only from docs/, so neither
+    // write reads a table the other is replacing
+    rebuilt.write.mode("overwrite").parquet(postingsDir)
+    freshOrder.write.mode("overwrite").parquet(orderDir)
+    freshOrder.unpersist(blocking = false)
+    docsT.unpersist(blocking = false)
+  }
+
+  /** Free the cached blocks behind every frame [[ingest]] has returned.
+    * Call once their rows are consumed (collected, sunk, or folded into a
+    * materialized union) — after later appends, a recompute through the
+    * freed lineage would double-read grown tables. */
+  def release(): Unit = handles.synchronized {
+    handles.foreach(_.unpersist(blocking = false))
+    handles.clear()
+  }
+
+  /** (docs ingested, posting rows, distinct shingles in the frozen order) —
+    * the table sizes a deployment watches to schedule [[rebuildOrder]]. */
+  def stats(): (Long, Long, Long) = (
+    readOr(docsDir, docsSchema).count(),
+    readOr(postingsDir, postingsSchema).count(),
+    readOr(orderDir, orderSchema).count())
+}
