@@ -85,6 +85,7 @@ final case class Hdbscan(
     seed: Long = 42L,
     allowSingleCluster: Boolean = false,
     constraints: Seq[(Long, Long, Boolean)] = Nil,
+    bubbleConstraints: Seq[(Long, Long, Boolean)] = Nil,
     mode: String = "auto",
     dendrogramDriverCap: Long = 500000,
     bubbleMatrixCap: Int = 4096,
@@ -184,6 +185,17 @@ final case class Hdbscan(
     * trivially satisfied, a cannot-link is unresolvable below sketch
     * granularity). */
   def setConstraints(v: Seq[(Long, Long, Boolean)]): Hdbscan = copy(constraints = v)
+
+  /** BUBBLE-level constraints (bubbleIdA, bubbleIdB, isMustLink) for
+    * [[fitSketch]] — the typed parameter that replaces the r12 implicit
+    * reuse of point-level [[setConstraints]] ids as bubble ids (an API
+    * trap even with the runtime warning: point ids that happen to match
+    * bubble ids silently mis-steer; ones that don't silently no-op —
+    * VERDICT r12 #6). [[fit]] ignores this field; [[fitSketch]] prefers it
+    * and falls back to `constraints` (deprecated, warned) only when this
+    * is empty. */
+  def setBubbleConstraints(v: Seq[(Long, Long, Boolean)]): Hdbscan =
+    copy(bubbleConstraints = v)
 
   /** @param df (id: long, features: array<double>) */
   def fit(df: DataFrame): DataFrame = {
@@ -836,10 +848,12 @@ final case class Hdbscan(
     *
     * Input rows are (bubble_id, cf). Driver state O(m): one tagged
     * O(#bubbles) collect, then [[sketchHierarchy]] (matrix route at/below
-    * `bubbleMatrixCap`, matrix-free past it). `constraints` are
-    * interpreted at BUBBLE granularity here — (bubbleIdA, bubbleIdB,
-    * isMustLink); ids not present in the sketch are ignored, same-bubble
-    * pairs drop (see [[setConstraints]]).
+    * `bubbleMatrixCap`, matrix-free past it). Constraints come from
+    * [[setBubbleConstraints]] — (bubbleIdA, bubbleIdB, isMustLink); ids
+    * not present in the sketch are ignored, same-bubble pairs drop.
+    * Passing point-level [[setConstraints]] ids instead is DEPRECATED
+    * (r13): they are reinterpreted as bubble ids with a loud warning, and
+    * only when `bubbleConstraints` is empty.
     *
     * @return one row per bubble:
     *         (bubble_id, label, outlier_score, core_dist, mass) */
@@ -865,18 +879,29 @@ final case class Hdbscan(
       "fitSketch: non-finite CF sums (NaN/Inf in LS or SS) — bubble " +
         "distances would be incomparable")
     val idxOf = ids.zipWithIndex.toMap
-    val consBubble = constraints.collect {
+    // typed bubble-level constraints (r13); the untyped fallback keeps r12
+    // configs working but is deprecated — point-level ids reinterpreted as
+    // bubble ids were an API trap even warned (VERDICT r12 #6)
+    val effectiveCons =
+      if (bubbleConstraints.nonEmpty) bubbleConstraints
+      else {
+        if (constraints.nonEmpty)
+          Console.err.println(s"[graft] fitSketch: DEPRECATED — " +
+            s"${constraints.size} point-level setConstraints ids reinterpreted " +
+            "as BUBBLE ids; use setBubbleConstraints for sketch-granularity " +
+            "steering (fit() is where point-level constraints belong)")
+        constraints
+      }
+    val consBubble = effectiveCons.collect {
       case (a, b, ml) if a != b && idxOf.contains(a) && idxOf.contains(b) =>
         (idxOf(a), idxOf(b), ml)
     }.toArray
-    // `constraints` is interpreted at BUBBLE granularity here, unlike
-    // fit()'s point granularity — a model configured with point-level ids
-    // would silently mis-steer if those ids happen to match bubble ids, or
-    // silently no-op if they don't. Surface the drop loudly (ADVICE r11).
-    val dropped = constraints.count { case (a, b, _) =>
+    // ids outside the sketch (or same-bubble pairs) drop — surface loudly
+    // (ADVICE r11)
+    val dropped = effectiveCons.count { case (a, b, _) =>
       a == b || !idxOf.contains(a) || !idxOf.contains(b) }
     if (dropped > 0)
-      Console.err.println(s"[graft] fitSketch: $dropped of ${constraints.size} " +
+      Console.err.println(s"[graft] fitSketch: $dropped of ${effectiveCons.size} " +
         "constraints dropped (same-bubble pair or id not in the sketch) — " +
         "fitSketch constraints are BUBBLE ids, not point ids")
     val (bCore, _, h, labels) = sketchHierarchy(spark, cfs, consBubble)

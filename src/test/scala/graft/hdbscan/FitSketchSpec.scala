@@ -113,9 +113,17 @@ class FitSketchSpec extends SparkTestBase {
     val plain = labelsOf(base)
     assert(plain(0L) != 0 && plain(15L) != 0 && plain(0L) != plain(15L),
       s"expected A/B split, got ${plain(0L)} vs ${plain(15L)}")
-    val ml = labelsOf(base.setConstraints(Seq((0L, 15L, true))))
+    val ml = labelsOf(base.setBubbleConstraints(Seq((0L, 15L, true))))
     assert(ml(0L) != 0 && ml(0L) == ml(15L), s"must-link should merge A and B")
     assert(ml(25L) != 0 && ml(25L) != ml(0L), "C stays its own cluster")
+    // deprecated fallback (r12 configs): point-level setConstraints ids are
+    // still reinterpreted as bubble ids, with a warning — same steering
+    val legacy = labelsOf(base.setConstraints(Seq((0L, 15L, true))))
+    assert(legacy == ml, "legacy constraint fallback diverged from typed path")
+    // typed parameter wins when both are set
+    val both = labelsOf(base.setBubbleConstraints(Seq((0L, 15L, true)))
+      .setConstraints(Seq((999999L, 999998L, true))))
+    assert(both == ml, "bubbleConstraints should take precedence over constraints")
   }
 
   test("streamed CF snapshot clusters identically to the batch sketch") {
