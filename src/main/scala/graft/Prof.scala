@@ -149,6 +149,61 @@ object Prof {
       println(f"coldngram total ${(System.nanoTime() - t00) / 1e9}%8.2f s")
     }
 
+    // per-step cost of the recurring ingestion loop (VERDICT r12 #1):
+    // 10 id-range shards folded through (A) the r13 persisted NearDupIndex
+    // — each step O(|shard| + candidates) against append-only tables — vs
+    // (B) the r12 shape, one-shot ngramJaccardDelta per step, which
+    // re-shingles and re-ranks the FULL accumulated history every step.
+    // The graded claim: A's step time stays ~flat while B's grows with
+    // the accumulated history.
+    section("neardup10") {
+      val cap = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val n = 10
+      def lo(i: Int) = i * cap / n
+      val shards = (0 until n).map(i =>
+        docs.filter(col("doc_id") >= lo(i) && col("doc_id") < lo(i + 1)))
+      val index = new graft.operators.NearDupIndex(spark,
+        java.nio.file.Files.createTempDirectory("prof-ndi").toString)
+      shards.zipWithIndex.foreach { case (s, i) =>
+        time(f"A index ingest   step#$i") { index.ingest(s); index.release() }
+      }
+      shards.zipWithIndex.foreach { case (s, i) =>
+        time(f"B delta rebuild  step#$i") {
+          graft.operators.Dedup.ngramJaccardDelta(
+              docs.filter(col("doc_id") < lo(i)), s, "source")
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+    }
+
+    // single-file layout lever A/B (VERDICT r12 #7): the same text kernel
+    // over the raw one-file scan (1 task at any SF — one row group) vs
+    // GraftSession.readSplit's post-scan fan-out. Interleaved rounds.
+    section("layout") { for (round <- 1 to 3) {
+      time(s"redactPii raw 1-file  #$round") {
+        TextOps.redactPii(docs).write.format("noop").mode("overwrite").save()
+      }
+      time(s"redactPii readSplit   #$round") {
+        TextOps.redactPii(GraftSession.readSplit(
+            spark, s"$sfDir/documents.parquet", minSplitBytes = 1))
+          .write.format("noop").mode("overwrite").save()
+      }
+    } }
+
+    // q_kcore +27% r11→r12 drift attribution (VERDICT r12 #5): the spread
+    // protocol — interleave with the fixed-cost control; a plan/code
+    // regression reproduces every round, machine load moves the control too
+    section("kcore") { for (round <- 1 to 3) {
+      time(s"control groupBy #$round") {
+        spark.range(200000000L).selectExpr("id % 97 AS k").groupBy("k").count()
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(f"q_kcore         #$round") {
+        SparkEntry.queries("q_kcore")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+    } }
+
     section("fingerprint") { for (round <- 1 to 3) {
       time(s"md5 pair      #$round") {
         docs.select(col("doc_id"),
