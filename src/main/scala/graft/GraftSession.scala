@@ -85,11 +85,23 @@ object GraftSession {
       partitions: Int = 0): org.apache.spark.sql.DataFrame = {
     val df = spark.read.parquet(path)
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
     val leaves =
       if (fs.getFileStatus(p).isFile) Array(fs.getFileStatus(p))
       else fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-    if (leaves.length == 1 && leaves.head.getLen > minSplitBytes)
+    // a single MULTI-row-group file is already splittable — the scan
+    // planner parallelizes it at row-group granularity via
+    // maxPartitionBytes, so shuffling it would pay for nothing; only the
+    // one-row-group shape (e.g. a repartition(1) writer's output) is
+    // stuck at 1 task. Read the footer to tell them apart.
+    def singleRowGroup(f: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try in.getRowGroups.size() <= 1 finally in.close()
+    }
+    if (leaves.length == 1 && leaves.head.getLen > minSplitBytes
+        && singleRowGroup(leaves.head))
       df.repartition(if (partitions > 0) partitions
         else spark.sparkContext.defaultParallelism)
     else df

@@ -163,7 +163,7 @@ object Prof {
       val shards = (0 until n).map(i =>
         docs.filter(col("doc_id") >= lo(i) && col("doc_id") < lo(i + 1)))
       val index = new graft.operators.NearDupIndex(spark,
-        java.nio.file.Files.createTempDirectory("prof-ndi").toString)
+        graft.operators.NearDupIndex.tempDir())
       shards.zipWithIndex.foreach { case (s, i) =>
         time(f"A index ingest   step#$i") { index.ingest(s); index.release() }
       }

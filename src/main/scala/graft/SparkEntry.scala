@@ -411,7 +411,7 @@ object SparkEntry {
       // a fresh temp dir per run keeps reruns independent).
       val slice = docs(s, d).filter(col("doc_id") < 1000)
       val index = new graft.operators.NearDupIndex(s,
-        java.nio.file.Files.createTempDirectory("graft-ndi-gate").toString)
+        graft.operators.NearDupIndex.tempDir())
       val out1 = index.ingest(slice.filter(col("doc_id") < 333))
       index.rebuildOrder()
       val out2 = index.ingest(slice.filter(col("doc_id") >= 333 && col("doc_id") < 666))

@@ -199,6 +199,14 @@ final case class Hdbscan(
 
   /** @param df (id: long, features: array<double>) */
   def fit(df: DataFrame): DataFrame = {
+    // the mirror of fitSketch's deprecated-fallback warning: a model
+    // configured with bubble-level ids that runs fit() would otherwise be
+    // silently unconstrained — the exact no-op trap the typed parameter
+    // exists to close
+    if (bubbleConstraints.nonEmpty)
+      Console.err.println(s"[graft] fit: ${bubbleConstraints.size} " +
+        "bubbleConstraints IGNORED — fit() takes point-level setConstraints; " +
+        "bubbleConstraints applies only to fitSketch")
     val spark = df.sparkSession
     import spark.implicits._
     val pts = df.select(col("id").cast("long"), col("features").cast("array<double>"))

@@ -580,13 +580,13 @@ object Dedup {
 
   /** [[ngramJaccardDelta]]'s join over a pre-shingled (block, id, sh, nsh,
     * is_delta) frame. The df spectrum and canonical prefixes ARE rebuilt
-    * per call — the canonical order must be one GLOBAL order across both
-    * join sides, and df shifts as history grows (a frozen per-doc prefix
-    * under an arrival-time order would stay valid only for hash-canonical
-    * order, which puts a random — not rarest — (1−t) slice of each doc in
-    * the prefix and inflates candidates toward the unfiltered join; the
-    * df-order rebuild is the price of candidate minimality, and it is one
-    * aggregation + per-doc sort, linear in the index). */
+    * per call — correct for the ONE-SHOT delta (candidate-minimal: the
+    * order is exact for this corpus); the recurring form that amortizes
+    * the order across ingests is [[NearDupIndex]]. LOCKSTEP: the
+    * prefix-length formula, size-ratio prune, least/greatest
+    * normalization, and round-then-filter verify here must stay identical
+    * to NearDupIndex's pipeline (both are pinned against the same
+    * all-pairs oracle every round — change them together). */
   private def deltaJoinShingled(sh: DataFrame, threshold: Double): DataFrame = {
     // full inverted index over history ∪ delta; df for the canonical order
     val inv = sh.select(col("block"), col("id"), col("is_delta"), explode(col("sh")).as("h"))
@@ -664,8 +664,7 @@ object Dedup {
     require(shards.nonEmpty, "incrementalNearDup: no shards")
     val spark = shards.head.sparkSession
     import spark.implicits._
-    val dir = indexDir.getOrElse(java.nio.file.Files
-      .createTempDirectory("graft-neardup-index").toString)
+    val dir = indexDir.getOrElse(NearDupIndex.tempDir())
     val index = new NearDupIndex(spark, dir, blockCol, textCol, idCol, n, threshold)
     val empty = Seq.empty[(String, Long, Long, Double)]
       .toDF("block", "id_a", "id_b", "jaccard")
@@ -684,7 +683,15 @@ object Dedup {
     * within 2× of observed candidates at two scales) BEFORE paying it, and
     * fail loudly past the budget instead of launching a shuffle that
     * materializes 10⁹⁺ candidate rows on a hot-shingle corpus. Default 0 =
-    * off (exact joins stay exact unless the caller opts into the guard). */
+    * off (exact joins stay exact unless the caller opts into the guard).
+    *
+    * Cost model: ONE full shingling + aggregation pass over `docs` per
+    * call — right for the one-shot joins it guards. For the delta form the
+    * pass covers history ∪ delta (the full-join estimate is an upper bound
+    * on the delta-touching subset), so a RECURRING guarded delta loop
+    * would re-pay history per step; recurring ingest belongs on
+    * [[NearDupIndex]], whose maintained df table IS the priced spectrum
+    * (`stats()` exposes it without any scan of the corpus). */
   private[graft] def enforceCandidateBudget(
       docs: DataFrame, blockCol: String, textCol: String, idCol: String,
       n: Int, threshold: Double, budget: Long, op: String): Unit = {

@@ -87,9 +87,18 @@ object Diagnostics {
     val out = nd.join(spectrum, Seq("block"))
       .select(col("block"), col("n_docs"), col("n_postings"), col("n_shingles"),
         col("max_df"), col("exact_candidates"), col("est_prefix_candidates"))
-    val (materialized, _) = org.apache.spark.sql.GraftShim.materialize(out)
+    // the result is one row per block (a handful) — land it on the driver
+    // and free BOTH cached stages, so a guarded loop calling this per step
+    // retains no executor blocks (the materialize-and-drop form left one
+    // persisted RDD per call until GC)
+    val (materialized, outRdd) = org.apache.spark.sql.GraftShim.materialize(out)
+    val rows = materialized.collect().toIndexedSeq
+    val schema = materialized.schema
+    outRdd.unpersist(blocking = false)
     shRdd.unpersist(blocking = false)
-    materialized
+    docs.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
   /** Skew profile of a prospective shuffle key: top-`k` key counts plus

@@ -46,17 +46,25 @@ import org.apache.spark.sql.types._
   * inter-iteration checkpoint pattern (`main/Main.java:101,199`) from
   * cluster state to the dedup family.
   *
-  * '''Durability caveat''' (harness-grade): appends and the two-table
-  * rebuild rewrite are not transactional — a crash mid-rebuild can leave
-  * `order/` and `postings/` under different orders, which breaks the
-  * one-global-order invariant. A production deployment wraps both writes
-  * in one table-format transaction.
+  * '''Durability caveat''' (harness-grade): the multi-table writes are
+  * not transactional. A crash mid-rebuild can leave `order/` and
+  * `postings/` under different orders (breaking the one-global-order
+  * invariant), and a crash between an ingest's two appends leaves a doc
+  * without postings — docs are written FIRST so that window degrades to
+  * losing only the partially-ingested doc's own future pairs, never other
+  * docs' (postings-first would silently drop true pairs forever, since
+  * the verify join would find no doc row). Replaying the failed shard is
+  * rejected LOUDLY by the duplicate-key check rather than corrupting
+  * output. A production deployment wraps each ingest's appends (and the
+  * rebuild's two rewrites) in one table-format transaction.
   *
-  * Contract: ingested `(block, id)` keys must be new (re-ingesting a doc
-  * duplicates its postings). Every J ≥ t pair is emitted EXACTLY once —
-  * by the ingest that adds its later member — so the union of all ingests'
-  * outputs over a corpus equals [[Dedup.ngramJaccardPairsPrefix]] on the
-  * whole corpus (the oracle replays that equality).
+  * Contract: ingested `(block, id)` keys must be new — enforced with an
+  * explicit check (one key-only scan), because the silent failure mode is
+  * multiplied pair rows, not an error. Every J ≥ t pair is emitted
+  * EXACTLY once — by the ingest that adds its later member — so the union
+  * of all ingests' outputs over a corpus equals
+  * [[Dedup.ngramJaccardPairsPrefix]] on the whole corpus (the oracle
+  * replays that equality).
   */
 final class NearDupIndex(
     spark: SparkSession,
@@ -107,7 +115,15 @@ final class NearDupIndex(
 
   /** Canonical-prefix postings of `sh` under the CURRENT frozen order:
     * rank each doc's shingles by (frozen df asc, h asc) — unseen shingles
-    * at df 0 — and keep the first nsh − ⌈t·nsh⌉ + 1. */
+    * at df 0 — and keep the first nsh − ⌈t·nsh⌉ + 1.
+    *
+    * LOCKSTEP invariants with [[Dedup]]'s one-shot pipeline
+    * (deltaJoinShingled / prefixCandidates): the prefix-length formula,
+    * the size-ratio prune, the least/greatest pair normalization, and the
+    * round-to-6dp-then-filter verify must stay identical across both —
+    * the gate pins each against the same all-pairs oracle every round
+    * (q_neardup_index / q_dedup_delta / q_ngram_jaccard), so divergence
+    * fails there, but change them TOGETHER. */
   private def prefixPostings(sh: DataFrame, orderDf: DataFrame): DataFrame = {
     val prefixLen = (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int")
     sh.select(col("block"), col("id"), explode(col("sh")).as("h"))
@@ -181,12 +197,30 @@ final class NearDupIndex(
         (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
+    // re-ingesting a (block, id) key would NOT error on its own — it would
+    // silently duplicate doc-store rows and multiply every pair touching
+    // the doc in this and all later ingests. Fail loudly instead (one
+    // key-only columnar scan); this also turns a replayed shard after a
+    // partial failure into a diagnosable error, not corruption.
+    val dupKeys = deltaSh0.select(col("block"), col("id"))
+      .join(readOr(docsDir, docsSchema).select(col("block"), col("id")),
+        Seq("block", "id"), "left_semi")
+      .limit(1).count()
+    require(dupKeys == 0L,
+      s"NearDupIndex.ingest: delta contains (block, id) keys already in the " +
+        s"index at $dir — re-ingesting a doc would silently corrupt pair " +
+        "output; deduplicate the delta or rebuild the index")
     // materialize BEFORE the appends: the plan scans postings/ and docs/,
     // which are about to grow
     val (out, handle) = org.apache.spark.sql.GraftShim.materialize(verified)
     handles.synchronized { handles += handle }
-    deltaPostings.write.mode("append").parquet(postingsDir)
+    // docs FIRST: a crash between the two appends then leaves a doc whose
+    // postings are missing — only that doc's own future pairs are lost.
+    // The reverse order would leave postings whose verify join finds no
+    // doc row, silently dropping OTHER docs' true pairs forever (the
+    // dangerous side of the non-transactional window).
     deltaDocs.write.mode("append").parquet(docsDir)
+    deltaPostings.write.mode("append").parquet(postingsDir)
     deltaPostings.unpersist(blocking = false)
     deltaSh0.unpersist(blocking = false)
     out
@@ -226,4 +260,34 @@ final class NearDupIndex(
     readOr(docsDir, docsSchema).count(),
     readOr(postingsDir, postingsSchema).count(),
     readOr(orderDir, orderSchema).count())
+}
+
+object NearDupIndex {
+  private lazy val exitCleanup: scala.collection.mutable.Set[java.nio.file.Path] = {
+    val dirs = scala.collection.mutable.Set.empty[java.nio.file.Path]
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.synchronized(dirs.foreach { d =>
+        try {
+          import java.nio.file.{Files, Path}
+          import scala.jdk.CollectionConverters._
+          if (Files.exists(d))
+            Files.walk(d).iterator().asScala.toSeq.reverseIterator
+              .foreach(p => Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      })))
+    dirs
+  }
+
+  /** A throwaway index location, recursively deleted at JVM exit — the
+    * default for the fold/loop entry points when no persistent table
+    * location is supplied, so repeated harness invocations do not
+    * accumulate orphaned parquet trees in the system temp dir. Deletion
+    * waits for JVM exit (not operator completion) because materialized
+    * results keep LINEAGE over these files — a cache eviction after an
+    * eager delete would recompute against missing inputs. */
+  def tempDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-neardup-index")
+    exitCleanup.synchronized { exitCleanup += d }
+    d.toString
+  }
 }

@@ -957,8 +957,7 @@ object StreamingOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val index = new graft.operators.NearDupIndex(spark,
-      indexDir.getOrElse(java.nio.file.Files
-        .createTempDirectory("graft-neardup-stream").toString),
+      indexDir.getOrElse(graft.operators.NearDupIndex.tempDir()),
       blockCol = "block", textCol = "text", idCol = "id", threshold = threshold)
     val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Double)]
     val q = docs.writeStream
@@ -986,27 +985,48 @@ object StreamingOps {
     * buffering; the index tables and the emitted-pairs table are the two
     * durable artifacts a recurring crawl-ingest keeps. Same
     * exactly-once-per-pair contract as [[startNearDupLoop]]
-    * (StreamingSpec pins sink ≡ emissions ≡ batch all-pairs). */
+    * (StreamingSpec pins sink ≡ emissions ≡ batch all-pairs).
+    *
+    * '''Retry/restart semantics''' (foreachBatch re-delivers batches): a
+    * per-batch marker (`pairsDir/_batches/<id>`) is written only after
+    * BOTH the index appends and the pair append commit, and a re-delivered
+    * batch whose marker exists is skipped whole — so a crash after commit
+    * is idempotent. A crash in the middle of a batch (index appended,
+    * pairs or marker not) is REJECTED loudly on replay by the index's
+    * duplicate-key check instead of silently double-appending; recovery is
+    * restoring the index tables to the last marker (the two-table
+    * transaction a production table format would make atomic — the same
+    * caveat as [[graft.operators.NearDupIndex]]). Pass `checkpointDir` so
+    * a RESTARTED query resumes from the next unprocessed offset rather
+    * than replaying the source against the populated index. */
   def startNearDupSink(docs: DataFrame, threshold: Double, trigger: Trigger,
-      indexDir: String, pairsDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      indexDir: String, pairsDir: String,
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
     val index = new graft.operators.NearDupIndex(spark, indexDir,
       blockCol = "block", textCol = "text", idCol = "id", threshold = threshold)
-    docs.writeStream
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def marker(batchId: Long) = new org.apache.hadoop.fs.Path(s"$pairsDir/_batches/$batchId")
+    val writer = docs.writeStream
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val shard = batch.select(col("block"), col("id"), col("text"))
-        if (!shard.isEmpty) {
-          index.ingest(shard)
-            .select(lit(batchId).as("batch_id"), col("block"),
-              col("id_a"), col("id_b"), col("jaccard"))
-            .write.mode("append").parquet(pairsDir)
-          index.release() // rows sunk — free this batch's blocks now
+        val fs = marker(batchId).getFileSystem(hconf)
+        if (!fs.exists(marker(batchId))) {
+          val shard = batch.select(col("block"), col("id"), col("text"))
+          if (!shard.isEmpty) {
+            index.ingest(shard)
+              .select(lit(batchId).as("batch_id"), col("block"),
+                col("id_a"), col("id_b"), col("jaccard"))
+              .write.mode("append").parquet(pairsDir)
+            index.release() // rows sunk — free this batch's blocks now
+          }
+          fs.create(marker(batchId), true).close() // commit point: batch done
         }
         ()
       }
-      .start()
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 
   def nearDupStream(docs: DataFrame, threshold: Double = 0.3,

@@ -32,4 +32,17 @@ class ReadSplitSpec extends SparkTestBase {
       "multi-file table must not pay the split shuffle")
     assert(multi.count() == 10000)
   }
+
+  test("single file with several row groups passes through (planner already splits it)") {
+    val dir = java.nio.file.Files.createTempDirectory("readsplit").toString
+    // force tiny row groups so one file carries many — the shape the scan
+    // planner parallelizes natively at maxPartitionBytes granularity
+    spark.range(20000).selectExpr("id", "repeat('x', 64) AS pad")
+      .repartition(1).write.option("parquet.block.size", "65536")
+      .parquet(s"$dir/manyrg")
+    val df = GraftSession.readSplit(spark, s"$dir/manyrg", minSplitBytes = 1024)
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "multi-row-group single file must not pay the split shuffle")
+    assert(df.count() == 20000)
+  }
 }

@@ -91,6 +91,14 @@ class NearDupIndexSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("re-ingesting a (block,id) key is rejected loudly, not silently multiplied") {
+    val index = new NearDupIndex(spark, freshDir())
+    index.ingest(shards(0))
+    index.release()
+    val ex = intercept[IllegalArgumentException] { index.ingest(shards(0)) }
+    assert(ex.getMessage.contains("already in the index"), ex.getMessage)
+  }
+
   test("production sink: per-batch parquet appends union to the all-pairs set") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -111,5 +119,9 @@ class NearDupIndexSpec extends SparkTestBase {
     // the sink is the production artifact: batch ids must span >1 trigger
     assert(sunk.select("batch_id").distinct().count() >= 2,
       "all pairs landed in one micro-batch — loop state untested")
+    // retry idempotency: one marker per committed batch, hidden from the
+    // parquet reader (underscore path), so a re-delivered batch skips whole
+    val markers = new java.io.File(s"$pairsDir/_batches").list()
+    assert(markers != null && markers.length >= 2, s"missing batch markers: $markers")
   }
 }
