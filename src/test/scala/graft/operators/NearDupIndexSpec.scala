@@ -91,6 +91,19 @@ class NearDupIndexSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("maybeRebuild: fires once the corpus doubles past the frozen spectrum, then rests") {
+    val index = new NearDupIndex(spark, freshDir())
+    val s0 = collectPairs(index.ingest(shards(0)))  // seeds order at n0
+    assert(!index.maybeRebuild(), "rebuild must not fire at 1.0x growth")
+    val s1 = collectPairs(index.ingest(shards(1))) // ~2.0x the seed corpus
+    assert(index.maybeRebuild(1.5), "rebuild due past the growth factor")
+    assert(!index.maybeRebuild(1.5), "rebuild must rest after running")
+    val s2 = collectPairs(index.ingest(shards(2)))
+    index.release()
+    assert((s0 ++ s1 ++ s2).sorted == want,
+      "fold with policy-driven rebuild differs from all-pairs")
+  }
+
   test("re-ingesting a (block,id) key is rejected loudly, not silently multiplied") {
     val index = new NearDupIndex(spark, freshDir())
     index.ingest(shards(0))
