@@ -652,7 +652,11 @@ object Dedup {
     * @param indexDir directory for the index tables; defaults to a fresh
     *                 temp dir (a recurring deployment passes its
     *                 persistent table location and keeps the index across
-    *                 runs) */
+    *                 runs)
+    * @param growthFactor [[NearDupIndex.maybeRebuild]]'s policy knob,
+    *        checked between folds (VERDICT r13 #1 — a long fold must not
+    *        keep its first shard's frozen order; rebuild neutrality is
+    *        spec-pinned so emitted results are unchanged) */
   def incrementalNearDup(
       shards: Seq[DataFrame],
       blockCol: String,
@@ -660,7 +664,8 @@ object Dedup {
       idCol: String = "doc_id",
       n: Int = 3,
       threshold: Double = 0.3,
-      indexDir: Option[String] = None): DataFrame = {
+      indexDir: Option[String] = None,
+      growthFactor: Double = 2.0): DataFrame = {
     require(shards.nonEmpty, "incrementalNearDup: no shards")
     val spark = shards.head.sparkSession
     import spark.implicits._
@@ -668,7 +673,11 @@ object Dedup {
     val index = new NearDupIndex(spark, dir, blockCol, textCol, idCol, n, threshold)
     val empty = Seq.empty[(String, Long, Long, Double)]
       .toDF("block", "id_a", "id_b", "jaccard")
-    val out = shards.foldLeft(empty)((acc, shard) => acc.unionAll(index.ingest(shard)))
+    val out = shards.foldLeft(empty) { (acc, shard) =>
+      val step = acc.unionAll(index.ingest(shard))
+      index.maybeRebuild(growthFactor) // candidate-minimality upkeep
+      step
+    }
     // the union re-reads each step's cached blocks, so the per-step handles
     // must stay live until this materialize — release() only after
     val (res, _) = org.apache.spark.sql.GraftShim.materialize(out)

@@ -87,11 +87,29 @@ object Diagnostics {
     val out = nd.join(spectrum, Seq("block"))
       .select(col("block"), col("n_docs"), col("n_postings"), col("n_shingles"),
         col("max_df"), col("exact_candidates"), col("est_prefix_candidates"))
-    // the result is one row per block (a handful) — land it on the driver
-    // and free BOTH cached stages, so a guarded loop calling this per step
-    // retains no executor blocks (the materialize-and-drop form left one
-    // persisted RDD per call until GC)
+    // the result is one row per block — landed on the driver so BOTH
+    // cached stages can be freed before returning (a guarded loop calling
+    // this per step then retains no executor blocks; the
+    // materialize-and-drop form left one persisted RDD per call until GC).
+    // The landing assumes block is a COARSE partition key (a source, a
+    // language, a date) — a handful to thousands of rows. The public API
+    // accepts any column, so guard the assumption loudly (ADVICE r13 low):
+    // past the bound this would be an unbounded driver collect, and the
+    // per-block frame is the wrong tool anyway (at that cardinality the
+    // caller wants the distributed aggregate, not a planning table).
     val (materialized, outRdd) = org.apache.spark.sql.GraftShim.materialize(out)
+    val blockBound = 100000L
+    val nBlocks = materialized.count() // cheap: counts cached blocks
+    if (nBlocks > blockBound) {
+      outRdd.unpersist(blocking = false)
+      shRdd.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"[graft] similarityJoinCost: $nBlocks distinct '$blockCol' blocks exceed " +
+          s"the $blockBound-row driver-landing bound — the block column should be " +
+          "a coarse partition key (source, language, crawl date); pass one, or " +
+          "aggregate the spectrum distributively for per-key costs at this " +
+          "cardinality")
+    }
     val rows = materialized.collect().toIndexedSeq
     val schema = materialized.schema
     outRdd.unpersist(blocking = false)

