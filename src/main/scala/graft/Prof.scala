@@ -176,6 +176,31 @@ object Prof {
       }
     }
 
+    // index table layout A/B (VERDICT r13 #5): the same 10-shard fold with
+    // postings written flat (append order) vs clustered+sorted by the
+    // probe key (block, h) and docs by the verify key (block, id) — the
+    // layout a cluster deployment would register as bucketed tables. The
+    // clustered write pays one shuffle per append; the probe/verify reads
+    // get key-clustered, row-group-skippable files. Interleaving per step
+    // keeps machine load comparable.
+    section("ndlayout") {
+      val cap = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val n = 10
+      def lo(i: Int) = i * cap / n
+      val shards = (0 until n).map(i =>
+        docs.filter(col("doc_id") >= lo(i) && col("doc_id") < lo(i + 1)))
+      val flat = new graft.operators.NearDupIndex(spark,
+        graft.operators.NearDupIndex.tempDir())
+      val clustered = new graft.operators.NearDupIndex(spark,
+        graft.operators.NearDupIndex.tempDir(), clusteredWrites = true)
+      shards.zipWithIndex.foreach { case (s, i) =>
+        time(f"A flat      ingest step#$i") { flat.ingest(s); flat.release() }
+        time(f"B clustered ingest step#$i") { clustered.ingest(s); clustered.release() }
+      }
+      time("A flat      rebuild") { flat.rebuildOrder() }
+      time("B clustered rebuild") { clustered.rebuildOrder() }
+    }
+
     // single-file layout lever A/B (VERDICT r12 #7): the same text kernel
     // over the raw one-file scan (1 task at any SF — one row group) vs
     // GraftSession.readSplit's post-scan fan-out. Interleaved rounds.

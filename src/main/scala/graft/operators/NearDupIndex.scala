@@ -49,6 +49,11 @@ import org.apache.spark.sql.types._
   * delta's prefixes, verify candidates against the doc store — O(|delta| +
   * candidates) work plus columnar scans of the stored tables (no
   * aggregation or per-doc re-sort over history, the r12 scale-killer).
+  * The probe bloom-prefilters the stored posting scan by the delta's
+  * shingle set (exact — false positives verify away), so the only
+  * history-proportional term left per step is the columnar scan itself,
+  * never a history-sized shuffle (NearDupIndexMillionSmoke measures the
+  * per-step profile at 1M docs).
   * With `clusteredWrites = true` the posting table is written clustered
   * and sorted by `(block, h)` and the doc store by `(block, id)` — the
   * probe/verify join keys — so files arrive key-clustered (smaller,
@@ -169,10 +174,29 @@ final class NearDupIndex(
     * the gate pins each against the same all-pairs oracle every round
     * (q_neardup_index / q_dedup_delta / q_ngram_jaccard), so divergence
     * fails there, but change them TOGETHER. */
-  private def prefixPostings(sh: DataFrame, orderDf: DataFrame): DataFrame = {
+  private def prefixPostings(sh: DataFrame, orderDf: DataFrame,
+      pruneOrder: Boolean = false): DataFrame = {
     val prefixLen = (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int")
-    sh.select(col("block"), col("id"), col("seq"), explode(col("sh")).as("h"))
-      .join(orderDf, Seq("block", "h"), "left")
+    val exploded = sh.select(col("block"), col("id"), col("seq"),
+      explode(col("sh")).as("h"))
+    // Delta-sized ranking against a CORPUS-sized frozen spectrum: the left
+    // join only consumes order rows whose h appears in the delta, so
+    // bloom-prune the order scan by the delta's shingle set before the
+    // shuffle (exact for a LEFT join: pruned rows could only have joined
+    // nothing; false positives just ride along). Without this the rank
+    // join reshuffles the whole spectrum every ingest — measured at 1M
+    // docs as one of the two terms that made per-step cost grow with
+    // history. Skipped for the rebuild path, where sh IS the corpus.
+    val order =
+      if (!pruneOrder) orderDf
+      else {
+        val bf = BloomJoin.buildFilter(exploded.select(col("h")), "h",
+          math.max(exploded.count(), 1L))
+        if (bf == null) orderDf.limit(0)
+        else orderDf.filter(BloomJoin.mightContain(bf, col("h")))
+      }
+    exploded
+      .join(order, Seq("block", "h"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .groupBy(col("block"), col("id"), col("seq"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ordered"))
@@ -192,11 +216,30 @@ final class NearDupIndex(
     val deltaSh = shingle(delta).withColumn("seq", lit(m.nextSeq))
     val orderDf =
       if (exists(orderPath(m))) readOr(orderPath(m), orderSchema) else dfSpectrum(deltaSh)
-    candidates(prefixPostings(deltaSh, orderDf), m)
+    candidates(prefixPostings(deltaSh, orderDf, pruneOrder = true), m)
   }
 
   private def candidates(deltaPostings: DataFrame, m: Manifest): DataFrame = {
-    val probe = readOr(postingsPath(m), postingsSchema)
+    // Bloom-prefilter the STORED posting scan by the delta's shingle set
+    // before the probe join: only stored rows whose h might appear in the
+    // delta reach the shuffle, so the shuffled volume is O(|delta| +
+    // matches) instead of O(|history|) — the term that would otherwise
+    // grow linearly per step (measured at 1M docs: the un-bloomed probe's
+    // stored-side shuffle dominates by step 4). False positives only add
+    // candidates the size-ratio prune and exact verify discard, so output
+    // is invariant; no false negatives by construction. The build costs
+    // one delta-sized aggregate (the delta postings are persisted) and
+    // ~10 bits/key of driver state.
+    val storedRaw = readOr(postingsPath(m), postingsSchema)
+    val stored =
+      if (!exists(postingsPath(m))) storedRaw
+      else {
+        val bf = BloomJoin.buildFilter(deltaPostings.select(col("h")), "h",
+          math.max(deltaPostings.count(), 1L))
+        if (bf == null) storedRaw.limit(0) // empty delta probes nothing
+        else storedRaw.filter(BloomJoin.mightContain(bf, col("h")))
+      }
+    val probe = stored
       .unionByName(deltaPostings.select(col("block"), col("id"), col("nsh"),
         col("h"), col("seq")))
     val a = deltaPostings.select(col("block"), col("h"),
@@ -252,6 +295,14 @@ final class NearDupIndex(
     * @return (block, id_a, id_b, jaccard), id_a < id_b, jaccard ≥ t
     *         rounded to 6 dp, at least one endpoint in `delta` */
   def ingest(delta: DataFrame): DataFrame = {
+    // phase timing for scale triage, printed only under GRAFT_NDI_DEBUG=1
+    val dbg = sys.env.contains("GRAFT_NDI_DEBUG")
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      println(f"    [ndi-ingest] $name%-18s ${(now - tPhase) / 1e9}%7.2f s")
+      tPhase = now
+    }
     val m = readManifest()
     val deltaSh0 = shingle(delta).withColumn("seq", lit(m.nextSeq))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -279,21 +330,56 @@ final class NearDupIndex(
         s"NearDupIndex.ingest: delta contains (block, id) keys already in the " +
           s"index at $dir — re-ingesting a doc would silently corrupt pair " +
           "output; deduplicate the delta or repair/rebuild the index")
+      phase("dup-checks")
       // empty index: seed the frozen order from the first delta's spectrum
       val seeded = m.total == 0L
       if (seeded)
         dfSpectrum(deltaSh0).write.mode("overwrite").parquet(orderPath(m))
       val orderDf = readOr(orderPath(m), orderSchema)
-      deltaPostings = prefixPostings(deltaSh0, orderDf)
+      deltaPostings = prefixPostings(deltaSh0, orderDf, pruneOrder = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       enforceIngestBudget(deltaPostings, orderDf)
+      phase("rank+budget")
       val deltaDocs = deltaSh0.select(col("block"), col("id"),
         sort_array(col("sh")).as("sh"), col("nsh"), col("seq"))
+      // Materialize the (small) candidate pair set first, then verify
+      // against ONLY the docs it names: the doc store is bloom-pruned by
+      // the candidate ids before the verify joins, so the full shingle
+      // arrays of uninvolved history docs never shuffle — the second term
+      // that otherwise grows per step with history (the prune is exact:
+      // inner joins on (block, id) discard bloom false positives). The
+      // candidate subtree executes once either way; materializing it here
+      // just moves that execution before the bloom build.
+      val (candM, candHandle) = org.apache.spark.sql.GraftShim.materialize(
+        candidates(deltaPostings, m))
+      val nCand = candM.count()
+      phase("probe+candidates")
       val docsAll = readOr(docsPath(m), docsSchema).unionByName(deltaDocs)
-      val verified = candidates(deltaPostings, m)
-        .join(docsAll.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a")),
+      // When the candidate set rivals the corpus (hot-spectrum blocks),
+      // the id bloom would pass ~every doc while costing a
+      // tens-of-MB literal in every task binary — skip it; the verify is
+      // candidate-bound there and the pre-flight budget guard is the tool
+      // that prices that regime.
+      val docsForVerify =
+        if (nCand == 0L) docsAll.limit(0)
+        else if (nCand > 2000000L) docsAll
+        else {
+          val candIds = candM.select(col("id_a").as("id"))
+            .unionAll(candM.select(col("id_b").as("id")))
+          val bf = BloomJoin.buildFilter(candIds, "id", math.max(2L * nCand, 1L))
+          docsAll.filter(BloomJoin.mightContain(bf, col("id")))
+        }
+      if (dbg) {
+        val t = System.nanoTime()
+        val nv = docsForVerify.count()
+        println(f"    [ndi-ingest] dbg: $nCand candidates; docsForVerify=$nv rows " +
+          f"(scan+bloom ${(System.nanoTime() - t) / 1e9}%.2f s)")
+        tPhase = System.nanoTime()
+      }
+      val verified = candM
+        .join(docsForVerify.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a")),
           Seq("block", "id_a"))
-        .join(docsAll.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b")),
+        .join(docsForVerify.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b")),
           Seq("block", "id_b"))
         .withColumn("common", graft.expr.TextExpressions
           .sortedIntersectCount(col("sh_a"), col("sh_b")))
@@ -305,13 +391,17 @@ final class NearDupIndex(
       // which are about to grow
       val (out, handle) = org.apache.spark.sql.GraftShim.materialize(verified)
       handles.synchronized { handles += handle }
+      candHandle.unpersist(blocking = false) // out is materialized; candM done
+      phase("verify")
       // docs FIRST: a crash between the two appends then leaves a doc whose
       // postings are missing — only that doc's own future pairs are lost.
       // The reverse order would leave postings whose verify join finds no
       // doc row, silently dropping OTHER docs' true pairs forever (the
       // dangerous side of the non-transactional append window).
       writeDocs(deltaDocs, docsPath(m), "append")
+      phase("append-docs")
       writePostings(deltaPostings, postingsPath(m), "append")
+      phase("append-postings")
       // growth accounting for maybeRebuild + the seq watermark — the
       // manifest swap is the ingest's commit point (a crash before it
       // leaves the counters un-advanced; the orphaned seq rows are exactly
@@ -321,6 +411,7 @@ final class NearDupIndex(
         total = m.total + deltaN,
         atBuild = if (seeded) deltaN else m.atBuild,
         nextSeq = m.nextSeq + 1))
+      phase("count+manifest")
       out
     } finally {
       // unpersist unconditionally (ADVICE r13 low: a tripped require used

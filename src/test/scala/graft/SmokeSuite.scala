@@ -44,6 +44,15 @@ class SmokeSuite extends AnyFunSuite with BeforeAndAfterAll {
     DedupMillionSmoke.run(_, 1000000L)
   }
 
+  smoke("NearDupIndexMillionSmoke: recurring ingest — per-step flat, " +
+      "policy rebuild fires, fold == one-shot truth") {
+    // 400k in-suite: the bloom partial-aggregate buffers size with the
+    // delta, and the shared 8g suite JVM carries other smokes' residue;
+    // the standalone main runs the full 1M under SPARK_DRIVER_MEM=24g,
+    // and BASELINE.md records that run's numbers
+    NearDupIndexMillionSmoke.run(_, 400000L)
+  }
+
   smoke("AnnMillionSmoke: 1M-vector IVF recall@10 vs exact") {
     AnnMillionSmoke.run(_, 1000000L)
   }
