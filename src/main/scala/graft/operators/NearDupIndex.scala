@@ -49,11 +49,15 @@ import org.apache.spark.sql.types._
   * delta's prefixes, verify candidates against the doc store — O(|delta| +
   * candidates) work plus columnar scans of the stored tables (no
   * aggregation or per-doc re-sort over history, the r12 scale-killer).
-  * The probe bloom-prefilters the stored posting scan by the delta's
-  * shingle set (exact — false positives verify away), so the only
-  * history-proportional term left per step is the columnar scan itself,
-  * never a history-sized shuffle (NearDupIndexMillionSmoke measures the
-  * per-step profile at 1M docs).
+  * Once a stored table outgrows [[NearDupIndex.pruneBytesThreshold]],
+  * the history-sized shuffles are bloom-pruned away (all exact — false
+  * positives verify off): the rank join's frozen-order scan and the
+  * probe join's stored-posting scan are prefiltered by the delta's
+  * shingles, and the verify join's doc-store scan by the candidate ids —
+  * so the only history-proportional term left per step is the columnar
+  * scan itself, never a history-sized shuffle
+  * (NearDupIndexMillionSmoke measures the per-step profile at 1M docs;
+  * below the gate, small indexes keep the cheaper single-plan shape).
   * With `clusteredWrites = true` the posting table is written clustered
   * and sorted by `(block, h)` and the doc store by `(block, id)` — the
   * probe/verify join keys — so files arrive key-clustered (smaller,
@@ -142,6 +146,16 @@ final class NearDupIndex(
   private def postingsPath(m: Manifest) = s"$dir/${m.postings}"
   private def docsPath(m: Manifest) = s"$dir/${m.docs}"
 
+  /** Stored bytes under `p` (0 when absent) — the size gate for the bloom
+    * prunes: below [[NearDupIndex.pruneBytesThreshold]] a stored table's
+    * full shuffle is cheaper than the extra bloom-build job + plan
+    * boundary, so small indexes keep the r13 single-plan shape (measured:
+    * the prunes cut 1M-scale step time ~5x but added ~1.3 s/ingest of
+    * fixed job overhead at gate-sized tables). One metadata call, no job. */
+  private def dirBytes(p: String): Long =
+    if (!exists(p)) 0L
+    else fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+
   /** The live manifest's rebuild epoch — 0 until the first
     * [[rebuildOrder]]; specs use it to assert a policy-driven rebuild
     * actually fired mid-stream. */
@@ -216,7 +230,8 @@ final class NearDupIndex(
     val deltaSh = shingle(delta).withColumn("seq", lit(m.nextSeq))
     val orderDf =
       if (exists(orderPath(m))) readOr(orderPath(m), orderSchema) else dfSpectrum(deltaSh)
-    candidates(prefixPostings(deltaSh, orderDf, pruneOrder = true), m)
+    candidates(prefixPostings(deltaSh, orderDf,
+      pruneOrder = dirBytes(orderPath(m)) >= NearDupIndex.pruneBytesThreshold), m)
   }
 
   private def candidates(deltaPostings: DataFrame, m: Manifest): DataFrame = {
@@ -232,7 +247,7 @@ final class NearDupIndex(
     // ~10 bits/key of driver state.
     val storedRaw = readOr(postingsPath(m), postingsSchema)
     val stored =
-      if (!exists(postingsPath(m))) storedRaw
+      if (dirBytes(postingsPath(m)) < NearDupIndex.pruneBytesThreshold) storedRaw
       else {
         val bf = BloomJoin.buildFilter(deltaPostings.select(col("h")), "h",
           math.max(deltaPostings.count(), 1L))
@@ -317,16 +332,20 @@ final class NearDupIndex(
       // partial failure into a diagnosable error, not corruption.
       val deltaKeys = deltaSh0.select(col("block"), col("id"))
       val intraDup = deltaKeys.groupBy(col("block"), col("id"))
-        .agg(count(lit(1)).as("c")).filter(col("c") > 1).limit(1).count()
-      require(intraDup == 0L,
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .select(lit("intra").as("bad"))
+      val storedDup = deltaKeys
+        .join(readOr(docsPath(m), docsSchema).select(col("block"), col("id")),
+          Seq("block", "id"), "left_semi")
+        .select(lit("stored").as("bad"))
+      // one key-only job for both checks; distinguish by the surviving tag
+      val bad = intraDup.unionAll(storedDup).limit(1)
+        .collect().headOption.map(_.getString(0))
+      require(!bad.contains("intra"),
         s"NearDupIndex.ingest: delta contains duplicate (block, id) keys " +
           s"WITHIN itself — ingesting a doc twice would silently corrupt pair " +
           "output; deduplicate the delta (e.g. dropDuplicates on the key) first")
-      val dupKeys = deltaKeys
-        .join(readOr(docsPath(m), docsSchema).select(col("block"), col("id")),
-          Seq("block", "id"), "left_semi")
-        .limit(1).count()
-      require(dupKeys == 0L,
+      require(bad.isEmpty,
         s"NearDupIndex.ingest: delta contains (block, id) keys already in the " +
           s"index at $dir — re-ingesting a doc would silently corrupt pair " +
           "output; deduplicate the delta or repair/rebuild the index")
@@ -336,47 +355,53 @@ final class NearDupIndex(
       if (seeded)
         dfSpectrum(deltaSh0).write.mode("overwrite").parquet(orderPath(m))
       val orderDf = readOr(orderPath(m), orderSchema)
-      deltaPostings = prefixPostings(deltaSh0, orderDf, pruneOrder = true)
+      deltaPostings = prefixPostings(deltaSh0, orderDf,
+          pruneOrder = dirBytes(orderPath(m)) >= NearDupIndex.pruneBytesThreshold)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       enforceIngestBudget(deltaPostings, orderDf)
       phase("rank+budget")
       val deltaDocs = deltaSh0.select(col("block"), col("id"),
         sort_array(col("sh")).as("sh"), col("nsh"), col("seq"))
-      // Materialize the (small) candidate pair set first, then verify
-      // against ONLY the docs it names: the doc store is bloom-pruned by
-      // the candidate ids before the verify joins, so the full shingle
-      // arrays of uninvolved history docs never shuffle — the second term
-      // that otherwise grows per step with history (the prune is exact:
-      // inner joins on (block, id) discard bloom false positives). The
-      // candidate subtree executes once either way; materializing it here
-      // just moves that execution before the bloom build.
-      val (candM, candHandle) = org.apache.spark.sql.GraftShim.materialize(
-        candidates(deltaPostings, m))
-      val nCand = candM.count()
-      phase("probe+candidates")
       val docsAll = readOr(docsPath(m), docsSchema).unionByName(deltaDocs)
-      // When the candidate set rivals the corpus (hot-spectrum blocks),
-      // the id bloom would pass ~every doc while costing a
-      // tens-of-MB literal in every task binary — skip it; the verify is
-      // candidate-bound there and the pre-flight budget guard is the tool
-      // that prices that regime.
-      val docsForVerify =
-        if (nCand == 0L) docsAll.limit(0)
-        else if (nCand > 2000000L) docsAll
+      // Verify-side prune, size-gated like the others: past the
+      // threshold, materialize the (small) candidate pair set first and
+      // verify against ONLY the docs it names — the doc store is
+      // bloom-pruned by the candidate ids before the verify joins, so
+      // the full shingle arrays of uninvolved history docs never shuffle
+      // (the second history-growing term at 1M; the prune is exact: the
+      // inner joins on (block, id) discard bloom false positives). The
+      // candidate subtree executes once either way; materializing it
+      // just moves that execution before the bloom build. Below the
+      // threshold the whole verify stays ONE plan (the r13 shape — no
+      // extra job boundaries for KB-sized tables). Skipped too when the
+      // candidate set rivals the corpus (hot-spectrum blocks): the id
+      // bloom would pass ~every doc while costing a tens-of-MB literal
+      // in every task binary — that regime is candidate-bound, and the
+      // pre-flight budget guard is the tool that prices it.
+      val pruneVerify = dirBytes(docsPath(m)) >= NearDupIndex.pruneBytesThreshold
+      val (candFrame, candHandle) =
+        if (!pruneVerify) (candidates(deltaPostings, m), None)
         else {
-          val candIds = candM.select(col("id_a").as("id"))
-            .unionAll(candM.select(col("id_b").as("id")))
-          val bf = BloomJoin.buildFilter(candIds, "id", math.max(2L * nCand, 1L))
-          docsAll.filter(BloomJoin.mightContain(bf, col("id")))
+          val (c, h) = org.apache.spark.sql.GraftShim.materialize(
+            candidates(deltaPostings, m))
+          (c, Some(h))
         }
-      if (dbg) {
-        val t = System.nanoTime()
-        val nv = docsForVerify.count()
-        println(f"    [ndi-ingest] dbg: $nCand candidates; docsForVerify=$nv rows " +
-          f"(scan+bloom ${(System.nanoTime() - t) / 1e9}%.2f s)")
-        tPhase = System.nanoTime()
-      }
-      val verified = candM
+      val docsForVerify =
+        if (!pruneVerify) docsAll
+        else {
+          val nCand = candFrame.count()
+          phase("probe+candidates")
+          if (dbg) println(s"    [ndi-ingest] dbg: $nCand candidates (pruned verify)")
+          if (nCand == 0L) docsAll.limit(0)
+          else if (nCand > 2000000L) docsAll
+          else {
+            val candIds = candFrame.select(col("id_a").as("id"))
+              .unionAll(candFrame.select(col("id_b").as("id")))
+            val bf = BloomJoin.buildFilter(candIds, "id", math.max(2L * nCand, 1L))
+            docsAll.filter(BloomJoin.mightContain(bf, col("id")))
+          }
+        }
+      val verified = candFrame
         .join(docsForVerify.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a")),
           Seq("block", "id_a"))
         .join(docsForVerify.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b")),
@@ -391,7 +416,7 @@ final class NearDupIndex(
       // which are about to grow
       val (out, handle) = org.apache.spark.sql.GraftShim.materialize(verified)
       handles.synchronized { handles += handle }
-      candHandle.unpersist(blocking = false) // out is materialized; candM done
+      candHandle.foreach(_.unpersist(blocking = false)) // out materialized; candM done
       phase("verify")
       // docs FIRST: a crash between the two appends then leaves a doc whose
       // postings are missing — only that doc's own future pairs are lost.
@@ -513,6 +538,14 @@ final class NearDupIndex(
 }
 
 object NearDupIndex {
+  /** Stored-table size above which the bloom prunes engage (64 MB). Below
+    * it, shuffling the whole table is cheaper than the extra bloom-build
+    * job + plan boundary — small indexes keep the single-plan shape; at
+    * 1M-doc scale every table crosses the gate within a step or two and
+    * the prunes are what keep per-step cost history-flat (BASELINE
+    * Round-14). Correctness is identical on both sides of the gate. */
+  private[operators] val pruneBytesThreshold: Long = 64L << 20
+
   private[operators] val orderSchema = StructType(Seq(
     StructField("block", StringType), StructField("h", LongType),
     StructField("df", LongType)))
