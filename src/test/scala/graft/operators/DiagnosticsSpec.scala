@@ -56,6 +56,21 @@ class DiagnosticsSpec extends SparkTestBase {
     }
   }
 
+  test("similarityJoinCost: past the block-cardinality bound the driver landing fails loudly") {
+    // ADVICE r13 low: the per-block result lands on the driver under a
+    // coarse-block assumption the public API cannot enforce — a
+    // high-cardinality block column must be a loud error, not an
+    // unbounded collect.
+    import spark.implicits._
+    val manyBlocks = spark.range(100001L)
+      .select(col("id").as("doc_id"), col("id").cast("string").as("source"),
+        lit("abcdef").as("text"))
+    val ex = intercept[IllegalStateException] {
+      Diagnostics.similarityJoinCost(manyBlocks, "source")
+    }
+    assert(ex.getMessage.contains("driver-landing bound"), ex.getMessage)
+  }
+
   test("keySkew: hand-computed shares and straggler factor") {
     import spark.implicits._
     // 6 a, 3 b, 1 c → total 10, max 6, 3 keys: straggler = 6*3/10 = 1.8
