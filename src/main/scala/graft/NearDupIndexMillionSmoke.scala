@@ -104,6 +104,15 @@ object NearDupIndexMillionSmoke {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nFold = allPairs.count()
 
+    // The one-shot truth join over the full corpus is the only stage here
+    // that can trip AQE's broadcast conversion under a small heap: the
+    // sorted-long shingle arrays compress so well in shuffle that a
+    // ~1 GB in-memory hash relation reports under the 10 MB adaptive
+    // threshold (measured: the 400k in-suite run OOM'd the 8g JVM's
+    // broadcast build while all ten ingests passed). The truth is the
+    // oracle, not the measurement — force it through sort-merge.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val t2 = System.nanoTime()
     val truth = operators.Dedup.ngramJaccardPairsPrefix(
       docs, "block", idCol = "doc_id", n = 8).persist()
@@ -114,6 +123,7 @@ object NearDupIndexMillionSmoke {
     val keyed = Seq("block", "id_a", "id_b", "jaccard")
     val missed = truth.join(allPairs, keyed, "left_anti").count()
     val extra = allPairs.join(truth, keyed, "left_anti").count()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     val planted = spark.range(n - 1).filter(pmod(col("id"), lit(10L)) === 0)
       .select(lit("web").as("block"), col("id").as("id_a"), (col("id") + 1).as("id_b"))
     val nPlanted = planted.count()
