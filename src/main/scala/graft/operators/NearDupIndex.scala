@@ -623,9 +623,11 @@ object NearDupIndex {
     *      the pairs append and the marker write leaves them orphaned).
     *
     * After repair, re-delivering the crashed batch ingests cleanly
-    * instead of tripping the duplicate-key rejection. Idempotent — a
-    * repair that crashes can simply be re-run (the manifest swap is the
-    * only live-state mutation).
+    * instead of tripping the duplicate-key rejection. Idempotent AND
+    * crash-safe: the index rewrite commits through the manifest swap,
+    * and the pairs scrub through a park-then-commit file protocol (see
+    * the inline protocol notes) — a repair that crashes at any point can
+    * simply be re-run, with no committed pair row lost or duplicated.
     *
     * @return (docs dropped, posting rows dropped, pair rows scrubbed) */
   def repairToLastMarker(spark: SparkSession, indexDir: String,
@@ -678,35 +680,82 @@ object NearDupIndex {
       } catch { case _: java.io.IOException => () }
     }
 
-    // 3: scrub orphaned pair rows (batch ids with no marker). Rewrite via a
-    // sibling tmp dir, then swap the part-files under pairsDir — _batches/
-    // and other underscore paths are untouched.
+    // 3: scrub orphaned pair rows (batch ids with no marker). The rewrite
+    // must itself be crash-safe — a naive delete-then-move window would
+    // LOSE committed pairs and a rerun would silently skip the scrub.
+    // Protocol (all single-file renames):
+    //   a. recover any previous crashed scrub (below);
+    //   b. write the committed-only rows to a sibling tmp dir;
+    //   c. PARK the current part-files into `.repair-old/` (dot dir —
+    //      invisible to the parquet reader, originals intact);
+    //   d. move the tmp files in under a `repaired-` name prefix;
+    //   e. COMMIT by deleting `.repair-old/`;
+    //   f. strip the `repaired-` prefixes and drop the tmp dir.
+    // Recovery in (a) keys off what survives: `.repair-old/` present ⇒
+    // the scrub never committed — drop any half-moved `repaired-*` files
+    // and move the parked originals back; `.repair-old/` absent but
+    // `repaired-*` present ⇒ committed mid-(f) — finish the strip. A
+    // crashed repair is thus re-runnable with no lost or duplicated
+    // committed rows (failpoint-spec'd). Not concurrent-safe: stop the
+    // sink before repairing (a reader inside windows c-e can see the
+    // pair table partially hidden).
     val pfs = hadoopFs(spark, pairsDir)
     val pairsPath = new org.apache.hadoop.fs.Path(pairsDir)
-    val dataFiles = pfs.listStatus(pairsPath).toSeq
-      .filterNot(st => st.getPath.getName.startsWith("_") ||
-        st.getPath.getName.startsWith("."))
+    val parked = new org.apache.hadoop.fs.Path(pairsDir, ".repair-old")
+    val tmpDir = s"$pairsDir.repair-tmp"
+    def stripPrefixes(): Unit = pfs.listStatus(pairsPath).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("repaired-"))
+        pfs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(pairsDir, nm.stripPrefix("repaired-")))
+    }
+    if (pfs.exists(pairsPath)) {
+      if (pfs.exists(parked)) {
+        // uncommitted crashed scrub: discard half-moved new files, restore
+        pfs.listStatus(pairsPath).foreach { st =>
+          if (st.getPath.getName.startsWith("repaired-")) pfs.delete(st.getPath, false)
+        }
+        pfs.listStatus(parked).foreach(st => pfs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(pairsDir, st.getPath.getName)))
+        pfs.delete(parked, true)
+      } else stripPrefixes() // committed crashed scrub: finish the strip
+    }
+    pfs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+    val dataFiles = if (!pfs.exists(pairsPath)) Seq.empty
+      else pfs.listStatus(pairsPath).toSeq
+        .filterNot(st => st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith("."))
     var scrubbed = 0L
     if (dataFiles.nonEmpty) {
       val pairs = spark.read.parquet(pairsDir)
       val bad = pairs.filter(!col("batch_id").isin(committedIds.toSeq: _*))
       scrubbed = bad.count()
       if (scrubbed > 0) {
-        val tmpDir = s"$pairsDir.repair-tmp"
         pairs.filter(col("batch_id").isin(committedIds.toSeq: _*))
           .write.mode("overwrite").parquet(tmpDir)
-        dataFiles.foreach(st => pfs.delete(st.getPath, false))
+        pfs.mkdirs(parked)
+        dataFiles.foreach(st => pfs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(parked, st.getPath.getName)))
         hadoopFs(spark, tmpDir).listStatus(new org.apache.hadoop.fs.Path(tmpDir))
           .foreach { st =>
             if (!st.getPath.getName.startsWith("_"))
-              pfs.rename(st.getPath,
-                new org.apache.hadoop.fs.Path(pairsDir, st.getPath.getName))
+              pfs.rename(st.getPath, new org.apache.hadoop.fs.Path(pairsDir,
+                s"repaired-${st.getPath.getName}"))
           }
+        onBeforePairsScrubCommit()
+        pfs.delete(parked, true) // commit point for the scrub
+        stripPrefixes()
         pfs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
       }
     }
     (droppedDocs, droppedPostings, scrubbed)
   }
+
+  /** Test-only failpoint: invoked after a pairs scrub has parked the old
+    * part-files and moved the new ones in, but BEFORE its commit (the
+    * `.repair-old/` deletion) — the window a crash-safe scrub must
+    * survive without losing committed rows. */
+  private[graft] var onBeforePairsScrubCommit: () => Unit = () => ()
 
   private lazy val exitCleanup: scala.collection.mutable.Set[java.nio.file.Path] = {
     val dirs = scala.collection.mutable.Set.empty[java.nio.file.Path]

@@ -296,6 +296,47 @@ class NearDupIndexSpec extends SparkTestBase {
     assert(again == ((0L, 0L, 0L)), s"second repair was not a no-op: $again")
   }
 
+  test("pairs scrub survives a crash before its commit: no committed row lost or duplicated") {
+    // The scrub rewrites the pairs table; a naive delete-then-move window
+    // would LOSE committed rows and a rerun would silently skip the
+    // scrub. Kill the scrub at its failpoint (old files parked, new files
+    // half-live, commit not reached) and prove the rerun converges.
+    import spark.implicits._
+    val root = freshDir()
+    val pairsDir = s"$root/pairs"
+    def pairRows(batchId: Long, n: Int) =
+      (0 until n).map(i => (batchId, "src0", i.toLong, i + 1000L, 0.5))
+        .toDF("batch_id", "block", "id_a", "id_b", "jaccard")
+    pairRows(0L, 20).write.mode("append").parquet(pairsDir)
+    pairRows(99L, 3).write.mode("append").parquet(pairsDir) // orphaned batch
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$pairsDir/_batches"))
+    // marker for batch 0 only; watermark content irrelevant here (no index
+    // rows) but must parse
+    val mk = fs.create(new org.apache.hadoop.fs.Path(s"$pairsDir/_batches/0"), true)
+    mk.write("0".getBytes("UTF-8")); mk.close()
+    // a minimal consistent index dir (empty manifest state)
+    val indexDir = s"$root/index"
+    NearDupIndex.onBeforePairsScrubCommit =
+      () => throw new RuntimeException("injected crash before scrub commit")
+    val ex = intercept[RuntimeException] {
+      NearDupIndex.repairToLastMarker(spark, indexDir, pairsDir)
+    }
+    assert(ex.getMessage.contains("injected crash"))
+    NearDupIndex.onBeforePairsScrubCommit = () => ()
+    // rerun converges: orphan scrubbed exactly once, committed rows intact
+    val (_, _, scrubbed) = NearDupIndex.repairToLastMarker(spark, indexDir, pairsDir)
+    assert(scrubbed == 3L, s"rerun scrubbed $scrubbed, expected the 3 orphaned rows")
+    val left = spark.read.parquet(pairsDir)
+    assert(left.count() == 20L, s"committed rows lost/duplicated: ${left.count()}")
+    assert(left.filter(col("batch_id") =!= 0L).count() == 0L)
+    // and no protocol residue under the table
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(pairsDir))
+      .map(_.getPath.getName).toSet
+    assert(!names.contains(".repair-old") && !names.exists(_.startsWith("repaired-")),
+      s"scrub residue left behind: $names")
+  }
+
   test("production sink: per-batch parquet appends union to the all-pairs set") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
