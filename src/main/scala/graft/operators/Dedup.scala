@@ -656,7 +656,12 @@ object Dedup {
     * @param growthFactor [[NearDupIndex.maybeRebuild]]'s policy knob,
     *        checked between folds (VERDICT r13 #1 — a long fold must not
     *        keep its first shard's frozen order; rebuild neutrality is
-    *        spec-pinned so emitted results are unchanged) */
+    *        spec-pinned so emitted results are unchanged)
+    * @param maxCandidateBudget the index's pre-flight circuit breaker,
+    *        priced per fold step from the STORED frozen spectrum (0 = off;
+    *        VERDICT r14 #3 plumbed it through to the production surface)
+    * @param clusteredWrites key-clustered index table layout (the
+    *        bucketed-table shape; one extra shuffle per append) */
   def incrementalNearDup(
       shards: Seq[DataFrame],
       blockCol: String,
@@ -665,12 +670,15 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.3,
       indexDir: Option[String] = None,
-      growthFactor: Double = 2.0): DataFrame = {
+      growthFactor: Double = 2.0,
+      maxCandidateBudget: Long = 0,
+      clusteredWrites: Boolean = false): DataFrame = {
     require(shards.nonEmpty, "incrementalNearDup: no shards")
     val spark = shards.head.sparkSession
     import spark.implicits._
     val dir = indexDir.getOrElse(NearDupIndex.tempDir())
-    val index = new NearDupIndex(spark, dir, blockCol, textCol, idCol, n, threshold)
+    val index = new NearDupIndex(spark, dir, blockCol, textCol, idCol, n, threshold,
+      maxCandidateBudget = maxCandidateBudget, clusteredWrites = clusteredWrites)
     val empty = Seq.empty[(String, Long, Long, Double)]
       .toDF("block", "id_a", "id_b", "jaccard")
     val out = shards.foldLeft(empty) { (acc, shard) =>

@@ -16,16 +16,26 @@ import org.apache.spark.sql.types._
   *     at the last [[rebuildOrder]] (seeded from the first delta on an
   *     empty index). The canonical order is `(df asc, h asc)` with
   *     shingles absent from the spectrum at `df = 0` (rarest-first).
-  *   - `postings-<e>/` — `(block, id, nsh, h, seq)` canonical-PREFIX
-  *     postings of every ingested doc, appended per ingest, all under the
-  *     CURRENT frozen order ([[rebuildOrder]] writes a fresh epoch and
-  *     swaps the manifest, so the invariant "one global order across the
-  *     live table" always holds).
-  *   - `docs-<v>/` — `(block, id, sh, nsh, seq)` full sorted shingle sets
-  *     (the doc store the exact verify joins against).
+  *   - `postings-<e>/seq=<s>/` — `(block, id, nsh, h)` canonical-PREFIX
+  *     postings of every ingested doc, one `seq=` partition per ingest,
+  *     all under the CURRENT frozen order ([[rebuildOrder]] writes a
+  *     fresh epoch and swaps the manifest, so the invariant "one global
+  *     order across the live table" always holds).
+  *   - `docs-<v>/seq=<s>/` — `(block, id, sh, nsh)` full sorted shingle
+  *     sets (the doc store the exact verify joins against), one `seq=`
+  *     partition per ingest.
   *   `seq` is the ingest sequence number (monotone per ingest, allocated
-  *   from the manifest) — the recovery key [[NearDupIndex.repairToLastMarker]]
-  *   uses to drop rows from a crashed, uncommitted ingest.
+  *   from the manifest). Since r15 it is a PARTITION directory, not just a
+  *   row column: a crashed ingest's rows live in their own `seq=<s>/`
+  *   subtree, so [[NearDupIndex.repairToLastMarker]] recovers by DELETING
+  *   the crashed directories — O(crash), never a rewrite of history
+  *   (VERDICT r14 #2) — and every `seq`-ranged read (a rebuild's catch-up
+  *   pass, repair's damage count) is partition-pruned to exactly the
+  *   ingests it names. The directory count grows one per ingest between
+  *   rebuilds; [[rebuildOrder]] rewrites postings wholesale (its natural
+  *   compaction point), and a deployment with very long marker histories
+  *   registers the tables in a catalog / table format where per-partition
+  *   metadata is indexed rather than listed.
   *
   * '''Why a stale order is safe.''' The AllPairs prefix theorem —
   * J(A,B) ≥ t ⇒ the first |X| − ⌈t·|X|⌉ + 1 shingles of A and B under a
@@ -42,7 +52,9 @@ import org.apache.spark.sql.types._
   * (rebuild once the corpus outgrows the frozen spectrum by
   * `growthFactor`), invoked per batch/fold by every production entry
   * point ([[graft.streaming.StreamingOps.startNearDupSink]],
-  * [[Dedup.incrementalNearDup]]).
+  * [[Dedup.incrementalNearDup]]), or — `rebuildMode = detached` — by a
+  * separate maintenance job calling [[NearDupIndex.maintain]] so the
+  * ingest trigger never absorbs the corpus-linear pass (VERDICT r14 #1).
   *
   * '''Per-ingest cost''': shingle the delta, rank it against the frozen
   * order (one join keyed by `(block, h)`), probe the posting table with the
@@ -69,35 +81,79 @@ import org.apache.spark.sql.types._
   * inter-iteration checkpoint pattern (`main/Main.java:101,199`) from
   * cluster state to the dedup family.
   *
-  * '''Commit protocol''' (VERDICT r13 #3): all three table locations plus
-  * the growth counters and the next ingest seq live in ONE `manifest`
-  * file, replaced atomically (write tmp + `FileContext.rename(OVERWRITE)`).
-  * [[rebuildOrder]] writes the fresh order and re-ranked postings to NEW
-  * epoch-named directories and only then swaps the manifest — a crash
-  * anywhere before the swap leaves the old (order, postings) pair live
-  * and mutually CONSISTENT, so the one-global-order invariant the
-  * candidate-completeness proof needs can no longer be broken by a crash
-  * (the r13 in-place overwrite window, and with it the order/postings
-  * epoch-desync failure ADVICE r13 flagged, is gone; NearDupIndexSpec
-  * kills a rebuild between the writes and the swap and proves the next
-  * ingest still folds to the exact all-pairs set). An ingest's two
-  * APPENDS remain non-transactional: docs are written FIRST so a crash
-  * between them degrades to losing only the partially-ingested doc's own
-  * future pairs, never other docs' (postings-first would silently drop
-  * true pairs forever, since the verify join would find no doc row), and
-  * the manifest swap comes last, so a crashed ingest leaves the counters
-  * un-advanced. Replaying the failed shard is rejected LOUDLY by the
-  * duplicate-key check rather than corrupting output, and
-  * [[NearDupIndex.repairToLastMarker]] restores a sink-maintained index
-  * to its last committed batch so the replay then succeeds.
+  * '''Commit protocol''' (VERDICT r13 #3, concurrency-hardened r15): all
+  * three table locations plus the growth counters, the next ingest seq,
+  * and the index parameters `(n, threshold)` live in ONE `manifest` file,
+  * replaced atomically (write tmp + `FileContext.rename(OVERWRITE)`).
+  * Every manifest WRITE happens inside a short filesystem lock
+  * (`.commit-lock`, atomic create-if-absent) held only for the
+  * read-check-write of the commit itself — never for table-sized work —
+  * so an ingest and a concurrent [[rebuildOrder]] serialize only at their
+  * commit points:
   *
-  * Contract: ingested `(block, id)` keys must be new AND unique within
-  * the delta — both enforced with explicit pre-append checks (key-only
-  * scans), because the silent failure mode is multiplied pair rows, not
-  * an error. Every J ≥ t pair is emitted EXACTLY once — by the ingest
-  * that adds its later member — so the union of all ingests' outputs over
-  * a corpus equals [[Dedup.ngramJaccardPairsPrefix]] on the whole corpus
-  * (the oracle replays that equality).
+  *   - an INGEST re-reads the manifest under the lock; if a rebuild
+  *     swapped the epoch mid-flight, the ingest's postings (written under
+  *     the superseded order) are re-ranked under the new epoch's order
+  *     and appended there before the counters commit — delta-sized work,
+  *     and the emitted pairs are unaffected (they were verified against
+  *     the doc store, which rebuilds never change);
+  *   - a REBUILD ranks only the docs committed when it started
+  *     (`seq < nextSeq` — partition-pruned, so a mid-flight ingest's
+  *     appended-but-uncommitted rows are never promoted), then CATCHES UP
+  *     any ingests that committed while it ran (again `seq`-pruned reads)
+  *     — first unlocked, then a final bounded pass under the lock — and
+  *     only then swaps the manifest;
+  *   - superseded epoch directories are NEVER deleted inline (ADVICE r14
+  *     low: materialized results hold recompute lineage over them, and a
+  *     detached rebuild cannot know an in-flight ingest is done reading
+  *     them). They are reaped at [[release]] (the caller's declared
+  *     consumption boundary) and, for dirs orphaned across process
+  *     boundaries, at the START of a later [[rebuildOrder]] once they are
+  *     two epochs stale.
+  *
+  * A crash anywhere before a swap leaves the old (order, postings) pair
+  * live and mutually CONSISTENT, so the one-global-order invariant the
+  * candidate-completeness proof needs can no longer be broken by a crash
+  * (NearDupIndexSpec kills a rebuild between the writes and the swap and
+  * proves the next ingest still folds to the exact all-pairs set; the
+  * r15 concurrency spec interleaves a live ingest with a rebuild on both
+  * sides of the swap and proves no pair is lost or duplicated). An
+  * ingest's two APPENDS remain non-transactional: docs are written FIRST
+  * so a crash between them degrades to losing only the partially-ingested
+  * doc's own future pairs, never other docs' (postings-first would
+  * silently drop true pairs forever, since the verify join would find no
+  * doc row), and the manifest swap comes last, so a crashed ingest leaves
+  * the counters un-advanced. Replaying the failed shard is rejected
+  * LOUDLY by the duplicate-key check rather than corrupting output, and
+  * [[NearDupIndex.repairToLastMarker]] restores a sink-maintained index
+  * to its last committed batch (deleting exactly the crashed `seq=`
+  * directories) so the replay then succeeds.
+  *
+  * '''Filesystem contract''' (VERDICT r14 #4): both the manifest swap and
+  * the lock's create-if-absent rely on single-file atomicity that HDFS
+  * and posix filesystems provide and S3-class object stores do NOT
+  * (rename there is copy+delete; "create if absent" races). Constructing
+  * an index — or running [[NearDupIndex.repairToLastMarker]] /
+  * [[NearDupIndex.maintain]] — against an `s3a://`-class scheme therefore
+  * fails loudly at entry, naming the contract; the production answer on
+  * object stores is a table format (Iceberg/Delta-style conditional
+  * commits) or an HDFS/posix-backed manifest dir, and a deployment that
+  * KNOWS its store provides atomic rename (e.g. a consistent HDFS-
+  * compatible gateway) can opt out with
+  * `spark.graft.neardup.assumeAtomicRename=true`.
+  *
+  * Contract: at most ONE ingest runs at a time (seq allocation is not
+  * concurrent); one [[rebuildOrder]]/[[NearDupIndex.maintain]] MAY run
+  * concurrently with it. Ingested `(block, id)` keys must be new AND
+  * unique within the delta — both enforced with explicit pre-append
+  * checks (key-only scans), because the silent failure mode is multiplied
+  * pair rows, not an error. The index parameters `(n, threshold)` are
+  * recorded in the manifest at first commit and re-validated on every
+  * open-for-write — a mismatched re-open fails loudly instead of mixing
+  * prefix geometries. Every J ≥ t pair is emitted EXACTLY once — by the
+  * ingest that adds its later member — so the union of all ingests'
+  * outputs over a corpus equals [[Dedup.ngramJaccardPairsPrefix]] on the
+  * whole corpus (the oracle replays that equality).
   *
   * @param maxCandidateBudget when > 0, every [[ingest]] prices its probe
   *        join against the STORED frozen spectrum before paying it — the
@@ -120,10 +176,20 @@ final class NearDupIndex(
     clusteredWrites: Boolean = false) {
   import NearDupIndex.{Manifest, postingsSchema, docsSchema, orderSchema}
 
+  NearDupIndex.assertAtomicRenameScheme(spark, dir, "NearDupIndex")
+
+  private val thresholdMicros: Long = math.round(threshold * 1e6)
+
   /** Test-only failpoint: invoked after [[rebuildOrder]] has written the
-    * new epoch's tables but BEFORE the manifest swap — the crash window
-    * the atomic-commit design must survive. */
+    * new epoch's tables but BEFORE its catch-up re-read and manifest swap
+    * — the window a concurrent ingest can commit into, and the crash
+    * window the atomic-commit design must survive. */
   private[graft] var onBeforeRebuildCommit: () => Unit = () => ()
+
+  /** Test-only failpoint: invoked after an [[ingest]]'s table appends but
+    * BEFORE its locked manifest commit — the window a concurrent rebuild
+    * can swap the epoch into. */
+  private[graft] var onBeforeIngestCommit: () => Unit = () => ()
 
   /** Materialized per-ingest results kept cached until [[release]] — the
     * returned frames are backed by persisted RDDs whose LINEAGE reads the
@@ -132,6 +198,13 @@ final class NearDupIndex(
     * low — the loop-leak fix is an explicit consumption boundary, not a
     * dropped handle). */
   private val handles = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+
+  /** Epoch directories superseded by a rebuild THIS instance ran — still
+    * readable by materialized lineage (and by an in-flight ingest that
+    * read the pre-swap manifest), so deletion is deferred to [[release]]
+    * (ADVICE r14 low). Dirs orphaned across process boundaries are reaped
+    * by a later [[rebuildOrder]] once two epochs stale. */
+  private val pendingReap = scala.collection.mutable.ArrayBuffer.empty[String]
 
   private def fs = new org.apache.hadoop.fs.Path(dir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -142,9 +215,56 @@ final class NearDupIndex(
 
   private def readManifest(): Manifest = NearDupIndex.readManifest(spark, dir)
   private def commitManifest(m: Manifest): Unit = NearDupIndex.commitManifest(spark, dir, m)
+  private def withCommitLock[T](body: => T): T =
+    NearDupIndex.withCommitLock(spark, dir)(body)
   private def orderPath(m: Manifest) = s"$dir/${m.order}"
   private def postingsPath(m: Manifest) = s"$dir/${m.postings}"
   private def docsPath(m: Manifest) = s"$dir/${m.docs}"
+
+  /** Fail loudly when an existing index was written with different prefix
+    * geometry — silently mixing (n, threshold) regimes would corrupt the
+    * candidate-completeness invariant, not error. */
+  private def validateParams(m: Manifest): Unit =
+    if (m.nGram >= 0 && (m.nGram != n || m.thresholdMicros != thresholdMicros))
+      throw new IllegalStateException(
+        s"[graft] NearDupIndex at $dir was built with n=${m.nGram}, " +
+          f"threshold=${m.thresholdMicros / 1e6}%.6f but opened with n=$n, " +
+          f"threshold=$threshold%.6f — prefix geometry must match; open with " +
+          "the recorded parameters or rebuild the index from the corpus")
+
+  /** v1 (r14) manifests name FLAT tables whose `seq` is a data column;
+    * the r15 layout partitions by `seq`. Mixing layouts under one path
+    * breaks partition discovery, so the first WRITE against a v1 index
+    * migrates it: rewrite docs and postings `seq`-partitioned into fresh
+    * epoch-named directories and commit a v2 manifest (read-only paths —
+    * [[stats]], [[candidatesFor]] — can read a flat table as-is and need
+    * no migration). */
+  def migrateLayout(): Unit = {
+    val m = readManifest()
+    if (m.version >= 2) return
+    val e = m.epoch + 1
+    val next = m.copy(version = 2, epoch = e, postings = s"postings-$e",
+      docs = s"docs-$e", nGram = n, thresholdMicros = thresholdMicros)
+    writeDocs(readOr(docsPath(m), docsSchema), docsPath(next), "overwrite")
+    writePostings(readOr(postingsPath(m), postingsSchema), postingsPath(next), "overwrite")
+    withCommitLock {
+      val cur = readManifest()
+      require(cur.epoch == m.epoch && cur.version < 2,
+        s"NearDupIndex.migrateLayout: index at $dir changed during migration " +
+          s"(epoch ${m.epoch} -> ${cur.epoch}) — re-run")
+      commitManifest(next)
+    }
+    pendingReap.synchronized {
+      pendingReap += docsPath(m); pendingReap += postingsPath(m)
+    }
+  }
+
+  private def ensureWritable(): Manifest = {
+    var m = readManifest()
+    if (m.version < 2) { migrateLayout(); m = readManifest() }
+    validateParams(m)
+    m
+  }
 
   /** Stored bytes under `p` (0 when absent) — the size gate for the bloom
     * prunes: below [[NearDupIndex.pruneBytesThreshold]] a stored table's
@@ -307,6 +427,9 @@ final class NearDupIndex(
     * tables, which the appends grow); call [[release]] once the caller
     * has consumed all results.
     *
+    * Safe to run concurrently with ONE [[rebuildOrder]] / [[NearDupIndex.maintain]]
+    * (see the commit protocol in the class doc); never with another ingest.
+    *
     * @return (block, id_a, id_b, jaccard), id_a < id_b, jaccard ≥ t
     *         rounded to 6 dp, at least one endpoint in `delta` */
   def ingest(delta: DataFrame): DataFrame = {
@@ -318,8 +441,9 @@ final class NearDupIndex(
       println(f"    [ndi-ingest] $name%-18s ${(now - tPhase) / 1e9}%7.2f s")
       tPhase = now
     }
-    val m = readManifest()
-    val deltaSh0 = shingle(delta).withColumn("seq", lit(m.nextSeq))
+    val m = ensureWritable()
+    val mySeq = m.nextSeq
+    val deltaSh0 = shingle(delta).withColumn("seq", lit(mySeq))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var deltaPostings: DataFrame = null
     try {
@@ -427,16 +551,43 @@ final class NearDupIndex(
       phase("append-docs")
       writePostings(deltaPostings, postingsPath(m), "append")
       phase("append-postings")
-      // growth accounting for maybeRebuild + the seq watermark — the
-      // manifest swap is the ingest's commit point (a crash before it
-      // leaves the counters un-advanced; the orphaned seq rows are exactly
-      // what repairToLastMarker drops)
       val deltaN = deltaSh0.count()
-      commitManifest(m.copy(
-        total = m.total + deltaN,
-        atBuild = if (seeded) deltaN else m.atBuild,
-        nextSeq = m.nextSeq + 1))
-      phase("count+manifest")
+      onBeforeIngestCommit()
+      // COMMIT, under the lock (see the class-doc protocol): re-read the
+      // manifest; if a concurrent rebuild swapped the epoch mid-flight,
+      // re-rank this delta's postings under the NEW epoch's order and
+      // append them there (delta-sized; the emitted pairs are unaffected —
+      // rebuilds never change the doc store the verify ran against), then
+      // advance the counters. The manifest swap is the ingest's commit
+      // point: a crash before it leaves the counters un-advanced, and the
+      // orphaned seq=<s> directories are exactly what repairToLastMarker
+      // deletes.
+      withCommitLock {
+        val m2 = readManifest()
+        if (m2.epoch == m.epoch) {
+          commitManifest(m2.copy(
+            total = m2.total + deltaN,
+            atBuild = if (seeded) deltaN else m2.atBuild,
+            nextSeq = mySeq + 1,
+            nGram = n, thresholdMicros = thresholdMicros))
+        } else {
+          // the rebuild ranked only seqs committed before/during its run —
+          // never this uncommitted one (its reads are seq < nextSeq, and
+          // nextSeq advances only here). Defensive: refuse to double-land.
+          require(!exists(s"${postingsPath(m2)}/seq=$mySeq"),
+            s"NearDupIndex.ingest: epoch moved ${m.epoch} -> ${m2.epoch} " +
+              s"mid-ingest and the new postings already carry seq=$mySeq — " +
+              "two writers raced on one seq; repair the index")
+          writePostings(
+            prefixPostings(deltaSh0, readOr(orderPath(m2), orderSchema)),
+            postingsPath(m2), "append")
+          commitManifest(m2.copy(
+            total = m2.total + deltaN,
+            nextSeq = math.max(m2.nextSeq, mySeq + 1),
+            nGram = n, thresholdMicros = thresholdMicros))
+        }
+      }
+      phase("count+commit")
       out
     } finally {
       // unpersist unconditionally (ADVICE r13 low: a tripped require used
@@ -451,14 +602,37 @@ final class NearDupIndex(
       df.select(col("block"), col("id"), col("nsh"), col("h"), col("seq"))
         .repartition(col("block"), col("h")).sortWithinPartitions("block", "h")
     else df.select(col("block"), col("id"), col("nsh"), col("h"), col("seq"))
-    shaped.write.mode(mode).parquet(path)
+    shaped.write.partitionBy("seq").mode(mode).parquet(path)
   }
 
   private def writeDocs(df: DataFrame, path: String, mode: String): Unit = {
     val shaped = if (clusteredWrites)
       df.repartition(col("block"), col("id")).sortWithinPartitions("block", "id")
     else df
-    shaped.write.mode(mode).parquet(path)
+    shaped.select(col("block"), col("id"), col("sh"), col("nsh"), col("seq"))
+      .write.partitionBy("seq").mode(mode).parquet(path)
+  }
+
+  /** Delete epoch directories under `dir` that are (a) named like index
+    * tables, (b) not referenced by the live manifest, and (c) at least two
+    * epochs stale — the cross-process reaper for dirs a detached rebuild
+    * superseded (its own [[release]] never runs in the ingesting process).
+    * The two-epoch grace keeps a dir readable for one full rebuild cadence
+    * after it is superseded, so an ingest that read the pre-swap manifest
+    * finishes its (retried-on-epoch-move) pass before the files vanish. */
+  private def reapStale(m: Manifest): Unit = {
+    if (!exists(dir)) return
+    val live = Set(m.order, m.postings, m.docs)
+    val pat = "^(order|postings|docs)-(\\d+)$".r
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
+      st.getPath.getName match {
+        case pat(_, e) if !live.contains(st.getPath.getName) &&
+            e.toLong <= m.epoch - 2 =>
+          try fs.delete(st.getPath, true)
+          catch { case _: java.io.IOException => () }
+        case _ => ()
+      }
+    }
   }
 
   /** Recompute the frozen order from the FULL doc store and rewrite every
@@ -466,14 +640,23 @@ final class NearDupIndex(
     * restores candidate minimality after the frozen spectrum has drifted.
     * Results of prior [[ingest]] calls are unaffected (already emitted).
     *
-    * Crash-safe (VERDICT r13 #3): the fresh order and postings land in
-    * NEW epoch-named directories; the manifest swap is the single commit
-    * point, so a crash anywhere before it leaves the previous consistent
-    * (order, postings) pair live. The superseded epoch's directories are
-    * deleted best-effort AFTER the swap. */
+    * Crash-safe AND safe to run concurrently with a live ingest (VERDICT
+    * r14 #1): the fresh order and postings land in NEW epoch-named
+    * directories built from the docs committed at start (`seq`-pruned, so
+    * an in-flight ingest's uncommitted rows are never promoted); ingests
+    * that commit while the pass runs are caught up with `seq`-ranged
+    * reads — unlocked first, then a final bounded pass inside the commit
+    * lock — and the manifest swap is the single commit point. A crash
+    * anywhere before it leaves the previous consistent (order, postings)
+    * pair live. Superseded directories are NOT deleted here (ADVICE r14
+    * low — materialized lineage and in-flight ingests may still read
+    * them): they are queued for [[release]] and reaped cross-process by a
+    * later rebuild's two-epoch-stale sweep. */
   def rebuildOrder(): Unit = {
-    val m = readManifest()
-    val docsT = readOr(docsPath(m), docsSchema)
+    val m = ensureWritable()
+    reapStale(m)
+    val committed = col("seq") < lit(m.nextSeq) // partition-pruned
+    val docsT = readOr(docsPath(m), docsSchema).filter(committed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (docsT.isEmpty) return
@@ -484,15 +667,40 @@ final class NearDupIndex(
         val next = m.copy(epoch = e, order = s"order-$e", postings = s"postings-$e")
         writePostings(prefixPostings(docsT, freshOrder), postingsPath(next), "overwrite")
         freshOrder.write.mode("overwrite").parquet(orderPath(next))
-        val total = docsT.count()
+        var total = docsT.count()
+        var covered = m.nextSeq
         onBeforeRebuildCommit()
-        commitManifest(next.copy(total = total, atBuild = total))
-        // old epoch now unreferenced — reclaim (best-effort: a failure here
-        // leaves dead files, never an inconsistent live set)
-        try {
-          fs.delete(new org.apache.hadoop.fs.Path(orderPath(m)), true)
-          fs.delete(new org.apache.hadoop.fs.Path(postingsPath(m)), true)
-        } catch { case _: java.io.IOException => () }
+        // catch up ingests that committed while the corpus pass ran: their
+        // docs are already durable under seq=<s> partitions — rank exactly
+        // those (partition-pruned read) under the fresh order and append.
+        // Unlocked passes first (a fast ingest stream can land several);
+        // the final pass runs inside the commit lock, where no new commit
+        // can slip between the check and the swap.
+        def catchUp(upTo: Long): Unit = if (upTo > covered) {
+          val missed = readOr(docsPath(m), docsSchema)
+            .filter(col("seq") >= lit(covered) && col("seq") < lit(upTo))
+          writePostings(prefixPostings(missed, freshOrder), postingsPath(next), "append")
+          total += missed.count()
+          covered = upTo
+        }
+        var spins = 0
+        while (spins < 3 && readManifest().nextSeq > covered) {
+          catchUp(readManifest().nextSeq); spins += 1
+        }
+        withCommitLock {
+          val m3 = readManifest()
+          require(m3.epoch == m.epoch,
+            s"NearDupIndex.rebuildOrder: epoch moved ${m.epoch} -> ${m3.epoch} " +
+              "during the rebuild — two concurrent rebuilds are not supported " +
+              "(run one maintenance job); this pass is abandoned")
+          catchUp(m3.nextSeq)
+          commitManifest(next.copy(total = total, atBuild = total,
+            nextSeq = m3.nextSeq, nGram = n, thresholdMicros = thresholdMicros))
+        }
+        // old epoch now unreferenced — queue for deferred reaping
+        pendingReap.synchronized {
+          pendingReap += orderPath(m); pendingReap += postingsPath(m)
+        }
       } finally freshOrder.unpersist(blocking = false)
     } finally docsT.unpersist(blocking = false)
   }
@@ -504,9 +712,11 @@ final class NearDupIndex(
     * and its amortized cost per doc is O(1), while the frozen order is
     * never more than one doubling stale. This is the concrete "rebuild
     * periodically" policy the staleness-is-only-wider-candidates proof
-    * licenses; every production entry point (`startNearDupSink`,
-    * `incrementalNearDup`, `startNearDupLoop`) calls it after each
-    * ingest's commit (cheap no-op manifest read when below the threshold).
+    * licenses; the inline-mode production entry points (`startNearDupSink`,
+    * `incrementalNearDup`, `startNearDupLoop`) call it after each
+    * ingest's commit (cheap no-op manifest read when below the threshold),
+    * and `rebuildMode = detached` moves the same call into a separate
+    * maintenance job via [[NearDupIndex.maintain]].
     *
     * @return true when a rebuild ran */
   def maybeRebuild(growthFactor: Double = 2.0): Boolean = {
@@ -517,13 +727,25 @@ final class NearDupIndex(
     due
   }
 
-  /** Free the cached blocks behind every frame [[ingest]] has returned.
-    * Call once their rows are consumed (collected, sunk, or folded into a
+  /** Free the cached blocks behind every frame [[ingest]] has returned,
+    * and reap the epoch directories this instance's rebuilds superseded.
+    * Call once the rows are consumed (collected, sunk, or folded into a
     * materialized union) — after later appends, a recompute through the
-    * freed lineage would double-read grown tables. */
-  def release(): Unit = handles.synchronized {
-    handles.foreach(_.unpersist(blocking = false))
-    handles.clear()
+    * freed lineage would double-read grown tables, and the superseded
+    * dirs are part of that lineage (ADVICE r14 low: deleting them at
+    * rebuild time broke recompute fallback for still-live handles). */
+  def release(): Unit = {
+    handles.synchronized {
+      handles.foreach(_.unpersist(blocking = false))
+      handles.clear()
+    }
+    pendingReap.synchronized {
+      pendingReap.foreach { p =>
+        try fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        catch { case _: java.io.IOException => () }
+      }
+      pendingReap.clear()
+    }
   }
 
   /** (docs ingested, posting rows, distinct shingles in the frozen order) —
@@ -546,6 +768,13 @@ object NearDupIndex {
     * Round-14). Correctness is identical on both sides of the gate. */
   private[operators] val pruneBytesThreshold: Long = 64L << 20
 
+  /** How long a commit waits for the `.commit-lock` before failing loudly
+    * (ms). The lock guards only manifest read-check-write sections (plus a
+    * rebuild's final bounded catch-up), so contention is transient; a
+    * timeout means a crashed writer left the lock behind — the error says
+    * so and names the file to delete after verifying no writer is live. */
+  private[graft] var commitLockTimeoutMs: Long = 60000L
+
   private[operators] val orderSchema = StructType(Seq(
     StructField("block", StringType), StructField("h", LongType),
     StructField("df", LongType)))
@@ -560,14 +789,18 @@ object NearDupIndex {
 
   /** The atomically-swapped root of the index: epoch counter, the live
     * (order, postings, docs) directory names relative to the index dir,
-    * the growth counters behind [[NearDupIndex.maybeRebuild]], and the
-    * next ingest seq. One file names the whole live set, so no crash can
-    * leave the tables referencing two different orders. */
+    * the growth counters behind [[NearDupIndex.maybeRebuild]], the next
+    * ingest seq, and — since v2 — the layout version and the prefix
+    * geometry `(n, threshold)` the tables were built with (`nGram = -1`
+    * until the first commit records them). One file names the whole live
+    * set, so no crash can leave the tables referencing two different
+    * orders. */
   private[operators] final case class Manifest(
       epoch: Long, order: String, postings: String, docs: String,
-      total: Long, atBuild: Long, nextSeq: Long) {
+      total: Long, atBuild: Long, nextSeq: Long,
+      version: Int = 2, nGram: Int = -1, thresholdMicros: Long = -1L) {
     def serialize: String =
-      s"v1 $epoch $order $postings $docs $total $atBuild $nextSeq"
+      s"v2 $epoch $order $postings $docs $total $atBuild $nextSeq $nGram $thresholdMicros"
   }
   private[operators] val emptyManifest =
     Manifest(0L, "order-0", "postings-0", "docs-0", 0L, 0L, 0L)
@@ -576,16 +809,98 @@ object NearDupIndex {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Object-store schemes whose rename is copy+delete and whose
+    * create-if-absent races — the manifest swap and the commit lock are
+    * NOT atomic there (VERDICT r14 #4). */
+  private val nonAtomicRenameSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss",
+    "cos", "cosn", "swift", "adl")
+
+  /** Loud filesystem-contract check at every write-capable entry point:
+    * the commit protocol's guarantees are only as strong as single-file
+    * rename/create atomicity, which HDFS and posix provide and S3-class
+    * stores do not. Opt out (a consistent HDFS-compatible gateway, a
+    * store with true atomic rename) with
+    * `spark.graft.neardup.assumeAtomicRename=true`. */
+  private[operators] def assertAtomicRenameScheme(
+      spark: SparkSession, dir: String, op: String): Unit = {
+    val scheme = Option(new org.apache.hadoop.fs.Path(dir).toUri.getScheme)
+      .map(_.toLowerCase).getOrElse("")
+    if (nonAtomicRenameSchemes.contains(scheme) &&
+        !spark.conf.getOption("spark.graft.neardup.assumeAtomicRename")
+          .exists(_.equalsIgnoreCase("true")))
+      throw new IllegalArgumentException(
+        s"[graft] $op: '$dir' is on '$scheme', an object store without atomic " +
+          "rename/create — the index's manifest swap and commit lock would " +
+          "silently lose their crash-consistency guarantees there. Put the " +
+          "index on HDFS/posix, use a table format with conditional commits, " +
+          "or set spark.graft.neardup.assumeAtomicRename=true if this store " +
+          "genuinely provides atomic single-file rename")
+  }
+
+  /** Serialize manifest commits across writers: atomically create
+    * `.commit-lock` (create-if-absent is atomic on HDFS/posix — the same
+    * contract [[assertAtomicRenameScheme]] enforces), run `body`, delete
+    * the lock. Held only for manifest read-check-write plus a rebuild's
+    * final bounded catch-up — never table-sized work. A lock older than
+    * [[commitLockTimeoutMs]] fails loudly (a crashed writer left it;
+    * verify nothing is live, then delete it) rather than silently
+    * proceeding or waiting forever. */
+  private[operators] def withCommitLock[T](spark: SparkSession, dir: String)(body: => T): T = {
+    val fs = hadoopFs(spark, dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/.commit-lock")
+    val deadline = System.nanoTime() + commitLockTimeoutMs * 1000000L
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lock, false) // atomic create-if-absent
+        out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"[graft] NearDupIndex: could not acquire commit lock $lock within " +
+                s"${commitLockTimeoutMs}ms — a crashed ingest/rebuild likely left " +
+                "it behind. Verify no writer is live against this index, delete " +
+                "the lock file, and retry")
+          Thread.sleep(25)
+      }
+    }
+    try body finally {
+      try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+    }
+  }
+
   private[operators] def readManifest(spark: SparkSession, dir: String): Manifest = {
     val fs = hadoopFs(spark, dir)
     val p = new org.apache.hadoop.fs.Path(s"$dir/manifest")
-    if (!fs.exists(p)) emptyManifest
-    else {
+    if (!fs.exists(p)) {
+      // ADVICE r14 medium: a PRE-manifest (r13) index has bare `docs/` and
+      // `meta` entries; silently treating it as empty would restart the
+      // dedup history from scratch — old-corpus-vs-new pairs never emitted,
+      // the duplicate-key guard blind to the old docs. Fail loudly instead.
+      val legacy = Seq("docs", "meta", "postings", "order")
+        .filter(nm => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$nm")))
+      if (legacy.nonEmpty)
+        throw new IllegalStateException(
+          s"[graft] NearDupIndex: $dir has no manifest but contains a " +
+            s"pre-manifest index layout (${legacy.mkString(", ")}) — treating " +
+            "it as empty would SILENTLY drop the ingested history. Re-ingest " +
+            "the corpus into a fresh index dir (the legacy layout predates " +
+            "the seq watermark recovery needs), or move the legacy dirs away " +
+            "if they are genuinely dead")
+      emptyManifest
+    } else {
       val in = fs.open(p)
       val line = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
       line.split(' ') match {
+        case Array("v2", e, o, po, d, t, a, s, ng, thr) =>
+          Manifest(e.toLong, o, po, d, t.toLong, a.toLong, s.toLong,
+            version = 2, nGram = ng.toInt, thresholdMicros = thr.toLong)
         case Array("v1", e, o, po, d, t, a, s) =>
-          Manifest(e.toLong, o, po, d, t.toLong, a.toLong, s.toLong)
+          Manifest(e.toLong, o, po, d, t.toLong, a.toLong, s.toLong, version = 1)
         case _ => throw new IllegalStateException(
           s"NearDupIndex: unreadable manifest at $dir/manifest: '$line'")
       }
@@ -594,96 +909,223 @@ object NearDupIndex {
 
   /** Write tmp + atomic rename-with-overwrite — the one commit primitive
     * every mutation funnels through. `FileContext.rename(OVERWRITE)` is
-    * atomic on HDFS and posix local filesystems. */
-  private[operators] def commitManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
-    val fs = hadoopFs(spark, dir)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.manifest.tmp")
+    * atomic on HDFS and posix local filesystems (and loudly REFUSED on
+    * object stores — [[assertAtomicRenameScheme]]). */
+  private[operators] def commitManifest(spark: SparkSession, dir: String, m: Manifest): Unit =
+    atomicWriteFile(spark, s"$dir/manifest", m.serialize)
+
+  private[operators] def atomicWriteFile(
+      spark: SparkSession, path: String, body: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(target.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+      s".${target.getName}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(m.serialize.getBytes("UTF-8")) finally out.close()
+    try out.write(body.getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/manifest"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Marker-history bookkeeping for a [[graft.streaming.StreamingOps.startNearDupSink]]
+    * pairs table: per-batch markers live at `pairsDir/_batches/<id>` (body
+    * = the index's post-ingest seq watermark), and `_batches/_rollup`
+    * summarizes every batch up to some id as "&lt;maxRolledId&gt;
+    * &lt;maxWatermark&gt;". */
+  private final case class MarkerState(
+      rolledThrough: Long, rolledWatermark: Long,
+      live: Seq[(Long, Long)]) { // (batchId, watermark), unrolled markers only
+    def watermark: Long =
+      (rolledWatermark +: live.map(_._2)).foldLeft(0L)(math.max)
+  }
+
+  private def readMarkerState(spark: SparkSession, pairsDir: String): MarkerState = {
+    val pfs = hadoopFs(spark, pairsDir)
+    val batches = new org.apache.hadoop.fs.Path(s"$pairsDir/_batches")
+    def readBody(p: org.apache.hadoop.fs.Path): String = {
+      val in = pfs.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    }
+    val rollup = new org.apache.hadoop.fs.Path(s"$pairsDir/_batches/_rollup")
+    val (rolledThrough, rolledWm) =
+      if (!pfs.exists(rollup)) (-1L, 0L)
+      else readBody(rollup).split(' ') match {
+        case Array(r, w) => (r.toLong, w.toLong)
+        case other => throw new IllegalStateException(
+          s"NearDupIndex: unreadable marker rollup at $rollup: '${other.mkString(" ")}'")
+      }
+    val live = pfs.listStatus(batches).toSeq
+      .filter(st => st.getPath.getName.forall(_.isDigit))
+      .map { st =>
+        val id = st.getPath.getName.toLong
+        val body = readBody(st.getPath)
+        // ADVICE r14 low: pre-watermark (r13) markers are EMPTY files;
+        // parsing one as watermark 0 would make repair drop every committed
+        // row. Fail loudly instead of defaulting.
+        if (body.isEmpty || !body.forall(_.isDigit))
+          throw new IllegalStateException(
+            s"[graft] NearDupIndex: batch marker ${st.getPath} has no parseable " +
+              s"seq watermark (body='$body') — markers written by a pre-watermark " +
+              "version cannot drive recovery; rebuild the index from the corpus " +
+              "instead of repairing to these markers")
+        (id, body.toLong)
+      }
+    MarkerState(rolledThrough, rolledWm, live)
+  }
+
+  /** Roll committed per-batch markers up into the single `_rollup` file
+    * (VERDICT r14 #5): a month of 1-minute triggers writes ~43k markers,
+    * and recovery must not list — let alone build plan literals from —
+    * an unbounded marker history. Batch ids from one streaming query are
+    * contiguous, so the roll-up advances `rolledThrough` to the end of
+    * the longest contiguous prefix, records the max watermark, and
+    * deletes the absorbed marker files. Crash-safe: the rollup file
+    * commits first (atomic rename); absorbed markers are then deleted
+    * best-effort (a leftover marker ≤ rolledThrough is redundant, not
+    * wrong, and is re-deleted next time). */
+  def compactMarkers(spark: SparkSession, pairsDir: String): Unit = {
+    val st = readMarkerState(spark, pairsDir)
+    val ids = st.live.map(_._1).sorted
+    var through = st.rolledThrough
+    val present = ids.toSet
+    while (present.contains(through + 1)) through += 1
+    if (through <= st.rolledThrough) return
+    val absorbed = st.live.filter(_._1 <= through)
+    val wm = math.max(st.rolledWatermark, absorbed.map(_._2).max)
+    atomicWriteFile(spark, s"$pairsDir/_batches/_rollup", s"$through $wm")
+    val pfs = hadoopFs(spark, pairsDir)
+    absorbed.foreach { case (id, _) =>
+      try pfs.delete(new org.apache.hadoop.fs.Path(s"$pairsDir/_batches/$id"), false)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** The number of live (unrolled) per-batch marker files — the sink
+    * compacts once this crosses its `markerRollEvery`. */
+  private[graft] def liveMarkerCount(spark: SparkSession, pairsDir: String): Int = {
+    val pfs = hadoopFs(spark, pairsDir)
+    val batches = new org.apache.hadoop.fs.Path(s"$pairsDir/_batches")
+    if (!pfs.exists(batches)) 0
+    else pfs.listStatus(batches).count(_.getPath.getName.forall(_.isDigit))
+  }
+
+  /** Whether batch `batchId` already committed (marker present or rolled
+    * up) — the sink's idempotent-replay check. */
+  private[graft] def batchCommitted(
+      spark: SparkSession, pairsDir: String, batchId: Long): Boolean = {
+    val pfs = hadoopFs(spark, pairsDir)
+    if (pfs.exists(new org.apache.hadoop.fs.Path(s"$pairsDir/_batches/$batchId")))
+      return true
+    val rollup = new org.apache.hadoop.fs.Path(s"$pairsDir/_batches/_rollup")
+    pfs.exists(rollup) && {
+      val in = pfs.open(rollup)
+      val body = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      body.split(' ').headOption.exists(r => batchId <= r.toLong)
+    }
+  }
+
+  /** The live manifest's table paths — spec plumbing for file-level
+    * assertions (repair must not touch committed shards' files). */
+  private[graft] def livePaths(spark: SparkSession, dir: String): (String, String, String) = {
+    val m = readManifest(spark, dir)
+    (s"$dir/${m.order}", s"$dir/${m.postings}", s"$dir/${m.docs}")
   }
 
   /** Restore a [[graft.streaming.StreamingOps.startNearDupSink]]-maintained
     * index (and its pairs table) to the LAST COMMITTED BATCH after a
-    * mid-batch crash (VERDICT r13 #7 — this codes the recovery the r13
-    * scaladoc only described). The sink's commit marker for batch b
-    * records the index's post-ingest seq watermark; recovery therefore:
+    * mid-batch crash (VERDICT r13 #7; O(crash) since r15 — VERDICT r14
+    * #2). The sink's commit marker for batch b records the index's
+    * post-ingest seq watermark; recovery therefore:
     *
-    *   1. reads the highest watermark over all markers — rows with
-    *      `seq < watermark` belong to committed batches;
-    *   2. rewrites the doc store and postings filtered to committed seqs
-    *      into fresh versioned directories and swaps the manifest (same
-    *      atomic commit as a rebuild; the frozen order is kept — it may
-    *      include dropped docs' shingles, which only widens candidates);
-    *   3. scrubs pair rows whose batch_id has no marker (a crash between
-    *      the pairs append and the marker write leaves them orphaned).
+    *   1. reads the highest watermark over the marker roll-up and all live
+    *      markers — rows with `seq < watermark` belong to committed
+    *      batches;
+    *   2. DELETES the `seq=<s>` partition directories at or above the
+    *      watermark from the doc store and postings (counting their rows
+    *      first — partition-pruned reads that touch ONLY the crashed
+    *      ingests' files, never a rewrite of history) and commits the
+    *      rolled-back counters through the usual locked manifest swap;
+    *   3. scrubs pair rows whose batch has no committed marker (a crash
+    *      between the pairs append and the marker write leaves them
+    *      orphaned) — an anti-join against the marker frame plus the
+    *      roll-up boundary, never a per-batch plan literal.
     *
     * After repair, re-delivering the crashed batch ingests cleanly
     * instead of tripping the duplicate-key rejection. Idempotent AND
-    * crash-safe: the index rewrite commits through the manifest swap,
-    * and the pairs scrub through a park-then-commit file protocol (see
-    * the inline protocol notes) — a repair that crashes at any point can
-    * simply be re-run, with no committed pair row lost or duplicated.
+    * crash-safe: deleting an uncommitted `seq=` directory is safe to
+    * re-run at any point, the counter rollback commits through the
+    * manifest swap, and the pairs scrub through a park-then-commit file
+    * protocol (see the inline protocol notes) — a repair that crashes
+    * anywhere can simply be re-run, with no committed row lost or
+    * duplicated. Stop the sink before repairing (the pairs scrub is not
+    * concurrent-safe, and a live ingest would race the rollback).
     *
     * @return (docs dropped, posting rows dropped, pair rows scrubbed) */
   def repairToLastMarker(spark: SparkSession, indexDir: String,
       pairsDir: String): (Long, Long, Long) = {
-    val fs = hadoopFs(spark, indexDir)
+    assertAtomicRenameScheme(spark, indexDir, "NearDupIndex.repairToLastMarker")
+    val ifs = hadoopFs(spark, indexDir)
+    val pfs = hadoopFs(spark, pairsDir) // ADVICE r14 low: pairs may live on
+    // a different filesystem than the index — resolve its paths there
     val batchesPath = new org.apache.hadoop.fs.Path(s"$pairsDir/_batches")
-    require(fs.exists(batchesPath),
+    require(pfs.exists(batchesPath),
       s"repairToLastMarker: no batch markers at $pairsDir/_batches — nothing " +
         "committed to repair to (an index not maintained through " +
         "startNearDupSink has no marker watermark; rebuild it instead)")
-    val markers = fs.listStatus(batchesPath).toSeq
-    val committedIds = markers.map(_.getPath.getName.toLong).toSet
-    val watermark = markers.map { st =>
-      val in = fs.open(st.getPath)
-      val s = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      if (s.isEmpty) 0L else s.toLong
-    }.foldLeft(0L)(math.max)
-    val m = readManifest(spark, indexDir)
-    def readOrHere(p: String, schema: StructType): DataFrame =
-      if (fs.exists(new org.apache.hadoop.fs.Path(p)))
-        spark.read.schema(schema).parquet(p)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val markerState = readMarkerState(spark, pairsDir)
+    val watermark = markerState.watermark
+    var m = readManifest(spark, indexDir)
+    require(m.version >= 2 || m.total == 0L,
+      s"repairToLastMarker: index at $indexDir uses the pre-seq-partition v1 " +
+        "layout — open it for write once (NearDupIndex.migrateLayout runs " +
+        "automatically) before repairing")
 
-    // 1+2: drop uncommitted index rows behind a fresh atomic epoch
+    // 1+2: delete uncommitted seq partitions — O(crash): every read below
+    // is partition-pruned to the directories being dropped
     var droppedDocs = 0L
     var droppedPostings = 0L
-    if (m.nextSeq > watermark || {
-      // counters can be un-advanced too (crash before the ingest's
-      // manifest swap): orphaned rows then carry seq >= nextSeq
-      readOrHere(s"$indexDir/${m.docs}", docsSchema)
-        .filter(col("seq") >= watermark).limit(1).count() > 0
-    }) {
-      val e = m.epoch + 1
-      val docsAll = readOrHere(s"$indexDir/${m.docs}", docsSchema)
-      val postAll = readOrHere(s"$indexDir/${m.postings}", postingsSchema)
-      val keepDocs = docsAll.filter(col("seq") < watermark)
-      val keepPost = postAll.filter(col("seq") < watermark)
-      droppedDocs = docsAll.count() - keepDocs.count()
-      droppedPostings = postAll.count() - keepPost.count()
-      val next = m.copy(epoch = e, postings = s"postings-$e", docs = s"docs-$e",
-        nextSeq = watermark)
-      keepDocs.write.mode("overwrite").parquet(s"$indexDir/${next.docs}")
-      keepPost.write.mode("overwrite").parquet(s"$indexDir/${next.postings}")
-      val total = keepDocs.count()
-      commitManifest(spark, indexDir,
-        next.copy(total = total, atBuild = math.min(m.atBuild, total)))
-      try {
-        fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/${m.docs}"), true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/${m.postings}"), true)
-      } catch { case _: java.io.IOException => () }
+    var droppedCommittedDocs = 0L
+    def seqDirs(table: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+      val root = new org.apache.hadoop.fs.Path(s"$indexDir/$table")
+      if (!ifs.exists(root)) Seq.empty
+      else ifs.listStatus(root).toSeq.flatMap { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("seq=") && nm.drop(4).forall(_.isDigit))
+          Some((nm.drop(4).toLong, st.getPath))
+        else None
+      }
+    }
+    val badDocDirs = seqDirs(m.docs).filter(_._1 >= watermark)
+    val badPostDirs = seqDirs(m.postings).filter(_._1 >= watermark)
+    if (badDocDirs.nonEmpty || badPostDirs.nonEmpty || m.nextSeq > watermark) {
+      def countIn(table: String, schema: StructType,
+          dirs: Seq[(Long, org.apache.hadoop.fs.Path)]): Map[Long, Long] =
+        if (dirs.isEmpty) Map.empty
+        else spark.read.option("basePath", s"$indexDir/$table").schema(schema)
+          .parquet(dirs.map(_._2.toString): _*)
+          .groupBy(col("seq")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val docCounts = countIn(m.docs, docsSchema, badDocDirs)
+      droppedDocs = docCounts.values.sum
+      droppedPostings = countIn(m.postings, postingsSchema, badPostDirs).values.sum
+      // counters included a dropped ingest only if its manifest commit ran
+      // (seq < nextSeq); a crash BEFORE the commit left total un-advanced
+      droppedCommittedDocs = docCounts.filter(_._1 < m.nextSeq).values.sum
+      (badDocDirs ++ badPostDirs).foreach { case (_, p) => ifs.delete(p, true) }
+      withCommitLock(spark, indexDir) {
+        m = readManifest(spark, indexDir)
+        val total = m.total - droppedCommittedDocs
+        commitManifest(spark, indexDir, m.copy(
+          total = total, atBuild = math.min(m.atBuild, total),
+          nextSeq = math.min(m.nextSeq, watermark)))
+      }
     }
 
-    // 3: scrub orphaned pair rows (batch ids with no marker). The rewrite
-    // must itself be crash-safe — a naive delete-then-move window would
-    // LOSE committed pairs and a rerun would silently skip the scrub.
-    // Protocol (all single-file renames):
+    // 3: scrub orphaned pair rows (batches with no committed marker). The
+    // rewrite must itself be crash-safe — a naive delete-then-move window
+    // would LOSE committed pairs and a rerun would silently skip the
+    // scrub. Protocol (all single-file renames):
     //   a. recover any previous crashed scrub (below);
     //   b. write the committed-only rows to a sibling tmp dir;
     //   c. PARK the current part-files into `.repair-old/` (dot dir —
@@ -699,7 +1141,6 @@ object NearDupIndex {
     // committed rows (failpoint-spec'd). Not concurrent-safe: stop the
     // sink before repairing (a reader inside windows c-e can see the
     // pair table partially hidden).
-    val pfs = hadoopFs(spark, pairsDir)
     val pairsPath = new org.apache.hadoop.fs.Path(pairsDir)
     val parked = new org.apache.hadoop.fs.Path(pairsDir, ".repair-old")
     val tmpDir = s"$pairsDir.repair-tmp"
@@ -727,11 +1168,19 @@ object NearDupIndex {
           st.getPath.getName.startsWith("."))
     var scrubbed = 0L
     if (dataFiles.nonEmpty) {
+      import spark.implicits._
       val pairs = spark.read.parquet(pairsDir)
-      val bad = pairs.filter(!col("batch_id").isin(committedIds.toSeq: _*))
+      // committed = rolled up (id <= rolledThrough) OR a live marker names
+      // it — an anti-join against the small marker frame, NOT a plan
+      // literal per batch id (VERDICT r14 #5: a month of markers must not
+      // become a 43k-element isin)
+      val liveIds = markerState.live.map(_._1).toDF("batch_id")
+      val recent = pairs.filter(col("batch_id") > markerState.rolledThrough)
+      val bad = recent.join(liveIds, Seq("batch_id"), "left_anti")
       scrubbed = bad.count()
       if (scrubbed > 0) {
-        pairs.filter(col("batch_id").isin(committedIds.toSeq: _*))
+        pairs.filter(col("batch_id") <= markerState.rolledThrough)
+          .unionByName(recent.join(liveIds, Seq("batch_id"), "left_semi"))
           .write.mode("overwrite").parquet(tmpDir)
         pfs.mkdirs(parked)
         dataFiles.foreach(st => pfs.rename(st.getPath,
@@ -749,6 +1198,30 @@ object NearDupIndex {
       }
     }
     (droppedDocs, droppedPostings, scrubbed)
+  }
+
+  /** Run one maintenance pass against a persisted index — the DETACHED
+    * rebuild entry point (VERDICT r14 #1): a separate job (cron, a second
+    * driver, an operator CLI) calls this on the same `indexDir` a live
+    * `startNearDupSink(rebuildMode = "detached")` is ingesting into, and
+    * the commit protocol (class doc) guarantees the concurrent pass loses
+    * no pair and duplicates no posting while the sink's triggers stay
+    * ingest-sized. The prefix geometry is read from the manifest — a
+    * maintenance job needs no knowledge of the ingest configuration.
+    *
+    * @return true when the growth policy triggered a rebuild */
+  def maintain(spark: SparkSession, indexDir: String,
+      growthFactor: Double = 2.0, clusteredWrites: Boolean = false): Boolean = {
+    assertAtomicRenameScheme(spark, indexDir, "NearDupIndex.maintain")
+    val m = readManifest(spark, indexDir)
+    if (m.nGram < 0 || m.total == 0L) return false // nothing ingested yet
+    val index = new NearDupIndex(spark, indexDir,
+      n = m.nGram, threshold = m.thresholdMicros / 1e6,
+      clusteredWrites = clusteredWrites)
+    // deliberately NO release() here: the superseded dirs may still be
+    // read by the ingesting process's in-flight pass — they are reaped by
+    // a later rebuild's two-epoch-stale sweep instead
+    index.maybeRebuild(growthFactor)
   }
 
   /** Test-only failpoint: invoked after a pairs scrub has parked the old
