@@ -597,17 +597,24 @@ final class NearDupIndex(
     }
   }
 
+  // clustered writes lead the in-partition sort with `seq`: the dynamic-
+  // partition writer requires an ordering on the partition column and
+  // would otherwise insert its own (non-stable) sort, destroying the
+  // (block, key) clustering; with seq leading, the required ordering is
+  // already satisfied and the key order inside each seq= file survives
   private def writePostings(df: DataFrame, path: String, mode: String): Unit = {
     val shaped = if (clusteredWrites)
       df.select(col("block"), col("id"), col("nsh"), col("h"), col("seq"))
-        .repartition(col("block"), col("h")).sortWithinPartitions("block", "h")
+        .repartition(col("block"), col("h"))
+        .sortWithinPartitions("seq", "block", "h")
     else df.select(col("block"), col("id"), col("nsh"), col("h"), col("seq"))
     shaped.write.partitionBy("seq").mode(mode).parquet(path)
   }
 
   private def writeDocs(df: DataFrame, path: String, mode: String): Unit = {
     val shaped = if (clusteredWrites)
-      df.repartition(col("block"), col("id")).sortWithinPartitions("block", "id")
+      df.repartition(col("block"), col("id"))
+        .sortWithinPartitions("seq", "block", "id")
     else df
     shaped.select(col("block"), col("id"), col("sh"), col("nsh"), col("seq"))
       .write.partitionBy("seq").mode(mode).parquet(path)

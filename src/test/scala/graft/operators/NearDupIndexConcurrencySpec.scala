@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** The r15 concurrency contract (VERDICT r14 #1): ONE ingest may run
+  * concurrently with ONE [[NearDupIndex.rebuildOrder]] /
+  * [[NearDupIndex.maintain]], and no interleaving loses or duplicates a
+  * pair or a posting row. Both sides of the swap are exercised with the
+  * failpoints:
+  *
+  *   - ingest commits WHILE a rebuild is paused before its commit → the
+  *     rebuild's catch-up pass ranks the newly-committed seq under the
+  *     fresh order before swapping;
+  *   - a rebuild swaps WHILE an ingest is paused before its commit → the
+  *     ingest detects the epoch move under the commit lock and re-ranks
+  *     its delta into the new epoch's postings.
+  *
+  * Plus the detached production shape: a sink with `rebuildMode =
+  * "detached"` never rebuilds in its trigger path, and a separate
+  * [[NearDupIndex.maintain]] call does — with output still exactly the
+  * all-pairs set. And the lock's loud-stale posture.
+  */
+class NearDupIndexConcurrencySpec extends SparkTestBase {
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-ndi-conc").toString
+
+  private def slice = spark.read.parquet(s"${sf()}/documents.parquet")
+    .filter(col("doc_id") < 300)
+
+  private def shards = Seq(
+    slice.filter(col("doc_id") < 100),
+    slice.filter(col("doc_id") >= 100 && col("doc_id") < 200),
+    slice.filter(col("doc_id") >= 200))
+
+  private def collectPairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("block", "id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+
+  private lazy val want = collectPairs(
+    Dedup.ngramJaccardPairsPrefix(slice, "source"))
+
+  /** Posting-row count is deterministic across orders (prefix LENGTH is
+    * order-independent), so a control fold gives the exact expected count
+    * for any interleaving over the same corpus. */
+  private lazy val controlPostings: Long = {
+    val control = new NearDupIndex(spark, freshDir())
+    shards.foreach(control.ingest)
+    control.rebuildOrder()
+    val n = control.stats()._2
+    control.release()
+    n
+  }
+
+  private def inThread[T](body: => T): (Thread, () => T) = {
+    @volatile var out: Option[T] = None
+    @volatile var err: Option[Throwable] = None
+    val t = new Thread(() =>
+      try out = Some(body) catch { case e: Throwable => err = Some(e) })
+    t.start()
+    (t, () => { t.join(120000); err.foreach(throw _); out.get })
+  }
+
+  test("ingest commits while a rebuild is mid-pass: catch-up covers it; no pair lost or duplicated") {
+    val index = new NearDupIndex(spark, freshDir())
+    val s0 = collectPairs(index.ingest(shards(0)))
+    val gateRebuildPaused = new java.util.concurrent.CountDownLatch(1)
+    val gateResume = new java.util.concurrent.CountDownLatch(1)
+    index.onBeforeRebuildCommit = () => {
+      gateRebuildPaused.countDown()
+      assert(gateResume.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "resume gate never opened")
+    }
+    val (_, joinRebuild) = inThread { index.rebuildOrder() }
+    assert(gateRebuildPaused.await(120, java.util.concurrent.TimeUnit.SECONDS),
+      "rebuild never reached its pre-commit failpoint")
+    // rebuild has written its fresh epoch but not swapped — this ingest
+    // reads the OLD manifest, appends seq=1, and commits first
+    val s1 = collectPairs(index.ingest(shards(1)))
+    index.onBeforeRebuildCommit = () => ()
+    gateResume.countDown()
+    joinRebuild()
+    assert(index.epoch == 1L, s"rebuild did not commit (epoch=${index.epoch})")
+    // the catch-up pass must have promoted seq=1 into the new epoch's
+    // postings: the next ingest probes ONLY the live posting table, so a
+    // missed catch-up shows up as missing cross-shard pairs here
+    val s2 = collectPairs(index.ingest(shards(2)))
+    val (docsN, postingsN, _) = index.stats()
+    index.release()
+    assert(docsN == 300L, s"doc store incomplete after interleave: $docsN")
+    assert(postingsN == controlPostings,
+      s"posting rows $postingsN != control $controlPostings — catch-up lost or duplicated rows")
+    assert((s0 ++ s1 ++ s2).sorted == want,
+      "fold with an ingest committing inside a rebuild differs from all-pairs")
+  }
+
+  test("rebuild swaps while an ingest is mid-flight: the ingest re-ranks into the new epoch") {
+    val index = new NearDupIndex(spark, freshDir())
+    val s0 = collectPairs(index.ingest(shards(0)))
+    val gateIngestPaused = new java.util.concurrent.CountDownLatch(1)
+    val gateResume = new java.util.concurrent.CountDownLatch(1)
+    index.onBeforeIngestCommit = () => {
+      gateIngestPaused.countDown()
+      assert(gateResume.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "resume gate never opened")
+    }
+    val (_, joinIngest) = inThread { index.ingest(shards(1)) }
+    assert(gateIngestPaused.await(120, java.util.concurrent.TimeUnit.SECONDS),
+      "ingest never reached its pre-commit failpoint")
+    index.onBeforeIngestCommit = () => ()
+    // the rebuild runs to completion while the ingest is paused between
+    // its appends and its commit: it must NOT promote the uncommitted
+    // seq=1 rows (its reads are seq < nextSeq), and the swap moves the
+    // epoch under the paused ingest's feet
+    index.rebuildOrder()
+    assert(index.epoch == 1L)
+    gateResume.countDown()
+    val ingested = joinIngest()
+    val s1 = collectPairs(ingested)
+    // the ingest detected the swap and landed its postings in the NEW
+    // epoch — shard 3's probe must see them
+    val s2 = collectPairs(index.ingest(shards(2)))
+    val (docsN, postingsN, _) = index.stats()
+    index.release()
+    assert(docsN == 300L, s"doc store incomplete after interleave: $docsN")
+    assert(postingsN == controlPostings,
+      s"posting rows $postingsN != control $controlPostings — re-rank lost or duplicated rows")
+    assert((s0 ++ s1 ++ s2).sorted == want,
+      "fold with a rebuild swapping inside an ingest differs from all-pairs")
+  }
+
+  test("detached sink: triggers never absorb the rebuild; maintain() runs it; output exact") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = slice.select(col("source").as("block"), col("doc_id").as("id"), col("text"))
+      .as[(String, Long, String)].collect()
+    val batches = rows.grouped((rows.length + 2) / 3).toSeq
+    val indexDir = freshDir() + "/index"
+    val pairsDir = freshDir() + "/pairs"
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, String)]
+    // growthFactor would fire by batch 2 in inline mode — detached must not
+    val q = graft.streaming.StreamingOps.startNearDupSink(
+      mem.toDS().toDF("block", "id", "text"), 0.3,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      indexDir, pairsDir, growthFactor = 1.2, rebuildMode = "detached")
+    def epochNow = new NearDupIndex(spark, indexDir).epoch
+    try {
+      batches.take(2).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      assert(epochNow == 0L,
+        s"detached sink rebuilt in its trigger path (epoch=$epochNow)")
+      // the maintenance job — a separate caller with no ingest config,
+      // reading the prefix geometry from the manifest — runs the rebuild
+      // while the query is still live
+      assert(q.isActive)
+      assert(NearDupIndex.maintain(spark, indexDir, growthFactor = 1.2),
+        "maintain() did not trigger the due rebuild")
+      assert(epochNow == 1L, s"maintain() did not commit (epoch=$epochNow)")
+      assert(!NearDupIndex.maintain(spark, indexDir, growthFactor = 999.0),
+        "maintain() rebuilt when not due")
+      mem.addData(batches(2).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = collectPairs(spark.read.parquet(pairsDir))
+    assert(got == want,
+      s"detached-mode pairs (${got.size}) differ from all-pairs (${want.size})")
+    // maintain on an untouched dir is a no-op, not a crash
+    assert(!NearDupIndex.maintain(spark, freshDir()))
+  }
+
+  test("a stale commit lock fails loudly instead of hanging or silently proceeding") {
+    val dir = freshDir()
+    val index = new NearDupIndex(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/.commit-lock")
+    fs.create(lock, true).close() // a crashed writer's leftover
+    val prev = NearDupIndex.commitLockTimeoutMs
+    NearDupIndex.commitLockTimeoutMs = 300L
+    try {
+      val ex = intercept[IllegalStateException] { index.ingest(shards(0)) }
+      assert(ex.getMessage.contains("commit lock"), ex.getMessage)
+    } finally NearDupIndex.commitLockTimeoutMs = prev
+    // the documented remediation: verify no writer is live, delete the
+    // lock, retry. The crashed attempt's appends landed as seq=0 orphans
+    // with counters un-advanced — exactly the shape the sink's replay
+    // meets (loud duplicate rejection + repairToLastMarker); a plain
+    // retry therefore folds into a CLEAN dir here.
+    fs.delete(lock, false)
+    index.release() // drop the failed attempt's handles
+    val clean = new NearDupIndex(spark, freshDir())
+    val got = shards.flatMap(s => collectPairs(clean.ingest(s))).sorted
+    clean.release()
+    assert(got == want)
+  }
+}
