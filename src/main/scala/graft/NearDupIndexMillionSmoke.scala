@@ -43,6 +43,13 @@ import org.apache.spark.sql.Column
   *      session warm-up and the order seed). Rebuild time is reported
   *      separately per step: the policy's corpus-linear passes are the
   *      amortized-O(1)/doc budget, not ingest cost.
+  *   4. the NORMALIZED flatness ratio ≤ 1.6 (VERDICT r14 #6 — the pinned
+  *      envelope). Each step also times a fixed-size CONTROL job (a
+  *      constant 400M-row hash-sum, zero index involvement); dividing
+  *      step time by its control time cancels ambient machine load — the
+  *      r14 runs measured raw ratios 1.10 (calm) to 1.28 (one ambient
+  *      spike), so the normalized bound is judgeable instead of
+  *      narrative. Both raw and normalized ratios are printed.
   */
 object NearDupIndexMillionSmoke {
   def main(args: Array[String]): Unit = {
@@ -85,18 +92,32 @@ object NearDupIndexMillionSmoke {
       blockCol = "block", textCol = "text", idCol = "doc_id", n = 8)
 
     val ingestSec = Array.ofDim[Double](nShards)
+    val controlSec = Array.ofDim[Double](nShards)
     val rebuildSec = Array.ofDim[Double](nShards)
+    // fixed-size control job — identical work every step, no index
+    // involvement; its per-step drift measures ambient load, which the
+    // normalized flatness ratio then cancels (VERDICT r14 #6)
+    def controlJob(): Unit = {
+      spark.range(400000000L)
+        .select(sum(xxhash64(col("id"), col("id") * 7))).head()
+      ()
+    }
+    controlJob() // one unmeasured warm-up
     var stepPairs = Vector.empty[Long]
     val folded = shards.zipWithIndex.map { case (s, i) =>
       val t0 = System.nanoTime()
       val out = index.ingest(s)
       val np = out.count() // materialized: count reads cached blocks
       ingestSec(i) = (System.nanoTime() - t0) / 1e9
+      val tc = System.nanoTime()
+      controlJob()
+      controlSec(i) = (System.nanoTime() - tc) / 1e9
       val t1 = System.nanoTime()
       val rebuilt = index.maybeRebuild(1.5)
       rebuildSec(i) = (System.nanoTime() - t1) / 1e9
       stepPairs :+= np
-      println(f"[step#$i] ingest ${ingestSec(i)}%6.1f s, $np%7d pairs" +
+      println(f"[step#$i] ingest ${ingestSec(i)}%6.1f s (control ${controlSec(i)}%5.1f s), " +
+        f"$np%7d pairs" +
         (if (rebuilt) f"; rebuild ${rebuildSec(i)}%5.1f s (epoch ${index.epoch})" else ""))
       out
     }
@@ -131,12 +152,16 @@ object NearDupIndexMillionSmoke {
     val epochs = index.epoch
     index.release()
 
-    val early = ingestSec.slice(1, 4)
-    val late = ingestSec.takeRight(3)
-    val earlyMean = early.sum / early.length
-    val lateMean = late.sum / late.length
-    println(f"[flatness] ingest steps 2-4 mean $earlyMean%.1f s, " +
-      f"last-3 mean $lateMean%.1f s (ratio ${lateMean / earlyMean}%.2f); " +
+    def ratioOf(xs: Array[Double]): Double = {
+      val early = xs.slice(1, 4); val late = xs.takeRight(3)
+      (late.sum / late.length) / (early.sum / early.length)
+    }
+    val rawRatio = ratioOf(ingestSec)
+    val normalized = ingestSec.zip(controlSec).map { case (s, c) => s / math.max(c, 1e-9) }
+    val normRatio = ratioOf(normalized)
+    println(f"[flatness] ingest steps 2-4 mean ${ingestSec.slice(1, 4).sum / 3}%.1f s, " +
+      f"last-3 mean ${ingestSec.takeRight(3).sum / 3}%.1f s " +
+      f"(raw ratio $rawRatio%.2f, control-normalized $normRatio%.2f); " +
       f"rebuild total ${rebuildSec.sum}%.1f s over $epochs rebuild(s)")
     println(s"[exact] fold $nFold vs one-shot $nTruth: missed=$missed extra=$extra; " +
       f"planted recall $hit/$nPlanted (${hit.toDouble / nPlanted}%.4f)")
@@ -145,9 +170,14 @@ object NearDupIndexMillionSmoke {
       s"index fold != one-shot truth (missed $missed, extra $extra)")
     assert(epochs >= 1, "no policy-driven rebuild fired over a 10x growth history")
     assert(hit == nPlanted, s"planted recall $hit/$nPlanted below exact")
-    assert(lateMean <= 2.0 * earlyMean,
-      f"per-step ingest grew ${lateMean / earlyMean}%.2fx from steps 2-4 to the " +
+    assert(rawRatio <= 2.0,
+      f"per-step ingest grew $rawRatio%.2fx from steps 2-4 to the " +
         "last 3 — the history-flat claim is falsified")
+    // the pinned envelope (VERDICT r14 #6): with ambient load cancelled by
+    // the control rows, per-step drift past 1.6x is the index's own doing
+    assert(normRatio <= 1.6,
+      f"control-normalized per-step ingest grew $normRatio%.2fx (> pinned 1.6) — " +
+        "history-dependent cost crept back into the ingest path")
     allPairs.unpersist(blocking = false)
     truth.unpersist(blocking = false)
     docs.unpersist(blocking = false)
