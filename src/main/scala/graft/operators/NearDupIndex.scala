@@ -547,9 +547,9 @@ final class NearDupIndex(
       // The reverse order would leave postings whose verify join finds no
       // doc row, silently dropping OTHER docs' true pairs forever (the
       // dangerous side of the non-transactional append window).
-      writeDocs(deltaDocs, docsPath(m), "append")
+      writeDocsSeq(deltaDocs, docsPath(m), mySeq)
       phase("append-docs")
-      writePostings(deltaPostings, postingsPath(m), "append")
+      writePostingsSeq(deltaPostings, postingsPath(m), mySeq)
       phase("append-postings")
       val deltaN = deltaSh0.count()
       onBeforeIngestCommit()
@@ -578,9 +578,9 @@ final class NearDupIndex(
             s"NearDupIndex.ingest: epoch moved ${m.epoch} -> ${m2.epoch} " +
               s"mid-ingest and the new postings already carry seq=$mySeq — " +
               "two writers raced on one seq; repair the index")
-          writePostings(
+          writePostingsSeq(
             prefixPostings(deltaSh0, readOr(orderPath(m2), orderSchema)),
-            postingsPath(m2), "append")
+            postingsPath(m2), mySeq)
           commitManifest(m2.copy(
             total = m2.total + deltaN,
             nextSeq = math.max(m2.nextSeq, mySeq + 1),
@@ -597,28 +597,46 @@ final class NearDupIndex(
     }
   }
 
-  // clustered writes lead the in-partition sort with `seq`: the dynamic-
-  // partition writer requires an ordering on the partition column and
-  // would otherwise insert its own (non-stable) sort, destroying the
-  // (block, key) clustering; with seq leading, the required ordering is
-  // already satisfied and the key order inside each seq= file survives
-  private def writePostings(df: DataFrame, path: String, mode: String): Unit = {
-    val shaped = if (clusteredWrites)
+  // Two write shapes for the same seq-partitioned layout:
+  //   - single-seq (every ingest): a STATIC write straight into
+  //     `$path/seq=<s>/` — a plain parquet write, no dynamic-partition
+  //     sort or committer (measured ~+1s/ingest of fixed overhead at gate
+  //     sizes), producing byte-identical layout to partitionBy;
+  //   - multi-seq (rebuild rewrite, catch-up, migration): partitionBy
+  //     with the in-partition sort LED by `seq`, so the dynamic writer's
+  //     required ordering is already satisfied and the (block, key)
+  //     clustering survives into each seq= file instead of being
+  //     destroyed by the writer's own non-stable sort.
+  private def shapePostings(df: DataFrame): DataFrame =
+    if (clusteredWrites)
       df.select(col("block"), col("id"), col("nsh"), col("h"), col("seq"))
         .repartition(col("block"), col("h"))
         .sortWithinPartitions("seq", "block", "h")
     else df.select(col("block"), col("id"), col("nsh"), col("h"), col("seq"))
-    shaped.write.partitionBy("seq").mode(mode).parquet(path)
-  }
 
-  private def writeDocs(df: DataFrame, path: String, mode: String): Unit = {
+  private def shapeDocs(df: DataFrame): DataFrame = {
     val shaped = if (clusteredWrites)
       df.repartition(col("block"), col("id"))
         .sortWithinPartitions("seq", "block", "id")
     else df
     shaped.select(col("block"), col("id"), col("sh"), col("nsh"), col("seq"))
-      .write.partitionBy("seq").mode(mode).parquet(path)
   }
+
+  private def writePostings(df: DataFrame, path: String, mode: String): Unit =
+    shapePostings(df).write.partitionBy("seq").mode(mode).parquet(path)
+
+  private def writeDocs(df: DataFrame, path: String, mode: String): Unit =
+    shapeDocs(df).write.partitionBy("seq").mode(mode).parquet(path)
+
+  /** Overwrite is safe for a single-seq write: a given seq is allocated to
+    * exactly one ingest (manifest-serialized), so anything already under
+    * `seq=<s>/` is that ingest's own crashed predecessor's orphan rows —
+    * replacing them is self-healing, never data loss. */
+  private def writePostingsSeq(df: DataFrame, path: String, seq: Long): Unit =
+    shapePostings(df).drop("seq").write.mode("overwrite").parquet(s"$path/seq=$seq")
+
+  private def writeDocsSeq(df: DataFrame, path: String, seq: Long): Unit =
+    shapeDocs(df).drop("seq").write.mode("overwrite").parquet(s"$path/seq=$seq")
 
   /** Delete epoch directories under `dir` that are (a) named like index
     * tables, (b) not referenced by the live manifest, and (c) at least two
@@ -660,6 +678,13 @@ final class NearDupIndex(
     * them): they are queued for [[release]] and reaped cross-process by a
     * later rebuild's two-epoch-stale sweep. */
   def rebuildOrder(): Unit = {
+    val dbg = sys.env.contains("GRAFT_NDI_DEBUG")
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      println(f"    [ndi-rebuild] $name%-18s ${(now - tPhase) / 1e9}%7.2f s")
+      tPhase = now
+    }
     val m = ensureWritable()
     reapStale(m)
     val committed = col("seq") < lit(m.nextSeq) // partition-pruned
@@ -667,14 +692,28 @@ final class NearDupIndex(
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (docsT.isEmpty) return
+      phase("read+empty-check")
       val freshOrder = dfSpectrum(docsT)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val e = m.epoch + 1
         val next = m.copy(epoch = e, order = s"order-$e", postings = s"postings-$e")
-        writePostings(prefixPostings(docsT, freshOrder), postingsPath(next), "overwrite")
+        // few seqs (gate-sized histories): per-seq static writes skip the
+        // dynamic-partition sort+committer (~1 s of fixed overhead on KB
+        // tables); long histories take the one-job dynamic write instead
+        // of nextSeq sequential jobs
+        val rebuilt = prefixPostings(docsT, freshOrder)
+        if (m.nextSeq <= 4) {
+          val cached = rebuilt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try (0L until m.nextSeq).foreach { s =>
+            writePostingsSeq(cached.filter(col("seq") === s), postingsPath(next), s)
+          } finally cached.unpersist(blocking = false)
+        } else writePostings(rebuilt, postingsPath(next), "overwrite")
+        phase("write-postings")
         freshOrder.write.mode("overwrite").parquet(orderPath(next))
+        phase("write-order")
         var total = docsT.count()
+        phase("count")
         var covered = m.nextSeq
         onBeforeRebuildCommit()
         // catch up ingests that committed while the corpus pass ran: their
