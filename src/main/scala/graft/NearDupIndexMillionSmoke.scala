@@ -98,8 +98,9 @@ object NearDupIndexMillionSmoke {
     // involvement; its per-step drift measures ambient load, which the
     // normalized flatness ratio then cancels (VERDICT r14 #6)
     def controlJob(): Unit = {
+      // pmod bounds the summands (raw xxhash64 sums overflow ANSI long)
       spark.range(400000000L)
-        .select(sum(xxhash64(col("id"), col("id") * 7))).head()
+        .select(sum(pmod(xxhash64(col("id"), col("id") * 7), lit(1000000L)))).head()
       ()
     }
     controlJob() // one unmeasured warm-up
