@@ -31,11 +31,15 @@ import org.apache.spark.sql.types._
   *   the crashed directories — O(crash), never a rewrite of history
   *   (VERDICT r14 #2) — and every `seq`-ranged read (a rebuild's catch-up
   *   pass, repair's damage count) is partition-pruned to exactly the
-  *   ingests it names. The directory count grows one per ingest between
-  *   rebuilds; [[rebuildOrder]] rewrites postings wholesale (its natural
-  *   compaction point), and a deployment with very long marker histories
-  *   registers the tables in a catalog / table format where per-partition
-  *   metadata is indexed rather than listed.
+  *   ingests it names. The directory count is BOUNDED: every
+  *   [[rebuildOrder]] coalesces all seqs ≤ nextSeq−2 into one partition
+  *   when it rewrites postings (and rewrites the doc store the same way
+  *   once its dir count crosses [[NearDupIndex.compactDocsAboveSeqDirs]])
+  *   — safe because the sink's marker protocol guarantees any future
+  *   repair watermark is ≥ nextSeq−1, so a coalesced (genuinely
+  *   committed) row can never be individually dropped. Between rebuilds
+  *   the count grows one per ingest — O(ingests per rebuild cadence),
+  *   not O(history).
   *
   * '''Why a stale order is safe.''' The AllPairs prefix theorem —
   * J(A,B) ≥ t ⇒ the first |X| − ⌈t·|X|⌉ + 1 shingles of A and B under a
@@ -581,6 +585,12 @@ final class NearDupIndex(
           writePostingsSeq(
             prefixPostings(deltaSh0, readOr(orderPath(m2), orderSchema)),
             postingsPath(m2), mySeq)
+          // a doc-compacting rebuild also swapped the DOCS dir: this
+          // delta's rows went to the superseded one — land them in the
+          // live store (same static single-seq write; the rebuild never
+          // copied them, its reads stop at its start-time nextSeq)
+          if (m2.docs != m.docs)
+            writeDocsSeq(deltaDocs, docsPath(m2), mySeq)
           commitManifest(m2.copy(
             total = m2.total + deltaN,
             nextSeq = math.max(m2.nextSeq, mySeq + 1),
@@ -697,19 +707,45 @@ final class NearDupIndex(
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val e = m.epoch + 1
-        val next = m.copy(epoch = e, order = s"order-$e", postings = s"postings-$e")
-        // few seqs (gate-sized histories): per-seq static writes skip the
-        // dynamic-partition sort+committer (~1 s of fixed overhead on KB
-        // tables); long histories take the one-job dynamic write instead
-        // of nextSeq sequential jobs
-        val rebuilt = prefixPostings(docsT, freshOrder)
-        if (m.nextSeq <= 4) {
-          val cached = rebuilt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try (0L until m.nextSeq).foreach { s =>
-            writePostingsSeq(cached.filter(col("seq") === s), postingsPath(next), s)
-          } finally cached.unpersist(blocking = false)
-        } else writePostings(rebuilt, postingsPath(next), "overwrite")
+        // SEQ COMPACTION (bounds the partition-directory count for long
+        // marker histories — one dir per ingest would reach ~43k at
+        // 1-minute triggers over a month): the rewrite coalesces all seqs
+        // ≤ nextSeq−2 into ONE partition keyed by that bound. Safe w.r.t.
+        // repair: the sink writes batch k's marker before batch k+1's
+        // ingest can advance the manifest, so at most the LAST ingest is
+        // ever unmarked — any future repair watermark is ≥ nextSeq−1 >
+        // bound, and a coalesced row (all genuinely committed) can never
+        // be individually dropped. Postings are compacted on EVERY rebuild
+        // (the rewrite happens anyway — and always lands ≤2 partitions,
+        // so the write stays on the cheap static path); the doc store is
+        // rewritten-compacted only once its directory count crosses
+        // [[NearDupIndex.compactDocsAboveSeqDirs]] (a doc rewrite is an
+        // extra corpus-linear pass — same amortized budget as the rebuild
+        // itself, paid only when the dir count actually warrants it).
+        val bound = m.nextSeq - 2
+        // seqs ≤ bound all become bound (greatest); later seqs keep theirs
+        def coalesce(df: DataFrame): DataFrame =
+          if (bound > 0) df.withColumn("seq", greatest(col("seq"), lit(bound))) else df
+        val outSeqs =
+          if (bound > 0) Seq(bound, m.nextSeq - 1) else 0L until m.nextSeq
+        val docsSeqDirCount =
+          if (!exists(docsPath(m))) 0
+          else fs.listStatus(new org.apache.hadoop.fs.Path(docsPath(m)))
+            .count(_.getPath.getName.startsWith("seq="))
+        val compactDocs = docsSeqDirCount > NearDupIndex.compactDocsAboveSeqDirs
+        val next = m.copy(epoch = e, order = s"order-$e", postings = s"postings-$e",
+          docs = if (compactDocs) s"docs-$e" else m.docs)
+        val rebuilt = coalesce(prefixPostings(docsT, freshOrder))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try outSeqs.foreach { s =>
+          writePostingsSeq(rebuilt.filter(col("seq") === s), postingsPath(next), s)
+        } finally rebuilt.unpersist(blocking = false)
         phase("write-postings")
+        if (compactDocs) {
+          val cd = coalesce(docsT)
+          outSeqs.foreach(s => writeDocsSeq(cd.filter(col("seq") === s), docsPath(next), s))
+          phase("compact-docs")
+        }
         freshOrder.write.mode("overwrite").parquet(orderPath(next))
         phase("write-order")
         var total = docsT.count()
@@ -717,15 +753,19 @@ final class NearDupIndex(
         var covered = m.nextSeq
         onBeforeRebuildCommit()
         // catch up ingests that committed while the corpus pass ran: their
-        // docs are already durable under seq=<s> partitions — rank exactly
-        // those (partition-pruned read) under the fresh order and append.
-        // Unlocked passes first (a fast ingest stream can land several);
-        // the final pass runs inside the commit lock, where no new commit
-        // can slip between the check and the swap.
+        // docs are already durable under seq=<s> partitions OF THE OLD
+        // DOCS DIR — rank exactly those (partition-pruned read) under the
+        // fresh order and append; when this rebuild is also compacting the
+        // doc store, copy their doc rows into the new docs dir too (their
+        // seqs are > bound, so they keep their own partitions). Unlocked
+        // passes first (a fast ingest stream can land several); the final
+        // pass runs inside the commit lock, where no new commit can slip
+        // between the check and the swap.
         def catchUp(upTo: Long): Unit = if (upTo > covered) {
           val missed = readOr(docsPath(m), docsSchema)
             .filter(col("seq") >= lit(covered) && col("seq") < lit(upTo))
           writePostings(prefixPostings(missed, freshOrder), postingsPath(next), "append")
+          if (compactDocs) writeDocs(missed, docsPath(next), "append")
           total += missed.count()
           covered = upTo
         }
@@ -746,6 +786,7 @@ final class NearDupIndex(
         // old epoch now unreferenced — queue for deferred reaping
         pendingReap.synchronized {
           pendingReap += orderPath(m); pendingReap += postingsPath(m)
+          if (compactDocs) pendingReap += docsPath(m)
         }
       } finally freshOrder.unpersist(blocking = false)
     } finally docsT.unpersist(blocking = false)
@@ -813,6 +854,13 @@ object NearDupIndex {
     * the prunes are what keep per-step cost history-flat (BASELINE
     * Round-14). Correctness is identical on both sides of the gate. */
   private[operators] val pruneBytesThreshold: Long = 64L << 20
+
+  /** Doc-store seq-directory count past which a [[NearDupIndex.rebuildOrder]]
+    * also rewrites the doc store with coalesced seq partitions (an extra
+    * corpus-linear pass — same amortized budget as the rebuild itself).
+    * Postings are compacted on every rebuild regardless (their rewrite
+    * happens anyway). Var for specs; production default 64. */
+  private[graft] var compactDocsAboveSeqDirs: Int = 64
 
   /** How long a commit waits for the `.commit-lock` before failing loudly
     * (ms). The lock guards only manifest read-check-write sections (plus a

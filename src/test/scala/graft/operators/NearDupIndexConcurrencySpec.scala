@@ -131,6 +131,56 @@ class NearDupIndexConcurrencySpec extends SparkTestBase {
       "fold with a rebuild swapping inside an ingest differs from all-pairs")
   }
 
+  test("both interleavings with DOC COMPACTION active: the docs-dir swap loses no rows") {
+    // a compacting rebuild swaps the DOCS directory too — the catch-up
+    // pass must copy a mid-rebuild ingest's doc rows into the new store,
+    // and an overtaken ingest must land its docs there at its commit
+    val prevThreshold = NearDupIndex.compactDocsAboveSeqDirs
+    NearDupIndex.compactDocsAboveSeqDirs = 0 // every rebuild compacts
+    try {
+      // interleave A: ingest commits while the compacting rebuild is paused
+      val ixA = new NearDupIndex(spark, freshDir())
+      val a0 = collectPairs(ixA.ingest(shards(0)))
+      val pausedA = new java.util.concurrent.CountDownLatch(1)
+      val resumeA = new java.util.concurrent.CountDownLatch(1)
+      ixA.onBeforeRebuildCommit = () => {
+        pausedA.countDown()
+        assert(resumeA.await(120, java.util.concurrent.TimeUnit.SECONDS))
+      }
+      val (_, joinA) = inThread { ixA.rebuildOrder() }
+      assert(pausedA.await(120, java.util.concurrent.TimeUnit.SECONDS))
+      val a1 = collectPairs(ixA.ingest(shards(1))) // docs land in the OLD store
+      ixA.onBeforeRebuildCommit = () => ()
+      resumeA.countDown(); joinA()
+      val a2 = collectPairs(ixA.ingest(shards(2)))
+      val docsA = ixA.stats()._1
+      ixA.release()
+      assert(docsA == 300L, s"doc rows lost across the compacting swap: $docsA")
+      assert((a0 ++ a1 ++ a2).sorted == want)
+
+      // interleave B: the compacting rebuild completes inside an ingest
+      val ixB = new NearDupIndex(spark, freshDir())
+      val b0 = collectPairs(ixB.ingest(shards(0)))
+      val pausedB = new java.util.concurrent.CountDownLatch(1)
+      val resumeB = new java.util.concurrent.CountDownLatch(1)
+      ixB.onBeforeIngestCommit = () => {
+        pausedB.countDown()
+        assert(resumeB.await(120, java.util.concurrent.TimeUnit.SECONDS))
+      }
+      val (_, joinB) = inThread { ixB.ingest(shards(1)) }
+      assert(pausedB.await(120, java.util.concurrent.TimeUnit.SECONDS))
+      ixB.onBeforeIngestCommit = () => ()
+      ixB.rebuildOrder() // swaps epoch AND docs dir under the paused ingest
+      resumeB.countDown()
+      val b1 = collectPairs(joinB())
+      val b2 = collectPairs(ixB.ingest(shards(2)))
+      val docsB = ixB.stats()._1
+      ixB.release()
+      assert(docsB == 300L, s"overtaken ingest's docs lost: $docsB")
+      assert((b0 ++ b1 ++ b2).sorted == want)
+    } finally NearDupIndex.compactDocsAboveSeqDirs = prevThreshold
+  }
+
   test("detached sink: triggers never absorb the rebuild; maintain() runs it; output exact") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

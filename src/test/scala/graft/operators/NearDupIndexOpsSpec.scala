@@ -114,6 +114,56 @@ class NearDupIndexOpsSpec extends SparkTestBase {
       "post-repair replay does not complete the one-shot truth")
   }
 
+  test("rebuild compacts seq partitions: postings always, docs past the threshold; repair + fold stay exact") {
+    // the directory count must not grow O(history) under 1-minute triggers
+    // for a month (~43k dirs): the rebuild coalesces seqs <= nextSeq-2
+    // into one partition — safe because the sink marker protocol keeps any
+    // future repair watermark >= nextSeq-1
+    import spark.implicits._
+    val prevThreshold = NearDupIndex.compactDocsAboveSeqDirs
+    NearDupIndex.compactDocsAboveSeqDirs = 3
+    try {
+      val root = freshDir()
+      val indexDir = s"$root/index"
+      val pairsDir = s"$root/pairs"
+      val index = new NearDupIndex(spark, indexDir, blockCol = "source",
+        textCol = "text", idCol = "doc_id")
+      val six = (0 until 6).map(i =>
+        slice.filter(col("doc_id") >= i * 50 && col("doc_id") < (i + 1) * 50))
+      six.zipWithIndex.foreach { case (s, i) =>
+        index.ingest(s)
+          .select(lit(i.toLong).as("batch_id"), col("block"),
+            col("id_a"), col("id_b"), col("jaccard"))
+          .write.mode("append").parquet(pairsDir)
+        index.release()
+        writeMarker(pairsDir, i.toLong, index.nextSeq)
+      }
+      index.rebuildOrder()
+      index.release() // reap the superseded (incl. pre-compaction docs) dirs
+      def seqDirCount(table: String): Int =
+        localFs.listStatus(new org.apache.hadoop.fs.Path(table))
+          .count(_.getPath.getName.startsWith("seq="))
+      val (_, postP, docsP) = NearDupIndex.livePaths(spark, indexDir)
+      assert(docsP.endsWith("docs-1"), s"doc store not compacted-swapped: $docsP")
+      assert(seqDirCount(postP) <= 2, s"postings not coalesced: ${seqDirCount(postP)} dirs")
+      assert(seqDirCount(docsP) <= 2, s"docs not coalesced: ${seqDirCount(docsP)} dirs")
+      // a crash after the compaction still repairs O(crash) and replays
+      val crashed = spark.read.parquet(s"${sf()}/documents.parquet")
+        .filter(col("doc_id") >= 300 && col("doc_id") < 330)
+      index.ingest(crashed); index.release()
+      val (droppedDocs, _, _) = NearDupIndex.repairToLastMarker(spark, indexDir, pairsDir)
+      assert(droppedDocs == 30L, s"expected 30 crashed docs dropped, got $droppedDocs")
+      val replay = collectPairs(index.ingest(crashed))
+      index.release()
+      val full = spark.read.parquet(s"${sf()}/documents.parquet")
+        .filter(col("doc_id") < 330)
+      val wantFull = collectPairs(Dedup.ngramJaccardPairsPrefix(full, "source"))
+      val sunk = collectPairs(spark.read.parquet(pairsDir))
+      assert((sunk ++ replay).sorted == wantFull,
+        "fold across a compacting rebuild + repair differs from the one-shot truth")
+    } finally NearDupIndex.compactDocsAboveSeqDirs = prevThreshold
+  }
+
   test("marker roll-up through the sink bounds the live marker set; repair honors the rollup") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -323,9 +373,14 @@ class NearDupIndexOpsSpec extends SparkTestBase {
     // sorted by the probe key (block, h) — the row-group-skippable layout
     val (_, postP, _) = NearDupIndex.livePaths(spark, s"$root/index")
     val fs = localFs
-    val partFile = fs.listStatus(new org.apache.hadoop.fs.Path(s"$postP/seq=0"))
+    // the growth policy may have rebuilt (coalescing early seqs) — probe
+    // the smallest live seq partition, whichever it is
+    val seqDir = fs.listStatus(new org.apache.hadoop.fs.Path(postP))
+      .map(_.getPath).filter(_.getName.startsWith("seq="))
+      .minBy(_.getName.drop(4).toLong)
+    val partFile = fs.listStatus(seqDir)
       .map(_.getPath).find(_.getName.endsWith(".parquet"))
-    assert(partFile.nonEmpty, s"no parquet part under $postP/seq=0")
+    assert(partFile.nonEmpty, s"no parquet part under $seqDir")
     val inFile = spark.read.parquet(partFile.get.toString)
       .select("block", "h").collect().map(r => (r.getString(0), r.getLong(1)))
     assert(inFile.length > 1, "degenerate part file")
