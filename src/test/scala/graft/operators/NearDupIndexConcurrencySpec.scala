@@ -218,29 +218,98 @@ class NearDupIndexConcurrencySpec extends SparkTestBase {
     assert(!NearDupIndex.maintain(spark, freshDir()))
   }
 
-  test("a stale commit lock fails loudly instead of hanging or silently proceeding") {
+  test("a crashed writer's commit lock SELF-RECOVERS: the lease expires, the next commit breaks it and proceeds") {
+    // VERDICT r15 #2: no manual lock-file removal. A crashed writer's
+    // heartbeat stopped with its JVM, so its lock's mtime goes stale —
+    // simulate the post-crash state directly (leftover lock, aged lease)
     val dir = freshDir()
     val index = new NearDupIndex(spark, dir)
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
     val lock = new org.apache.hadoop.fs.Path(s"$dir/.commit-lock")
-    fs.create(lock, true).close() // a crashed writer's leftover
-    val prev = NearDupIndex.commitLockTimeoutMs
-    NearDupIndex.commitLockTimeoutMs = 300L
+    val out = fs.create(lock, true)
+    try out.write("dead-writer-token".getBytes("UTF-8")) finally out.close()
+    fs.setTimes(lock,
+      System.currentTimeMillis() - 10 * NearDupIndex.commitLockLeaseMs, -1)
+    // every commit in the fold acquires the lock; the first breaks the
+    // stale lease inline — no IllegalStateException, no human in the loop
+    val got = shards.flatMap(s => collectPairs(index.ingest(s))).sorted
+    index.release()
+    assert(got == want, "fold behind a broken stale lease differs from all-pairs")
+    assert(!fs.exists(lock), "self-recovery left the lock behind")
+  }
+
+  test("a LIVE holder's lock is never broken: the waiter times out loudly, naming the live holder") {
+    // ADVICE r15 medium: the old fixed-timeout error advised deleting a
+    // lock a slow-but-alive holder (a rebuild's locked catch-up running
+    // Spark jobs) was still using. Now a fresh lease means LIVE: the
+    // waiter's error says so and never advises deletion — and the wait
+    // is conf-overridable for long catch-ups.
+    val dir = freshDir()
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val (_, joinHolder) = inThread {
+      NearDupIndex.withCommitLock(spark, dir) {
+        held.countDown()
+        assert(release.await(120, java.util.concurrent.TimeUnit.SECONDS)); 42
+      }
+    }
+    assert(held.await(120, java.util.concurrent.TimeUnit.SECONDS))
+    spark.conf.set("spark.graft.neardup.commitLockTimeoutMs", "400")
     try {
-      val ex = intercept[IllegalStateException] { index.ingest(shards(0)) }
-      assert(ex.getMessage.contains("commit lock"), ex.getMessage)
-    } finally NearDupIndex.commitLockTimeoutMs = prev
-    // the documented remediation: verify no writer is live, delete the
-    // lock, retry. The crashed attempt's appends landed as seq=0 orphans
-    // with counters un-advanced — exactly the shape the sink's replay
-    // meets (loud duplicate rejection + repairToLastMarker); a plain
-    // retry therefore folds into a CLEAN dir here.
-    fs.delete(lock, false)
-    index.release() // drop the failed attempt's handles
-    val clean = new NearDupIndex(spark, freshDir())
-    val got = shards.flatMap(s => collectPairs(clean.ingest(s))).sorted
-    clean.release()
-    assert(got == want)
+      val t0 = System.nanoTime()
+      val ex = intercept[IllegalStateException] {
+        NearDupIndex.withCommitLock(spark, dir)(0)
+      }
+      assert(ex.getMessage.contains("LIVE"), ex.getMessage)
+      assert(ex.getMessage.contains("Do NOT delete"), ex.getMessage)
+      assert((System.nanoTime() - t0) / 1e6 < 30000,
+        "conf-overridden timeout was not honored")
+    } finally spark.conf.unset("spark.graft.neardup.commitLockTimeoutMs")
+    release.countDown()
+    assert(joinHolder() == 42)
+  }
+
+  test("a revived stale holder is FENCED at its manifest commit — it fails loudly, never double-commits") {
+    // the takeover race: holder A pauses (GC/SIGSTOP) past its lease, B
+    // breaks the lock and commits; A wakes and tries to commit a manifest
+    // computed from its pre-pause read-check. The fence (lock token gone)
+    // must reject A.
+    val dir = freshDir()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/.commit-lock")
+    val prevHb = NearDupIndex.lockHeartbeatMs
+    NearDupIndex.lockHeartbeatMs = 3600000L // suppress A's heartbeat: "paused"
+    try {
+      val entered = new java.util.concurrent.CountDownLatch(1)
+      val resume = new java.util.concurrent.CountDownLatch(1)
+      @volatile var aOutcome: Option[Throwable] = None
+      val a = new Thread(() =>
+        try {
+          NearDupIndex.withCommitLock(spark, dir) {
+            entered.countDown()
+            assert(resume.await(120, java.util.concurrent.TimeUnit.SECONDS))
+            NearDupIndex.commitManifest(spark, dir,
+              NearDupIndex.emptyManifest.copy(total = 999L))
+          }
+        } catch { case e: Throwable => aOutcome = Some(e) })
+      a.start()
+      assert(entered.await(120, java.util.concurrent.TimeUnit.SECONDS))
+      // age A's (unrefreshed) lease past expiry, as a real pause would
+      fs.setTimes(lock,
+        System.currentTimeMillis() - 10 * NearDupIndex.commitLockLeaseMs, -1)
+      // B breaks the stale lease and commits
+      NearDupIndex.withCommitLock(spark, dir) {
+        NearDupIndex.commitManifest(spark, dir,
+          NearDupIndex.emptyManifest.copy(total = 7L))
+      }
+      resume.countDown()
+      a.join(120000)
+      assert(aOutcome.exists(_.getMessage.contains("FENCED")),
+        s"revived stale holder was not fenced: $aOutcome")
+      assert(NearDupIndex.readManifest(spark, dir).total == 7L,
+        "the fenced holder's write clobbered the live manifest")
+    } finally NearDupIndex.lockHeartbeatMs = prevHb
   }
 }

@@ -294,11 +294,18 @@ class NearDupIndexOpsSpec extends SparkTestBase {
     assert(ex.getMessage.contains("pre-watermark"), ex.getMessage)
   }
 
-  test("object-store schemes are rejected loudly at every write entry point; the conf opts out") {
-    val ex1 = intercept[IllegalArgumentException] {
-      new NearDupIndex(spark, "s3a://bucket/neardup-index")
-    }
+  test("object-store schemes are rejected loudly at every WRITE entry point; reads construct; the conf opts out") {
+    // ADVICE r15 low: the contract check moved off the constructor — only
+    // writes need rename atomicity, so an index object CAN be constructed
+    // against an object-store path (read-only inspection); every write
+    // entry still fails loudly at entry, before touching the store.
+    val idx = new NearDupIndex(spark, "s3a://bucket/neardup-index") // constructs
+    val ex1 = intercept[IllegalArgumentException] { idx.ingest(shards(0)) }
     assert(ex1.getMessage.contains("atomic rename"), ex1.getMessage)
+    val ex1b = intercept[IllegalArgumentException] { idx.rebuildOrder() }
+    assert(ex1b.getMessage.contains("atomic rename"), ex1b.getMessage)
+    val ex1c = intercept[IllegalArgumentException] { idx.migrateLayout() }
+    assert(ex1c.getMessage.contains("atomic rename"), ex1c.getMessage)
     val ex2 = intercept[IllegalArgumentException] {
       NearDupIndex.repairToLastMarker(spark, "s3://bucket/idx", freshDir())
     }
@@ -307,10 +314,70 @@ class NearDupIndexOpsSpec extends SparkTestBase {
       NearDupIndex.maintain(spark, "abfss://container@acct/idx")
     }
     assert(ex3.getMessage.contains("atomic"), ex3.getMessage)
-    // a deployment that KNOWS its store renames atomically can opt out
+    // a deployment that KNOWS its store renames atomically can opt out:
+    // the write proceeds past the contract check and fails on the missing
+    // s3a driver instead — a DIFFERENT error, proving the check stood down
     spark.conf.set("spark.graft.neardup.assumeAtomicRename", "true")
-    try new NearDupIndex(spark, "s3a://bucket/neardup-index") // constructs
-    finally spark.conf.unset("spark.graft.neardup.assumeAtomicRename")
+    try {
+      val ex4 = intercept[Throwable] {
+        new NearDupIndex(spark, "s3a://bucket/neardup-index").ingest(shards(0))
+      }
+      assert(!String.valueOf(ex4.getMessage).contains("atomic rename"),
+        s"opt-out conf ignored: ${ex4.getMessage}")
+    } finally spark.conf.unset("spark.graft.neardup.assumeAtomicRename")
+  }
+
+  test("a crashed rebuild retried after further ingests leaves no orphan epoch rows (ADVICE r15 high)") {
+    // a rebuild that crashes AFTER its epoch-(e+1) table writes but BEFORE
+    // the manifest swap leaves postings-(e+1)/docs-(e+1) behind; a retry
+    // after more ingests writes the SAME dirs under a different coalesce
+    // bound, so without the pre-clean the crashed attempt's other seq=
+    // partitions survive into the live table at the swap — duplicated doc
+    // rows multiplying every later verify join
+    val prevThreshold = NearDupIndex.compactDocsAboveSeqDirs
+    NearDupIndex.compactDocsAboveSeqDirs = 0 // every rebuild also swaps the docs dir
+    try {
+      val slice400 = spark.read.parquet(s"${sf()}/documents.parquet")
+        .filter(col("doc_id") < 400)
+      val four = (0 until 4).map(i =>
+        slice400.filter(col("doc_id") >= i * 100 && col("doc_id") < (i + 1) * 100))
+      val want400 = collectPairs(Dedup.ngramJaccardPairsPrefix(slice400, "source"))
+      // posting-row count is order-independent (prefix LENGTH doesn't
+      // depend on the frozen order), so a clean fold over the same corpus
+      // gives the exact expected count for the crash-retry fold
+      val control = new NearDupIndex(spark, freshDir())
+      four.foreach(control.ingest)
+      control.rebuildOrder()
+      val controlPostings = control.stats()._2
+      control.release()
+
+      val index = new NearDupIndex(spark, freshDir())
+      val p0 = collectPairs(index.ingest(four(0)))
+      val p1 = collectPairs(index.ingest(four(1)))
+      // crash between the epoch-1 writes and the swap: at nextSeq=2 the
+      // coalesce bound is 0, so the crashed attempt wrote seqs {0,1}
+      index.onBeforeRebuildCommit =
+        () => throw new RuntimeException("simulated crash before swap")
+      val ex = intercept[RuntimeException] { index.rebuildOrder() }
+      assert(ex.getMessage.contains("simulated crash"))
+      index.onBeforeRebuildCommit = () => ()
+      assert(index.epoch == 0L, "crashed rebuild must not have swapped")
+      // one more ingest moves the retry's coalesce bound to 1: the retry
+      // writes seqs {1,2} — the crashed attempt's seq=0 dirs are exactly
+      // the orphans the pre-clean must remove
+      val p2 = collectPairs(index.ingest(four(2)))
+      index.rebuildOrder()
+      val p3 = collectPairs(index.ingest(four(3)))
+      val (docsN, postingsN, _) = index.stats()
+      index.release()
+      assert(docsN == 400L,
+        s"doc rows duplicated/lost across the crash-retry: $docsN")
+      assert(postingsN == controlPostings,
+        s"posting rows $postingsN != control $controlPostings — the crashed " +
+          "attempt's orphan seq partitions survived the retry")
+      assert((p0 ++ p1 ++ p2 ++ p3).sorted == want400,
+        "fold across a crashed-then-retried rebuild differs from all-pairs")
+    } finally NearDupIndex.compactDocsAboveSeqDirs = prevThreshold
   }
 
   test("re-opening with mismatched prefix geometry fails loudly") {
