@@ -68,6 +68,25 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** documents scan with the single-file row-group floor split away
+    * (guide §2.5 input skew / §6 split size): the gate corpus ships as ONE
+    * parquet file with ONE row group, so every downstream kernel stage
+    * (shingle+explode+partial-agg, char-gram posting builds) runs as ONE
+    * task no matter the core count — broadcast joins preserve the
+    * 1-partition layout, so the serial stage survives until the first wide
+    * shuffle. One round-robin exchange right after the scan parallelizes
+    * the kernel across the session's cores instead.
+    *
+    * Measured (sf0.1, local[32], min-of-3): q_ngram_jaccard 6.95→5.15 s,
+    * q_ngram_containment 4.30→2.68, q_substring_search 1.79→0.64,
+    * q_simjoin_cost 2.03→1.14. NOT a blanket docs() replacement: a cheap
+    * one-pass row (q_token_count 0.06 s) pays ~+0.4 s for the extra
+    * exchange + job, so only kernel-heavy consumers opt in. On a real
+    * multi-file corpus readSplit passes through untouched (scan planner
+    * already parallelizes), so the production plan is unchanged. */
+  private def docsSplit(s: SparkSession, dir: String): DataFrame =
+    GraftSession.readSplit(s, s"$dir/documents.parquet", minSplitBytes = 0L)
+
   /** Normalize IEEE signed zero after a final `round`: −0.0 + 0.0 = +0.0.
     * DuckDB's `round` preserves the sign bit (round(−3.45e−8, 6) → −0.0)
     * while Spark's goes through BigDecimal HALF_UP, which cannot represent
@@ -354,7 +373,7 @@ object SparkEntry {
       // prefix-filtered (AllPairs) variant: exact — proven equal to the
       // inverted-index baseline in OperatorsSpec — and ~1.7x faster even on
       // this verification-bound corpus (516k true pairs at sf0.1)
-      Dedup.ngramJaccardPairsPrefix(docs(s, d), "source")
+      Dedup.ngramJaccardPairsPrefix(docsSplit(s, d), "source")
         .orderBy(col("block"), col("id_a"), col("id_b"))),
     "q_ngram_containment" -> ((s: SparkSession, d: String) =>
       // asymmetric containment |A∩B|/min(|A|,|B|): the subset-duplication
@@ -363,7 +382,7 @@ object SparkEntry {
       // inverted index (containment has no size-ratio bound, so
       // prefix⋈prefix would miss subset dups), verified by the exact
       // sorted-merge kernel — 10x the naive posting self-join at sf0.1
-      Dedup.ngramContainmentPairs(docs(s, d), "source", threshold = 0.9)
+      Dedup.ngramContainmentPairs(docsSplit(s, d), "source", threshold = 0.9)
         .orderBy(col("block"), col("id_a"), col("id_b"))),
     "q_dedup_delta" -> ((s: SparkSession, d: String) => {
       // shard-append exact near-dup (r12): every Jaccard-≥-t pair touching
@@ -451,7 +470,7 @@ object SparkEntry {
       // All-integer per-shingle terms ⇒ bit-exact SQL replay; the
       // estimate is validated within 2× of the observed candidate count
       // at two corpus scales in DedupSpec.
-      graft.operators.Diagnostics.similarityJoinCost(docs(s, d), "source")
+      graft.operators.Diagnostics.similarityJoinCost(docsSplit(s, d), "source")
         .orderBy(col("block"))),
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => {
       // pairs → transitive groups → canonical keeper: the end-to-end dedup
@@ -997,7 +1016,7 @@ object SparkEntry {
         .select(explode(graft.expr.TextExpressions.charShingleHashes(lit(pat), 3)).as("g"))
         .distinct()
       val nPat = pat.length - 2 // grams of the already-normalized pattern
-      val postings = docs(s, d)
+      val postings = docsSplit(s, d)
         .select(col("doc_id"),
           explode(graft.expr.TextExpressions.charShingleHashes(col("text"), 3)).as("g"))
       val cand = postings.join(broadcast(patGrams), Seq("g"))

@@ -292,29 +292,43 @@ object Similarity {
       i += 1
     }
     val bc = sc.broadcast((idArr, flat, dim))
-    // spread the O(n²/p) row-vs-matrix scans over the full cluster: the
-    // input is typically a couple of parquet splits, which would pin the
-    // quadratic stage to as many cores
-    ds.repartition(sc.defaultParallelism).mapPartitions { it =>
+    // drive the quadratic stage from the BROADCAST matrix itself (r16):
+    // the corpus was just collected, so re-scanning + re-shuffling the
+    // dataset only to hand each task rows it already holds paid one full
+    // exchange and a second evaluation of the normalization for nothing.
+    // Each of `slices` tasks owns the strided row set {p, p+S, p+2S, …}
+    // (perfectly balanced across the triangle) and scans only j > i, so
+    // the n²·d flop count is HALVED versus the every-row-scans-everything
+    // form — the ida < idb guard discarded the upper triangle after
+    // paying for it. Emission (min(id), max(id), rounded cos) per
+    // unordered pair is identical to the old guard's output set.
+    val slices = sc.defaultParallelism
+    spark.range(0, slices.toLong, 1, slices).as[Long].mapPartitions { it =>
       val (ids, m, d) = bc.value
       val nn = ids.length
-      it.flatMap { case (ida, va) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var j = 0
-        while (j < nn) {
-          val idb = ids(j)
-          if (ida < idb) {
+      it.flatMap { p =>
+        Iterator.range(p.toInt, nn, slices).flatMap { i =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          val ioff = i * d
+          var j = i + 1
+          while (j < nn) {
             var s = 0.0
-            var p = 0
-            val off = j * d
-            while (p < d) { s += va(p) * m(off + p); p += 1 }
+            var q = 0
+            val joff = j * d
+            while (q < d) { s += m(ioff + q) * m(joff + q); q += 1 }
             val r = java.math.BigDecimal.valueOf(s)
               .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-            if (r >= threshold) out += ((ida, idb, r))
+            if (r >= threshold) {
+              val ida = ids(i); val idb = ids(j)
+              // ida != idb preserves the old `ida < idb` guard's behavior
+              // on duplicate ids: a self-id pair is never emitted
+              if (ida != idb)
+                out += ((math.min(ida, idb), math.max(ida, idb), r))
+            }
+            j += 1
           }
-          j += 1
+          out
         }
-        out
       }
     }.toDF("id_a", "id_b", "cos_sim")
   }
