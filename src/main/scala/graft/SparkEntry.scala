@@ -394,7 +394,7 @@ object SparkEntry {
       // verbatim, cut included; DedupDeltaSpec pins equality against the
       // full-corpus prefix operator, including cross (history, delta)
       // pairs). The max(doc_id) probe is one bounded 1-row aggregate.
-      val all = docs(s, d)
+      val all = docsSplit(s, d)
       val cut = 4L * (all.agg(max(col("doc_id"))).head().getLong(0) + 1L) / 5L
       Dedup.ngramJaccardDelta(
         all.filter(col("doc_id") < cut),
@@ -480,7 +480,7 @@ object SparkEntry {
       // word-salad corpus is near-dup-dense, so the unbounded pair set is
       // output-quadratic in corpus size — not what the query verifies.
       val pairs = Dedup.ngramJaccardPairsPrefix(
-        docs(s, d).filter(col("doc_id") < 1500), "source", threshold = 0.5)
+        docsSplit(s, d).filter(col("doc_id") < 1500), "source", threshold = 0.5)
       Dedup.dedupClusters(s, pairs).orderBy(col("doc_id"))
     }),
     "q_dedup_incremental" -> ((s: SparkSession, d: String) => {
