@@ -178,6 +178,23 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ the
     * training-data-pipeline extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- bench instrumentation ----
+    "q_bench_control" -> ((s: SparkSession, d: String) =>
+      // fixed-size ambient-load CONTROL row (VERDICT r15 #7): the input is
+      // a literal range — identical work at every SF and on every run —
+      // so its timing in any bench artifact measures the MACHINE, never
+      // the data. A single-rep driver bench whose outlier rows swing 26×
+      // under sandbox load (BENCH_r15's q_sssp 77 s vs 3 s min-of-3) is
+      // self-interpreting once this row's time is read alongside: control
+      // at its floor ⇒ the outlier is real; control inflated ⇒ ambient.
+      // Oracle-checkable like every declared row (DuckDB range()).
+      s.range(0L, 5000000L)
+        .select((col("id") % 9973L).as("k"), col("id").as("v"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("n")).as("n_rows"),
+          sum(col("sv") % 1000003L).as("checksum"))),
     // ---- relational surface (SURVEY §2.14) ----
     "q_scan_filter_project" -> Relational.scanFilterProject _,
     "q_pricing_summary" -> Relational.pricingSummary _,
@@ -4692,6 +4709,15 @@ object SparkEntry {
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
+    // integer-only arithmetic over a literal range: bit-exact replay
+    "q_bench_control" ->
+      """WITH g AS (
+        |  SELECT range % 9973 AS k, count(*) AS n, sum(range) AS sv
+        |  FROM range(5000000) GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sum(n) AS BIGINT) AS n_rows,
+        |       CAST(sum(sv % 1000003) AS BIGINT) AS checksum
+        |FROM g""".stripMargin,
     "q_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, round(l_extendedprice, 2) AS price
         |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05
